@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the five TPC-H parity queries the reference benchmarks
+(benchmark/tpc-h/q*.yml) plus the scale-path pipeline operators (hash dedup,
+MinHash-LSH near-dup, text scoring/fingerprinting, vector top-k, event
+sessionization). The quadratic exact baselines (ngram all-pairs,
+all-pairs cosine) are deliberately excluded — they exist as correctness
+oracles, not as the scale path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q12",
+    "tpch_q14",
+    "op_join_nary",
+    "op_subquery_scalar",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_langid",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "events_window_tumbling",
+    "events_sessionize",
+    "multimodal_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from mutable_spark import registry
+    from mutable_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("mutable_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so we measure query execution,
+    # not first-touch session costs (the reference's harness also separates
+    # compile from execute time).
+    registry.QUERIES["tpch_q6"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name == "op_scan" else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

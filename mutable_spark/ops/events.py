@@ -1,0 +1,136 @@
+"""Event-stream operators over the ``events`` table, exercised here in
+batch mode with DuckDB oracles; `mutable_spark.streaming` runs the same
+logic incrementally with Structured Streaming + watermarks.
+
+The reference has no streaming at all (SURVEY §2.10) — this whole module is
+beyond-parity capability for the training-data-pipeline north star.
+
+Note ``events.ts`` is TIMESTAMP(NANOS) parquet: `catalog.load_table`
+converts it (exact integer ns→µs division) to TIMESTAMP_NTZ, matching
+DuckDB's read of the same file.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.functions import dsum, sql_dsum
+from mutable_spark.registry import query
+
+
+@query(
+    "events_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value,
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS DOUBLE)
+             / COUNT(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    ``props`` string with a regexp (portable between engines; a production
+    pipeline would use from_json with a schema — same plan shape), then
+    aggregate per event type. NULLIF guards the no-match case under ANSI
+    casting."""
+    e = load_tables(spark, sf_dir).events
+    k = F.nullif(F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")).cast(
+        "long"
+    )
+    return (
+        e.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("sum_value"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "events_window_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    """,
+)
+def events_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    Structured Streaming job in `mutable_spark.streaming.events`
+    (watermark + window on the same column). Spark's window() start equals
+    DuckDB's time_bucket for epoch-aligned hours."""
+    e = load_tables(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization with a 10-minute inactivity gap: lag→flag→cumulative
+    sum→group, the classic batch formulation (the streaming twin uses
+    session_window + watermark). One shuffle on user_id; both window
+    functions reuse the same (user_id, ts, event_id) sort order, so
+    Catalyst plans a single Sort+Window stage."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull() | (F.col("ts") > lag_ts + F.expr("INTERVAL 10 MINUTE")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

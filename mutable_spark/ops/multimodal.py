@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed in Arrow-batched
+`mapInPandas` passes.
+
+The container has no image/audio codecs, so the actual decode is stubbed
+(`decode_image` raises NotImplementedError; `fake_decode` is a
+deterministic stand-in) — but everything Spark-side is real and tested:
+binary column construction, the mapInPandas batch contract (pandas
+DataFrames in/out, explicit output schema), and partition-parallel
+execution. Swapping `fake_decode` for PIL/libvips is a one-function change.
+
+``multimodal_extract`` has a DuckDB oracle because its "features"
+(byte length, md5 content address) are engine-computable; the fake decode
+features are checked rows-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.registry import query
+
+#: Arrow batch size note: at 100 TB of images you bound executor memory with
+#: spark.sql.execution.arrow.maxRecordsPerBatch (payloads are MBs, default
+#: 10k rows/batch would blow up) — documented here, default fine for tests.
+
+
+def _payload_df(spark, sf_dir):
+    """documents with an opaque binary payload column (utf-8 of text —
+    stands in for image bytes) + typed metadata, the multimodal layout."""
+    d = load_tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("orig_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decoder entry point — requires an image codec library.
+
+    STUB: the container ships no PIL/opencv/libvips; wire one in here.
+    """
+    raise NotImplementedError("image decoding requires a codec library (PIL/opencv)")
+
+
+def fake_decode(payload: bytes) -> tuple[int, float, int]:
+    """Deterministic stand-in for decode+feature-extract: (n_bytes,
+    mean byte value, first byte)."""
+    n = len(payload)
+    return n, (sum(payload) / n if n else 0.0), (payload[0] if n else -1)
+
+
+@query(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text)                    AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_extract(spark, sf_dir):
+    """Binary feature extraction via mapInPandas: byte length + md5 content
+    address per payload. The Python work is Arrow-batched (one pandas
+    DataFrame per batch, ~10-100× the throughput of a row-at-a-time UDF)
+    and embarrassingly parallel — no shuffle at any scale."""
+    df = _payload_df(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "content_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        extract, schema="doc_id long, byte_len long, content_md5 string"
+    )
+
+
+@query("multimodal_fake_features")  # stubbed decode → rows-only check
+def multimodal_fake_features(spark, sf_dir):
+    """The decode+featurize pass with the stub decoder: same mapInPandas
+    plumbing and schema discipline a real image pipeline needs (swap
+    `fake_decode` for a real codec; nothing else changes)."""
+    df = _payload_df(spark, sf_dir)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
+                    "mean_byte": feats.map(lambda t: t[1]).astype("float64"),
+                    "first_byte": feats.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        featurize, schema="doc_id long, n_bytes long, mean_byte double, first_byte long"
+    )

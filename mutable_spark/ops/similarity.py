@@ -1,0 +1,172 @@
+"""Similarity search over the ``embeddings`` table (`array<float>`, 64-d).
+
+- ``sim_cosine_topk``         brute-force top-k neighbors of a query vector.
+                              Exact; the baseline. Linear scan — at 100 TB
+                              this is a full pass, which is precisely what
+                              the oracle-checked baseline should be.
+- ``sim_nearest_pairs``       top-20 most-similar pairs (all-pairs). The
+                              quadratic exact baseline for near-dup mining.
+- ``sim_ann_lsh``             random-hyperplane LSH: bucketed candidates,
+                              exact re-rank. The scale path — candidates
+                              come from an equi-join on sign-pattern
+                              chunks, never a cross join.
+
+All vector math is JVM-side (`zip_with` + `aggregate` folds, left-to-right,
+in DOUBLE) so Spark and the DuckDB oracle (`list_reduce` with a prepended
+init — same fold order) produce bit-identical cosines. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.functions import vec_cosine
+from mutable_spark.registry import query
+
+#: DuckDB twin of functions.vec_dot's fold (a·b over 1-based indexes)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv, vec_id AS qid FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, label, {_sql_cos('embedding', 'qv')} AS cos
+    FROM embeddings, q
+    WHERE vec_id <> qid
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact top-10 cosine neighbors of the first vector. The single-row
+    query side broadcasts; Catalyst turns orderBy+limit into a distributed
+    top-k (TakeOrderedAndProject), so no global sort materializes."""
+    e = load_tables(spark, sf_dir).embeddings
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "label",
+            vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_nearest_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+    ORDER BY cos DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def sim_nearest_pairs(spark, sf_dir):
+    """Top-20 most-similar embedding pairs, exact all-pairs — the
+    correctness baseline for near-dup mining over embeddings (the synthetic
+    corpus has no pairs above cosine 0.8, so a thresholded variant would be
+    vacuous). Quadratic by construction; ``sim_ann_lsh`` is the scale
+    path."""
+    e = load_tables(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", vec_cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+_N_PLANES = 16  # 16 sign bits → 4 chunks of 4 bits for banding
+_DIM = 64
+_rng = np.random.default_rng(7)
+_PLANES = _rng.standard_normal((_N_PLANES, _DIM)).tolist()
+
+
+@query("sim_ann_lsh")  # approximate (recall < 1) → rows-only check
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate top-10 neighbors via random-hyperplane LSH.
+
+    16 fixed hyperplanes (seeded, deterministic) give a 16-bit sign
+    signature, split into 4 chunks of 4 bits; vectors sharing *any* chunk
+    with the query are candidates (pigeonhole: everything within Hamming
+    distance 3 of the query signature is reachable), then candidates are
+    exactly re-ranked by cosine. At 100 TB the signature computation is a
+    map-only pass and candidate selection is an equi-join on (chunk_idx,
+    chunk_value) — the cross join of the exact variants never appears."""
+    e = load_tables(spark, sf_dir).embeddings
+
+    def sign_bit(plane):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0.0, 1).otherwise(0)
+
+    bits = [sign_bit(p) for p in _PLANES]
+    chunks = [
+        sum(bits[4 * c + i] * (1 << i) for i in range(4)).alias(f"chunk{c}")
+        for c in range(4)
+    ]
+    sig = e.select("vec_id", "label", "embedding", *chunks)
+    pieces = sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(F.array(*[F.col(f"chunk{c}") for c in range(4)])).alias(
+            "pos", "val"
+        ),
+    )
+    qid = sig.orderBy("vec_id").limit(1)
+    qpieces = qid.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.posexplode(F.array(*[F.col(f"chunk{c}") for c in range(4)])).alias(
+            "qpos", "qval"
+        ),
+    )
+    cand = (
+        pieces.join(
+            F.broadcast(qpieces),
+            (F.col("pos") == F.col("qpos"))
+            & (F.col("val") == F.col("qval"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("vec_id", "label", "embedding", "qv")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "vec_id", "label", vec_cosine(F.col("embedding"), F.col("qv")).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )

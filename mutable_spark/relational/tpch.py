@@ -1,0 +1,243 @@
+"""TPC-H parity query set — Q1, Q3, Q6, Q12, Q14, the five queries the
+reference benchmarks (`/root/reference/benchmark/tpc-h/q{1,3,6,12,14}.sql`),
+adapted to the driver testdata's reduced schema (TESTDATA.md: no partsupp;
+orders lacks o_shippriority/o_clerk; lineitem lacks
+l_shipmode/l_commitdate/l_receiptdate) and its 1995–2001 date range.
+Operator shape — scan→filter→join→group→sort — is preserved per query.
+
+Decimal strategy (see `mutable_spark.functions`): prices cast to
+DECIMAL(12,2), rates (discount/tax) to DECIMAL(3,2) *before* multiplying, so
+every intermediate stays an exact decimal in both Spark and DuckDB (DuckDB
+errors past width 38, so narrow inputs matter), and the final DOUBLE is
+bit-identical regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.functions import davg, dsum, sql_davg, sql_dsum
+from mutable_spark.registry import query
+
+
+def TS(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def _price(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _rate(col: str):
+    return F.col(col).cast("decimal(3,2)")
+
+
+def _one():
+    return F.lit(1.0).cast("decimal(3,2)")
+
+
+def _disc_price():
+    """exact-decimal l_extendedprice * (1 - l_discount)"""
+    return _price("l_extendedprice") * (_one() - _rate("l_discount"))
+
+
+def _charge():
+    return _disc_price() * (_one() + _rate("l_tax"))
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_SQL_CHARGE = (
+    f"{_SQL_DISC_PRICE} * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+)
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum('l_quantity')}                    AS sum_qty,
+           {sql_dsum('l_extendedprice')}               AS sum_base_price,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE)      AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE)          AS sum_charge,
+           {sql_davg('l_quantity')}                    AS avg_qty,
+           {sql_davg('l_extendedprice')}               AS avg_price,
+           {sql_davg('l_discount')}                    AS avg_disc,
+           COUNT(*)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (`benchmark/tpc-h/q1.sql`), cutoff shifted
+    into the testdata date range. One scan, one shuffle on a 6-value group
+    key; Spark's partial aggregation means the shuffle moves 6 rows per
+    partition no matter the scale factor — this is the flagship query
+    (`entry()` runs it at sf0.001)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_shipdate") <= TS("2001-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (`benchmark/tpc-h/q3.sql`), adapted:
+    o_shippriority doesn't exist in the testdata → o_orderpriority; dates
+    shifted. Filters push to all three scans; the filtered customer side
+    is small → broadcast into orders, then one shuffle join with lineitem.
+    l_orderkey added to ORDER BY as a deterministic tiebreak for the
+    LIMIT."""
+    t = load_tables(spark, sf_dir)
+    cutoff = TS("1998-03-15 00:00:00")
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t.lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t.orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change (`benchmark/tpc-h/q6.sql`).
+    Pure scan-filter-aggregate: every predicate reaches the parquet reader
+    (PushedFilters), so at 100 TB this reads only row groups whose
+    min/max straddle the window — the canonical pushdown showcase."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= TS("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < TS("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        F.sum(_price("l_extendedprice") * _rate("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_quantity >  25.0 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_count,
+           CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS light_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode/priority distribution
+    (`benchmark/tpc-h/q12.sql`), adapted: the testdata has no
+    l_shipmode/l_commitdate/l_receiptdate, so the "late line" predicate
+    becomes shipped >60 days after order date, and the CASE buckets split
+    on quantity. Same shape: big join + conditional counting aggregates."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") > 25.0, 1).otherwise(0)).alias(
+                "heavy_count"
+            ),
+            F.sum(F.when(F.col("l_quantity") <= 25.0, 1).otherwise(0)).alias(
+                "light_count"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT 100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN {_SQL_DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+                  / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect (`benchmark/tpc-h/q14.sql`), dates
+    shifted. part is a dimension → broadcast join against the
+    filtered lineitem scan; the promo CASE keeps exact-decimal branches so
+    both engines agree bitwise before the final double division."""
+    t = load_tables(spark, sf_dir)
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _disc_price()
+    ).otherwise(F.lit(0).cast("decimal(17,4)"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= TS("1996-09-01 00:00:00"))
+            & (F.col("l_shipdate") < TS("1996-10-01 00:00:00"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Design point: a 1000-executor cluster over ~100 TB. On such a cluster the
+session would additionally set dynamic allocation, s3a committers, and a
+shuffle service; locally we keep the subset that shapes plans the same way
+(AQE, broadcast thresholds, partition sizing) so the plans we test are the
+plans we'd ship.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs applied to any session we are handed (the
+#: driver owns the session in verify runs — these are all dynamic confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic wall-clock semantics: testdata timestamps are naive
+    # (parquet isAdjustedToUTC=false → TIMESTAMP_NTZ); anything that goes
+    # through an instant conversion must do so in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as long and convert with integer division (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime coalescing of shuffle partitions + skew-join splitting —
+    # the 100 TB safety net for misestimated shuffles.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/part/supplier at test SFs) broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — session default applies
+    return spark
+
+
+def get_spark(app_name: str = "mutable_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned local session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partition
+    count tracks parallelism; on a real cluster this would be sized to
+    ~128 MB of shuffle data per partition and AQE coalesces from there.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
