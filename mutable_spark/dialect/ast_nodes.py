@@ -1,0 +1,140 @@
+"""AST for mutable's dialect — mirrors the reference's node taxonomy
+(`include/mutable/parse/AST.hpp`: Expr kinds :427-434, Clause kinds
+:642-650, Stmt kinds :793-1004) at Python-dataclass granularity."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    pass
+
+
+# --- expressions ----------------------------------------------------------
+@dataclass
+class Literal(Node):
+    value: object  # int | float | str | bool | None
+    kind: str      # 'int' | 'float' | 'str' | 'bool' | 'null' | 'date' | 'datetime'
+
+
+@dataclass
+class Designator(Node):
+    """[table.]attribute (AST.hpp Designator)."""
+    table: str | None
+    attr: str
+
+
+@dataclass
+class FnApplication(Node):
+    """COUNT/SUM/AVG/MIN/MAX/ISNULL/INT(...) — complete fn list
+    `include/mutable/tables/Functions.tbl:10-20`."""
+    name: str
+    args: list[Node]
+    star: bool = False  # COUNT(*)
+
+
+@dataclass
+class Unary(Node):
+    op: str  # '+', '-', '~', 'NOT'
+    operand: Node
+
+
+@dataclass
+class Binary(Node):
+    op: str  # * / % + - .. < > <= >= = != AND OR LIKE
+    left: Node
+    right: Node
+
+
+# --- clauses / statements -------------------------------------------------
+@dataclass
+class SelectItem(Node):
+    expr: Node | None  # None → '*'
+    alias: str | None = None
+
+
+@dataclass
+class TableRef(Node):
+    name: str | None          # base table
+    subquery: "SelectStmt | None"  # (SELECT …) AS alias
+    alias: str | None = None
+
+
+@dataclass
+class OrderItem(Node):
+    expr: Node
+    asc: bool = True
+
+
+@dataclass
+class GroupItem(Node):
+    """GROUP BY expr [AS alias] — nonstandard alias form, grammar
+    `doc/syntax-grammar.md` group_by-clause."""
+    expr: Node
+    alias: str | None = None
+
+
+@dataclass
+class SelectStmt(Node):
+    items: list[SelectItem] = field(default_factory=list)
+    from_: list[TableRef] = field(default_factory=list)
+    where: Node | None = None
+    group_by: list[GroupItem] = field(default_factory=list)
+    having: Node | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+@dataclass
+class ColumnDef(Node):
+    name: str
+    type_name: str           # INT, FLOAT, DOUBLE, DECIMAL, BOOL, CHAR, VARCHAR, DATE, DATETIME
+    params: list[int] = field(default_factory=list)
+    not_null: bool = False
+    primary_key: bool = False
+    unique: bool = False
+
+
+@dataclass
+class CreateTableStmt(Node):
+    name: str
+    columns: list[ColumnDef]
+
+
+@dataclass
+class CreateDatabaseStmt(Node):
+    name: str
+
+
+@dataclass
+class DropStmt(Node):
+    kind: str  # 'TABLE' | 'DATABASE' | 'INDEX'
+    name: str
+
+
+@dataclass
+class UseStmt(Node):
+    name: str
+
+
+@dataclass
+class InsertStmt(Node):
+    table: str
+    rows: list[list[Node | str]]  # Node expr, or 'DEFAULT'
+
+
+@dataclass
+class ImportDSVStmt(Node):
+    """IMPORT INTO t DSV "file" [ROWS n] [DELIMITER c] [ESCAPE c] [QUOTE c]
+    [HAS HEADER] [SKIP HEADER] — grammar import-statement; reader config
+    `src/mutable.cpp:263-292`."""
+    table: str
+    path: str
+    rows: int | None = None
+    delimiter: str = ","
+    escape: str = "\\"
+    quote: str = '"'
+    has_header: bool = False
+    skip_header: bool = False

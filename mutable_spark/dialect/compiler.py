@@ -1,0 +1,470 @@
+"""AST → DataFrame compiler.
+
+This replaces the reference's QueryGraph construction + logical planning
+(`src/IR/QueryGraph.cpp`, `src/IR/Optimizer.cpp`) with direct DataFrame
+construction — Catalyst then performs join ordering, pushdown, pruning, and
+physical selection (SURVEY §4: every reference rewrite is already a
+Catalyst rule).
+
+What *is* reproduced from the reference, because it's semantics rather than
+optimization:
+- WHERE → CNF split: single-source conjuncts become per-source filters,
+  multi-source conjuncts become join predicates (GraphBuilder,
+  `src/IR/QueryGraph.cpp:1740+`). Catalyst would re-derive this anyway;
+  doing it at build time keeps the plan readable and the semantics obvious.
+- HAVING compiles to a filter over the grouped frame
+  (`QueryGraph.cpp:1773-1788`).
+- mutable's result-type rules (`Sema.cpp:554-647`, `semantics.md:50-73`)
+  via explicit casts: AVG→DOUBLE, SUM widening, INT()→64-bit, int/int
+  division truncates like C++.
+- ORDER BY on expressions outside the projection uses hidden sort columns
+  + post-projection (`Optimizer.cpp:109-148,466-493`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from mutable_spark.dialect import ast_nodes as A
+from mutable_spark.dialect.sema import (
+    AGGREGATES,
+    SemaError,
+    arithmetic_join,
+    check_stmt,
+    contains_aggregate,
+    is_int,
+    is_numeric,
+    walk,
+)
+
+SEP = "___"
+
+
+def totext(e: A.Node) -> str:
+    """Deterministic display name for an unaliased expression (the
+    reference prints the expression text as the column header)."""
+    if isinstance(e, A.Literal):
+        return str(e.value)
+    if isinstance(e, A.Designator):
+        return e.attr if e.table is None else f"{e.table}.{e.attr}"
+    if isinstance(e, A.FnApplication):
+        inner = "*" if e.star else ", ".join(totext(a) for a in e.args)
+        return f"{e.name}({inner})"
+    if isinstance(e, A.Unary):
+        return f"{e.op}{totext(e.operand)}"
+    if isinstance(e, A.Binary):
+        return f"({totext(e.left)} {e.op} {totext(e.right)})"
+    return "expr"
+
+
+@dataclass
+class Source:
+    alias: str
+    df: DataFrame            # columns renamed to alias___attr
+    attrs: dict[str, str]    # attr -> spark dtype
+
+
+class Compiler:
+    def __init__(self, tables: dict[str, DataFrame]):
+        self.tables = tables
+
+    # ------------------------------------------------------------------
+    def compile_select(self, stmt: A.SelectStmt) -> DataFrame:
+        check_stmt(stmt)
+        sources = self._bind_sources(stmt)
+        self.sources = sources
+        self.types: dict[str, str] = {}
+        for s in sources:
+            for a, t in s.attrs.items():
+                self.types[f"{s.alias}{SEP}{a}"] = t
+
+        df = self._build_joins(stmt, sources)
+
+        grouped = bool(stmt.group_by) or any(
+            it.expr is not None and contains_aggregate(it.expr) for it in stmt.items
+        ) or (stmt.having is not None)
+
+        agg_map: list[tuple[A.Node, str, str]] = []  # (ast, colname, dtype)
+        if grouped:
+            df, agg_map = self._aggregate(stmt, df)
+
+        # --- projection + hidden sort columns --------------------------
+        out_cols: list[Column] = []
+        out_names: list[str] = []
+        for it in stmt.items:
+            if it.expr is None:
+                if grouped:
+                    for internal, display in self.group_display:
+                        out_cols.append(F.col(internal))
+                        out_names.append(display)
+                else:
+                    seen: dict[str, int] = {}
+                    for s in sources:
+                        for a in s.attrs:
+                            seen[a] = seen.get(a, 0) + 1
+                    for s in sources:
+                        for a in s.attrs:
+                            nm = a if seen[a] == 1 else f"{s.alias}.{a}"
+                            out_cols.append(F.col(f"{s.alias}{SEP}{a}"))
+                            out_names.append(nm)
+                continue
+            c, t = self._expr(it.expr, agg_map)
+            name = it.alias or (
+                it.expr.attr if isinstance(it.expr, A.Designator) else totext(it.expr)
+            )
+            out_cols.append(c)
+            out_names.append(name)
+        out_cols = [c.alias(n) for c, n in zip(out_cols, out_names)]
+
+        sort_cols: list[Column] = []
+        hidden: list[str] = []
+        for k, o in enumerate(stmt.order_by):
+            # ORDER BY may name a SELECT alias (post-projection reference)
+            if (
+                isinstance(o.expr, A.Designator)
+                and o.expr.table is None
+                and o.expr.attr in out_names
+            ):
+                c = F.col(o.expr.attr)
+            else:
+                c, _ = self._expr(o.expr, agg_map)
+                h = f"__sort{k}"
+                out_cols.append(c.alias(h))
+                hidden.append(h)
+                c = F.col(h)
+            sort_cols.append(c.asc() if o.asc else c.desc())
+
+        df = df.select(*out_cols)
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        if hidden:
+            df = df.drop(*hidden)
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    # ------------------------------------------------------------------
+    def _bind_sources(self, stmt: A.SelectStmt) -> list[Source]:
+        sources: list[Source] = []
+        for ref in stmt.from_:
+            if ref.subquery is not None:
+                sub = Compiler(self.tables).compile_select(ref.subquery)
+                alias = ref.alias
+                base = sub
+            else:
+                if ref.name not in self.tables:
+                    raise SemaError(f"table {ref.name!r} does not exist")
+                base = self.tables[ref.name]
+                alias = ref.alias or ref.name
+            if any(s.alias == alias for s in sources):
+                raise SemaError(f"duplicate table alias {alias!r}")
+            attrs = dict(base.dtypes)
+            renamed = base.select(
+                *[F.col(c).alias(f"{alias}{SEP}{c}") for c in base.columns]
+            )
+            sources.append(Source(alias, renamed, attrs))
+        if not sources:
+            # SELECT without FROM: single-row frame (the reference allows
+            # constant queries)
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            sources.append(Source("", spark.range(1).select(), {}))
+        return sources
+
+    # ------------------------------------------------------------------
+    def _resolve(self, d: A.Designator) -> tuple[Column, str]:
+        if d.table is not None:
+            for s in self.sources:
+                if s.alias == d.table:
+                    if d.attr not in s.attrs:
+                        raise SemaError(f"no attribute {d.attr!r} in {d.table!r}")
+                    name = f"{s.alias}{SEP}{d.attr}"
+                    return F.col(name), self.types[name]
+            raise SemaError(f"unknown table {d.table!r}")
+        hits = [s for s in self.sources if d.attr in s.attrs]
+        if not hits:
+            raise SemaError(f"unknown attribute {d.attr!r}")
+        if len(hits) > 1:
+            raise SemaError(f"attribute {d.attr!r} is ambiguous")
+        name = f"{hits[0].alias}{SEP}{d.attr}"
+        return F.col(name), self.types[name]
+
+    def _sources_of(self, e: A.Node) -> set[str]:
+        out: set[str] = set()
+        for n in walk(e):
+            if isinstance(n, A.Designator):
+                if n.table is not None:
+                    out.add(n.table)
+                else:
+                    hits = [s for s in self.sources if n.attr in s.attrs]
+                    if len(hits) == 1:
+                        out.add(hits[0].alias)
+                    elif not hits:
+                        raise SemaError(f"unknown attribute {n.attr!r}")
+                    else:
+                        raise SemaError(f"attribute {n.attr!r} is ambiguous")
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_joins(self, stmt: A.SelectStmt, sources: list[Source]) -> DataFrame:
+        conjuncts: list[A.Node] = []
+
+        def flat(e: A.Node):
+            if isinstance(e, A.Binary) and e.op == "AND":
+                flat(e.left)
+                flat(e.right)
+            else:
+                conjuncts.append(e)
+
+        if stmt.where is not None:
+            flat(stmt.where)
+
+        per_source: dict[str, list[A.Node]] = {s.alias: [] for s in sources}
+        multi: list[tuple[set[str], A.Node]] = []
+        for c in conjuncts:
+            srcs = self._sources_of(c)
+            if len(srcs) == 1:
+                per_source[next(iter(srcs))].append(c)
+            else:
+                multi.append((srcs, c))
+
+        # push single-source filters below the joins (GraphBuilder placement)
+        frames: dict[str, DataFrame] = {}
+        for s in sources:
+            df = s.df
+            for c in per_source[s.alias]:
+                col, t = self._expr(c, [])
+                if t != "boolean":
+                    raise SemaError("WHERE clause must be boolean")
+                df = df.filter(col)
+            frames[s.alias] = df
+
+        covered = {sources[0].alias}
+        joined = frames[sources[0].alias]
+        pending = list(multi)
+        for s in sources[1:]:
+            covered.add(s.alias)
+            now = [c for srcs, c in pending if srcs <= covered]
+            pending = [(srcs, c) for srcs, c in pending if not (srcs <= covered)]
+            if now:
+                cond = None
+                for c in now:
+                    col, _ = self._expr(c, [])
+                    cond = col if cond is None else (cond & col)
+                joined = joined.join(frames[s.alias], on=cond, how="inner")
+            else:
+                joined = joined.crossJoin(frames[s.alias])
+        for srcs, c in pending:
+            col, _ = self._expr(c, [])
+            joined = joined.filter(col)
+        return joined
+
+    # ------------------------------------------------------------------
+    def _aggregate(self, stmt: A.SelectStmt, df: DataFrame):
+        agg_map: list[tuple[A.Node, str, str]] = []
+        group_cols: list[Column] = []
+        self.group_display: list[tuple[str, str]] = []
+        for i, g in enumerate(stmt.group_by):
+            c, t = self._expr(g.expr, [])
+            # internal names are dot/paren-free; display names are applied
+            # at projection time (the reference's post-projection rename,
+            # `Optimizer.cpp:466-493`)
+            name = f"__key{i}"
+            display = g.alias or (
+                g.expr.attr if isinstance(g.expr, A.Designator) else totext(g.expr)
+            )
+            group_cols.append(c.alias(name))
+            self.group_display.append((name, display))
+            agg_map.append((g.expr, name, t))
+            if g.alias:
+                agg_map.append((A.Designator(None, g.alias), name, t))
+            self.types[name] = t
+
+        agg_asts: list[A.FnApplication] = []
+        roots = [it.expr for it in stmt.items if it.expr is not None]
+        if stmt.having is not None:
+            roots.append(stmt.having)
+        roots += [o.expr for o in stmt.order_by]
+        for r in roots:
+            for n in walk(r):
+                if (
+                    isinstance(n, A.FnApplication)
+                    and n.name.upper() in AGGREGATES
+                    and not any(n == a for a in agg_asts)
+                ):
+                    agg_asts.append(n)
+
+        agg_exprs: list[Column] = []
+        for i, a in enumerate(agg_asts):
+            name = f"__agg{i}"
+            fn = a.name.upper()
+            if fn == "COUNT" and a.star:
+                col, t = F.count(F.lit(1)), "bigint"
+            else:
+                if len(a.args) != 1:
+                    raise SemaError(f"{fn} takes exactly one argument")
+                arg, at = self._expr(a.args[0], [])
+                if fn == "COUNT":
+                    col, t = F.count(arg), "bigint"
+                elif fn == "AVG":
+                    # AVG is always DOUBLE (`Sema.cpp:600-605`)
+                    if not is_numeric(at):
+                        raise SemaError(f"AVG requires a numeric argument, got {at}")
+                    col, t = F.avg(arg).cast("double"), "double"
+                elif fn == "SUM":
+                    # SUM widens: ints→INT(8), floats→DOUBLE (`Sema.cpp:607-626`)
+                    if not is_numeric(at):
+                        raise SemaError(f"SUM requires a numeric argument, got {at}")
+                    if is_int(at):
+                        col, t = F.sum(arg).cast("long"), "bigint"
+                    elif at.startswith("decimal"):
+                        col, t = F.sum(arg), at
+                    else:
+                        col, t = F.sum(arg.cast("double")), "double"
+                else:  # MIN / MAX preserve the argument type (`Sema.cpp:554+`)
+                    col, t = (F.min(arg) if fn == "MIN" else F.max(arg)), at
+            agg_exprs.append(col.alias(name))
+            agg_map.append((a, name, t))
+            self.types[name] = t
+
+        if group_cols:
+            out = df.groupBy(*group_cols).agg(*agg_exprs)
+        else:
+            out = df.agg(*agg_exprs) if agg_exprs else df
+        if stmt.having is not None:
+            cond, t = self._expr(stmt.having, agg_map)
+            if t != "boolean":
+                raise SemaError("HAVING clause must be boolean")
+            out = out.filter(cond)
+        return out, agg_map
+
+    # ------------------------------------------------------------------
+    def _expr(self, e: A.Node, agg_map) -> tuple[Column, str]:
+        for ast, name, t in agg_map:
+            if e == ast:
+                return F.col(name), t
+
+        if isinstance(e, A.Literal):
+            if e.kind == "int":
+                return F.lit(e.value), "int" if -(2**31) <= e.value < 2**31 else "bigint"
+            if e.kind == "float":
+                return F.lit(e.value), "double"
+            if e.kind == "str":
+                return F.lit(e.value), "string"
+            if e.kind == "bool":
+                return F.lit(e.value), "boolean"
+            if e.kind == "null":
+                return F.lit(None), "null"
+            if e.kind == "date":
+                return F.lit(e.value).cast("date"), "date"
+            if e.kind == "datetime":
+                return F.lit(e.value).cast("timestamp_ntz"), "timestamp_ntz"
+            raise SemaError(f"unknown literal kind {e.kind}")
+
+        if isinstance(e, A.Designator):
+            return self._resolve(e)
+
+        if isinstance(e, A.FnApplication):
+            fn = e.name.upper()
+            if fn == "ISNULL":
+                if len(e.args) != 1:
+                    raise SemaError("ISNULL takes exactly one argument")
+                c, _ = self._expr(e.args[0], agg_map)
+                return c.isNull(), "boolean"
+            if fn == "INT":
+                c, t = self._expr(e.args[0], agg_map)
+                return c.cast("long"), "bigint"
+            if fn in AGGREGATES:
+                raise SemaError(f"aggregate {fn} is not allowed here")
+            raise SemaError("User-defined functions are not yet supported")
+
+        if isinstance(e, A.Unary):
+            c, t = self._expr(e.operand, agg_map)
+            if e.op == "NOT":
+                if t != "boolean":
+                    raise SemaError("NOT requires a boolean operand")
+                return ~c, "boolean"
+            if e.op == "~":
+                if not is_int(t):
+                    raise SemaError("~ requires an integer operand")
+                return F.bitwise_not(c), t
+            if not is_numeric(t):
+                raise SemaError(f"unary {e.op} requires a numeric operand")
+            return (c if e.op == "+" else -c), t
+
+        if isinstance(e, A.Binary):
+            lc, lt = self._expr(e.left, agg_map)
+            rc, rt = self._expr(e.right, agg_map)
+            op = e.op
+            if op in ("AND", "OR"):
+                if lt != "boolean" or rt != "boolean":
+                    raise SemaError(f"{op} requires boolean operands")
+                return (lc & rc) if op == "AND" else (lc | rc), "boolean"
+            if op == "..":
+                # string concatenation (`Sema.cpp:794-811`)
+                if lt != "string" or rt != "string":
+                    raise SemaError("operands of .. must be strings")
+                return F.concat(lc, rc), "string"
+            if op == "LIKE":
+                if lt != "string" or rt != "string":
+                    raise SemaError("operands of LIKE must be strings")
+                return F.like(lc, rc), "boolean"
+            if op in ("=", "!=", "<", ">", "<=", ">="):
+                lc, rc = self._coerce_cmp(lc, lt, rc, rt, op)
+                spark_op = {
+                    "=": lambda a, b: a == b,
+                    "!=": lambda a, b: a != b,
+                    "<": lambda a, b: a < b,
+                    ">": lambda a, b: a > b,
+                    "<=": lambda a, b: a <= b,
+                    ">=": lambda a, b: a >= b,
+                }[op]
+                return spark_op(lc, rc), "boolean"
+            # arithmetic
+            t = arithmetic_join(lt, rt, op)
+            if op == "*":
+                return lc * rc, t
+            if op == "%":
+                return lc % rc, t
+            if op == "+":
+                return lc + rc, t
+            if op == "-":
+                return lc - rc, t
+            if op == "/":
+                if is_int(lt) and is_int(rt):
+                    # C++ integer division semantics (StackMachine Div_i)
+                    return (lc.cast("double") / rc).cast("long").cast(t), t
+                return lc / rc, t
+            raise SemaError(f"unknown operator {op}")
+
+        raise SemaError(f"cannot compile expression {e!r}")
+
+    def _coerce_cmp(self, lc, lt, rc, rt, op):
+        """Comparison operand coercion (`Sema.cpp:813-905`): numerics
+        compare via arithmetic join; DATE literals compare against
+        DATETIME columns by widening to the timestamp side."""
+        dateish = ("date", "timestamp", "timestamp_ntz")
+        if lt in dateish and rt in dateish:
+            if lt != rt:
+                wide = "timestamp_ntz" if "timestamp_ntz" in (lt, rt) else "timestamp"
+                return lc.cast(wide), rc.cast(wide)
+            return lc, rc
+        if lt == "string" and rt == "string":
+            return lc, rc
+        if lt == "boolean" and rt == "boolean":
+            return lc, rc
+        if is_numeric(lt) and is_numeric(rt):
+            return lc, rc
+        if "null" in (lt, rt):
+            return lc, rc
+        raise SemaError(f"invalid operands to {op}: {lt}, {rt}")
+
+
+def compile_select(stmt: A.SelectStmt, tables: dict[str, DataFrame]) -> DataFrame:
+    return Compiler(tables).compile_select(stmt)

@@ -1,0 +1,168 @@
+"""Statement execution engine — the dialect's counterpart of the
+reference's entry points (`src/mutable.cpp:67-95` process_stream and
+`:189-292` execute_statement): CREATE/DROP DATABASE, USE, CREATE/DROP
+TABLE, CREATE/DROP INDEX (metadata no-ops, SURVEY §2.2), INSERT VALUES,
+IMPORT DSV, SELECT.
+
+UPDATE/DELETE are *not* reachable in the reference either — parsed but
+unimplemented (`src/catalog/DatabaseCommand.cpp:189-196`); our parser
+rejects them at the same surface.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.types as T
+
+from mutable_spark.dialect import ast_nodes as A
+from mutable_spark.dialect.compiler import Compiler
+from mutable_spark.dialect.parser import parse
+from mutable_spark.dialect.sema import SemaError
+
+
+def _spark_type(c: A.ColumnDef) -> T.DataType:
+    """mutable type → Spark type (SURVEY §1.2 mapping table)."""
+    n = c.type_name
+    if n == "INT":
+        width = c.params[0] if c.params else 4
+        return {1: T.ByteType(), 2: T.ShortType(), 4: T.IntegerType(), 8: T.LongType()}[
+            width
+        ]
+    if n == "FLOAT":
+        return T.FloatType()
+    if n == "DOUBLE":
+        return T.DoubleType()
+    if n == "DECIMAL":
+        p = c.params[0] if c.params else 10
+        s = c.params[1] if len(c.params) > 1 else 0
+        return T.DecimalType(p, s)
+    if n == "BOOL":
+        return T.BooleanType()
+    if n in ("CHAR", "VARCHAR"):
+        return T.StringType()
+    if n == "DATE":
+        return T.DateType()
+    if n == "DATETIME":
+        return T.TimestampNTZType()
+    raise SemaError(f"unknown type {n}")
+
+
+def _pyvalue(node: A.Node | str, dtype: T.DataType):
+    """Evaluate an INSERT literal (the reference compiles these through a
+    StackMachine writer, `src/mutable.cpp:189-221`; we only need constant
+    folding)."""
+    if node == "DEFAULT":
+        return None
+    if isinstance(node, A.Unary) and node.op == "-":
+        v = _pyvalue(node.operand, dtype)
+        return None if v is None else -v
+    if not isinstance(node, A.Literal):
+        raise SemaError("INSERT VALUES entries must be literals")
+    v = node.value
+    if v is None:
+        return None
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(str(v))
+    if isinstance(dtype, T.TimestampNTZType):
+        return dt.datetime.fromisoformat(str(v))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    return v
+
+
+class Engine:
+    """A mutable-dialect session on Spark: databases of named DataFrames.
+
+    >>> eng = Engine(spark)
+    >>> eng.execute("CREATE DATABASE d"); eng.execute("USE d")
+    >>> eng.execute('CREATE TABLE r (key INT(4) PRIMARY KEY, name CHAR(10))')
+    >>> eng.execute("INSERT INTO r VALUES (1, \\"a\\"), (2, \\"b\\")")
+    >>> eng.execute("SELECT * FROM r WHERE key < 2").collect()
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        from mutable_spark.catalog import Catalog
+
+        self.catalog = Catalog(spark)
+        self.schemas: dict[tuple[str, str], T.StructType] = {}
+
+    # -- bulk registration of existing DataFrames (testdata interop) -----
+    def register(self, name: str, df: DataFrame) -> None:
+        if self.catalog.current is None:
+            self.catalog.create_database("default")
+            self.catalog.use("default")
+        self.catalog.create_table(name, df)
+
+    def sql(self, text: str) -> DataFrame | None:
+        return self.execute(text)
+
+    def execute(self, text: str) -> DataFrame | None:
+        stmt = parse(text)
+        if isinstance(stmt, A.SelectStmt):
+            return Compiler(self.catalog._db()).compile_select(stmt)
+        if isinstance(stmt, A.CreateDatabaseStmt):
+            self.catalog.create_database(stmt.name)
+            return None
+        if isinstance(stmt, A.UseStmt):
+            self.catalog.use(stmt.name)
+            return None
+        if isinstance(stmt, A.CreateTableStmt):
+            fields = [
+                T.StructField(c.name, _spark_type(c), nullable=not c.not_null)
+                for c in stmt.columns
+            ]
+            schema = T.StructType(fields)
+            df = self.spark.createDataFrame([], schema)
+            self.catalog.create_table(stmt.name, df)
+            self.schemas[(self.catalog.current, stmt.name)] = schema
+            return None
+        if isinstance(stmt, A.DropStmt):
+            if stmt.kind == "DATABASE":
+                self.catalog.drop_database(stmt.name)
+            elif stmt.kind == "TABLE":
+                self.catalog.drop_table(stmt.name)
+            # INDEX / INDEX_CREATE: metadata no-op, like the reference's
+            # observable behavior without an index-backed scan (SURVEY §2.2)
+            return None
+        if isinstance(stmt, A.InsertStmt):
+            db = self.catalog._db()
+            if stmt.table not in db:
+                raise SemaError(f"table {stmt.table!r} does not exist")
+            schema = self.schemas.get((self.catalog.current, stmt.table))
+            if schema is None:
+                schema = db[stmt.table].schema
+            rows = []
+            for r in stmt.rows:
+                if len(r) != len(schema.fields):
+                    raise SemaError(
+                        f"INSERT row has {len(r)} values, table has "
+                        f"{len(schema.fields)} attributes"
+                    )
+                rows.append(
+                    tuple(_pyvalue(v, f.dataType) for v, f in zip(r, schema.fields))
+                )
+            new = self.spark.createDataFrame(rows, schema)
+            db[stmt.table] = db[stmt.table].unionByName(new)
+            return None
+        if isinstance(stmt, A.ImportDSVStmt):
+            from mutable_spark.sources.dsv import import_dsv
+
+            db = self.catalog._db()
+            if stmt.table not in db:
+                raise SemaError(f"table {stmt.table!r} does not exist")
+            schema = self.schemas.get((self.catalog.current, stmt.table))
+            if schema is None:
+                schema = db[stmt.table].schema
+            imported = import_dsv(self.spark, stmt, schema)
+            db[stmt.table] = db[stmt.table].unionByName(imported)
+            return None
+        raise SemaError(f"unsupported statement {type(stmt).__name__}")

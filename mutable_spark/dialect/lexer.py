@@ -1,0 +1,86 @@
+"""Lexer for mutable's SQL dialect.
+
+Token inventory follows the reference's `include/mutable/tables/TokenType.tbl`
+and keyword table `Keywords.tbl` (lexer impl `src/lex/Lexer.cpp`): keywords
+are case-sensitive-insensitively matched, identifiers are
+`[A-Za-z_][A-Za-z0-9_]*`, literals include integers, floats, single- or
+double-quoted strings, and date/datetime literals `d'YYYY-MM-DD'` /
+`d'YYYY-MM-DD HH:MM:SS'` (`src/lex/Lexer.cpp:56-62,267`). The operator `..`
+is string concatenation (`Sema.cpp:794-811`), `~` bitwise NOT.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+class LexError(ValueError):
+    pass
+
+
+KEYWORDS = {
+    # statement / clause keywords actually in Keywords.tbl (SURVEY §2.3:
+    # notably NO CASE/IN/EXISTS/BETWEEN/DISTINCT/OVER/UNION)
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "AS", "ASC", "DESC", "AND", "OR", "NOT", "LIKE",
+    "CREATE", "DROP", "DATABASE", "TABLE", "USE", "INSERT", "INTO",
+    "VALUES", "DEFAULT", "IMPORT", "DSV", "ROWS", "DELIMITER", "ESCAPE",
+    "QUOTE", "HAS", "SKIP", "HEADER", "TRUE", "FALSE", "NULL",
+    "PRIMARY", "KEY", "UNIQUE", "REFERENCES", "CHECK",
+    "INT", "FLOAT", "DOUBLE", "DECIMAL", "BOOL", "CHAR", "VARCHAR",
+    "DATE", "DATETIME", "INDEX", "ON",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|--[^\n]*)
+  | (?P<datelit>[dD]'(?P<dateval>[^']*)')
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<int>0[xX][0-9a-fA-F]+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>\.\.|<=|>=|!=|<|>|=|\+|-|\*|/|%|~|\(|\)|,|;|\.)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # KEYWORD, IDENT, INT, FLOAT, STR, DATE, OP, EOF
+    text: str
+    pos: int
+    orig: str = ""  # original spelling (keywords are canonicalized upper)
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            raise LexError(f"illegal character {sql[i]!r} at position {i}")
+        i = m.end()
+        if m.lastgroup == "ws" or (m.group("ws") is not None):
+            continue
+        if m.group("datelit") is not None:
+            out.append(Token("DATE", m.group("dateval"), m.start()))
+        elif m.group("float") is not None:
+            out.append(Token("FLOAT", m.group("float"), m.start()))
+        elif m.group("int") is not None:
+            out.append(Token("INT", m.group("int"), m.start()))
+        elif m.group("str") is not None:
+            raw = m.group("str")
+            body = raw[1:-1].replace("\\'", "'").replace('\\"', '"').replace("\\\\", "\\")
+            out.append(Token("STR", body, m.start()))
+        elif m.group("ident") is not None:
+            text = m.group("ident")
+            if text.upper() in KEYWORDS:
+                out.append(Token("KEYWORD", text.upper(), m.start(), text))
+            else:
+                out.append(Token("IDENT", text, m.start(), text))
+        else:
+            out.append(Token("OP", m.group("op"), m.start()))
+    out.append(Token("EOF", "", len(sql)))
+    return out

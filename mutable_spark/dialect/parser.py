@@ -1,0 +1,434 @@
+"""Recursive-descent parser for mutable's dialect.
+
+Grammar: `/root/reference/doc/syntax-grammar.md`; operator precedence per
+the reference's table (`src/parse/Parser.cpp:20-50`), tightest first:
+
+    primary ( literals, designators, fn(), parens )
+    unary   + - ~ NOT
+    *  /  %
+    +  -
+    ..                      (string concatenation)
+    =  !=  <  >  <=  >=  LIKE
+    AND
+    OR
+"""
+
+from __future__ import annotations
+
+from mutable_spark.dialect import ast_nodes as A
+from mutable_spark.dialect.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+_AGG_OR_FN = {"COUNT", "SUM", "AVG", "MIN", "MAX", "ISNULL"}
+
+#: keywords that the reference's own fixtures use as identifiers (e.g. the
+#: `key` column of test/ours R/S/T) — accepted as names where context is
+#: unambiguous
+SOFT_KEYWORDS = {"KEY", "ROWS", "HEADER", "QUOTE", "ESCAPE", "DELIMITER", "DSV", "INDEX"}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # --- token helpers ---------------------------------------------------
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Token | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Token:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise ParseError(
+                f"expected {text or kind}, got {got.text!r} at position {got.pos}"
+            )
+        return t
+
+    def accept_kw(self, *kws: str) -> Token | None:
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.text in kws:
+            return self.next()
+        return None
+
+    def expect_kw(self, kw: str) -> Token:
+        t = self.accept_kw(kw)
+        if t is None:
+            got = self.peek()
+            raise ParseError(f"expected {kw}, got {got.text!r} at position {got.pos}")
+        return t
+
+    def expect_name(self) -> str:
+        """Identifier, or a soft keyword used as an identifier."""
+        t = self.peek()
+        if t.kind == "IDENT":
+            return self.next().text
+        if t.kind == "KEYWORD" and t.text in SOFT_KEYWORDS:
+            return self.next().orig or t.text.lower()
+        raise ParseError(f"expected identifier, got {t.text!r} at position {t.pos}")
+
+    # --- entry -----------------------------------------------------------
+    def parse_stmt(self) -> A.Node:
+        t = self.peek()
+        if t.kind != "KEYWORD":
+            raise ParseError(f"statement must start with a keyword, got {t.text!r}")
+        if t.text == "SELECT":
+            stmt = self.parse_select()
+        elif t.text == "CREATE":
+            stmt = self.parse_create()
+        elif t.text == "DROP":
+            stmt = self.parse_drop()
+        elif t.text == "USE":
+            self.next()
+            stmt = A.UseStmt(self.expect("IDENT").text)
+        elif t.text == "INSERT":
+            stmt = self.parse_insert()
+        elif t.text == "IMPORT":
+            stmt = self.parse_import()
+        else:
+            raise ParseError(f"unsupported statement {t.text}")
+        self.accept("OP", ";")
+        self.expect("EOF")
+        return stmt
+
+    # --- SELECT ----------------------------------------------------------
+    def parse_select(self) -> A.SelectStmt:
+        self.expect_kw("SELECT")
+        s = A.SelectStmt()
+        while True:
+            if self.accept("OP", "*"):
+                s.items.append(A.SelectItem(expr=None))
+            else:
+                e = self.parse_expr()
+                alias = None
+                if self.accept_kw("AS"):
+                    alias = self.expect("IDENT").text
+                s.items.append(A.SelectItem(expr=e, alias=alias))
+            if not self.accept("OP", ","):
+                break
+        if self.accept_kw("FROM"):
+            while True:
+                s.from_.append(self.parse_table_ref())
+                if not self.accept("OP", ","):
+                    break
+        if self.accept_kw("WHERE"):
+            s.where = self.parse_expr()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                alias = None
+                if self.accept_kw("AS"):
+                    alias = self.expect("IDENT").text
+                s.group_by.append(A.GroupItem(e, alias))
+                if not self.accept("OP", ","):
+                    break
+        if self.accept_kw("HAVING"):
+            s.having = self.parse_expr()
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.accept_kw("DESC"):
+                    asc = False
+                else:
+                    self.accept_kw("ASC")
+                s.order_by.append(A.OrderItem(e, asc))
+                if not self.accept("OP", ","):
+                    break
+        if self.accept_kw("LIMIT"):
+            s.limit = int(self.expect("INT").text, 0)
+            if self.accept_kw("OFFSET"):
+                s.offset = int(self.expect("INT").text, 0)
+        return s
+
+    def parse_table_ref(self) -> A.TableRef:
+        if self.accept("OP", "("):
+            sub = self.parse_select()
+            self.expect("OP", ")")
+            self.expect_kw("AS")
+            alias = self.expect("IDENT").text
+            return A.TableRef(name=None, subquery=sub, alias=alias)
+        name = self.expect("IDENT").text
+        alias = None
+        if self.accept_kw("AS"):
+            alias = self.expect("IDENT").text
+        elif self.peek().kind == "IDENT":
+            alias = self.next().text
+        return A.TableRef(name=name, subquery=None, alias=alias)
+
+    # --- DDL / DML -------------------------------------------------------
+    def parse_create(self) -> A.Node:
+        self.expect_kw("CREATE")
+        if self.accept_kw("DATABASE"):
+            return A.CreateDatabaseStmt(self.expect("IDENT").text)
+        if self.accept_kw("INDEX"):
+            # CREATE INDEX name ON table (attr) — metadata no-op (SURVEY §2.2)
+            name = self.expect("IDENT").text
+            self.expect_kw("ON")
+            self.expect("IDENT")
+            self.expect("OP", "(")
+            self.expect("IDENT")
+            self.expect("OP", ")")
+            return A.DropStmt("INDEX_CREATE", name)  # sentinel; engine no-ops
+        self.expect_kw("TABLE")
+        tname = self.expect("IDENT").text
+        self.expect("OP", "(")
+        cols: list[A.ColumnDef] = []
+        while True:
+            cname = self.expect_name()
+            ttok = self.next()
+            if ttok.kind != "KEYWORD":
+                raise ParseError(f"expected type name, got {ttok.text!r}")
+            params: list[int] = []
+            if self.accept("OP", "("):
+                while True:
+                    params.append(int(self.expect("INT").text, 0))
+                    if not self.accept("OP", ","):
+                        break
+                self.expect("OP", ")")
+            col = A.ColumnDef(cname, ttok.text, params)
+            while True:
+                if self.accept_kw("PRIMARY"):
+                    self.expect_kw("KEY")
+                    col.primary_key = True
+                    col.not_null = True
+                elif self.accept_kw("NOT"):
+                    self.expect_kw("NULL")
+                    col.not_null = True
+                elif self.accept_kw("UNIQUE"):
+                    col.unique = True
+                elif self.accept_kw("REFERENCES"):
+                    self.expect("IDENT")
+                    self.expect("OP", "(")
+                    self.expect("IDENT")
+                    self.expect("OP", ")")
+                elif self.accept_kw("CHECK"):
+                    # parsed but not enforced — same as the reference
+                    # (`src/mutable.cpp:238-256`)
+                    self.expect("OP", "(")
+                    depth = 1
+                    while depth:
+                        t = self.next()
+                        if t.kind == "OP" and t.text == "(":
+                            depth += 1
+                        elif t.kind == "OP" and t.text == ")":
+                            depth -= 1
+                        elif t.kind == "EOF":
+                            raise ParseError("unterminated CHECK")
+                else:
+                    break
+            cols.append(col)
+            if not self.accept("OP", ","):
+                break
+        self.expect("OP", ")")
+        return A.CreateTableStmt(tname, cols)
+
+    def parse_drop(self) -> A.DropStmt:
+        self.expect_kw("DROP")
+        if self.accept_kw("DATABASE"):
+            return A.DropStmt("DATABASE", self.expect("IDENT").text)
+        if self.accept_kw("INDEX"):
+            return A.DropStmt("INDEX", self.expect("IDENT").text)
+        self.expect_kw("TABLE")
+        return A.DropStmt("TABLE", self.expect("IDENT").text)
+
+    def parse_insert(self) -> A.InsertStmt:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        table = self.expect("IDENT").text
+        self.expect_kw("VALUES")
+        rows: list[list[A.Node | str]] = []
+        while True:
+            self.expect("OP", "(")
+            row: list[A.Node | str] = []
+            while True:
+                if self.accept_kw("DEFAULT"):
+                    row.append("DEFAULT")
+                else:
+                    row.append(self.parse_expr())
+                if not self.accept("OP", ","):
+                    break
+            self.expect("OP", ")")
+            rows.append(row)
+            if not self.accept("OP", ","):
+                break
+        return A.InsertStmt(table, rows)
+
+    def parse_import(self) -> A.ImportDSVStmt:
+        self.expect_kw("IMPORT")
+        self.expect_kw("INTO")
+        table = self.expect("IDENT").text
+        self.expect_kw("DSV")
+        path = self.expect("STR").text
+        stmt = A.ImportDSVStmt(table, path)
+        while True:
+            if self.accept_kw("ROWS"):
+                stmt.rows = int(self.expect("INT").text, 0)
+            elif self.accept_kw("DELIMITER"):
+                stmt.delimiter = self.expect("STR").text
+            elif self.accept_kw("ESCAPE"):
+                stmt.escape = self.expect("STR").text
+            elif self.accept_kw("QUOTE"):
+                stmt.quote = self.expect("STR").text
+            elif self.accept_kw("HAS"):
+                self.expect_kw("HEADER")
+                stmt.has_header = True
+            elif self.accept_kw("SKIP"):
+                self.expect_kw("HEADER")
+                stmt.skip_header = True
+            else:
+                break
+        return stmt
+
+    # --- expressions ------------------------------------------------------
+    def expect_name_or_ident(self) -> str:
+        return self.expect_name()
+
+    def parse_expr(self) -> A.Node:
+        return self.parse_or()
+
+    def parse_or(self) -> A.Node:
+        e = self.parse_and()
+        while self.accept_kw("OR"):
+            e = A.Binary("OR", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> A.Node:
+        e = self.parse_not()
+        while self.accept_kw("AND"):
+            e = A.Binary("AND", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> A.Node:
+        if self.accept_kw("NOT"):
+            return A.Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> A.Node:
+        e = self.parse_concat()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("=", "!=", "<", ">", "<=", ">="):
+                self.next()
+                e = A.Binary(t.text, e, self.parse_concat())
+            elif t.kind == "KEYWORD" and t.text == "LIKE":
+                self.next()
+                e = A.Binary("LIKE", e, self.parse_concat())
+            else:
+                return e
+
+    def parse_concat(self) -> A.Node:
+        e = self.parse_add()
+        while self.accept("OP", ".."):
+            e = A.Binary("..", e, self.parse_add())
+        return e
+
+    def parse_add(self) -> A.Node:
+        e = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("+", "-"):
+                self.next()
+                e = A.Binary(t.text, e, self.parse_mul())
+            else:
+                return e
+
+    def parse_mul(self) -> A.Node:
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text in ("*", "/", "%"):
+                self.next()
+                e = A.Binary(t.text, e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self) -> A.Node:
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("+", "-", "~"):
+            self.next()
+            return A.Unary(t.text, self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self) -> A.Node:
+        t = self.next()
+        if t.kind == "INT":
+            return A.Literal(int(t.text, 0), "int")
+        if t.kind == "FLOAT":
+            return A.Literal(float(t.text), "float")
+        if t.kind == "STR":
+            return A.Literal(t.text, "str")
+        if t.kind == "DATE":
+            kind = "datetime" if " " in t.text.strip() else "date"
+            return A.Literal(t.text.strip(), kind)
+        if t.kind == "KEYWORD" and t.text in SOFT_KEYWORDS:
+            nxt = self.peek()
+            name = t.orig or t.text.lower()
+            if nxt.kind == "OP" and nxt.text == ".":
+                self.next()
+                return A.Designator(name, self.expect_name_or_ident())
+            return A.Designator(None, name)
+        if t.kind == "KEYWORD":
+            if t.text == "TRUE":
+                return A.Literal(True, "bool")
+            if t.text == "FALSE":
+                return A.Literal(False, "bool")
+            if t.text == "NULL":
+                return A.Literal(None, "null")
+            if t.text == "INT":  # INT(x) scalar cast, Functions.tbl:20
+                self.expect("OP", "(")
+                arg = self.parse_expr()
+                self.expect("OP", ")")
+                return A.FnApplication("INT", [arg])
+            raise ParseError(f"unexpected keyword {t.text} in expression")
+        if t.kind == "OP" and t.text == "(":
+            e = self.parse_expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "IDENT":
+            nxt = self.peek()
+            if nxt.kind == "OP" and nxt.text == "(":
+                name = t.text.upper()
+                if name not in _AGG_OR_FN:
+                    # mirror the reference: UDFs parse but sema rejects
+                    # (`src/parse/Sema.cpp:549-552`)
+                    name = t.text
+                self.next()
+                if self.accept("OP", "*"):
+                    self.expect("OP", ")")
+                    return A.FnApplication(name, [], star=True)
+                args = []
+                if not self.accept("OP", ")"):
+                    while True:
+                        args.append(self.parse_expr())
+                        if not self.accept("OP", ","):
+                            break
+                    self.expect("OP", ")")
+                return A.FnApplication(name, args)
+            if nxt.kind == "OP" and nxt.text == ".":
+                self.next()
+                attr = self.expect_name_or_ident()
+                return A.Designator(t.text, attr)
+            return A.Designator(None, t.text)
+        raise ParseError(f"unexpected token {t.text!r} at position {t.pos}")
+
+
+def parse(sql: str) -> A.Node:
+    return Parser(sql).parse_stmt()

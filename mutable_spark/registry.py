@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import mutable_spark.relational.queries  # noqa: F401
     import mutable_spark.relational.tpch  # noqa: F401
+    import mutable_spark.relational.dialect_queries  # noqa: F401
     import mutable_spark.ops.dedup  # noqa: F401
     import mutable_spark.ops.similarity  # noqa: F401
     import mutable_spark.ops.text  # noqa: F401

@@ -1,0 +1,175 @@
+"""Dialect frontend tests: positive end-to-end statements through Engine,
+and the sema-negative corpus mirroring the reference's
+`test/ours/sema-san-select-*.yml` error categories."""
+
+from __future__ import annotations
+
+import pytest
+
+from mutable_spark.dialect import Engine, parse
+from mutable_spark.dialect.compiler import compile_select
+from mutable_spark.dialect.parser import ParseError
+from mutable_spark.dialect.sema import SemaError
+from mutable_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = load_tables(spark, SF_DIR)
+    return {name: getattr(t, name) for name in vars(t)}
+
+
+def run(tables, sql):
+    return compile_select(parse(sql), tables)
+
+
+# --- positive -------------------------------------------------------------
+def test_select_star(tables):
+    rows = run(tables, "SELECT * FROM region").collect()
+    assert len(rows) == 5
+    assert set(r.r_name for r in rows) == {f"REGION_{i}" for i in range(5)} or len(rows) == 5
+
+
+def test_qualified_join_order_limit(tables):
+    df = run(
+        tables,
+        "SELECT n.n_name, r.r_name FROM nation AS n, region AS r "
+        "WHERE n.n_regionkey = r.r_regionkey ORDER BY n.n_name LIMIT 3 OFFSET 1",
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert df.columns == ["n_name", "r_name"]
+
+
+def test_arithmetic_int_division(tables):
+    # C++ semantics: 7/2 == 3 (`src/tables/Opcodes.tbl` Div_i)
+    rows = run(tables, "SELECT 7 / 2 AS q, 7 % 2 AS r FROM region LIMIT 1").collect()
+    assert rows[0].q == 3 and rows[0].r == 1
+
+
+def test_group_alias_and_having(tables):
+    df = run(
+        tables,
+        "SELECT bucket, COUNT(*) AS cnt FROM nation "
+        "GROUP BY n_nationkey % 3 AS bucket HAVING COUNT(*) > 1 ORDER BY bucket",
+    )
+    rows = df.collect()
+    assert all(r.cnt > 1 for r in rows)
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+
+
+def test_string_ops(tables):
+    rows = run(
+        tables,
+        'SELECT r_name .. "!" AS x FROM region WHERE r_name LIKE "%0" ',
+    ).collect()
+    assert all(r.x.endswith("!") for r in rows)
+
+
+def test_isnull_and_intcast(tables):
+    rows = run(
+        tables,
+        "SELECT ISNULL(r_name) AS n, INT(r_regionkey + 0.9) AS i FROM region",
+    ).collect()
+    assert all(r.n is False for r in rows)
+    assert all(isinstance(r.i, int) for r in rows)
+
+
+def test_from_subquery(tables):
+    rows = run(
+        tables,
+        "SELECT s.c, s.k FROM (SELECT n_regionkey AS k, COUNT(*) AS c "
+        "FROM nation GROUP BY n_regionkey) AS s WHERE s.c > 1",
+    ).collect()
+    assert all(r.c > 1 for r in rows)
+
+
+def test_date_literal_compare(tables):
+    rows = run(
+        tables,
+        "SELECT COUNT(*) AS c FROM orders WHERE o_orderdate < d'1996-01-01'",
+    ).collect()
+    assert rows[0].c > 0
+
+
+# --- sema negatives -------------------------------------------------------
+@pytest.mark.parametrize(
+    "sql,fragment",
+    [
+        ("SELECT nope FROM region", "unknown attribute"),
+        ("SELECT n_name FROM nation, nation", "duplicate table alias"),
+        (
+            "SELECT n_nationkey FROM nation AS a, nation AS b",
+            "ambiguous",
+        ),
+        ("SELECT foo(n_name) FROM nation", "User-defined functions"),
+        ("SELECT n_name FROM nation WHERE SUM(n_nationkey) > 1", "not allowed in WHERE"),
+        ("SELECT n_name, COUNT(*) FROM nation", "scalar/vector"),
+        ("SELECT n_name FROM nation WHERE n_name LIKE 5", "LIKE"),
+        ("SELECT n_name .. 5 FROM nation", ".."),
+        ("SELECT -n_name FROM nation", "numeric"),
+        ("SELECT n_name FROM missing_table", "does not exist"),
+        ("SELECT n_name + 1 FROM nation", "invalid operands"),
+    ],
+)
+def test_sema_negative(tables, sql, fragment):
+    with pytest.raises(SemaError) as exc:
+        run(tables, sql).collect()
+    assert fragment.lower() in str(exc.value).lower()
+
+
+def test_parse_error():
+    with pytest.raises(ParseError):
+        parse("SELECT FROM WHERE")
+
+
+# --- engine: DDL / DML / IMPORT ------------------------------------------
+def test_engine_ddl_dml_roundtrip(spark, tmp_path):
+    eng = Engine(spark)
+    eng.execute("CREATE DATABASE d1")
+    eng.execute("USE d1")
+    eng.execute(
+        "CREATE TABLE r (key INT(2) PRIMARY KEY, fkey INT(2), "
+        "rfloat FLOAT NOT NULL, rstring CHAR(15) NOT NULL)"
+    )
+    eng.execute(
+        'INSERT INTO r VALUES (0, 3, 1.5, "abc"), (1, 2, 2.5, "def"), (2, DEFAULT, 3.5, "ghi")'
+    )
+    rows = eng.execute("SELECT key, fkey FROM r ORDER BY key").collect()
+    assert [r.key for r in rows] == [0, 1, 2]
+    assert rows[2].fkey is None  # DEFAULT with no default declared → NULL
+
+    # IMPORT DSV (pipe-delimited, no header — the TPC-H .tbl shape)
+    p = tmp_path / "more.tbl"
+    p.write_text("7|8|9.5|xyz\n8|9|10.5|pqr\n")
+    eng.execute(f'IMPORT INTO r DSV "{p}" DELIMITER "|"')
+    assert eng.execute("SELECT COUNT(*) AS c FROM r").collect()[0].c == 5
+
+    # ROWS n limit
+    p2 = tmp_path / "cap.csv"
+    p2.write_text("key,fkey,rfloat,rstring\n10,1,0.5,aa\n11,2,0.5,bb\n12,3,0.5,cc\n")
+    eng.execute(f'IMPORT INTO r DSV "{p2}" ROWS 2 HAS HEADER')
+    assert eng.execute("SELECT COUNT(*) AS c FROM r").collect()[0].c == 7
+
+    eng.execute("DROP TABLE r")
+    with pytest.raises(SemaError):
+        eng.execute("SELECT * FROM r")
+    eng.execute("DROP DATABASE d1")
+
+
+def test_engine_schema_types(spark):
+    eng = Engine(spark)
+    eng.execute("CREATE DATABASE tdb")
+    eng.execute("USE tdb")
+    eng.execute(
+        "CREATE TABLE t (a INT(1), b INT(2), c INT(4), d INT(8), e FLOAT, "
+        "f DOUBLE, g DECIMAL(10, 2), h BOOL, i CHAR(5), j VARCHAR(9), "
+        "k DATE, l DATETIME)"
+    )
+    dt = dict(eng.catalog.table("t").dtypes)
+    assert dt == {
+        "a": "tinyint", "b": "smallint", "c": "int", "d": "bigint",
+        "e": "float", "f": "double", "g": "decimal(10,2)", "h": "boolean",
+        "i": "string", "j": "string", "k": "date", "l": "timestamp_ntz",
+    }
