@@ -1,0 +1,100 @@
+"""Structured Streaming twins of the batch event operators
+(`mutable_spark.ops.events`).
+
+The reference has no streaming at all (SURVEY §2.10: no sources beyond DSV
+files) — this module is the beyond-parity path: the same event analytics
+expressed incrementally with watermarks, so the identical logic serves both
+the batch backfill and the live pipeline (the lambda-architecture collapse
+Structured Streaming exists for).
+
+At production scale the source would be Kafka/files-on-arrival; here the
+source is the testdata parquet driven with `Trigger.AvailableNow`, which
+processes all existing data incrementally and stops — semantically a
+replay of the stream. Tests assert the streaming results equal the batch
+twins' results exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from mutable_spark.functions import dsum
+from mutable_spark.session import apply_runtime_confs
+
+#: raw file schema (ts as int64 nanos, pre-conversion)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs TIMESTAMP_NTZ
+    normalization as the batch catalog."""
+    apply_runtime_confs(spark)
+    # FileStreamSource requires a *directory*; the testdata dir mixes all
+    # tables, so stage a symlink-only dir (no copy) holding just events.
+    src = Path(sf_dir.rstrip("/")) / "events.parquet"
+    stage = Path(tempfile.gettempdir()) / "mutable_spark_stream" / src.parent.name
+    stage.mkdir(parents=True, exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(src)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(stage))
+    # NOTE: watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ —
+    # with the session timezone pinned to UTC (RUNTIME_CONFS) the collected
+    # wall-clock values are identical to the batch twin's NTZ values.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of `events_window_tumbling`: 1-hour tumbling windows
+    per event type with a watermark bounding state for late data. In
+    append mode a window finalizes once the watermark passes its end —
+    that bound is what keeps state finite on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of `events_sessionize` using the native
+    session_window (gap-based merging state store) instead of the batch
+    lag/cumsum formulation — same sessions, incremental state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", F.col("w.end").alias("window_end"), "n_events")
+    )
+
+
+def run_available_now(df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a streaming frame over all currently-available input and
+    return the materialized rows (memory sink). `complete` mode emits
+    every window regardless of watermark — right for a bounded replay;
+    a live deployment would use `append` + checkpointLocation."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = df.sparkSession
+    return spark.sql(f"SELECT * FROM {name}").collect()
