@@ -216,9 +216,14 @@ def dedup_simhash(spark, sf_dir):
     Spark's ANSI mode. Candidate generation is the pigeonhole band trick:
     two signatures within Hamming distance 3 must agree on at least one of
     the 4 chunks, so an equi-join per chunk finds all of them — no O(n²).
-    Explode→groupBy keeps the bit-vote aggregation in one shuffle."""
-    d = load_tables(spark, sf_dir).documents
-    toks = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    Explode→groupBy keeps the bit-vote aggregation in one shuffle.
+
+    Votes come from word-3-gram *shingles*, not unigram tokens: with a
+    small shared vocabulary unigram sets saturate (every doc contains most
+    words) and all SimHashes collide; shingles keep the signature
+    order-sensitive and discriminative."""
+    g = _shingle_df(load_tables(spark, sf_dir).documents)
+    toks = g.select("doc_id", F.explode("sh").alias("tok"))
     th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     # 64 bit-votes: +1 if bit set else -1, summed over tokens
     votes = th.groupBy("doc_id").agg(

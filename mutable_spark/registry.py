@@ -38,11 +38,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    import mutable_spark.relational.queries  # noqa: F401
-    import mutable_spark.relational.tpch  # noqa: F401
-    import mutable_spark.relational.dialect_queries  # noqa: F401
-    import mutable_spark.ops.dedup  # noqa: F401
-    import mutable_spark.ops.similarity  # noqa: F401
-    import mutable_spark.ops.text  # noqa: F401
-    import mutable_spark.ops.multimodal  # noqa: F401
-    import mutable_spark.ops.events  # noqa: F401
+    import mutable_spark.plans.queries  # noqa: F401
+    import mutable_spark.plans.tpch  # noqa: F401
+    import mutable_spark.plans.dialect_queries  # noqa: F401
+    import mutable_spark.operators.dedup  # noqa: F401
+    import mutable_spark.operators.similarity  # noqa: F401
+    import mutable_spark.operators.text  # noqa: F401
+    import mutable_spark.operators.multimodal  # noqa: F401
+    import mutable_spark.operators.events  # noqa: F401
+    import mutable_spark.operators.joins_ext  # noqa: F401
+    import mutable_spark.operators.analytics  # noqa: F401

@@ -1,5 +1,5 @@
 """Structured Streaming twins of the batch event operators
-(`mutable_spark.ops.events`).
+(`mutable_spark.operators.events`).
 
 The reference has no streaming at all (SURVEY §2.10: no sources beyond DSV
 files) — this module is the beyond-parity path: the same event analytics

@@ -1,0 +1,94 @@
+"""Physical-plan-shape assertions — the scale contract.
+
+Correctness says the rows match; these tests say the *plan* is the one that
+survives 100 TB: filters reach the parquet scan (row-group pruning),
+dimensions broadcast (no shuffle of the big side), aggregation is partial
+before the shuffle, order+limit is a distributed top-k, and nothing
+degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mutable_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    def get(name, mode="formatted"):
+        return explain(registry.QUERIES[name](spark, SF_DIR), mode)
+
+    return get
+
+
+def test_q6_filters_pushed_to_scan(plans):
+    p = plans("tpch_q6")
+    assert "PushedFilters:" in p
+    # the discount/quantity range predicates must reach the reader
+    pushed = [l for l in p.splitlines() if "PushedFilters:" in l][0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q14_broadcasts_part_dimension(plans):
+    p = plans("tpch_q14")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_nary_join_broadcasts_and_no_cartesian(plans):
+    p = plans("op_join_nary")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q1_partial_aggregation(plans):
+    # map-side partial + final: two HashAggregate levels around the shuffle
+    p = plans("tpch_q1")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_order_limit_is_topk(plans):
+    p = plans("op_order_limit_offset")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_theta_join_uses_equi_conjunct(plans):
+    # the equi part (n_regionkey) must become the join key; the '<' is a
+    # residual condition — NOT a nested-loop cartesian
+    p = plans("op_join_theta")
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_dialect_join_no_cartesian(plans):
+    p = plans("dialect_join_group_having")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_scan_prunes_columns(plans, spark):
+    # projection-only query must not read every column (ReadSchema pruning)
+    df = registry.QUERIES["op_filter_cnf"](spark, SF_DIR)
+    p = explain(df)
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs and "l_extendedprice" in rs[0] and "l_tax" not in rs[0]
+
+
+def test_semi_join_plan(plans):
+    p = plans("op_join_semi")
+    assert "LeftSemi" in p or "left_semi" in p.lower()
