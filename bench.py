@@ -29,6 +29,9 @@ HEADLINE = [
     "tpch_q14",
     "op_join_nary",
     "op_subquery_scalar",
+    "op_join_asof",
+    "op_topk_per_group",
+    "op_count_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
