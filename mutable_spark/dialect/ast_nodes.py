@@ -35,6 +35,15 @@ class FnApplication(Node):
 
 
 @dataclass
+class QueryExpr(Node):
+    """Nested query in an expression position — `(SELECT …)` in WHERE or
+    SELECT (AST.hpp QueryExpr). Correlated forms are decorrelated at
+    compile time the way the reference's QueryGraph does
+    (`src/IR/QueryGraph.cpp:24-340`)."""
+    stmt: "SelectStmt"
+
+
+@dataclass
 class Unary(Node):
     op: str  # '+', '-', '~', 'NOT'
     operand: Node

@@ -77,11 +77,19 @@ class Compiler:
         sources = self._bind_sources(stmt)
         self.sources = sources
         self.types: dict[str, str] = {}
+        self.subq_map: list[tuple[A.Node, str, str]] = []
+        self.deferred_where: list[A.Node] = []
         for s in sources:
             for a, t in s.attrs.items():
                 self.types[f"{s.alias}{SEP}{a}"] = t
 
         df = self._build_joins(stmt, sources)
+        df = self._attach_subqueries(stmt, df)
+        for c in self.deferred_where:
+            col, t = self._expr(c, [])
+            if t != "boolean":
+                raise SemaError("WHERE clause must be boolean")
+            df = df.filter(col)
 
         grouped = bool(stmt.group_by) or any(
             it.expr is not None and contains_aggregate(it.expr) for it in stmt.items
@@ -228,6 +236,12 @@ class Compiler:
         per_source: dict[str, list[A.Node]] = {s.alias: [] for s in sources}
         multi: list[tuple[set[str], A.Node]] = []
         for c in conjuncts:
+            if any(isinstance(n, A.QueryExpr) for n in walk(c)):
+                # conjuncts over nested queries apply after the subquery
+                # values are joined on (QueryGraph does the same: the
+                # decorrelated join precedes the comparison filter)
+                self.deferred_where.append(c)
+                continue
             srcs = self._sources_of(c)
             if len(srcs) == 1:
                 per_source[next(iter(srcs))].append(c)
@@ -264,6 +278,145 @@ class Compiler:
             col, _ = self._expr(c, [])
             joined = joined.filter(col)
         return joined
+
+    # ------------------------------------------------------------------
+    def _attach_subqueries(self, stmt: A.SelectStmt, df: DataFrame) -> DataFrame:
+        """Find every QueryExpr in WHERE/SELECT and join its value onto the
+        row frame, decorrelating exactly like the reference
+        (`src/IR/QueryGraph.cpp:24-340`): group the inner query by its
+        correlation keys, then join the aggregate back to the outer query
+        on those keys. Uncorrelated scalars become a broadcast cross join
+        of a single-row frame."""
+        roots: list[A.Node] = list(self.deferred_where)
+        roots += [it.expr for it in stmt.items if it.expr is not None]
+        seen: list[A.QueryExpr] = []
+        for r in roots:
+            for n in walk(r):
+                if isinstance(n, A.QueryExpr) and not any(n is s for s in seen):
+                    seen.append(n)
+        for i, qe in enumerate(seen):
+            df = self._attach_one(qe, df, f"__sub{i}")
+        return df
+
+    def _attach_one(self, qe: A.QueryExpr, outer: DataFrame, name: str) -> DataFrame:
+        inner = qe.stmt
+        # inner scope: alias → attr set (without compiling yet)
+        inner_attrs: dict[str, set[str]] = {}
+        for ref in inner.from_:
+            if ref.subquery is not None:
+                cols = {
+                    (it.alias or (it.expr.attr if isinstance(it.expr, A.Designator) else totext(it.expr)))
+                    for it in ref.subquery.items
+                    if it.expr is not None
+                }
+                inner_attrs[ref.alias] = cols
+            else:
+                if ref.name not in self.tables:
+                    raise SemaError(f"table {ref.name!r} does not exist")
+                inner_attrs[ref.alias or ref.name] = set(
+                    dict(self.tables[ref.name].dtypes)
+                )
+
+        def scope_of(d: A.Designator) -> str:
+            if d.table is not None:
+                if d.table in inner_attrs:
+                    return "inner"
+                if any(s.alias == d.table for s in self.sources):
+                    return "outer"
+                raise SemaError(f"unknown table {d.table!r}")
+            inner_hit = any(d.attr in attrs for attrs in inner_attrs.values())
+            outer_hit = any(d.attr in s.attrs for s in self.sources)
+            if inner_hit:
+                return "inner"  # inner scope shadows outer (standard SQL)
+            if outer_hit:
+                return "outer"
+            raise SemaError(f"unknown attribute {d.attr!r}")
+
+        # split inner WHERE into pure-inner conjuncts and correlation
+        # equalities (inner_col = outer_col)
+        conjuncts: list[A.Node] = []
+
+        def flat(e: A.Node):
+            if isinstance(e, A.Binary) and e.op == "AND":
+                flat(e.left)
+                flat(e.right)
+            else:
+                conjuncts.append(e)
+
+        if inner.where is not None:
+            flat(inner.where)
+
+        pure: list[A.Node] = []
+        corr: list[tuple[A.Designator, A.Designator]] = []  # (inner, outer)
+        for c in conjuncts:
+            scopes = {
+                scope_of(n) for n in walk(c) if isinstance(n, A.Designator)
+            }
+            if scopes <= {"inner"}:
+                pure.append(c)
+            elif (
+                isinstance(c, A.Binary)
+                and c.op == "="
+                and isinstance(c.left, A.Designator)
+                and isinstance(c.right, A.Designator)
+                and {scope_of(c.left), scope_of(c.right)} == {"inner", "outer"}
+            ):
+                if scope_of(c.left) == "inner":
+                    corr.append((c.left, c.right))
+                else:
+                    corr.append((c.right, c.left))
+            else:
+                raise SemaError(
+                    "unsupported correlated predicate in nested query "
+                    "(only conjunctive equality correlation is decorrelatable)"
+                )
+
+        if len(inner.items) != 1 or inner.items[0].expr is None:
+            raise SemaError("nested query must select exactly one expression")
+
+        remaining = None
+        for c in pure:
+            remaining = c if remaining is None else A.Binary("AND", remaining, c)
+
+        if not corr:
+            # uncorrelated scalar: compile as-is, broadcast cross join
+            sub_stmt = A.SelectStmt(
+                items=[A.SelectItem(inner.items[0].expr, alias=name)],
+                from_=inner.from_,
+                where=remaining,
+                group_by=inner.group_by,
+                having=inner.having,
+                order_by=inner.order_by,
+                limit=inner.limit,
+                offset=inner.offset,
+            )
+            sub = Compiler(self.tables).compile_select(sub_stmt)
+            self.subq_map.append((qe, name, dict(sub.dtypes)[name]))
+            return outer.crossJoin(F.broadcast(sub))
+
+        if inner.group_by:
+            raise SemaError(
+                "correlated nested query with its own GROUP BY is not supported"
+            )
+        # decorrelate: GROUP BY the correlation keys, join back on them
+        key_items = [
+            A.SelectItem(d, alias=f"{name}_k{j}") for j, (d, _) in enumerate(corr)
+        ]
+        sub_stmt = A.SelectStmt(
+            items=[A.SelectItem(inner.items[0].expr, alias=name)] + key_items,
+            from_=inner.from_,
+            where=remaining,
+            group_by=[A.GroupItem(d, alias=f"{name}_k{j}") for j, (d, _) in enumerate(corr)],
+        )
+        sub = Compiler(self.tables).compile_select(sub_stmt)
+        cond = None
+        for j, (_, outer_d) in enumerate(corr):
+            oc, _t = self._resolve(outer_d)
+            c = oc == F.col(f"{name}_k{j}")
+            cond = c if cond is None else (cond & c)
+        self.subq_map.append((qe, name, dict(sub.dtypes)[name]))
+        joined = outer.join(F.broadcast(sub), on=cond, how="left")
+        return joined.drop(*[f"{name}_k{j}" for j in range(len(corr))])
 
     # ------------------------------------------------------------------
     def _aggregate(self, stmt: A.SelectStmt, df: DataFrame):
@@ -349,6 +502,13 @@ class Compiler:
         for ast, name, t in agg_map:
             if e == ast:
                 return F.col(name), t
+        for ast, name, t in getattr(self, "subq_map", []):
+            if e is ast or e == ast:
+                return F.col(name), t
+        if isinstance(e, A.QueryExpr):
+            raise SemaError(
+                "nested query not supported in this position (WHERE/SELECT only)"
+            )
 
         if isinstance(e, A.Literal):
             if e.kind == "int":

@@ -399,6 +399,11 @@ class Parser:
                 return A.FnApplication("INT", [arg])
             raise ParseError(f"unexpected keyword {t.text} in expression")
         if t.kind == "OP" and t.text == "(":
+            nxt = self.peek()
+            if nxt.kind == "KEYWORD" and nxt.text == "SELECT":
+                sub = self.parse_select()
+                self.expect("OP", ")")
+                return A.QueryExpr(sub)
             e = self.parse_expr()
             self.expect("OP", ")")
             return e

@@ -116,6 +116,8 @@ def check_stmt(stmt: A.SelectStmt) -> None:
                 return True
             if isinstance(e, A.Literal):
                 return True
+            if isinstance(e, A.QueryExpr):
+                return True  # a scalar subquery is scalar by construction
             if isinstance(e, A.FnApplication) and e.name.upper() in AGGREGATES:
                 return True
             if isinstance(e, A.FnApplication):

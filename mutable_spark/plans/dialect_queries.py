@@ -168,3 +168,36 @@ def dialect_global_agg(spark, sf_dir):
         WHERE l_shipdate < d'1997-06-01 00:00:00'
         """,
     )
+
+
+@query(
+    "dialect_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 2.0 * (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def dialect_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery through the dialect — the reference's
+    hardest semantics (`src/IR/QueryGraph.cpp:24-340`): the compiler
+    decorrelates by grouping the inner query on the correlation key and
+    joining the per-key aggregate back. AVG is exact here because
+    c_acctbal carries 2 decimals: DOUBLE summation of ≤2^53-scaled values
+    is order-independent at this cardinality, and both engines divide the
+    same sum by the same count."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer AS c
+        WHERE c.c_acctbal > 2.0 * (
+            SELECT AVG(c2.c_acctbal) FROM customer AS c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """,
+    )

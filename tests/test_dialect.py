@@ -173,3 +173,46 @@ def test_engine_schema_types(spark):
         "e": "float", "f": "double", "g": "decimal(10,2)", "h": "boolean",
         "i": "string", "j": "string", "k": "date", "l": "timestamp_ntz",
     }
+
+
+# --- nested queries (QueryExpr) ------------------------------------------
+def test_uncorrelated_scalar_subquery(tables):
+    rows = run(
+        tables,
+        "SELECT n_name FROM nation "
+        "WHERE n_regionkey = (SELECT MIN(r_regionkey) FROM region)",
+    ).collect()
+    assert len(rows) > 0
+
+
+def test_correlated_scalar_subquery_decorrelated(tables, duck):
+    rows = run(
+        tables,
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer AS c2 "
+        "WHERE c2.c_nationkey = customer.c_nationkey)",
+    ).collect()
+    want = duck.execute(
+        "SELECT c_custkey FROM customer c WHERE c_acctbal > "
+        "(SELECT AVG(c2.c_acctbal) FROM customer c2 "
+        " WHERE c2.c_nationkey = c.c_nationkey)"
+    ).fetchall()
+    assert sorted(r.c_custkey for r in rows) == sorted(w[0] for w in want)
+
+
+def test_subquery_in_select_item(tables):
+    rows = run(
+        tables,
+        "SELECT n_name, (SELECT COUNT(*) FROM region) AS n_regions FROM nation LIMIT 3",
+    ).collect()
+    assert all(r.n_regions == 5 for r in rows)
+
+
+def test_unsupported_correlation_rejected(tables):
+    with pytest.raises(SemaError):
+        run(
+            tables,
+            "SELECT c_custkey FROM customer WHERE c_acctbal > "
+            "(SELECT AVG(c2.c_acctbal) FROM customer AS c2 "
+            "WHERE c2.c_nationkey < customer.c_nationkey)",
+        )
