@@ -68,8 +68,12 @@ class Source:
 
 
 class Compiler:
-    def __init__(self, tables: dict[str, DataFrame]):
+    def __init__(self, tables: dict[str, DataFrame], planner=None):
         self.tables = tables
+        #: optional JoinPlanner (plans/planner.py): GOO join ordering from
+        #: injected/footer cardinalities + broadcast decisions — the
+        #: reference's plan-enumerator/estimator surface (SURVEY §4.1)
+        self.planner = planner
 
     # ------------------------------------------------------------------
     def compile_select(self, stmt: A.SelectStmt) -> DataFrame:
@@ -161,7 +165,7 @@ class Compiler:
         sources: list[Source] = []
         for ref in stmt.from_:
             if ref.subquery is not None:
-                sub = Compiler(self.tables).compile_select(ref.subquery)
+                sub = Compiler(self.tables, self.planner).compile_select(ref.subquery)
                 alias = ref.alias
                 base = sub
             else:
@@ -259,11 +263,31 @@ class Compiler:
                 df = df.filter(col)
             frames[s.alias] = df
 
-        covered = {sources[0].alias}
-        joined = frames[sources[0].alias]
+        order = [s.alias for s in sources]
+        alias_table = {
+            s.alias: r.name
+            for s, r in zip(sources, stmt.from_)
+            if r.name is not None
+        }
+        if self.planner is not None and len(sources) > 1:
+            edges = {frozenset(srcs) for srcs, _ in multi if len(srcs) == 2}
+            order = self.planner.order(order, edges, alias_table)
+
+        def frame(alias: str, first: bool) -> DataFrame:
+            f = frames[alias]
+            if (
+                not first
+                and self.planner is not None
+                and self.planner.should_broadcast(alias, alias_table)
+            ):
+                f = F.broadcast(f)
+            return f
+
+        covered = {order[0]}
+        joined = frame(order[0], first=True)
         pending = list(multi)
-        for s in sources[1:]:
-            covered.add(s.alias)
+        for alias in order[1:]:
+            covered.add(alias)
             now = [c for srcs, c in pending if srcs <= covered]
             pending = [(srcs, c) for srcs, c in pending if not (srcs <= covered)]
             if now:
@@ -271,9 +295,9 @@ class Compiler:
                 for c in now:
                     col, _ = self._expr(c, [])
                     cond = col if cond is None else (cond & col)
-                joined = joined.join(frames[s.alias], on=cond, how="inner")
+                joined = joined.join(frame(alias, first=False), on=cond, how="inner")
             else:
-                joined = joined.crossJoin(frames[s.alias])
+                joined = joined.crossJoin(frame(alias, first=False))
         for srcs, c in pending:
             col, _ = self._expr(c, [])
             joined = joined.filter(col)
@@ -390,7 +414,7 @@ class Compiler:
                 limit=inner.limit,
                 offset=inner.offset,
             )
-            sub = Compiler(self.tables).compile_select(sub_stmt)
+            sub = Compiler(self.tables, self.planner).compile_select(sub_stmt)
             self.subq_map.append((qe, name, dict(sub.dtypes)[name]))
             return outer.crossJoin(F.broadcast(sub))
 
@@ -408,7 +432,7 @@ class Compiler:
             where=remaining,
             group_by=[A.GroupItem(d, alias=f"{name}_k{j}") for j, (d, _) in enumerate(corr)],
         )
-        sub = Compiler(self.tables).compile_select(sub_stmt)
+        sub = Compiler(self.tables, self.planner).compile_select(sub_stmt)
         cond = None
         for j, (_, outer_d) in enumerate(corr):
             oc, _t = self._resolve(outer_d)
@@ -626,5 +650,7 @@ class Compiler:
         raise SemaError(f"invalid operands to {op}: {lt}, {rt}")
 
 
-def compile_select(stmt: A.SelectStmt, tables: dict[str, DataFrame]) -> DataFrame:
-    return Compiler(tables).compile_select(stmt)
+def compile_select(
+    stmt: A.SelectStmt, tables: dict[str, DataFrame], planner=None
+) -> DataFrame:
+    return Compiler(tables, planner).compile_select(stmt)
