@@ -31,6 +31,12 @@ TABLE_NAMES = (
 )
 
 
+#: (session id, sf_dir, table) → DataFrame. Re-reading parquet footers and
+#: re-deriving the frame per query costs ~100 ms each on local runs; the
+#: logical plan is immutable so sharing it is free.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with engine type normalization.
 
@@ -40,12 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division, matching DuckDB's ns→µs truncation.
     """
     apply_runtime_confs(spark)
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn(
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
