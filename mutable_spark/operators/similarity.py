@@ -170,3 +170,60 @@ def sim_ann_lsh(spark, sf_dir):
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query("sim_ivf_topk")  # approximate (probe subset of lists) → rows-only
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer → probe the nearest inverted lists
+    → exact rerank within them.
+
+    The testdata's `label` column stands in for the k-means list
+    assignment (a real pipeline would train the quantizer offline and
+    store the list id exactly like this — a small int column). Search:
+    (1) per-list centroids (tiny: n_lists × dim, collected to the driver
+    and broadcast); (2) pick the `nprobe`=3 lists nearest the query;
+    (3) exact cosine over ONLY those lists' vectors — at 100 TB the table
+    is partitioned by list id, so step 3 is partition-pruned I/O, roughly
+    nprobe/n_lists of the data, vs the full scan of `sim_cosine_topk`."""
+    import numpy as np
+
+    e = load_tables(spark, sf_dir).embeddings
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+
+    # (1) centroids: mean vector per list — aggregate over the array via
+    # posexplode + avg (codegen'd), n_lists × dim rows back to the driver
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("c"))
+        .select("label", F.col("c.m").alias("centroid"))
+        .collect()
+    )
+    qrow = q.collect()[0]
+    qv = np.array(qrow.qv, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    def cos_to_q(vec) -> float:
+        v = np.array(vec, dtype=np.float64)
+        return float(v @ qn / np.linalg.norm(v))
+
+    probe = sorted(cent, key=lambda r: -cos_to_q(r.centroid))[:3]
+    probe_labels = [r.label for r in probe]
+
+    # (3) partition-pruned exact search within the probed lists
+    return (
+        e.filter(F.col("label").isin(probe_labels))
+        .filter(F.col("vec_id") != F.lit(int(qrow.qid)))
+        .crossJoin(F.broadcast(q.select("qv")))
+        .select(
+            "vec_id", "label", vec_cosine(F.col("embedding"), F.col("qv")).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,94 @@
+"""Interactive shell for the dialect — the counterpart of the reference's
+`src/shell.cpp` REPL: reads mutable-dialect statements (semicolon- or
+newline-terminated), executes them through `dialect.Engine`, and prints
+result rows with the reference's literal formats (`plans/sinks.py`).
+
+Usage:
+    python -m mutable_spark.shell                 # interactive
+    python -m mutable_spark.shell script.sql      # run a .sql script
+    echo 'SELECT 1 + 1 AS x;' | python -m mutable_spark.shell
+
+Meta-commands (reference `\\instructions` analog): `.quit`, `.tables`,
+`.load <sf_dir>` registers the testdata tables into the current database.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def run_statement(eng, text: str, out=sys.stdout) -> None:
+    from mutable_spark.plans.sinks import print_result
+
+    text = text.strip()
+    if not text:
+        return
+    df = eng.execute(text)
+    if df is not None:
+        n = print_result(df, out)
+        out.write(f"({n} rows)\n")
+    else:
+        out.write("ok\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    from mutable_spark.dialect import Engine
+    from mutable_spark.session import get_spark
+
+    spark = get_spark("mutable_spark-shell")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark)
+    eng.catalog.create_database("default")
+    eng.catalog.use("default")
+
+    def handle(line: str) -> bool:
+        line = line.strip()
+        if not line:
+            return True
+        if line in (".quit", ".exit", "\\q"):
+            return False
+        if line == ".tables":
+            print(" ".join(sorted(eng.catalog._db())))
+            return True
+        if line.startswith(".load"):
+            parts = line.split()
+            sf_dir = parts[1] if len(parts) > 1 else "/root/testdata/sf0.001"
+            from mutable_spark.catalog import TABLE_NAMES, load_table
+
+            for t in TABLE_NAMES:
+                if t not in eng.catalog._db():
+                    eng.catalog.create_table(t, load_table(spark, sf_dir, t))
+            print(f"loaded {len(TABLE_NAMES)} tables from {sf_dir}")
+            return True
+        try:
+            run_statement(eng, line)
+        except Exception as e:  # surface, keep the session alive
+            print(f"error: {e}", file=sys.stderr)
+        return True
+
+    if argv:
+        text = open(argv[0]).read()
+        for stmt in text.split(";"):
+            if stmt.strip():
+                handle(stmt)
+        return 0
+
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print("mutable_spark shell — .load [sf_dir], .tables, .quit")
+    buf = ""
+    for line in sys.stdin:
+        buf += line
+        if ";" in buf or line.strip().startswith("."):
+            for stmt in buf.split(";"):
+                if stmt.strip() and not handle(stmt):
+                    return 0
+            buf = ""
+    if buf.strip():
+        handle(buf)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -98,3 +98,39 @@ def run_available_now(df: DataFrame, name: str, mode: str = "complete"):
     q.awaitTermination(120)
     spark = df.sparkSession
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals (event count, value sum) maintained in the state store
+    across micro-batches — the escape hatch for operators Structured
+    Streaming's built-ins can't express (the reference has no analog at
+    all; its extension point is C++ operator registration,
+    `include/mutable/catalog/Catalog.hpp:343-660`).
+
+    State: (cnt long, total double). Each micro-batch emits one row per
+    updated user with the post-update totals. GroupStateTimeout-based
+    eviction would bound state on a live stream; omitted for the bounded
+    replay."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="cnt long, total double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

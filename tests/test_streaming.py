@@ -36,3 +36,24 @@ def test_streaming_sessionize_counts(spark):
     got_key = sorted((r.user_id, r.session_start, r.n_events) for r in got)
     want_key = sorted((r.user_id, r.session_start, r.n_events) for r in want)
     assert got_key == want_key
+
+
+def test_stateful_running_totals(spark):
+    import pyspark.sql.functions as F
+    from mutable_spark.streaming.events import run_available_now, running_user_totals
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(running_user_totals(stream), "t_state", mode="update")
+    # single bounded replay → final state per user equals the batch totals
+    from mutable_spark.catalog import load_tables
+
+    want = (
+        load_tables(spark, SF_DIR)
+        .events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    got_last = {}
+    for r in got:  # update mode may emit once per batch; keep the last
+        got_last[r.user_id] = r.n_events
+    assert got_last == {r.user_id: r.n_events for r in want}
