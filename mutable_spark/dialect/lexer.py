@@ -25,6 +25,7 @@ KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
     "OFFSET", "AS", "ASC", "DESC", "AND", "OR", "NOT", "LIKE",
     "CREATE", "DROP", "DATABASE", "TABLE", "USE", "INSERT", "INTO",
+    "UPDATE", "DELETE", "SET",
     "VALUES", "DEFAULT", "IMPORT", "DSV", "ROWS", "DELIMITER", "ESCAPE",
     "QUOTE", "HAS", "SKIP", "HEADER", "TRUE", "FALSE", "NULL",
     "PRIMARY", "KEY", "UNIQUE", "REFERENCES", "CHECK",

@@ -100,6 +100,10 @@ class Parser:
             stmt = self.parse_insert()
         elif t.text == "IMPORT":
             stmt = self.parse_import()
+        elif t.text in ("UPDATE", "DELETE"):
+            # parsed-but-unimplemented, exactly like the reference
+            # (`src/catalog/DatabaseCommand.cpp:189-196`)
+            raise ParseError(f"{t.text} statements are not yet implemented")
         else:
             raise ParseError(f"unsupported statement {t.text}")
         self.accept("OP", ";")
