@@ -241,3 +241,96 @@ def tpch_q14(spark, sf_dir):
             ).alias("promo_revenue")
         )
     )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume (`benchmark/tpc-h/` family; the
+    reference's benchmark set stops at q14 but the query shape — a 6-way
+    snowflake join with a same-nation residual — is the canonical join-
+    order stress test its plan enumerators exist for). region+nation
+    broadcast; supplier joins add the c_nationkey = s_nationkey residual
+    on the equi key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= TS("1996-01-01 00:00:00"))
+                & (F.col("o_orderdate") < TS("1997-01-01 00:00:00"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting, adapted (no c_address/c_phone/
+    c_comment in the testdata → c_mktsegment stands in). Top-20 by lost
+    revenue: filter-heavy join + wide group key + distributed top-k."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= TS("1996-10-01 00:00:00"))
+                & (F.col("o_orderdate") < TS("1997-01-01 00:00:00"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
