@@ -1,0 +1,133 @@
+"""End-to-end training-data curation pipeline — the composition the
+individual operators exist for: quality-filter → exact-dedup → near-dup
+removal → token accounting, as ONE declarative DataFrame plan (Catalyst
+sees the whole pipeline and prunes/pushes across stage boundaries — the
+advantage over gluing separate jobs together).
+
+Stages (all reusing the registered operators' exact semantics):
+1. quality gate: `text_quality_score`'s formula ≥ 0.2
+2. exact dedup: keep the smallest doc_id per normalized-text md5 group
+3. near-dup removal: drop the higher-id member of every verified
+   word-3-gram Jaccard ≥ 0.5 pair (`dedup_ngram_jaccard` semantics; at
+   100 TB the MinHash-LSH tier generates the same verified pairs)
+4. report: surviving docs + whitespace-token budget per source
+
+The DuckDB oracle recomputes the identical pipeline in SQL, so the whole
+composition — not just each stage — is hash-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _NORMALIZE_SQL,
+    _SQL_PAIRS,
+    _normalize,
+    _shingle_df,
+    _tokens,
+)
+from mutable_spark.registry import query
+
+_QUALITY_TH = 0.2
+
+_SQL_QUALITY = r"""
+    (0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+            * 1.0 / len(string_split_regex(trim(text), '\s+')))
+     + 0.3 * LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0)
+     + 0.2 * (1.0 - LEAST(1.0,
+            (CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) * 1.0
+             / len(string_split_regex(trim(text), '\s+'))) * 10.0)))
+"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=rf"""
+    WITH quality_pass AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents
+        WHERE {_SQL_QUALITY} >= {_QUALITY_TH}
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM quality_pass
+        GROUP BY md5({_NORMALIZE_SQL})
+    ),
+    near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id FROM ({_SQL_PAIRS})
+    )
+    SELECT q.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tok) AS BIGINT) AS total_tokens
+    FROM quality_pass q
+    JOIN exact_keep k ON q.doc_id = k.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    GROUP BY q.source
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The full curation pipeline as one plan. Scale notes: stage 1 is a
+    map-only gate evaluated during the scan; stage 2 shuffles 16-byte
+    digests; stage 3's pair set comes from the exact pairwise pass here
+    (oracle-checkable) — swap in `dedup_minhash_lsh`'s verified pairs for
+    the identical output at linear-ish cost; the anti-join against the
+    (tiny) dropped set broadcasts."""
+    d = load_tables(spark, sf_dir).documents
+    toks = _tokens()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("long")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?,;:]"), 0)).cast("long")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.size(toks) / 100.0)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
+    )
+
+    quality_pass = d.filter(quality >= _QUALITY_TH).select(
+        "doc_id", "source", "text", F.size(toks).cast("long").alias("n_tok")
+    )
+
+    exact_keep = (
+        quality_pass.groupBy(F.md5(_normalize(F.col("text"))).alias("g"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    g = _shingle_df(load_tables(spark, sf_dir).documents)
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    near_dropped = (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.size("sh_a") * 2 >= F.size("sh_b"))
+            & (F.size("sh_b") * 2 >= F.size("sh_a")),
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    survivors = quality_pass.join(exact_keep, "doc_id", "left_semi").join(
+        F.broadcast(near_dropped), "doc_id", "left_anti"
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

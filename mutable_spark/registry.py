@@ -48,3 +48,4 @@ def load_all() -> None:
     import mutable_spark.operators.events  # noqa: F401
     import mutable_spark.operators.joins_ext  # noqa: F401
     import mutable_spark.operators.analytics  # noqa: F401
+    import mutable_spark.operators.pipeline  # noqa: F401
