@@ -46,7 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division, matching DuckDB's ns→µs truncation.
     """
     apply_runtime_confs(spark)
-    key = (id(spark), sf_dir.rstrip("/"), name)
+    # applicationId (not id(spark)): a stopped session's address can be
+    # reused by a new one, which would serve dead plans from the cache
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = id(spark)
+    key = (app, sf_dir.rstrip("/"), name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")

@@ -161,3 +161,86 @@ def op_cube(spark, sf_dir):
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("qty")
     )
+
+
+@query(
+    "op_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS order_seq
+    FROM orders
+    """,
+)
+def op_window_running_sum(spark, sf_dir):
+    """Cumulative window aggregation (no windows exist in the reference at
+    all, SURVEY §2.6): running spend per customer in order-date order.
+    The window's (o_orderdate, o_orderkey) total order plus exact-decimal
+    summation makes every prefix sum bit-identical to the oracle. One
+    shuffle on o_custkey; within partitions this is a sorted streaming
+    scan."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "op_window_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE) AS ssq,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           ((o_totalprice - s / n)
+            / sqrt((ssq - s * s / n) / (n - 1))) AS zscore
+    FROM orders o JOIN stats ON o.o_orderpriority = stats.o_orderpriority
+    """,
+)
+def op_window_zscore(spark, sf_dir):
+    """Per-group standardization (z-score), the normalize-per-group pattern
+    of feature pipelines. Mean and variance are derived from exact-decimal
+    SUM and SUM-of-squares (order-independent), then the float arithmetic
+    is the same expression tree in both engines — bit-identical zscores.
+    Implemented as aggregate + broadcast join-back rather than two window
+    passes: one shuffle instead of a per-row window state.
+
+    Subtlety: each square is integerized with FLOOR before summing — two
+    portability traps found the hard way: (a) a scale-4 sum of squares
+    overflows 2^53 in its scaled representation, where DuckDB's
+    decimal→double cast double-rounds while Spark's BigDecimal rounds
+    once; (b) decimal *scale reduction* itself disagrees — Spark CAST
+    rounds half-up, DuckDB CAST truncates. FLOOR is identical in both for
+    the non-negative squares."""
+    o = load_tables(spark, sf_dir).orders
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(F.floor(dec * dec)).cast("double").alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = o.join(F.broadcast(stats), "o_orderpriority")
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ssq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return joined.select(
+        "o_orderkey",
+        "o_orderpriority",
+        ((F.col("o_totalprice") - mean) / F.sqrt(var)).alias("zscore"),
+    )
