@@ -100,8 +100,14 @@ def check_stmt(stmt: A.SelectStmt) -> None:
     if stmt.having is not None:
         check_no_udf(stmt.having)
 
-    grouped = bool(stmt.group_by) or any(
-        item.expr is not None and contains_aggregate(item.expr) for item in stmt.items
+    # HAVING makes the query grouped even without GROUP BY (global group)
+    grouped = (
+        bool(stmt.group_by)
+        or stmt.having is not None
+        or any(
+            item.expr is not None and contains_aggregate(item.expr)
+            for item in stmt.items
+        )
     )
     if grouped:
         keys = [g.expr for g in stmt.group_by]

@@ -244,3 +244,26 @@ def op_window_zscore(spark, sf_dir):
         "o_orderpriority",
         ((F.col("o_totalprice") - mean) / F.sqrt(var)).alias("zscore"),
     )
+
+
+@query(
+    "op_union",
+    oracle="""
+    SELECT k, src FROM (
+        SELECT c_nationkey AS k, 'cust' AS src FROM customer
+        UNION
+        SELECT s_nationkey AS k, 'supp' AS src FROM supplier
+    )
+    """,
+)
+def op_union(spark, sf_dir):
+    """UNION (distinct) of two sources with a provenance tag — the
+    reference's grammar has no UNION at all (SURVEY §2.8)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"), F.lit("cust").alias("src"))
+        .unionByName(
+            t.supplier.select(F.col("s_nationkey").alias("k"), F.lit("supp").alias("src"))
+        )
+        .distinct()
+    )

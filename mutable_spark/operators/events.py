@@ -134,3 +134,33 @@ def events_sessionize(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_window_sliding",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events, (VALUES (0), (1)) AS offs(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_window_sliding(spark, sf_dir):
+    """Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    event lands in exactly two windows. The oracle reproduces Spark's
+    window() expansion explicitly: cross join with the per-event window
+    offsets (window/slide = 2 rows) and bucket arithmetic. Streaming twin
+    works identically via F.window(ts, '1 hour', '30 minutes') with a
+    watermark."""
+    e = load_tables(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+    )

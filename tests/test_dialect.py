@@ -216,3 +216,38 @@ def test_unsupported_correlation_rejected(tables):
             "(SELECT AVG(c2.c_acctbal) FROM customer AS c2 "
             "WHERE c2.c_nationkey < customer.c_nationkey)",
         )
+
+
+# --- extended sema negatives (mirroring more of test/ours/sema-san-*) ----
+@pytest.mark.parametrize(
+    "sql,fragment",
+    [
+        # grouping violations
+        ("SELECT n_regionkey FROM nation GROUP BY n_name", "scalar/vector"),
+        ("SELECT COUNT(*) FROM nation GROUP BY SUM(n_nationkey)", "not allowed in GROUP BY"),
+        ("SELECT n_name FROM nation HAVING COUNT(*) > 1", "scalar/vector"),
+        # type errors
+        ("SELECT ~rfloat FROM nation", "unknown attribute"),
+        ("SELECT ~n_name FROM nation", "integer operand"),
+        ("SELECT NOT n_nationkey FROM nation", "boolean operand"),
+        ("SELECT n_name FROM nation WHERE n_nationkey", "boolean"),
+        ("SELECT n_name = 5 FROM nation", "invalid operands"),
+        # aggregates
+        ("SELECT SUM(n_name) FROM nation", "numeric argument"),
+        ("SELECT AVG(n_name) FROM nation", "numeric argument"),
+        ("SELECT COUNT(n_name, n_nationkey) FROM nation", "exactly one argument"),
+        # structure
+        ("SELECT b.n_name FROM nation AS a", "unknown table"),
+    ],
+)
+def test_sema_negative_extended(tables, sql, fragment):
+    with pytest.raises(SemaError) as exc:
+        run(tables, sql).collect()
+    assert fragment.lower() in str(exc.value).lower()
+
+
+def test_update_delete_rejected_like_reference():
+    # parsed-but-unimplemented (`src/catalog/DatabaseCommand.cpp:189-196`)
+    for sql in ("UPDATE r SET x = 1", "DELETE FROM r"):
+        with pytest.raises(ParseError, match="not yet implemented"):
+            parse(sql)
