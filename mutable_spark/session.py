@@ -54,7 +54,10 @@ def get_spark(app_name: str = "mutable_spark", cpus: int | None = None) -> Spark
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only JVM: this is the ONLY memory knob.
+        # 32 executor threads + accumulated caches in a small heap means
+        # GC pressure; the box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
