@@ -39,6 +39,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
             apply_runtime_confs(spark)
+            # queries are run sequentially by the driver; caches from a
+            # previous query (LSH shingle/signature frames) are dead weight
+            # by now — drop them so a 65-query session doesn't accumulate
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             return fn(spark, sf_dir)
 
         run.__doc__ = fn.__doc__

@@ -65,6 +65,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        spark.catalog.clearCache()  # no cross-query cache accumulation
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count() if name == "op_scan" else len(df.collect())
