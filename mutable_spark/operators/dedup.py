@@ -49,18 +49,28 @@ def _tokens(col="text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
-def _shingle_df(d):
-    """(doc_id, sh) with sh = distinct word-3-gram shingles."""
+def _shingle_df(d, distinct: bool = True):
+    """(doc_id, sh) with sh = word-3-gram shingles.
+
+    Built with slice + zip_with (three aligned array views concatenated
+    pairwise) instead of transform + per-index element gets — higher-order
+    functions evaluate interpreted, so expression count matters.
+
+    ``distinct=False`` skips the O(n²) interpreted array_distinct: MinHash
+    (min over hashes) and SimHash votes are insensitive to duplicate
+    shingles, and Jaccard via array_intersect/array_union deduplicates
+    internally anyway — only size-based pruning needs true set sizes."""
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - 2),
-            lambda i: F.concat_ws(
-                " ", F.get(F.col("t"), i - 1), F.get(F.col("t"), i), F.get(F.col("t"), i + 1)
-            ),
-        )
+    n = F.size("t") - 2
+    pair = F.zip_with(
+        F.slice(F.col("t"), 1, n),
+        F.slice(F.col("t"), 2, n),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
+    sh = F.zip_with(pair, F.slice(F.col("t"), 3, n), lambda x, y: F.concat_ws(" ", x, y))
+    if distinct:
+        sh = F.array_distinct(sh)
     return d.select("doc_id", sh.alias("sh"))
 
 
@@ -173,7 +183,7 @@ def dedup_minhash_lsh(spark, sf_dir):
          shingle sets), emit pairs ≥ 0.5 — output is exact, only *recall*
          is probabilistic (miss ≈ 1.5e-15 at the corpus's observed minimum
          true-pair similarity of 0.9), hence the shared exact oracle."""
-    g = _shingle_df(load_tables(spark, sf_dir).documents).cache()
+    g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
 
     h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P31))
     sig = (
@@ -250,8 +260,9 @@ def dedup_simhash(spark, sf_dir):
     Like the MinHash signature, the bit-votes use explode→groupBy rather
     than per-row array folds: 64 codegen'd SUM aggregates with map-side
     partials beat 64 interpreted higher-order lambdas (see the
-    dedup_minhash_lsh docstring for the measurement)."""
-    g = _shingle_df(load_tables(spark, sf_dir).documents)
+    dedup_minhash_lsh docstring for the measurement). Duplicate shingles
+    vote with their frequency (the standard weighted SimHash)."""
+    g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
     th = g.select("doc_id", F.explode("sh").alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
@@ -266,36 +277,45 @@ def dedup_simhash(spark, sf_dir):
     chunk = lambda c: sum(
         (F.when(F.col(f"b{16 * c + i}") > 0, 1).otherwise(0) * (1 << i)) for i in range(16)
     )
+    # cache: the signature subplan (explode + 64 aggregates) is read by the
+    # bucket pass AND twice by the hamming join-back — without the cache it
+    # recomputes each time (same wide-plan pathology dedup_minhash_lsh hit)
     sig = votes.select(
-        "doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)]
-    )
+        "doc_id", F.array(*[chunk(c) for c in range(4)]).alias("chunks")
+    ).cache()
     pieces = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"c{c}") for c in range(4)]).alias("chunks"),
-        F.posexplode(F.array(*[F.col(f"c{c}") for c in range(4)])).alias("pos", "val"),
+        "doc_id", F.posexplode(F.col("chunks")).alias("pos", "val")
+    )
+    # bucket pair expansion, not a pieces self-join (see dedup_minhash_lsh)
+    grouped = (
+        pieces.groupBy("pos", "val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
     hamming = F.aggregate(
         F.zip_with(
-            F.col("x.chunks"),
-            F.col("y.chunks"),
-            lambda p, q: F.bit_count(p.bitwiseXOR(q)),
+            F.col("ca"), F.col("cb"), lambda p, q: F.bit_count(p.bitwiseXOR(q))
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        pieces.alias("x")
-        .join(
-            pieces.alias("y"),
-            (F.col("x.pos") == F.col("y.pos"))
-            & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb")), "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
