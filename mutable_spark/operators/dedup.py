@@ -150,9 +150,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 _P31 = 2_147_483_647  # Mersenne prime 2^31-1: (a*h+b) stays < 2^63
-_N_PERM, _BANDS, _ROWS = 128, 32, 4
+# 64 bands × 2 rows (not 32×4): at the emission threshold s=0.5 a band
+# matches with prob s²=0.25, so a true pair is missed with (1-0.25)⁶⁴ ≈ 1e-8
+# — the banding no longer relies on the corpus having only high-similarity
+# (≥0.9) true pairs. The cost is more (exactly-verified, hence harmless)
+# candidates, not correctness.
+_N_PERM, _BANDS, _ROWS = 128, 64, 2
 _rng = np.random.default_rng(42)
 _AB = [(int(_rng.integers(1, _P31)), int(_rng.integers(0, _P31))) for _ in range(_N_PERM)]
+
+#: LSH skew guard — a bucket past this size expands to star pairs (O(n))
+#: instead of all C(n,2) pairs. See ``_bucket_pairs``.
+_MAX_BUCKET = 1_000
+
+
+def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
+    """Expand each LSH bucket's member list ``ids`` (sorted) into candidate
+    (doc_a, doc_b) pairs with a skew guard.
+
+    Buckets up to ``cap`` members expand to all C(n,2) ordered pairs. A
+    degenerate bucket (identical boilerplate — headers, licenses) would
+    expand quadratically inside ONE task at 100 TB: the classic LSH skew
+    OOM/straggler. Past the cap we emit *star* pairs instead — every member
+    linked to the bucket's first (smallest) id, O(n) pairs — which keeps
+    the duplicate class connected for connected-components dedup while
+    bounding the expansion. ``F.when`` branches evaluate lazily per row, so
+    the quadratic branch never materializes for oversized buckets."""
+    ids = F.col("ids")
+    full = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")),
+    )
+    pair_structs = F.when(F.size(ids) <= F.lit(cap), full).otherwise(star)
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_SQL_PAIRS)
@@ -175,16 +218,23 @@ def dedup_minhash_lsh(spark, sf_dir):
          instead of two sides + join, and — measured — ~4× lower cold
          latency because the self-join duplicates the whole 128-aggregate
          subplan into both join children (double codegen of a very wide
-         operator). Skew note: at 100 TB a degenerate bucket
-         (all-identical boilerplate) expands quadratically — cap bucket
-         size (drop or sub-sample buckets past ~1e3 members: such buckets
-         are exact-duplicate classes better handled by dedup_exact);
+         operator). Skew guard: buckets past ``_MAX_BUCKET`` members
+         expand to O(n) star pairs instead of C(n,2) — see
+         ``_bucket_pairs``;
       4. exact Jaccard verification of candidates (joins back to the
          shingle sets), emit pairs ≥ 0.5 — output is exact, only *recall*
-         is probabilistic (miss ≈ 1.5e-15 at the corpus's observed minimum
-         true-pair similarity of 0.9), hence the shared exact oracle."""
+         is probabilistic (miss ≈ 1e-8 at the s=0.5 emission threshold
+         with 64 bands × 2 rows), hence the shared exact oracle."""
     g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
+    return minhash_lsh_pairs(g)
 
+
+def minhash_lsh_pairs(g):
+    """Verified near-dup pairs (doc_a, doc_b, jac ≥ 0.5) from a shingle
+    DataFrame ``g`` = (doc_id, sh). The reusable LSH tier — consumed by
+    ``dedup_minhash_lsh`` and by ``pipeline_clean_corpus``'s near-dup
+    stage. ``g`` should be cached by the caller (read 3×: signature build
+    + two verification join-backs)."""
     h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P31))
     sig = (
         g.select("doc_id", F.explode("sh").alias("shingle"))
@@ -214,21 +264,8 @@ def dedup_minhash_lsh(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    # C(n,2) ordered pairs per bucket (ids sorted → doc_a < doc_b)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # C(n,2) ordered pairs per bucket, star-capped past _MAX_BUCKET members
+    cand = _bucket_pairs(grouped)
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -286,26 +323,14 @@ def dedup_simhash(spark, sf_dir):
     pieces = sig.select(
         "doc_id", F.posexplode(F.col("chunks")).alias("pos", "val")
     )
-    # bucket pair expansion, not a pieces self-join (see dedup_minhash_lsh)
+    # bucket pair expansion, not a pieces self-join (see dedup_minhash_lsh);
+    # star-capped past _MAX_BUCKET members (skew guard)
     grouped = (
         pieces.groupBy("pos", "val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _bucket_pairs(grouped)
     hamming = F.aggregate(
         F.zip_with(
             F.col("ca"), F.col("cb"), lambda p, q: F.bit_count(p.bitwiseXOR(q))

@@ -28,6 +28,7 @@ from mutable_spark.operators.dedup import (
     _normalize,
     _shingle_df,
     _tokens,
+    minhash_lsh_pairs,
 )
 from mutable_spark.registry import query
 
@@ -70,13 +71,16 @@ _SQL_QUALITY = r"""
     GROUP BY q.source
     """,
 )
-def pipeline_clean_corpus(spark, sf_dir):
+def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     """The full curation pipeline as one plan. Scale notes: stage 1 is a
     map-only gate evaluated during the scan; stage 2 shuffles 16-byte
-    digests; stage 3's pair set comes from the exact pairwise pass here
-    (oracle-checkable) — swap in `dedup_minhash_lsh`'s verified pairs for
-    the identical output at linear-ish cost; the anti-join against the
-    (tiny) dropped set broadcasts."""
+    digests; stage 3's pair set defaults to the MinHash-LSH tier
+    (linear-ish, skew-capped) — ``pair_source="exact"`` swaps in the
+    O(n²) pairwise pass, which produces the identical verified pair set
+    (both emit true Jaccard ≥ 0.5 pairs; LSH recall loss ≈ 1e-8) and is
+    what the DuckDB oracle cross-checks. The anti-join against the
+    dropped set is left to Catalyst/AQE: the set is data-dependent and
+    unbounded at 100 TB, so no forced broadcast."""
     d = load_tables(spark, sf_dir).documents
     toks = _tokens()
     stop_ratio = (
@@ -106,26 +110,30 @@ def pipeline_clean_corpus(spark, sf_dir):
         .select("doc_id")
     )
 
-    g = _shingle_df(load_tables(spark, sf_dir).documents)
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    near_dropped = (
-        a.join(
-            b,
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.size("sh_a") * 2 >= F.size("sh_b"))
-            & (F.size("sh_b") * 2 >= F.size("sh_a")),
+    if pair_source == "lsh":
+        g = _shingle_df(d, distinct=False).cache()
+        pairs = minhash_lsh_pairs(g)
+    else:  # "exact" — the quadratic baseline the oracle recomputes
+        g = _shingle_df(d)
+        a = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+            F.array_union("sh_a", "sh_b")
         )
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+        pairs = (
+            a.join(
+                b,
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.size("sh_a") * 2 >= F.size("sh_b"))
+                & (F.size("sh_b") * 2 >= F.size("sh_a")),
+            )
+            .select("doc_a", "doc_b", jac.alias("jac"))
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        )
+    near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
     survivors = quality_pass.join(exact_keep, "doc_id", "left_semi").join(
-        F.broadcast(near_dropped), "doc_id", "left_anti"
+        near_dropped, "doc_id", "left_anti"
     )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1,0 +1,49 @@
+"""LSH skew guard: degenerate buckets (identical boilerplate docs) must not
+expand quadratically. See ``mutable_spark.operators.dedup._bucket_pairs``."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from mutable_spark.operators.dedup import _MAX_BUCKET, _bucket_pairs, minhash_lsh_pairs
+
+
+def test_bucket_pairs_small_bucket_full_expansion(spark):
+    grouped = spark.createDataFrame([(list(range(10)),)], "ids: array<long>")
+    pairs = _bucket_pairs(grouped).collect()
+    assert len(pairs) == 45  # C(10,2)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_bucket_pairs_oversized_bucket_star_expansion(spark):
+    n = _MAX_BUCKET + 500
+    grouped = spark.createDataFrame([(list(range(n)),)], "ids: array<long>")
+    pairs = _bucket_pairs(grouped).collect()
+    # star pairs: every member linked to the bucket minimum — O(n), not C(n,2)
+    assert len(pairs) == n - 1
+    assert all(r.doc_a == 0 and r.doc_b > 0 for r in pairs)
+
+
+def test_minhash_degenerate_corpus_bounded(spark):
+    """1,200 identical docs → one degenerate bucket per band. Without the
+    cap this expands to C(1200,2) = 719,400 candidate pairs inside single
+    tasks; with the star guard the whole run stays O(n) and fast."""
+    n = _MAX_BUCKET + 200
+    text = " ".join(f"tok{i % 7}" for i in range(20))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    from mutable_spark.operators.dedup import _shingle_df
+
+    g = _shingle_df(docs, distinct=False).cache()
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(g).collect()
+    elapsed = time.monotonic() - t0
+    g.unpersist()
+    # identical docs: star candidates all verify at jac = 1.0
+    assert len(pairs) == n - 1
+    assert all(r.jac == 1.0 for r in pairs)
+    # bounded expansion — generous wall-clock sanity bound for local[8]
+    assert elapsed < 120, f"degenerate corpus took {elapsed:.0f}s — cap not effective?"

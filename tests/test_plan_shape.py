@@ -92,3 +92,12 @@ def test_scan_prunes_columns(plans, spark):
 def test_semi_join_plan(plans):
     p = plans("op_join_semi")
     assert "LeftSemi" in p or "left_semi" in p.lower()
+
+
+def test_pipeline_uses_lsh_tier_no_cartesian(plans):
+    # the curation pipeline's near-dup stage must be the LSH tier: no
+    # cartesian/nested-loop expansion, no forced broadcast of the
+    # unbounded dropped-doc set (Catalyst/AQE decides the anti-join side)
+    p = plans("pipeline_clean_corpus")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
