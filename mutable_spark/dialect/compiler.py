@@ -416,7 +416,22 @@ class Compiler:
             )
             sub = Compiler(self.tables, self.planner).compile_select(sub_stmt)
             self.subq_map.append((qe, name, dict(sub.dtypes)[name]))
-            return outer.crossJoin(F.broadcast(sub))
+            # enforce scalar (≤1 row) semantics at runtime: probe at most 2
+            # rows, then raise if a second exists — otherwise
+            # `WHERE x > (SELECT k FROM t)` would silently multiply every
+            # outer row by the subquery's cardinality. first() over the
+            # ≤2-row probe is the value when the guard passes; empty
+            # subquery yields NULL (standard scalar semantics).
+            probe = sub.limit(2).agg(
+                F.first(F.col(name)).alias(name),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            guarded = probe.select(
+                F.when(F.col("__n") <= 1, F.col(name))
+                .otherwise(F.raise_error("scalar subquery returned more than one row"))
+                .alias(name)
+            )
+            return outer.crossJoin(F.broadcast(guarded))
 
         if inner.group_by:
             raise SemaError(
@@ -622,8 +637,11 @@ class Compiler:
                 return lc - rc, t
             if op == "/":
                 if is_int(lt) and is_int(rt):
-                    # C++ integer division semantics (StackMachine Div_i)
-                    return (lc.cast("double") / rc).cast("long").cast(t), t
+                    # C++ integer division semantics (StackMachine Div_i):
+                    # Spark's IntegralDivide truncates toward zero exactly
+                    # on longs — no double round-trip, so operands past
+                    # 2^53 stay exact
+                    return F.call_function("div", lc, rc).cast(t), t
                 return lc / rc, t
             raise SemaError(f"unknown operator {op}")
 

@@ -23,6 +23,22 @@ class ParseError(ValueError):
     pass
 
 
+def _int_value(tok: Token) -> int:
+    """Integer literal → value, mirroring the reference lexer's bases:
+    0x… hex, 0b… binary, leading-zero decimal is octal (TK_OCT_INT,
+    `Lexer.cpp` read_number). Malformed literals raise ParseError with the
+    token position instead of an uncaught ValueError."""
+    text = tok.text
+    try:
+        if len(text) > 1 and text[0] == "0" and text[1].isdigit():
+            return int(text, 8)
+        return int(text, 0)
+    except ValueError:
+        raise ParseError(
+            f"invalid integer literal {text!r} at position {tok.pos}"
+        ) from None
+
+
 _AGG_OR_FN = {"COUNT", "SUM", "AVG", "MIN", "MAX", "ISNULL"}
 
 #: keywords that the reference's own fixtures use as identifiers (e.g. the
@@ -157,9 +173,9 @@ class Parser:
                 if not self.accept("OP", ","):
                     break
         if self.accept_kw("LIMIT"):
-            s.limit = int(self.expect("INT").text, 0)
+            s.limit = _int_value(self.expect("INT"))
             if self.accept_kw("OFFSET"):
-                s.offset = int(self.expect("INT").text, 0)
+                s.offset = _int_value(self.expect("INT"))
         return s
 
     def parse_table_ref(self) -> A.TableRef:
@@ -203,7 +219,7 @@ class Parser:
             params: list[int] = []
             if self.accept("OP", "("):
                 while True:
-                    params.append(int(self.expect("INT").text, 0))
+                    params.append(_int_value(self.expect("INT")))
                     if not self.accept("OP", ","):
                         break
                 self.expect("OP", ")")
@@ -284,7 +300,7 @@ class Parser:
         stmt = A.ImportDSVStmt(table, path)
         while True:
             if self.accept_kw("ROWS"):
-                stmt.rows = int(self.expect("INT").text, 0)
+                stmt.rows = _int_value(self.expect("INT"))
             elif self.accept_kw("DELIMITER"):
                 stmt.delimiter = self.expect("STR").text
             elif self.accept_kw("ESCAPE"):
@@ -374,7 +390,7 @@ class Parser:
     def parse_primary(self) -> A.Node:
         t = self.next()
         if t.kind == "INT":
-            return A.Literal(int(t.text, 0), "int")
+            return A.Literal(_int_value(t), "int")
         if t.kind == "FLOAT":
             return A.Literal(float(t.text), "float")
         if t.kind == "STR":

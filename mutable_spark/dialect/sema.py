@@ -41,6 +41,14 @@ def is_numeric(t: str) -> bool:
     return t in _NUMERIC or t.startswith("decimal")
 
 
+def _decimal_params(t: str) -> tuple[int, int]:
+    """'decimal(p,s)' → (p, s); bare 'decimal' → Spark's default (10, 0)."""
+    if "(" not in t:
+        return (10, 0)
+    p, s = t[t.index("(") + 1 : t.rindex(")")].split(",")
+    return (int(p), int(s))
+
+
 def arithmetic_join(lt: str, rt: str, op: str) -> str:
     """Result type of a binary arithmetic expression (`semantics.md:50-73`,
     impl used at `Sema.cpp:790`): ints widen by width; any floating operand
@@ -51,7 +59,13 @@ def arithmetic_join(lt: str, rt: str, op: str) -> str:
         return "double"
     if lt.startswith("decimal") or rt.startswith("decimal"):
         if lt.startswith("decimal") and rt.startswith("decimal"):
-            return lt if lt >= rt else rt
+            # combine numerically: max integer digits + max scale (NOT a
+            # lexicographic dtype-string compare, which would rank
+            # decimal(18,2) below decimal(3,2))
+            (lp, ls), (rp, rs) = _decimal_params(lt), _decimal_params(rt)
+            scale = max(ls, rs)
+            precision = max(lp - ls, rp - rs) + scale
+            return f"decimal({min(precision, 38)},{scale})"
         return lt if lt.startswith("decimal") else rt
     if "float" in (lt, rt):
         return "float"

@@ -251,3 +251,48 @@ def test_update_delete_rejected_like_reference():
     for sql in ("UPDATE r SET x = 1", "DELETE FROM r"):
         with pytest.raises(ParseError, match="not yet implemented"):
             parse(sql)
+
+
+# --- round-2 advice fixes -------------------------------------------------
+def test_scalar_subquery_multirow_errors(tables):
+    # >1-row scalar subquery must raise, not multiply the outer rows
+    df = run(
+        tables,
+        "SELECT r_name FROM region WHERE r_regionkey < (SELECT n_nationkey FROM nation)",
+    )
+    with pytest.raises(Exception, match="more than one row"):
+        df.collect()
+
+
+def test_scalar_subquery_single_row_ok(tables):
+    rows = run(
+        tables,
+        "SELECT r_name FROM region "
+        "WHERE r_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 3)",
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_decimal_widening_numeric_not_lexicographic():
+    from mutable_spark.dialect.sema import arithmetic_join
+
+    assert arithmetic_join("decimal(18,2)", "decimal(3,2)", "+") == "decimal(18,2)"
+    assert arithmetic_join("decimal(3,4)", "decimal(10,0)", "*") == "decimal(14,4)"
+
+
+def test_int_division_exact_beyond_double(tables):
+    # 2^62+12345 is not double-representable; div must stay exact
+    big = (1 << 62) + 12345
+    rows = run(tables, f"SELECT {big} / 7 AS q FROM region LIMIT 1").collect()
+    assert rows[0].q == big // 7  # both operands positive: trunc == floor
+
+
+def test_leading_zero_literal_is_octal(tables):
+    # reference lexes 0[0-7]+ as TK_OCT_INT (octal)
+    rows = run(tables, "SELECT 010 AS a FROM region LIMIT 1").collect()
+    assert rows[0].a == 8
+
+
+def test_malformed_octal_literal_is_parse_error():
+    with pytest.raises(ParseError, match="invalid integer literal"):
+        parse("SELECT 089 FROM region")
