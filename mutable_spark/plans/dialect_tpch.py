@@ -1,0 +1,240 @@
+"""The reference's TPC-H benchmark scripts executed through the FULL
+dialect frontend — file text → lex → parse → sema → compile → execute,
+including the ``IMPORT INTO … DSV`` table loads.
+
+The reference runs these as literal SQL scripts
+(`/root/reference/benchmark/tpc-h/q1.sql` …, harness
+`benchmark/tpc-h/q1.yml`): IMPORT the ``.tbl`` DSV files, then the query
+text with ``d'…'`` date literals. This module does the same against the
+driver testdata: each table is exported once per scale factor from the
+parquet testdata to ``.tbl`` DSV (so the IMPORT path — schema-declared CSV
+scan, `sources/dsv.py` — is genuinely exercised), then the script in
+``benchmark/tpc-h/q{N}.sql`` runs through `dialect.Engine` statement by
+statement.
+
+Script adaptations vs the reference's text (testdata's reduced schema —
+TESTDATA.md: no partsupp; orders lacks o_shippriority; lineitem lacks
+l_shipmode/l_commitdate/l_receiptdate; dates span 1995–2001):
+
+- q1  (`benchmark/tpc-h/q1.sql:1-23` in the reference): date cutoff
+  shifted 1998→2001; otherwise literal, including the reference's
+  SUM-labeled-avg quirk (their script computes SUM(l_quantity) AS avg_qty).
+- q3  (`q3.sql`): o_shippriority → o_orderpriority; dates shifted 1995→
+  1998; l_orderkey appended to ORDER BY as a deterministic LIMIT tiebreak.
+- q6  (`q6.sql`): dates shifted 1994→1996; literal otherwise.
+- q12 (`q12.sql`): the reference groups on l_shipmode with
+  commit/receipt-date predicates — none of those columns exist, so the
+  adaptation keeps the identical shape (join + disjunctive filter +
+  group + order) on o_orderpriority and a shipdate year window.
+- q14 (`q14.sql`): dates shifted 1995→1996; literal otherwise.
+
+Money columns are DECIMAL(10,2) exactly as the reference's benchmark
+schema declares them (`q1.yml` attributes: 'DECIMAL 10 2'); the export
+casts the parquet DOUBLEs once, in Spark, and the DuckDB oracles replicate
+that cast — double→2-decimal rounding is unambiguous in both engines
+(no double is exactly halfway between two 2-decimal values), and all
+downstream decimal arithmetic is exact, so results are bit-identical
+under any aggregation order. At 100 TB the IMPORT is a schema-declared
+distributed CSV scan (splittable, no inference) — same plan shape as any
+Spark text ingest.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.dialect.engine import Engine
+from mutable_spark.registry import query
+
+_BENCH_DIR = Path(__file__).resolve().parents[2] / "benchmark" / "tpc-h"
+_TABLES = ("Lineitem", "Orders", "Customer", "Part")
+
+
+def _split_statements(text: str) -> list[str]:
+    return [s.strip() for s in text.split(";") if s.strip()]
+
+
+def _schema_statements() -> list[str]:
+    return _split_statements((_BENCH_DIR / "schema.sql").read_text())
+
+
+def _engine_with_schema(spark) -> Engine:
+    eng = Engine(spark)
+    for stmt in _schema_statements():
+        eng.execute(stmt)
+    return eng
+
+
+def _data_dir(spark, sf_dir: str) -> str:
+    """Export the testdata parquet tables as .tbl DSV once per scale
+    factor (process-wide cache keyed by a _SUCCESS marker). Columns are
+    cast to the declared benchmark schema during export, so the DSV text
+    is the canonical 2-decimal / formatted form and the IMPORT parse is
+    exact."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "mutable_spark_tpch",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    eng = _engine_with_schema(spark)
+    t = load_tables(spark, sf_dir)
+    for name in _TABLES:
+        out = os.path.join(root, name.lower())
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        schema = eng.schemas[("tpch", name)]
+        src = getattr(t, name.lower())
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        (
+            src.select(*cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("sep", "|")
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            .csv(out)
+        )
+    return root
+
+
+def run_script(spark, sf_dir: str, name: str):
+    """Run benchmark/tpc-h/<name>.sql through the dialect engine; returns
+    the (last) SELECT's DataFrame. IMPORT paths in the script are relative
+    to the benchmark tree (`benchmark/tpc-h/data/<t>.tbl`, as in the
+    reference) and are bound to the per-SF DSV export."""
+    data = _data_dir(spark, sf_dir)
+    eng = _engine_with_schema(spark)
+    text = (_BENCH_DIR / f"{name}.sql").read_text()
+    text = re.sub(
+        r"benchmark/tpc-h/data/(\w+)\.tbl",
+        lambda m: f"{data}/{m.group(1)}",
+        text,
+    )
+    result = None
+    for stmt in _split_statements(text):
+        df = eng.execute(stmt)
+        if df is not None:
+            result = df
+    return result
+
+
+# Oracle building blocks: DuckDB view of the parquet tables with the same
+# DECIMAL(10,2) casts the export applies.
+_L = """
+    SELECT l_orderkey, l_partkey,
+           CAST(l_quantity AS DECIMAL(10,2)) AS l_quantity,
+           CAST(l_extendedprice AS DECIMAL(10,2)) AS l_extendedprice,
+           CAST(l_discount AS DECIMAL(10,2)) AS l_discount,
+           CAST(l_tax AS DECIMAL(10,2)) AS l_tax,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+"""
+
+
+@query(
+    "dialect_tpch_q1",
+    oracle=f"""
+    WITH L AS ({_L})
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(l_quantity)                                      AS sum_qty,
+           SUM(l_extendedprice)                                 AS sum_base_price,
+           SUM(l_extendedprice * (1 - l_discount))              AS sum_disc_price,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           SUM(l_quantity)                                      AS avg_qty,
+           SUM(l_extendedprice)                                 AS avg_price,
+           SUM(l_discount)                                      AS avg_disc,
+           COUNT(*)                                             AS count_order
+    FROM L
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def dialect_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 as the reference's literal benchmark script through the
+    dialect frontend (IMPORT DSV + query text)."""
+    return run_script(spark, sf_dir, "q1")
+
+
+@query(
+    "dialect_tpch_q3",
+    oracle=f"""
+    WITH L AS ({_L})
+    SELECT l_orderkey,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer, orders, L
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def dialect_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 benchmark script through the dialect frontend."""
+    return run_script(spark, sf_dir, "q3")
+
+
+@query(
+    "dialect_tpch_q6",
+    oracle=f"""
+    WITH L AS ({_L})
+    SELECT SUM(l_extendedprice * l_discount) AS revenue
+    FROM L
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_quantity < 24
+    """,
+)
+def dialect_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 benchmark script through the dialect frontend."""
+    return run_script(spark, sf_dir, "q6")
+
+
+@query(
+    "dialect_tpch_q12",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS "COUNT(*)"
+    FROM lineitem, orders
+    WHERE o_orderkey = l_orderkey
+      AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dialect_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 benchmark script (adapted shape, see module docstring)
+    through the dialect frontend. The unaliased COUNT(*) keeps the
+    reference's display-name behavior — the column is literally named
+    `COUNT(*)`."""
+    return run_script(spark, sf_dir, "q12")
+
+
+@query(
+    "dialect_tpch_q14",
+    oracle=f"""
+    WITH L AS ({_L})
+    SELECT SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM L, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def dialect_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 benchmark script through the dialect frontend."""
+    return run_script(spark, sf_dir, "q14")

@@ -41,6 +41,7 @@ def load_all() -> None:
     import mutable_spark.plans.queries  # noqa: F401
     import mutable_spark.plans.tpch  # noqa: F401
     import mutable_spark.plans.dialect_queries  # noqa: F401
+    import mutable_spark.plans.dialect_tpch  # noqa: F401
     import mutable_spark.operators.dedup  # noqa: F401
     import mutable_spark.operators.similarity  # noqa: F401
     import mutable_spark.operators.text  # noqa: F401
