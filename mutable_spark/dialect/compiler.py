@@ -35,6 +35,7 @@ from mutable_spark.dialect.sema import (
     arithmetic_join,
     check_stmt,
     contains_aggregate,
+    designator_matches,
     is_int,
     is_numeric,
     walk,
@@ -60,11 +61,29 @@ def totext(e: A.Node) -> str:
     return "expr"
 
 
+_REDUNDANT_ALIAS_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases"
+)
+
+
+def _exclude_redundant_alias_rule() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _REDUNDANT_ALIAS_RULE not in cur:
+        new = f"{cur},{_REDUNDANT_ALIAS_RULE}" if cur else _REDUNDANT_ALIAS_RULE
+        spark.conf.set("spark.sql.optimizer.excludedRules", new)
+
+
 @dataclass
 class Source:
     alias: str
     df: DataFrame            # columns renamed to alias___attr
     attrs: dict[str, str]    # attr -> spark dtype
+    #: attr names exported more than once (FROM-subquery like
+    #: `SELECT R.key, S.key` — any access errors, `Sema.cpp:245,266`)
+    dups: frozenset = frozenset()
 
 
 class Compiler:
@@ -109,10 +128,22 @@ class Compiler:
         for it in stmt.items:
             if it.expr is None:
                 if grouped:
+                    names = [d for _, d in self.group_display]
                     for internal, display in self.group_display:
+                        if names.count(display) > 1:
+                            raise SemaError(
+                                f"Designator {display} is ambiguous, multiple "
+                                "occurrences in GROUP BY clause"
+                            )
                         out_cols.append(F.col(internal))
                         out_names.append(display)
                 else:
+                    for s in sources:
+                        if s.dups:
+                            raise SemaError(
+                                f"Source {s.alias} has multiple attributes "
+                                f"{sorted(s.dups)[0]}"
+                            )
                     seen: dict[str, int] = {}
                     for s in sources:
                         for a in s.attrs:
@@ -149,7 +180,20 @@ class Compiler:
                 c = F.col(h)
             sort_cols.append(c.asc() if o.asc else c.desc())
 
-        df = df.select(*out_cols)
+        names_all = out_names + hidden
+        if len(set(names_all)) < len(names_all):
+            # duplicate output names (SELECT key, key / SELECT *, key) are
+            # legal in the dialect. When the duplicate name equals the
+            # underlying scan attribute, Catalyst's RemoveRedundantAliases
+            # collapses `key AS key` into two same-exprId attributes and
+            # invalidates the plan (PLAN_VALIDATION_FAILED) — exclude that
+            # purely-cosmetic rule for this session.
+            _exclude_redundant_alias_rule()
+            df = df.select(
+                *[c.alias(f"__c{i}") for i, c in enumerate(out_cols)]
+            ).toDF(*names_all)
+        else:
+            df = df.select(*out_cols)
         if sort_cols:
             df = df.orderBy(*sort_cols)
         if hidden:
@@ -176,10 +220,23 @@ class Compiler:
             if any(s.alias == alias for s in sources):
                 raise SemaError(f"duplicate table alias {alias!r}")
             attrs = dict(base.dtypes)
-            renamed = base.select(
-                *[F.col(c).alias(f"{alias}{SEP}{c}") for c in base.columns]
+            dups = frozenset(
+                c for c in attrs if base.columns.count(c) > 1
             )
-            sources.append(Source(alias, renamed, attrs))
+            # dedupe positionally for the physical frame (toDF renames by
+            # position, so duplicate names never need name-resolution); any
+            # *access* to a duplicated attr raises in _resolve / star
+            # expansion
+            uniq = base.toDF(*[f"__b{i}" for i in range(len(base.columns))])
+            seen: set[str] = set()
+            cols = []
+            for i, c in enumerate(base.columns):
+                if c in seen:
+                    continue
+                seen.add(c)
+                cols.append(F.col(f"__b{i}").alias(f"{alias}{SEP}{c}"))
+            renamed = uniq.select(*cols)
+            sources.append(Source(alias, renamed, attrs, dups))
         if not sources:
             # SELECT without FROM: single-row frame (the reference allows
             # constant queries)
@@ -194,6 +251,10 @@ class Compiler:
         if d.table is not None:
             for s in self.sources:
                 if s.alias == d.table:
+                    if d.attr in s.dups:
+                        raise SemaError(
+                            f"Source {d.table} has multiple attributes {d.attr}"
+                        )
                     if d.attr not in s.attrs:
                         raise SemaError(f"no attribute {d.attr!r} in {d.table!r}")
                     name = f"{s.alias}{SEP}{d.attr}"
@@ -202,7 +263,7 @@ class Compiler:
         hits = [s for s in self.sources if d.attr in s.attrs]
         if not hits:
             raise SemaError(f"unknown attribute {d.attr!r}")
-        if len(hits) > 1:
+        if len(hits) > 1 or d.attr in hits[0].dups:
             raise SemaError(f"attribute {d.attr!r} is ambiguous")
         name = f"{hits[0].alias}{SEP}{d.attr}"
         return F.col(name), self.types[name]
@@ -463,6 +524,13 @@ class Compiler:
         group_cols: list[Column] = []
         self.group_display: list[tuple[str, str]] = []
         for i, g in enumerate(stmt.group_by):
+            if not any(isinstance(n, A.Designator) for n in walk(g.expr)):
+                # the reference rejects attribute-free grouping keys
+                # (sema-san-select-scalar_function_in_group_by: constant
+                # expressions group nothing)
+                raise SemaError(
+                    f"grouping key {totext(g.expr)} references no attribute"
+                )
             c, t = self._expr(g.expr, [])
             # internal names are dot/paren-free; display names are applied
             # at projection time (the reference's post-projection rename,
@@ -496,7 +564,8 @@ class Compiler:
         for i, a in enumerate(agg_asts):
             name = f"__agg{i}"
             fn = a.name.upper()
-            if fn == "COUNT" and a.star:
+            if fn == "COUNT" and (a.star or not a.args):
+                # COUNT(*) and the reference's bare COUNT() both count rows
                 col, t = F.count(F.lit(1)), "bigint"
             else:
                 if len(a.args) != 1:
@@ -526,7 +595,13 @@ class Compiler:
             self.types[name] = t
 
         if group_cols:
-            out = df.groupBy(*group_cols).agg(*agg_exprs)
+            if agg_exprs:
+                out = df.groupBy(*group_cols).agg(*agg_exprs)
+            else:
+                # pure GROUP BY with no aggregates: distinct key tuples
+                out = df.groupBy(*group_cols).agg(
+                    F.count(F.lit(1)).alias("__gdummy")
+                )
         else:
             out = df.agg(*agg_exprs) if agg_exprs else df
         if stmt.having is not None:
@@ -540,6 +615,22 @@ class Compiler:
     def _expr(self, e: A.Node, agg_map) -> tuple[Column, str]:
         for ast, name, t in agg_map:
             if e == ast:
+                return F.col(name), t
+        # unqualified designator ↔ table-qualified grouping key (by attr
+        # name, `Sema.cpp:262-276`); ambiguous when two keys share the attr
+        if isinstance(e, A.Designator):
+            hits = {
+                name: t
+                for ast, name, t in agg_map
+                if isinstance(ast, A.Designator) and designator_matches(e, ast)
+            }
+            if len(hits) > 1:
+                raise SemaError(
+                    f"Designator {e.attr} is ambiguous, multiple occurrences "
+                    "in GROUP BY clause"
+                )
+            if hits:
+                name, t = next(iter(hits.items()))
                 return F.col(name), t
         for ast, name, t in getattr(self, "subq_map", []):
             if e is ast or e == ast:

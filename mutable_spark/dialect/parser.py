@@ -235,9 +235,11 @@ class Parser:
                 elif self.accept_kw("UNIQUE"):
                     col.unique = True
                 elif self.accept_kw("REFERENCES"):
+                    # expect_name: the referenced attribute may be a soft
+                    # keyword (the fixture schema's `key` column)
                     self.expect("IDENT")
                     self.expect("OP", "(")
-                    self.expect("IDENT")
+                    self.expect_name()
                     self.expect("OP", ")")
                 elif self.accept_kw("CHECK"):
                     # parsed but not enforced — same as the reference

@@ -84,6 +84,22 @@ def walk(node: A.Node):
             yield from walk(a)
 
 
+def designator_matches(e: A.Node, k: A.Node) -> bool:
+    """``e`` refers to grouping key ``k``, allowing an unqualified
+    designator to match a table-qualified one with the same attribute
+    (the reference binds grouping-key results by attribute name,
+    `Sema.cpp:262-276`: `SELECT key … GROUP BY R.key` is valid)."""
+    if e == k:
+        return True
+    if (
+        isinstance(e, A.Designator)
+        and isinstance(k, A.Designator)
+        and e.attr == k.attr
+    ):
+        return e.table is None or k.table is None
+    return False
+
+
 def contains_aggregate(node: A.Node) -> bool:
     return any(
         isinstance(n, A.FnApplication) and n.name.upper() in AGGREGATES
@@ -130,7 +146,7 @@ def check_stmt(stmt: A.SelectStmt) -> None:
         def scalar_ok(e: A.Node) -> bool:
             """Expression is scalar in the grouped context: a group key, an
             aggregate, a literal, or built from scalar parts."""
-            if any(e == k for k in keys):
+            if any(designator_matches(e, k) for k in keys):
                 return True
             if isinstance(e, A.Designator) and e.table is None and e.attr in key_aliases:
                 return True

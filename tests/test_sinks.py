@@ -16,8 +16,10 @@ def test_format_values():
     assert format_value(True) == "TRUE"
     assert format_value("a\"b") == '"a"b"'
     assert format_value(1.5) == "1.5"
-    assert format_value(dt.date(1996, 1, 2)) == "d'1996-01-02'"
-    assert format_value(dt.datetime(1996, 1, 2, 3, 4, 5)) == "d'1996-01-02 03:04:05'"
+    assert format_value(6.0) == "6"  # C++ to_chars: integral double, no .0
+    assert format_value(0.7879999876022339, is_float32=True) == "0.78799999"  # %.8g
+    assert format_value(dt.date(1996, 1, 2)) == "1996-01-02"
+    assert format_value(dt.datetime(1996, 1, 2, 3, 4, 5)) == "1996-01-02 03:04:05"
     assert format_value(42) == "42"
 
 
