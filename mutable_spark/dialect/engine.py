@@ -94,6 +94,28 @@ class Engine:
 
         self.catalog = Catalog(spark)
         self.schemas: dict[tuple[str, str], T.StructType] = {}
+        #: CHAR(n)/VARCHAR(n) declared lengths per (db, table): the
+        #: reference stores CHAR(n) in exactly n bytes (NUL-padded,
+        #: `Type.hpp:310-318`), so over-length strings are truncated at
+        #: ingest; the padding NULs terminate the string on read, so the
+        #: *observable* value is the unpadded string — plain Spark strings
+        #: capped at n reproduce the contract.
+        self.char_limits: dict[tuple[str, str], dict[str, int]] = {}
+
+    def _apply_char_limits(self, table: str, df: DataFrame) -> DataFrame:
+        """Truncate CHAR(n)/VARCHAR(n) columns to their declared length
+        at ingest (the reference's fixed-width storage contract)."""
+        import pyspark.sql.functions as F
+
+        limits = self.char_limits.get((self.catalog.current, table))
+        if not limits:
+            return df
+        return df.select(
+            *[
+                F.substring(F.col(c), 1, limits[c]).alias(c) if c in limits else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     # -- bulk registration of existing DataFrames (testdata interop) -----
     def register(self, name: str, df: DataFrame) -> None:
@@ -124,6 +146,11 @@ class Engine:
             df = self.spark.createDataFrame([], schema)
             self.catalog.create_table(stmt.name, df)
             self.schemas[(self.catalog.current, stmt.name)] = schema
+            self.char_limits[(self.catalog.current, stmt.name)] = {
+                c.name: c.params[0]
+                for c in stmt.columns
+                if c.type_name in ("CHAR", "VARCHAR") and c.params
+            }
             return None
         if isinstance(stmt, A.DropStmt):
             if stmt.kind == "DATABASE":
@@ -150,7 +177,9 @@ class Engine:
                 rows.append(
                     tuple(_pyvalue(v, f.dataType) for v, f in zip(r, schema.fields))
                 )
-            new = self.spark.createDataFrame(rows, schema)
+            new = self._apply_char_limits(
+                stmt.table, self.spark.createDataFrame(rows, schema)
+            )
             db[stmt.table] = db[stmt.table].unionByName(new)
             return None
         if isinstance(stmt, A.ImportDSVStmt):
@@ -163,6 +192,7 @@ class Engine:
             if schema is None:
                 schema = db[stmt.table].schema
             imported = import_dsv(self.spark, stmt, schema)
+            imported = self._apply_char_limits(stmt.table, imported)
             db[stmt.table] = db[stmt.table].unionByName(imported)
             return None
         raise SemaError(f"unsupported statement {type(stmt).__name__}")

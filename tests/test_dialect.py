@@ -296,3 +296,18 @@ def test_leading_zero_literal_is_octal(tables):
 def test_malformed_octal_literal_is_parse_error():
     with pytest.raises(ParseError, match="invalid integer literal"):
         parse("SELECT 089 FROM region")
+
+
+def test_char_length_truncation_at_ingest(spark):
+    from mutable_spark.dialect import Engine
+
+    e = Engine(spark)
+    e.execute("CREATE DATABASE chartest")
+    e.execute("USE chartest")
+    e.execute("CREATE TABLE C (id INT(4), s CHAR(5), v VARCHAR(3))")
+    e.execute('INSERT INTO C VALUES (1, "abcdefgh", "xyzw"), (2, "ab", "q")')
+    rows = {r.id: (r.s, r.v) for r in e.execute("SELECT id, s, v FROM C").collect()}
+    # CHAR(5)/VARCHAR(3): over-length strings truncate at ingest; shorter
+    # strings are observably unpadded (NUL-terminated storage)
+    assert rows[1] == ("abcde", "xyz")
+    assert rows[2] == ("ab", "q")
