@@ -1,0 +1,55 @@
+"""The driver checks the FIRST 50 registry entries against the DuckDB
+oracle (CORRECTNESS_r02 rows == registration indices 0-49).  Pin the
+round-3 ordering contract: every distinct operator family lands inside
+the 50-query sample window (VERDICT r2, next-round item #3)."""
+
+from mutable_spark import registry
+
+# Operator families never driver-sampled in rounds 1-2; round 3 orders the
+# registry so each finally gets a CORRECTNESS row.
+NEVER_SAMPLED = [
+    "op_join_left_outer",
+    "op_join_semi",
+    "op_join_anti",
+    "op_join_asof",
+    "op_join_range",
+    "op_distinct",
+    "op_count_distinct",
+    "op_approx_sketches",
+    "op_set_ops",
+    "op_except",
+    "op_union",
+    "op_topk_per_group",
+    "op_pivot",
+    "op_cube",
+    "op_window_running_sum",
+    "op_window_zscore",
+    "events_window_tumbling",
+    "events_sessionize",
+    "events_window_sliding",
+    "pipeline_clean_corpus",
+]
+
+
+def test_priority_list_is_exhaustive():
+    registry.load_all()
+    assert set(registry.QUERIES) == set(registry._SAMPLE_PRIORITY), (
+        "every registered query must take an explicit sample-priority slot; "
+        "unlisted names silently fall past the driver's 50-query horizon"
+    )
+    assert len(registry._SAMPLE_PRIORITY) == len(set(registry._SAMPLE_PRIORITY))
+
+
+def test_first_50_covers_every_family():
+    registry.load_all()
+    sample = set(list(registry.QUERIES)[:50])
+    missing = [n for n in NEVER_SAMPLED if n not in sample]
+    assert not missing, f"families outside the driver sample window: {missing}"
+    # Demoted twins must still be registered (they remain in queries()).
+    for twin in ("tpch_q1", "text_token_count", "dialect_string_ops"):
+        assert twin in registry.QUERIES
+
+
+def test_entry_flagship_still_registered():
+    registry.load_all()
+    assert "tpch_q1" in registry.QUERIES  # __spark_entry__.entry() runs it
