@@ -224,7 +224,22 @@ def dedup_minhash_lsh(spark, sf_dir):
       4. exact Jaccard verification of candidates (joins back to the
          shingle sets), emit pairs ≥ 0.5 — output is exact, only *recall*
          is probabilistic (miss ≈ 1e-8 at the s=0.5 emission threshold
-         with 64 bands × 2 rows), hence the shared exact oracle."""
+         with 64 bands × 2 rows), hence the shared exact oracle.
+
+    OUTPUT CONTRACT above the skew cap: for a bucket with more than
+    ``_MAX_BUCKET`` members, the emitted pairs are a *spanning set* per
+    duplicate class (every member linked through the bucket minimum; each
+    emitted pair still individually exact-verified), NOT the closed
+    C(n,2) pair list. That is the correct input for connected-components
+    dedup and the only shape that survives degenerate boilerplate at
+    100 TB. The registered exact oracle (``_SQL_PAIRS``) lists ALL pairs,
+    so the driver triple-match holds exactly while every duplicate class
+    in the data stays ≤ ``_MAX_BUCKET`` (true for all testdata SFs:
+    largest class ≈ a few dozen docs; asserted economically in
+    ``tests/test_dedup_scale.py::test_testdata_classes_under_cap``).
+    Above the cap the intended consumer is components, not the pair list
+    — see ``tests/test_dedup_scale.py::test_minhash_degenerate_corpus_bounded``
+    and COVERAGE.md."""
     g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
     return minhash_lsh_pairs(g)
 

@@ -26,6 +26,33 @@ def test_bucket_pairs_oversized_bucket_star_expansion(spark):
     assert all(r.doc_a == 0 and r.doc_b > 0 for r in pairs)
 
 
+def test_testdata_classes_under_cap(spark):
+    """The exact pair-list oracle for dedup_minhash_lsh is only the full
+    C(n,2) answer while every LSH bucket stays ≤ _MAX_BUCKET members
+    (above that the operator's contract is a spanning star per duplicate
+    class — see COVERAGE.md). Assert the driver's data actually satisfies
+    that precondition, so an oracle mismatch can never silently stem from
+    the cap."""
+    import pyspark.sql.functions as FF
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.dedup import _shingle_df
+
+    docs = load_tables(spark, "/root/testdata/sf0.01").documents
+    # largest exact-duplicate class bounds the largest meaningful bucket;
+    # identical texts collide in every band, so this is the worst case
+    biggest = (
+        docs.groupBy(FF.md5("text"))
+        .count()
+        .agg(FF.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= _MAX_BUCKET, (
+        f"duplicate class of {biggest} docs exceeds the {_MAX_BUCKET} star-cap: "
+        "the registered exact oracle no longer matches the operator contract"
+    )
+
+
 def test_minhash_degenerate_corpus_bounded(spark):
     """1,200 identical docs → one degenerate bucket per band. Without the
     cap this expands to C(1200,2) = 719,400 candidate pairs inside single
