@@ -261,11 +261,10 @@ def minhash_lsh_pairs(g):
                 for i, (a, b) in enumerate(_AB)
             ]
         )
-        # the band self-join reads the signature twice; without this the
-        # whole explode+aggregate runs once per side (profiled ~1.5 s of
-        # the sf0.1 runtime). At cluster scale this is a persisted
-        # signature table / checkpoint rather than an executor cache.
-        .cache()
+        # NOT cached: the old bucket self-join read the signature twice and
+        # needed a cache; the posexplode+groupBy bucket pass reads it exactly
+        # once, so a cache would only pay a pointless block-store
+        # materialization of a 128-column frame (profiled ~3 s at sf0.1).
     )
     bands = F.array(
         *[
