@@ -81,17 +81,25 @@ class Catalog:
 
     spark: SparkSession
     databases: dict[str, dict[str, DataFrame]] = field(default_factory=dict)
+    #: per-database index metadata: db → index name → (table, attribute).
+    #: Indexes are catalog objects with full existence/typing sema
+    #: (`Sema.cpp:1611` CreateIndexStmt) but no physical structure — Spark
+    #: has no secondary indexes; parquet min/max + predicate pushdown play
+    #: that role (SURVEY §2.2).
+    indexes: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
     current: str | None = None
 
     def create_database(self, name: str) -> None:
         if name in self.databases:
             raise ValueError(f"database {name!r} already exists")
         self.databases[name] = {}
+        self.indexes[name] = {}
 
     def drop_database(self, name: str) -> None:
         if name not in self.databases:
             raise ValueError(f"database {name!r} does not exist")
         del self.databases[name]
+        self.indexes.pop(name, None)
         if self.current == name:
             self.current = None
 
@@ -116,6 +124,14 @@ class Catalog:
         if name not in db:
             raise ValueError(f"table {name!r} does not exist")
         del db[name]
+        idx = self.indexes.setdefault(self.current, {})
+        for iname in [i for i, (t, _) in idx.items() if t == name]:
+            del idx[iname]
+
+    def db_indexes(self) -> dict[str, tuple[str, str]]:
+        if self.current is None:
+            raise ValueError("no database selected")
+        return self.indexes.setdefault(self.current, {})
 
     def table(self, name: str) -> DataFrame:
         db = self._db()

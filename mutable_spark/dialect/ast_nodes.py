@@ -119,8 +119,27 @@ class CreateDatabaseStmt(Node):
 
 @dataclass
 class DropStmt(Node):
+    """DROP DATABASE|TABLE|INDEX [IF EXISTS] name {, name} — grammar
+    `Parser.cpp` parse_Drop{Database,Table,Index}Stmt (DATABASE takes a
+    single name; TABLE/INDEX take a list)."""
+
     kind: str  # 'TABLE' | 'DATABASE' | 'INDEX'
-    name: str
+    names: list[str]
+    if_exists: bool = False
+
+
+@dataclass
+class CreateIndexStmt(Node):
+    """CREATE [UNIQUE] INDEX [[IF NOT EXISTS] name] ON table
+    [USING method] '(' key_field {',' key_field} ')' —
+    `Parser.cpp:395-480` parse_CreateIndexStmt."""
+
+    name: str | None
+    table: str
+    key_fields: list[Node]
+    method: str | None = None  # None/'DEFAULT' | identifier
+    if_not_exists: bool = False
+    has_unique: bool = False
 
 
 @dataclass

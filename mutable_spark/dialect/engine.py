@@ -153,12 +153,10 @@ class Engine:
             }
             return None
         if isinstance(stmt, A.DropStmt):
-            if stmt.kind == "DATABASE":
-                self.catalog.drop_database(stmt.name)
-            elif stmt.kind == "TABLE":
-                self.catalog.drop_table(stmt.name)
-            # INDEX / INDEX_CREATE: metadata no-op, like the reference's
-            # observable behavior without an index-backed scan (SURVEY §2.2)
+            self._execute_drop(stmt)
+            return None
+        if isinstance(stmt, A.CreateIndexStmt):
+            self._execute_create_index(stmt)
             return None
         if isinstance(stmt, A.InsertStmt):
             db = self.catalog._db()
@@ -196,3 +194,87 @@ class Engine:
             db[stmt.table] = db[stmt.table].unionByName(imported)
             return None
         raise SemaError(f"unsupported statement {type(stmt).__name__}")
+
+    # -- DDL sema + execution (`Sema.cpp:1431-1788` Drop*/CreateIndex) ----
+    def _db_in_use(self):
+        """`Sema.cpp` RequireContext: every DDL visitor first requires a
+        database in use; surface that as the sema error it is."""
+        try:
+            return self.catalog._db()
+        except ValueError as e:
+            raise SemaError(str(e)) from None
+
+    def _execute_drop(self, stmt: A.DropStmt) -> None:
+        if stmt.kind == "DATABASE":
+            name = stmt.names[0]
+            # the in-use check precedes existence and is NOT bypassed by
+            # IF EXISTS (`Sema.cpp:1437-1442`; sema-san-drop_database-
+            # in_use_if_exists expects the error)
+            if self.catalog.current == name:
+                raise SemaError(f"database {name!r} is in use")
+            if name not in self.catalog.databases:
+                if stmt.if_exists:
+                    return  # warn-and-skip
+                raise SemaError(f"database {name!r} does not exist")
+            self.catalog.drop_database(name)
+            return
+        # TABLE / INDEX: validate ALL names first, then drop (the reference
+        # builds the full name list and only emits the command when every
+        # name resolved, `Sema.cpp:1571-1579,1780-1788`)
+        db = self._db_in_use()
+        idx = self.catalog.db_indexes()
+        pool = db if stmt.kind == "TABLE" else idx
+        found = []
+        for name in stmt.names:
+            if name in pool:
+                found.append(name)
+            elif not stmt.if_exists:
+                raise SemaError(
+                    f"{stmt.kind.lower()} {name!r} does not exist in database "
+                    f"{self.catalog.current}"
+                )
+        for name in found:
+            if stmt.kind == "TABLE":
+                self.catalog.drop_table(name)
+                self.schemas.pop((self.catalog.current, name), None)
+                self.char_limits.pop((self.catalog.current, name), None)
+            else:
+                del idx[name]
+
+    def _execute_create_index(self, stmt: A.CreateIndexStmt) -> None:
+        """Sema order mirrors `Sema.cpp:1611-1703`: db-in-use → UNIQUE
+        unsupported → anonymous unsupported → duplicate name (IF NOT EXISTS
+        downgrades to skip) → table exists → method ∈ {DEFAULT, array, rmi}
+        → single key field → key field is an existing attribute. The index
+        itself is catalog metadata only (SURVEY §2.2): Spark's scan path
+        covers point/range access via parquet stats + pushdown."""
+        db = self._db_in_use()
+        if stmt.has_unique:
+            raise SemaError("keyword UNIQUE not supported")
+        if stmt.name is None:
+            raise SemaError("indexes without name not supported")
+        idx = self.catalog.db_indexes()
+        if stmt.name in idx:
+            if stmt.if_not_exists:
+                return  # warn-and-skip
+            raise SemaError(
+                f"index {stmt.name!r} already exists in database "
+                f"{self.catalog.current}"
+            )
+        if stmt.table not in db:
+            raise SemaError(
+                f"table {stmt.table!r} does not exist in database "
+                f"{self.catalog.current}"
+            )
+        if stmt.method not in (None, "DEFAULT", "array", "rmi"):
+            raise SemaError(f"index method {stmt.method!r} not supported")
+        if len(stmt.key_fields) > 1:
+            raise SemaError("more than one key field for indexes not supported")
+        field = stmt.key_fields[0]
+        if not isinstance(field, A.Designator):
+            raise SemaError("non-attribute key fields for indexes not supported")
+        if field.attr not in db[stmt.table].columns:
+            raise SemaError(
+                f"attribute {field.attr!r} does not exist in table {stmt.table!r}"
+            )
+        idx[stmt.name] = (stmt.table, field.attr)

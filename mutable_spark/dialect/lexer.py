@@ -31,6 +31,9 @@ KEYWORDS = {
     "PRIMARY", "KEY", "UNIQUE", "REFERENCES", "CHECK",
     "INT", "FLOAT", "DOUBLE", "DECIMAL", "BOOL", "CHAR", "VARCHAR",
     "DATE", "DATETIME", "INDEX", "ON",
+    # index / drop grammar (Keywords.tbl: If, Exists, Using, Cascade,
+    # Restrict — the latter two reserved but unused, as in the reference)
+    "IF", "EXISTS", "USING", "CASCADE", "RESTRICT",
 }
 
 _TOKEN_RE = re.compile(

@@ -198,15 +198,12 @@ class Parser:
         self.expect_kw("CREATE")
         if self.accept_kw("DATABASE"):
             return A.CreateDatabaseStmt(self.expect("IDENT").text)
+        has_unique = bool(self.accept_kw("UNIQUE"))
+        if has_unique:
+            self.expect_kw("INDEX")
+            return self.parse_create_index(has_unique=True)
         if self.accept_kw("INDEX"):
-            # CREATE INDEX name ON table (attr) — metadata no-op (SURVEY §2.2)
-            name = self.expect("IDENT").text
-            self.expect_kw("ON")
-            self.expect("IDENT")
-            self.expect("OP", "(")
-            self.expect("IDENT")
-            self.expect("OP", ")")
-            return A.DropStmt("INDEX_CREATE", name)  # sentinel; engine no-ops
+            return self.parse_create_index(has_unique=False)
         self.expect_kw("TABLE")
         tname = self.expect("IDENT").text
         self.expect("OP", "(")
@@ -262,14 +259,82 @@ class Parser:
         self.expect("OP", ")")
         return A.CreateTableStmt(tname, cols)
 
+    def parse_create_index(self, has_unique: bool) -> A.CreateIndexStmt:
+        """CREATE [UNIQUE] INDEX [[IF NOT EXISTS] name] ON table
+        [USING (identifier|DEFAULT)] '(' key_field {, key_field} ')'
+        — `Parser.cpp:395-480`. With IF NOT EXISTS the name is mandatory;
+        without it the name is optional (sema rejects anonymous indexes).
+        A key_field is a bare identifier or a parenthesized expression."""
+        if_not_exists, name = False, None
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
+            name = self.expect("IDENT").text
+        elif self.peek().kind == "IDENT":
+            name = self.next().text
+        self.expect_kw("ON")
+        table = self.expect("IDENT").text
+        method = None
+        if self.accept_kw("USING"):
+            t = self.peek()
+            if t.kind == "KEYWORD" and t.text == "DEFAULT":
+                self.next()
+                method = "DEFAULT"
+            elif t.kind == "IDENT":
+                method = self.next().text
+            else:
+                raise ParseError(
+                    f"expected an identifier or DEFAULT, got {t.text!r}"
+                )
+        self.expect("OP", "(")
+        key_fields: list[A.Node] = []
+        while True:
+            t = self.peek()
+            if t.kind == "IDENT":
+                key_fields.append(A.Designator(None, self.next().text))
+            elif t.kind == "OP" and t.text == "(":
+                # parenthesized expression key field (parsed, sema rejects)
+                key_fields.append(self.parse_expr())
+            else:
+                raise ParseError(
+                    f"expected an identifier or expression, got {t.text!r}"
+                )
+            if not self.accept("OP", ","):
+                break
+        self.expect("OP", ")")
+        return A.CreateIndexStmt(
+            name=name,
+            table=table,
+            key_fields=key_fields,
+            method=method,
+            if_not_exists=if_not_exists,
+            has_unique=has_unique,
+        )
+
     def parse_drop(self) -> A.DropStmt:
+        """DROP DATABASE|TABLE|INDEX [IF EXISTS] name {, name} — DATABASE
+        takes exactly one name; TABLE/INDEX accept a comma list
+        (`Parser.cpp` parse_Drop*Stmt)."""
         self.expect_kw("DROP")
         if self.accept_kw("DATABASE"):
-            return A.DropStmt("DATABASE", self.expect("IDENT").text)
-        if self.accept_kw("INDEX"):
-            return A.DropStmt("INDEX", self.expect("IDENT").text)
-        self.expect_kw("TABLE")
-        return A.DropStmt("TABLE", self.expect("IDENT").text)
+            if_exists = self._accept_if_exists()
+            return A.DropStmt("DATABASE", [self.expect("IDENT").text], if_exists)
+        kind = "INDEX" if self.accept_kw("INDEX") else None
+        if kind is None:
+            self.expect_kw("TABLE")
+            kind = "TABLE"
+        if_exists = self._accept_if_exists()
+        names = [self.expect("IDENT").text]
+        while self.accept("OP", ","):
+            names.append(self.expect("IDENT").text)
+        return A.DropStmt(kind, names, if_exists)
+
+    def _accept_if_exists(self) -> bool:
+        if self.accept_kw("IF"):
+            self.expect_kw("EXISTS")
+            return True
+        return False
 
     def parse_insert(self) -> A.InsertStmt:
         self.expect_kw("INSERT")

@@ -155,6 +155,12 @@ def test_engine_ddl_dml_roundtrip(spark, tmp_path):
     eng.execute("DROP TABLE r")
     with pytest.raises(SemaError):
         eng.execute("SELECT * FROM r")
+    # an in-use database cannot be dropped (`Sema.cpp:1437-1442`); switch
+    # away first
+    with pytest.raises(SemaError):
+        eng.execute("DROP DATABASE d1")
+    eng.execute("CREATE DATABASE scratch")
+    eng.execute("USE scratch")
     eng.execute("DROP DATABASE d1")
 
 
