@@ -104,6 +104,12 @@ class ColumnDef(Node):
     not_null: bool = False
     primary_key: bool = False
     unique: bool = False
+    #: REFERENCES t(attr) constraints — kept as a list so sema can reject
+    #: multiples (`Sema.cpp:1552-1555`: at most one reference per attribute)
+    references: list[tuple[str, str]] = field(default_factory=list)
+    #: CHECK condition expressions — sema requires boolean type
+    #: (`Sema.cpp:1543-1550`); any number allowed
+    checks: list[Node] = field(default_factory=list)
 
 
 @dataclass

@@ -102,6 +102,11 @@ class Compiler:
         self.types: dict[str, str] = {}
         self.subq_map: list[tuple[A.Node, str, str]] = []
         self.deferred_where: list[A.Node] = []
+        #: set once grouping is in effect: from then on a designator must
+        #: resolve to a grouping key or aggregate, never to a raw source
+        #: column (`Sema.cpp` vectorial-in-scalar-context sanction —
+        #: sema-san-select-order_by_attribute_not_in_group_by et al.)
+        self._post_group = False
         for s in sources:
             for a, t in s.attrs.items():
                 self.types[f"{s.alias}{SEP}{a}"] = t
@@ -604,6 +609,9 @@ class Compiler:
                 )
         else:
             out = df.agg(*agg_exprs) if agg_exprs else df
+        # grouping keys and aggregate arguments are compiled; everything
+        # from HAVING on resolves against the grouped output only
+        self._post_group = True
         if stmt.having is not None:
             cond, t = self._expr(stmt.having, agg_map)
             if t != "boolean":
@@ -658,6 +666,11 @@ class Compiler:
             raise SemaError(f"unknown literal kind {e.kind}")
 
         if isinstance(e, A.Designator):
+            if getattr(self, "_post_group", False):
+                raise SemaError(
+                    f"designator {e.attr} is not accessible after grouping "
+                    "(not a grouping key or aggregate)"
+                )
             return self._resolve(e)
 
         if isinstance(e, A.FnApplication):

@@ -138,6 +138,7 @@ class Engine:
             self.catalog.use(stmt.name)
             return None
         if isinstance(stmt, A.CreateTableStmt):
+            self._sema_create_table(stmt)
             fields = [
                 T.StructField(c.name, _spark_type(c), nullable=not c.not_null)
                 for c in stmt.columns
@@ -196,6 +197,73 @@ class Engine:
         raise SemaError(f"unsupported statement {type(stmt).__name__}")
 
     # -- DDL sema + execution (`Sema.cpp:1431-1788` Drop*/CreateIndex) ----
+    def _sema_create_table(self, stmt: A.CreateTableStmt) -> None:
+        """CREATE TABLE constraint sema, mirroring `Sema.cpp:1466-1580`:
+        duplicate attribute names, at most one PRIMARY KEY per table, at
+        most one REFERENCES per attribute, referenced table/attribute must
+        exist with the SAME type, CHECK conditions must type to boolean
+        (resolved against the table's own attributes)."""
+        db = self._db_in_use()
+        if stmt.name in db:
+            raise SemaError(
+                f"table {stmt.name!r} already exists in database "
+                f"{self.catalog.current}"
+            )
+        seen: set[str] = set()
+        for c in stmt.columns:
+            if c.name in seen:
+                raise SemaError(
+                    f"attribute {c.name!r} occurs multiple times in "
+                    f"definition of table {stmt.name!r}"
+                )
+            seen.add(c.name)
+        if sum(1 for c in stmt.columns if c.primary_key) > 1:
+            raise SemaError("duplicate definition of primary key")
+        for c in stmt.columns:
+            if len(c.references) > 1:
+                raise SemaError(
+                    f"attribute {c.name!r} must not have multiple references"
+                )
+            for rtable, rattr in c.references:
+                if rtable not in db:
+                    raise SemaError(f"invalid reference, table {rtable!r} not found")
+                rschema = self.schemas.get((self.catalog.current, rtable))
+                rfields = {
+                    f.name: f.dataType
+                    for f in (rschema or db[rtable].schema).fields
+                }
+                if rattr not in rfields:
+                    raise SemaError(
+                        f"invalid reference, attribute {rattr!r} not found "
+                        f"in table {rtable!r}"
+                    )
+                # same-type requirement (`Sema.cpp:1560-1562` compares the
+                # interned PrimitiveType); Spark dtype equality covers the
+                # width/precision distinctions the corpus exercises
+                # (INT(4) vs INT(8), DECIMAL(p,s))
+                if _spark_type(c) != rfields[rattr]:
+                    raise SemaError("referenced attribute has different type")
+        checks = [(c.name, e) for c in stmt.columns for e in c.checks]
+        if checks:
+            probe = self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(c.name, _spark_type(c), True)
+                        for c in stmt.columns
+                    ]
+                ),
+            )
+            for cname, expr in checks:
+                sel = A.SelectStmt()
+                sel.items = [A.SelectItem(expr=expr, alias="chk")]
+                sel.from_ = [A.TableRef(name=stmt.name, subquery=None, alias=None)]
+                out = Compiler({stmt.name: probe}).compile_select(sel)
+                if not isinstance(out.schema.fields[0].dataType, T.BooleanType):
+                    raise SemaError(
+                        f"CHECK condition on attribute {cname!r} is not boolean"
+                    )
+
     def _db_in_use(self):
         """`Sema.cpp` RequireContext: every DDL visitor first requires a
         database in use; surface that as the sema error it is."""

@@ -80,8 +80,11 @@ def tokenize(sql: str) -> list[Token]:
             out.append(Token("STR", body, m.start()))
         elif m.group("ident") is not None:
             text = m.group("ident")
-            if text.upper() in KEYWORDS:
-                out.append(Token("KEYWORD", text.upper(), m.start(), text))
+            # keywords are case-SENSITIVE, exactly like the reference
+            # (`src/lex/Lexer.cpp:121`: exact pooled-string lookup) — a
+            # lowercase `key`/`select` is a plain identifier
+            if text in KEYWORDS:
+                out.append(Token("KEYWORD", text, m.start(), text))
             else:
                 out.append(Token("IDENT", text, m.start(), text))
         else:

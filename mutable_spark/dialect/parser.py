@@ -234,23 +234,19 @@ class Parser:
                 elif self.accept_kw("REFERENCES"):
                     # expect_name: the referenced attribute may be a soft
                     # keyword (the fixture schema's `key` column)
-                    self.expect("IDENT")
+                    ref_table = self.expect("IDENT").text
                     self.expect("OP", "(")
-                    self.expect_name()
+                    ref_attr = self.expect_name()
                     self.expect("OP", ")")
+                    col.references.append((ref_table, ref_attr))
                 elif self.accept_kw("CHECK"):
-                    # parsed but not enforced — same as the reference
+                    # CHECK '(' expression ')' — condition kept for sema's
+                    # boolean-type requirement (`Sema.cpp:1543-1550`); not
+                    # enforced at runtime, same as the reference
                     # (`src/mutable.cpp:238-256`)
                     self.expect("OP", "(")
-                    depth = 1
-                    while depth:
-                        t = self.next()
-                        if t.kind == "OP" and t.text == "(":
-                            depth += 1
-                        elif t.kind == "OP" and t.text == ")":
-                            depth -= 1
-                        elif t.kind == "EOF":
-                            raise ParseError("unterminated CHECK")
+                    col.checks.append(self.parse_expr())
+                    self.expect("OP", ")")
                 else:
                     break
             cols.append(col)
