@@ -329,31 +329,42 @@ class Compiler:
                 df = df.filter(col)
             frames[s.alias] = df
 
-        order = [s.alias for s in sources]
+        aliases = [s.alias for s in sources]
         alias_table = {
             s.alias: r.name
             for s, r in zip(sources, stmt.from_)
             if r.name is not None
         }
+        # default: left-deep in FROM order; with a planner: GOO left-deep
+        # or DPccp bushy tree (plans/planner.py)
+        tree: object = aliases[0]
+        for a in aliases[1:]:
+            tree = (tree, a)
         if self.planner is not None and len(sources) > 1:
             edges = {frozenset(srcs) for srcs, _ in multi if len(srcs) == 2}
-            order = self.planner.order(order, edges, alias_table)
+            tree = self.planner.plan(aliases, edges, alias_table)
 
-        def frame(alias: str, first: bool) -> DataFrame:
+        def leaf(alias: str, is_probe_root: bool) -> DataFrame:
             f = frames[alias]
             if (
-                not first
+                not is_probe_root
                 and self.planner is not None
                 and self.planner.should_broadcast(alias, alias_table)
             ):
                 f = F.broadcast(f)
             return f
 
-        covered = {order[0]}
-        joined = frame(order[0], first=True)
         pending = list(multi)
-        for alias in order[1:]:
-            covered.add(alias)
+
+        def build(node, is_probe_root: bool) -> tuple[DataFrame, set[str]]:
+            """Join the subtree; attach each multi-source conjunct at the
+            lowest node covering all its sources (GraphBuilder placement)."""
+            nonlocal pending
+            if isinstance(node, str):
+                return leaf(node, is_probe_root), {node}
+            ldf, lcov = build(node[0], is_probe_root)
+            rdf, rcov = build(node[1], False)
+            covered = lcov | rcov
             now = [c for srcs, c in pending if srcs <= covered]
             pending = [(srcs, c) for srcs, c in pending if not (srcs <= covered)]
             if now:
@@ -361,9 +372,10 @@ class Compiler:
                 for c in now:
                     col, _ = self._expr(c, [])
                     cond = col if cond is None else (cond & col)
-                joined = joined.join(frame(alias, first=False), on=cond, how="inner")
-            else:
-                joined = joined.crossJoin(frame(alias, first=False))
+                return ldf.join(rdf, on=cond, how="inner"), covered
+            return ldf.crossJoin(rdf), covered
+
+        joined, _ = build(tree, True)
         for srcs, c in pending:
             col, _ = self._expr(c, [])
             joined = joined.filter(col)

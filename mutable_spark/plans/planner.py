@@ -115,6 +115,141 @@ def goo_order(
     return out
 
 
+#: Join trees are nested 2-tuples over alias strings; a bare string is a
+#: leaf. `("A", ("B", "C"))` joins A with the result of B⋈C.
+JoinTree = object
+
+
+def _tree_aliases(t) -> frozenset:
+    if isinstance(t, str):
+        return frozenset([t])
+    return _tree_aliases(t[0]) | _tree_aliases(t[1])
+
+
+def plan_cost(tree, cards: Cardinalities) -> float:
+    """C_out of a join tree: the sum of estimated intermediate-result
+    cardinalities over all internal nodes — the textbook cost function the
+    reference's cost-function surface defaults to approximating."""
+    if isinstance(tree, str):
+        return 0.0
+    l, r = tree
+    return plan_cost(l, cards) + plan_cost(r, cards) + cards.est(
+        _tree_aliases(tree)
+    )
+
+
+def dpccp_plan(
+    aliases: list[str],
+    edges: set[frozenset],
+    cards: Cardinalities,
+) -> tuple | str | None:
+    """DPccp (Moerkotte & Neumann, "Analysis of Two Existing and One New
+    Dynamic Programming Algorithm for the Generation of Optimal Bushy Join
+    Trees without Cross Products", VLDB'06) — the reference's exact
+    enumerator (`src/IR/PlanEnumerator.cpp` DPccp: connected-subgraph /
+    complement pairs via `AdjacencyMatrix::for_each_CSG_pair_undirected`).
+
+    Enumerates every connected subgraph S1 and every connected complement
+    S2 (csg-cmp pairs), then solves the DP over C_out. Returns the optimal
+    bushy join tree, or ``None`` when the join graph is disconnected
+    (DPccp never emits cross products — the caller falls back to GOO,
+    which does).
+
+    Bitset-over-int implementation; intended for n ≤ ~12 relations (the
+    csg-cmp pair count is exponential in the worst case, exactly like the
+    reference's — JOB-scale queries are fine, hundreds of relations are
+    not)."""
+    n = len(aliases)
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    pos = {a: i for i, a in enumerate(aliases)}
+    adj = [0] * n
+    for e in edges:
+        if len(e) != 2 or not e <= set(pos):
+            continue
+        a, b = sorted(e)
+        adj[pos[a]] |= 1 << pos[b]
+        adj[pos[b]] |= 1 << pos[a]
+
+    def nbr(S: int) -> int:
+        out = 0
+        s = S
+        while s:
+            i = (s & -s).bit_length() - 1
+            out |= adj[i]
+            s &= s - 1
+        return out & ~S
+
+    full = (1 << n) - 1
+
+    # connectivity check (disconnected graph → GOO handles the cartesian)
+    seen = 1
+    while True:
+        grow = seen | (nbr(seen) & full)
+        if grow == seen:
+            break
+        seen = grow
+    if seen != full:
+        return None
+
+    def subsets(mask: int):
+        """All non-empty submasks of ``mask``."""
+        s = mask
+        while s:
+            yield s
+            s = (s - 1) & mask
+
+    def csg_rec(S: int, X: int, emit):
+        N = nbr(S) & ~X
+        for S1 in subsets(N):
+            emit(S | S1)
+        for S1 in subsets(N):
+            csg_rec(S | S1, X | N, emit)
+
+    csgs: list[int] = []
+    for i in range(n - 1, -1, -1):
+        csgs.append(1 << i)
+        Bi = (1 << (i + 1)) - 1
+        csg_rec(1 << i, Bi, csgs.append)
+
+    pairs: list[tuple[int, int]] = []
+    for S1 in csgs:
+        lo = (S1 & -S1).bit_length() - 1
+        X = ((1 << (lo + 1)) - 1) | S1
+        N = nbr(S1) & ~X
+        for i in range(n - 1, -1, -1):
+            if not (N >> i) & 1:
+                continue
+            pairs.append((S1, 1 << i))
+            Bi = (1 << (i + 1)) - 1
+            csg_rec(1 << i, X | (Bi & N), lambda S2: pairs.append((S1, S2)))
+
+    def mask_aliases(m: int) -> frozenset:
+        return frozenset(aliases[i] for i in range(n) if (m >> i) & 1)
+
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    # process pairs grouped by result size so both subproblems are always
+    # solved first (robust regardless of emission order)
+    for S1, S2 in sorted(pairs, key=lambda p: (p[0] | p[1]).bit_count()):
+        u = S1 | S2
+        size = cards.est(mask_aliases(u))
+        c1, t1 = best[S1]
+        c2, t2 = best[S2]
+        cost = c1 + c2 + size
+        # orientation: larger side left (probe), smaller right (build /
+        # broadcast candidate) — ties keep S1 left for determinism
+        e1 = cards.est(mask_aliases(S1))
+        e2 = cards.est(mask_aliases(S2))
+        tree = (t1, t2) if e1 >= e2 else (t2, t1)
+        if u not in best or cost < best[u][0]:
+            best[u] = (cost, tree)
+    return best[full][1]
+
+
 @dataclass
 class JoinPlanner:
     """Join-order + broadcast decisions for the dialect compiler.
@@ -126,6 +261,11 @@ class JoinPlanner:
 
     cards: Cardinalities
     broadcast_rows: int = 1_000_000
+    #: "dpccp" = exact DP over csg-cmp pairs (bushy, cross-product-free),
+    #: falling back to GOO for disconnected graphs or past
+    #: ``max_dp_relations``; "goo" = always greedy left-deep
+    enumerator: str = "dpccp"
+    max_dp_relations: int = 12
 
     def _base(self, alias: str, alias_table: dict[str, str]) -> float:
         """Base-cardinality lookup: by query alias first (the reference's
@@ -137,21 +277,44 @@ class JoinPlanner:
             return self.cards.base[t]
         return float("inf")
 
-    def order(
-        self,
-        aliases: list[str],
-        edges: set[frozenset],
-        alias_table: dict[str, str] | None = None,
-    ) -> list[str]:
+    def _effective(self, aliases, alias_table) -> Cardinalities:
         at = alias_table or {}
-        eff = Cardinalities(
+        return Cardinalities(
             base={
                 a: (self._base(a, at) if self._base(a, at) != float("inf") else 1_000_000)
                 for a in aliases
             },
             subsets=dict(self.cards.subsets),
         )
-        return goo_order(aliases, edges, eff)
+
+    def order(
+        self,
+        aliases: list[str],
+        edges: set[frozenset],
+        alias_table: dict[str, str] | None = None,
+    ) -> list[str]:
+        return goo_order(aliases, edges, self._effective(aliases, alias_table))
+
+    def plan(
+        self,
+        aliases: list[str],
+        edges: set[frozenset],
+        alias_table: dict[str, str] | None = None,
+    ):
+        """Optimal bushy join tree via DPccp when the graph is connected
+        and small enough for exact DP; greedy (GOO, left-deep) otherwise —
+        the same exact-with-greedy-fallback pairing the reference's
+        enumerator registry offers (`PlanEnumerator.cpp:725-738`)."""
+        eff = self._effective(aliases, alias_table)
+        if self.enumerator == "dpccp" and 1 < len(aliases) <= self.max_dp_relations:
+            tree = dpccp_plan(aliases, edges, eff)
+            if tree is not None:
+                return tree
+        order = goo_order(aliases, edges, eff)
+        tree: object = order[0]
+        for a in order[1:]:
+            tree = (tree, a)
+        return tree
 
     def should_broadcast(
         self, alias: str, alias_table: dict[str, str] | None = None

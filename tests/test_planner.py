@@ -13,7 +13,9 @@ from mutable_spark.catalog import load_tables
 from mutable_spark.plans.planner import (
     Cardinalities,
     JoinPlanner,
+    dpccp_plan,
     goo_order,
+    plan_cost,
     footer_cardinalities,
 )
 from tests.conftest import SF_DIR
@@ -79,6 +81,131 @@ def test_planner_changes_plan_not_results(spark, tables):
     a = sorted(tuple(r) for r in plain.collect())
     b = sorted(tuple(r) for r in planned.collect())
     assert a == b
+
+
+# --- DPccp: exact DP over csg-cmp pairs (`PlanEnumerator.cpp` DPccp) ------
+#: chain A—B—C—D where greedy fails: BC is the cheapest first merge (10),
+#: but both of its extensions are catastrophic (2000); the optimum is the
+#: BUSHY plan (A⋈B)⋈(C⋈D) = 100 + 100 + 10, which no greedy left-deep
+#: construction starting from BC can reach.
+_CHAIN = Cardinalities(
+    base={"A": 10, "B": 10, "C": 10, "D": 10},
+    subsets={
+        frozenset("AB"): 100,
+        frozenset("BC"): 10,
+        frozenset("CD"): 100,
+        frozenset("ABC"): 2000,
+        frozenset("BCD"): 2000,
+        frozenset("ABCD"): 10,
+    },
+)
+_CHAIN_EDGES = {frozenset("AB"), frozenset("BC"), frozenset("CD")}
+
+
+def _left_deep(order):
+    tree = order[0]
+    for a in order[1:]:
+        tree = (tree, a)
+    return tree
+
+
+def test_dpccp_beats_goo_on_greedy_trap_chain():
+    goo_tree = _left_deep(goo_order(list("ABCD"), _CHAIN_EDGES, _CHAIN))
+    dp_tree = dpccp_plan(list("ABCD"), _CHAIN_EDGES, _CHAIN)
+    goo_cost = plan_cost(goo_tree, _CHAIN)
+    dp_cost = plan_cost(dp_tree, _CHAIN)
+    assert dp_cost < goo_cost, (dp_cost, goo_cost)
+    assert dp_cost == 210.0  # the bushy optimum: |AB| + |CD| + |ABCD|
+    # shape: a bushy join of {A,B} against {C,D}
+    sides = {frozenset(_flatten(dp_tree[0])), frozenset(_flatten(dp_tree[1]))}
+    assert sides == {frozenset("AB"), frozenset("CD")}
+
+
+def _flatten(t):
+    return [t] if isinstance(t, str) else _flatten(t[0]) + _flatten(t[1])
+
+
+def test_dpccp_never_emits_cross_products():
+    # disconnected graph → None (caller falls back to GOO)
+    cards = Cardinalities(base={"a": 10, "b": 10, "c": 10})
+    assert dpccp_plan(["a", "b", "c"], {frozenset("ab")}, cards) is None
+
+
+def test_dpccp_exhaustive_vs_bruteforce():
+    """DPccp must equal brute-force optimum over all cross-product-free
+    trees on a cycle graph (hardest small topology: chords create many
+    csg-cmp pairs)."""
+    import itertools
+
+    aliases = list("WXYZ")
+    edges = {
+        frozenset("WX"),
+        frozenset("XY"),
+        frozenset("YZ"),
+        frozenset("WZ"),
+    }
+    cards = Cardinalities(
+        base={"W": 50, "X": 40, "Y": 30, "Z": 20},
+        subsets={
+            frozenset("WX"): 500,
+            frozenset("XY"): 60,
+            frozenset("YZ"): 300,
+            frozenset("WZ"): 80,
+            frozenset("WXY"): 1000,
+            frozenset("XYZ"): 90,
+            frozenset("WYZ"): 400,
+            frozenset("WXZ"): 700,
+            frozenset("WXYZ"): 25,
+        },
+    )
+
+    def connected(s):
+        if len(s) == 1:
+            return True
+        s = set(s)
+        seen = {next(iter(s))}
+        while True:
+            grow = {
+                b
+                for e in edges
+                for b in e
+                if b in s and any(a in seen for a in e)
+            } | seen
+            if grow == seen:
+                break
+            seen = grow
+        return seen == s
+
+    def best_tree(s: frozenset):
+        if len(s) == 1:
+            return 0.0, next(iter(s))
+        best = None
+        for k in range(1, len(s) // 2 + 1):
+            for left in itertools.combinations(sorted(s), k):
+                l, r = frozenset(left), s - frozenset(left)
+                if not (connected(l) and connected(r)):
+                    continue
+                cl, tl = best_tree(l)
+                cr, tr = best_tree(r)
+                c = cl + cr + cards.est(s)
+                if best is None or c < best[0]:
+                    best = (c, (tl, tr))
+        return best
+
+    brute_cost, _ = best_tree(frozenset(aliases))
+    dp = dpccp_plan(aliases, edges, cards)
+    assert plan_cost(dp, cards) == brute_cost
+
+
+def test_planner_plan_uses_dpccp_and_results_match_goo(spark, tables):
+    cards = footer_cardinalities(SF_DIR)
+    dp = JoinPlanner(cards, broadcast_rows=50_000, enumerator="dpccp")
+    goo = JoinPlanner(cards, broadcast_rows=50_000, enumerator="goo")
+    a = compile_select(parse(SQL), tables, planner=dp)
+    b = compile_select(parse(SQL), tables, planner=goo)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
 
 
 def test_footer_cardinalities_are_exact(spark):
