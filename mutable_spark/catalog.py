@@ -9,7 +9,11 @@ already PAX-like — so they intentionally do not appear here.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from dataclasses import dataclass, field
+from pathlib import Path
 from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +40,74 @@ TABLE_NAMES = (
 #: logical plan is immutable so sharing it is free.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
+# ---------------------------------------------------------------------------
+# Ingest re-layout: the driver's testdata parquet is written as ONE row group
+# per table, so every scan is a single task and everything pipelined onto the
+# scan (filters, explodes, partial aggregates) runs on one core no matter how
+# many the session has. The reference has the same ingest boundary — IMPORT
+# copies external data into its own store layout before queries run
+# (`src/mutable.cpp` IMPORT DSV) — so we do the analogous thing once per
+# source file: rewrite it as _RELAYOUT_PARTS splittable files in a local
+# cache, fingerprinted by (path, size, mtime) so a testdata refresh
+# invalidates it (the VERDICT r2 stale-cache lesson, plans/dialect_tpch.py).
+# Pure row movement: values, types and nullability are bit-identical, and
+# every oracle-paired aggregate is partition-order-independent (decimal sums,
+# per-row folds, min/max — see operators/* docstrings), so oracle parity is
+# unaffected by row placement. On a 1000-executor cluster this step is the
+# ingest job that already exists (data lands in many ≥128 MB files) and
+# _maybe_relayout degrades to a no-op via the row-group check.
+# ---------------------------------------------------------------------------
+
+_RELAYOUT_PARTS = 8  # measured sweet spot at sf0.1 on local[32]: 32-way
+# parallelizes the scan stage but ~10-30 ms/task launch overhead in local
+# mode erases the gain on ~25 MB tables (bench A/B: 46.1 s vs 34.6 s
+# control); 8-way keeps the scan-stage parallelism that matters (explode
+# pipelines, python workers) at a quarter of the task count. On a real
+# cluster the ingest job would target ≥128 MB splits instead.
+_RELAYOUT_MIN_ROWS = 2000  # below this a single task wins; don't relayout
+_RELAYOUT_DIR = Path(
+    os.environ.get(
+        "SPARK_GRAFT_RELAYOUT_DIR",
+        str(Path(__file__).resolve().parent.parent / ".relayout"),
+    )
+)
+
+
+def _maybe_relayout(spark: SparkSession, src: Path) -> Path:
+    """Return a path to an ``_RELAYOUT_PARTS``-way splittable copy of ``src``, or ``src``.
+
+    The copy is built at most once per (file identity, layout version):
+    concurrent builders race on an atomic directory rename and the loser
+    discards its attempt.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(src).metadata
+    except Exception:
+        return src  # directory dataset or unreadable footer: leave as-is
+    if meta.num_rows < _RELAYOUT_MIN_ROWS or meta.num_row_groups >= 8:
+        return src
+    st = src.stat()
+    fp = hashlib.sha256(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_RELAYOUT_PARTS}:v1".encode()
+    ).hexdigest()[:16]
+    dest = _RELAYOUT_DIR / f"{src.stem}-{fp}.parquet"
+    if (dest / "_SUCCESS").exists():
+        return dest
+    tmp = _RELAYOUT_DIR / f".build-{src.stem}-{fp}-{os.getpid()}"
+    try:
+        (
+            spark.read.parquet(str(src))
+            .repartition(_RELAYOUT_PARTS)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        os.rename(tmp, dest)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest if (dest / "_SUCCESS").exists() else src
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with engine type normalization.
@@ -55,7 +127,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (app, sf_dir.rstrip("/"), name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = _maybe_relayout(spark, Path(sf_dir.rstrip("/")) / f"{name}.parquet")
+    df = spark.read.parquet(str(path))
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn(
             "ts",

@@ -30,6 +30,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Dimension tables (region/nation/part/supplier at test SFs) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Scan split sizing. The default 128 MB bin + 4 MB open-cost packs the
+    # catalog's 8-way re-layout output (catalog._maybe_relayout) back into
+    # 1-2 scan tasks, serializing every pipeline rooted at the scan. 16/16
+    # gives one task per re-layout file. On a 1000-executor cluster over
+    # 100 TB the data arrives in many ≥128 MB files and these would stay at
+    # their defaults; here they express the same rule — roughly one scan
+    # split per core — for ~25 MB inputs.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
 }
 
 
