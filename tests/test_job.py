@@ -1,21 +1,23 @@
-"""Join Order Benchmark (JOB) q1–q10 as planner stress, run LITERALLY from
+"""Join Order Benchmark (JOB) q1–q33 as planner stress, run LITERALLY from
 the reference's benchmark YAMLs (`/root/reference/benchmark/job/q*.yml`,
 generated from the public JOB query set) against a deterministic generated
 IMDB-shaped fixture — the reference downloads the real IMDB dump from an
 external server, which this container cannot (and the driver's testdata
 does not carry these tables), so a seeded generator stands in.
 
-Coverage: every case of q1–q10 expressible in the mutable grammar — 19
-cases across q1/q2/q4/q6/q8/q10. The remaining cases (all of q3/q5/q7/q9)
-use ``x IN (...)`` / ``BETWEEN`` which the reference's own lexer has no
-keywords for (`include/mutable/tables/Keywords.tbl`) — they are upstream
-aspirations, not runnable dialect, and are excluded here exactly as
-mutable's parser would reject them.
+Coverage: every case of q1–q33 expressible in the mutable grammar — 37
+cases across q1/q2/q4/q6/q8/q10/q13/q15/q16/q17/q32 (up to 9-relation
+join graphs, incl. self-joins `info_type AS it1/it2` and `title AS
+t1/t2`). All other cases use ``x IN (...)`` / ``BETWEEN`` (no such
+keywords in `include/mutable/tables/Keywords.tbl`) or postfix ``IS [NOT]
+NULL`` (no such production in `src/parse/Parser.cpp` — mutable spells it
+``ISNULL(x)``) — they are upstream aspirations, not runnable dialect,
+and are excluded here exactly as mutable's parser would reject them.
 
 Checks per case:
 - oracle rows: the same query text (string literals requoted for ANSI)
   over the same data in DuckDB, compared value-for-value;
-- plan shape: 4–8-relation join graphs through JoinPlanner/DPccp — no
+- plan shape: 4–9-relation join graphs through JoinPlanner/DPccp — no
   CartesianProduct, no BroadcastNestedLoopJoin, dimension tables
   broadcast.
 """
@@ -50,6 +52,11 @@ KEEP = {
     6: ["a", "c", "e"],
     8: ["a", "c", "d"],
     10: ["a", "b", "c"],
+    13: ["a", "b", "c", "d"],
+    15: ["a", "d"],
+    16: ["a", "b", "c", "d"],
+    17: ["a", "b", "c", "d", "e", "f"],
+    32: ["a", "b"],
 }
 
 
@@ -99,6 +106,27 @@ def _fixture_frames() -> dict[str, pd.DataFrame]:
         }
     )
 
+    kind_type = pd.DataFrame(
+        {
+            "id": list(range(1, 8)),
+            "kind": [
+                "movie",
+                "tv series",
+                "video movie",
+                "tv movie",
+                "video game",
+                "episode",
+                "tv mini series",
+            ],
+        }
+    )
+    link_type = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "link": ["follows", "followed by", "remake of", "features"],
+        }
+    )
+
     n_title = 800
     title = pd.DataFrame(
         {
@@ -106,17 +134,22 @@ def _fixture_frames() -> dict[str, pd.DataFrame]:
             "title": [f"Movie {i:04d}" for i in range(1, n_title + 1)],
             "production_year": rng.integers(1990, 2016, n_title),
             "kind_id": rng.integers(1, 8, n_title),
+            "episode_nr": rng.integers(0, 200, n_title),
         }
     )
 
-    kw_pool = [
-        "character-name-in-title",
-        "marvel-cinematic-universe",
-        "sequel",
-        "based-on-novel",
-        "superhero",
-        "second-part-sequel",
-    ] + [f"kw-{i}" for i in range(60)]
+    kw_pool = (
+        [
+            "character-name-in-title",
+            "marvel-cinematic-universe",
+            "sequel",
+            "based-on-novel",
+            "superhero",
+            "second-part-sequel",
+        ]
+        + [f"kw-{i}" for i in range(60)]
+        + ["10,000-mile-club"]  # id 67, q32a
+    )
     keyword = pd.DataFrame(
         {"id": np.arange(1, len(kw_pool) + 1), "keyword": kw_pool}
     )
@@ -138,14 +171,19 @@ def _fixture_frames() -> dict[str, pd.DataFrame]:
         {"id": np.arange(1, len(chn_pool) + 1), "name": chn_pool}
     )
 
-    name_pool = [
-        "Downey, Robert Jr.",
-        "Yoakam, Dwight",
-        "Yorn, Pete",
-        "Young, Sean",
-        "Bale, Christian",
-        "Blanchett, Cate",
-    ] + [f"Person {i:03d}" for i in range(200)]
+    name_pool = (
+        [
+            "Downey, Robert Jr.",
+            "Yoakam, Dwight",
+            "Yorn, Pete",
+            "Young, Sean",
+            "Bale, Christian",
+            "Blanchett, Cate",
+        ]
+        + [f"Person {i:03d}" for i in range(200)]
+        # q17's LIKE families: Z% / X% / %Bert% (ids 207-209)
+        + ["Zhang, Ziyi", "Xavier, Pete", "Bertrand, Paul"]
+    )
     name = pd.DataFrame(
         {"id": np.arange(1, len(name_pool) + 1), "name": name_pool}
     )
@@ -191,6 +229,51 @@ def _fixture_frames() -> dict[str, pd.DataFrame]:
             "info": rng.choice(
                 ["2.0", "3.4", "5.0", "6.5", "7.2", "8.1", "9.0", "990"], n_mi
             ),
+        }
+    )
+
+    mi_infos = [
+        "USA: April 2005",
+        "USA: 12 May 1999",
+        "Germany: 2001",
+        "$1,000,000",
+        "Horror",
+        "6.5",
+    ]
+    mi_notes = [
+        "(internet)",
+        "(DVD premiere)",
+        "(theatrical)",
+        "(worldwide)",
+        None,
+    ]
+    n_mif = 2200
+    movie_info = pd.DataFrame(
+        {
+            "id": np.arange(1, n_mif + 1),
+            "movie_id": rng.integers(1, n_title + 1, n_mif),
+            "info_type_id": rng.integers(1, 8, n_mif),
+            "info": rng.choice(mi_infos, n_mif),
+            "note": rng.choice(mi_notes, n_mif),
+        }
+    )
+
+    n_at = 400
+    aka_title = pd.DataFrame(
+        {
+            "id": np.arange(1, n_at + 1),
+            "movie_id": rng.integers(1, n_title + 1, n_at),
+            "title": [f"AKA Movie {i:04d}" for i in range(1, n_at + 1)],
+        }
+    )
+
+    n_ml = 300
+    movie_link = pd.DataFrame(
+        {
+            "id": np.arange(1, n_ml + 1),
+            "movie_id": rng.integers(1, n_title + 1, n_ml),
+            "linked_movie_id": rng.integers(1, n_title + 1, n_ml),
+            "link_type_id": rng.integers(1, 5, n_ml),
         }
     )
 
@@ -276,18 +359,145 @@ def _fixture_frames() -> dict[str, pd.DataFrame]:
         ignore_index=True,
     )
 
+    # --- q11–q32 witnesses -------------------------------------------------
+    # q11b: 1998 "%Money%" sequel movie that "follows" another, produced by
+    # a %Film%/%Warner% company with a NULL mc.note
+    title.loc[599, ["title", "production_year"]] = ["The Money Pit", 1998]
+    company_name.loc[9, "name"] = "Warner Films"
+    # q12b: >2000 "%Movie%" title with a budget mi row and a bottom-10 miidx
+    title.loc[600, "production_year"] = 2005
+    company_name.loc[0, "country_code"] = "[us]"  # company id 1
+    # q13: [us]-produced kind='movie' "Champion%" title with rating+release;
+    # q13a additionally wants a [de] producer on such a movie
+    title.loc[601, ["title", "kind_id"]] = ["Champion Heart", 1]
+    company_name.loc[19, "country_code"] = "[de]"  # company id 20
+    # q15: modern internet release with a worldwide 200x company note
+    title.loc[602, "production_year"] = 2005
+    # q16/q17: char-named-in-title movie, episode_nr in [50,100), cast with
+    # aka'd + B%/Z%/X%/%Bert% people
+    title.loc[603, "episode_nr"] = 60
+
+    movie_keyword = pd.concat(
+        [
+            movie_keyword,
+            pd.DataFrame(
+                {
+                    "id": [n_mk + 2, n_mk + 3, n_mk + 4, n_mk + 5],
+                    "movie_id": [600, 603, 604, 605],
+                    "keyword_id": [3, 4, 1, 67],  # sequel, kw, char-name, 10k-mile
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    movie_link = pd.concat(
+        [
+            movie_link,
+            pd.DataFrame(
+                {
+                    "id": [n_ml + 1, n_ml + 2, n_ml + 3],
+                    "movie_id": [600, 605, 604],
+                    "linked_movie_id": [601, 606, 607],
+                    "link_type_id": [1, 2, 3],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    movie_companies = pd.concat(
+        [
+            movie_companies,
+            pd.DataFrame(
+                {
+                    "id": np.arange(n_mc + 2, n_mc + 8),
+                    "movie_id": [600, 601, 602, 602, 603, 604],
+                    "company_id": [10, 1, 1, 20, 1, 1],
+                    "company_type_id": [1, 1, 1, 1, 1, 1],
+                    "note": [None, None, None, None, "(2005) (worldwide)", None],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    movie_info = pd.concat(
+        [
+            movie_info,
+            pd.DataFrame(
+                {
+                    "id": [n_mif + 1, n_mif + 2, n_mif + 3],
+                    "movie_id": [601, 602, 603],
+                    "info_type_id": [6, 7, 7],  # budget, release dates ×2
+                    "info": ["$1,000,000", "USA: April 2005", "USA: April 2005"],
+                    "note": [None, None, "(internet)"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    movie_info_idx = pd.concat(
+        [
+            movie_info_idx,
+            pd.DataFrame(
+                {
+                    "id": [n_mi + 1, n_mi + 2],
+                    "movie_id": [601, 602],
+                    "info_type_id": [2, 3],  # bottom 10 rank, rating
+                    "info": ["3.4", "7.2"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    aka_title = pd.concat(
+        [
+            aka_title,
+            pd.DataFrame(
+                {"id": [n_at + 1], "movie_id": [603], "title": ["AKA Internet Movie"]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    cast_info = pd.concat(
+        [
+            cast_info,
+            pd.DataFrame(
+                {
+                    "id": np.arange(n_ci + 3, n_ci + 7),
+                    "person_id": [5, 207, 208, 209],  # Bale, Zhang, Xavier, Bertrand
+                    "movie_id": [604, 604, 604, 604],
+                    "person_role_id": [1, 1, 1, 1],
+                    "role_id": [1, 1, 1, 1],
+                    "note": [None, None, None, None],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    aka_name = pd.concat(
+        [
+            aka_name,
+            pd.DataFrame({"id": [n_an + 2], "person_id": [5], "name": ["C. Bale"]}),
+        ],
+        ignore_index=True,
+    )
+
     return {
         "company_type": company_type,
         "info_type": info_type,
         "role_type": role_type,
+        "kind_type": kind_type,
+        "link_type": link_type,
         "title": title,
         "keyword": keyword,
         "company_name": company_name,
         "char_name": char_name,
         "name": name,
         "aka_name": aka_name,
+        "aka_title": aka_title,
         "movie_companies": movie_companies,
+        "movie_info": movie_info,
         "movie_info_idx": movie_info_idx,
+        "movie_link": movie_link,
         "movie_keyword": movie_keyword,
         "cast_info": cast_info,
     }
