@@ -19,8 +19,15 @@ This module provides:
   enumerator, `PlanEnumerator.cpp`): repeatedly merge the connected pair
   with the smallest estimated result. O(n³) worst case, fine for the
   ≤ dozens of relations any sane query has.
-- ``JoinPlanner``: plugs both into the dialect compiler (opt-in
-  ``Compiler(tables, planner=...)``).
+- the reference's enumerator family re-expressed over (aliases, edges,
+  cards): ``dpccp_plan`` (default exact DP, csg-cmp pairs),
+  ``dpsize_plan`` / ``dpsub_plan`` (size- and subset-driven bottom-up
+  DP), ``tdbasic_plan`` (memoized top-down partitioning) — all exact
+  over cross-product-free bushy trees — and ``ikkbz_order`` /
+  ``ikkbz_plan`` (polynomial rank-based linearization on the
+  selectivity MST).
+- ``JoinPlanner``: plugs cardinalities + a chosen enumerator into the
+  dialect compiler (opt-in ``Compiler(tables, planner=...)``).
 """
 
 from __future__ import annotations
@@ -118,6 +125,282 @@ def goo_order(
 #: Join trees are nested 2-tuples over alias strings; a bare string is a
 #: leaf. `("A", ("B", "C"))` joins A with the result of B⋈C.
 JoinTree = object
+
+
+class _BitGraph:
+    """Bitset adjacency over an ordered alias list — the shared substrate
+    of the DP enumerators (the reference's `AdjacencyMatrix`,
+    `include/mutable/util/ADT.hpp`)."""
+
+    def __init__(self, aliases: list[str], edges: set[frozenset]):
+        self.aliases = aliases
+        self.n = len(aliases)
+        pos = {a: i for i, a in enumerate(aliases)}
+        self.adj = [0] * self.n
+        for e in edges:
+            if len(e) != 2 or not e <= set(pos):
+                continue
+            a, b = sorted(e)
+            self.adj[pos[a]] |= 1 << pos[b]
+            self.adj[pos[b]] |= 1 << pos[a]
+
+    def nbr(self, S: int) -> int:
+        out, s = 0, S
+        while s:
+            i = (s & -s).bit_length() - 1
+            out |= self.adj[i]
+            s &= s - 1
+        return out & ~S
+
+    def connected(self, S: int) -> bool:
+        if S == 0:
+            return False
+        seen = S & -S
+        while True:
+            grow = seen | (self.nbr(seen) & S)
+            if grow == seen:
+                break
+            seen = grow
+        return seen == S
+
+    def mask_aliases(self, m: int) -> frozenset:
+        return frozenset(
+            self.aliases[i] for i in range(self.n) if (m >> i) & 1
+        )
+
+
+def _combine(best: dict, S1: int, S2: int, g: _BitGraph, cards: Cardinalities):
+    """PT.update: fold the (S1, S2) join into the plan table under C_out,
+    orienting the larger side left (probe) / smaller right (build)."""
+    u = S1 | S2
+    size = cards.est(g.mask_aliases(u))
+    c1, t1 = best[S1]
+    c2, t2 = best[S2]
+    cost = c1 + c2 + size
+    e1 = cards.est(g.mask_aliases(S1))
+    e2 = cards.est(g.mask_aliases(S2))
+    tree = (t1, t2) if e1 >= e2 else (t2, t1)
+    if u not in best or cost < best[u][0]:
+        best[u] = (cost, tree)
+
+
+def dpsize_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """DPsize (reference `src/IR/PlanEnumerator.cpp:69`): size-driven
+    bottom-up DP — for each result size s, pair already-solved connected
+    subproblems of sizes s1 + s2 = s that are disjoint and joined by an
+    edge. Same optimum as DPccp/DPsub (all exact over cross-product-free
+    bushy trees); kept for enumerator parity and as a cross-check. Subset
+    pairing is O(4^n)-flavored — use for n ≤ ~10; DPccp is the scale
+    choice."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None  # cross products never emitted; caller falls back
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+
+    def sized(k: int):
+        """All n-bit masks of popcount k (Gosper's hack, like the
+        reference's `GospersHack::enumerate_all`)."""
+        s = (1 << k) - 1
+        while s <= full:
+            yield s
+            c = s & -s
+            r = s + c
+            s = (((r ^ s) >> 2) // c) | r
+            if c == 0:
+                break
+
+    for s in range(2, n + 1):
+        for s1 in range(1, s):
+            s2 = s - s1
+            for S1 in sized(s1):
+                if S1 not in best:
+                    continue  # subproblem not connected
+                for S2 in sized(s2):
+                    if S2 not in best or (S1 & S2):
+                        continue
+                    if not g.nbr(S1) & S2:
+                        continue  # no join edge between the sides
+                    _combine(best, S1, S2, g, cards)
+    return best[full][1]
+
+
+def dpsub_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """DPsub (reference `src/IR/PlanEnumerator.cpp:201`): subset-driven
+    bottom-up DP — enumerate every connected mask S in integer order (so
+    all strict subsets precede it) and split it into every (S1, S \\ S1)
+    pair whose halves both have plans. Exact; O(3^n); n ≤ ~12."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    for S in range(3, full + 1):
+        if S.bit_count() < 2 or not g.connected(S):
+            continue
+        S1 = (S - 1) & S
+        while S1:
+            S2 = S & ~S1
+            if S2 and S1 in best and S2 in best:
+                _combine(best, S1, S2, g, cards)
+            S1 = (S1 - 1) & S
+    return best[full][1]
+
+
+def tdbasic_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """TDbasic (reference `src/IR/PlanEnumerator.cpp:597`): top-down naive
+    partitioning with memoization — recursively split each connected set
+    into connected (sub, complement) pairs, deduplicating symmetric splits
+    by lowest set bit. Same optimum as the bottom-up DPs."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    done: set[int] = {1 << i for i in range(n)}
+
+    def plan_gen(S: int) -> None:
+        if S in done:
+            return
+        sub = (S - 1) & S
+        while sub:
+            comp = S & ~sub
+            if (
+                comp
+                and (sub & -sub) < (comp & -comp)
+                and g.connected(sub)
+                and g.connected(comp)
+            ):
+                plan_gen(sub)
+                plan_gen(comp)
+                _combine(best, sub, comp, g, cards)
+            sub = (sub - 1) & S
+        done.add(S)
+
+    plan_gen(full)
+    return best[full][1]
+
+
+def ikkbz_order(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> list[str]:
+    """IKKBZ linearization (reference `src/IR/PlanEnumerator.cpp:298`;
+    Krishnamurthy/Boral/Zaniolo "Optimization of Nonrecursive Queries").
+
+    Build the minimum spanning forest of the join graph under edge
+    *selectivity* |R⋈S| / |R| / |S|, then for every root greedily emit
+    relations in ascending *rank* — (|parent⋈child| − |parent|) / |child|,
+    growth per unit cost — along the precedence tree, keeping the
+    linearization whose left-deep C_out is cheapest. Polynomial (the whole
+    point: an exact-for-linear-trees algorithm that scales past DP range);
+    the caller reconstructs a right-deep plan from the order, as the
+    reference does."""
+    import heapq
+
+    n = len(aliases)
+    if n <= 1:
+        return list(aliases)
+
+    def sel(u: str, v: str) -> float:
+        cu, cv = cards.est(frozenset([u])), cards.est(frozenset([v]))
+        return cards.est(frozenset([u, v])) / (cu * cv or 1.0)
+
+    # Kruskal minimum spanning forest by selectivity
+    parent = {a: a for a in aliases}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst: dict[str, set[str]] = {a: set() for a in aliases}
+    weighted = sorted(
+        (sel(*sorted(e)), tuple(sorted(e)))
+        for e in edges
+        if len(e) == 2 and e <= set(aliases)
+    )
+    for _, (u, v) in weighted:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            mst[u].add(v)
+            mst[v].add(u)
+
+    def rank(p: str, c: str) -> float:
+        return (
+            cards.est(frozenset([p, c])) - cards.est(frozenset([p]))
+        ) / (cards.est(frozenset([c])) or 1.0)
+
+    best_lin: list[str] | None = None
+    best_cost = float("inf")
+    for root in aliases:
+        lin = [root]
+        joined = {root}
+        heap = [(rank(root, c), c, root) for c in mst[root]]
+        heapq.heapify(heap)
+        cost = 0.0
+        while heap:
+            _, child, _ = heapq.heappop(heap)
+            if child in joined:
+                continue
+            lin.append(child)
+            joined.add(child)
+            cost += cards.est(frozenset(joined))
+            for c2 in mst[child]:
+                if c2 not in joined:
+                    heapq.heappush(heap, (rank(child, c2), c2, child))
+        # disconnected forest: append stranded components greedily
+        for a in aliases:
+            if a not in joined:
+                lin.append(a)
+                joined.add(a)
+                cost += cards.est(frozenset(joined))
+        if cost < best_cost:
+            best_cost, best_lin = cost, lin
+    return best_lin or list(aliases)
+
+
+def ikkbz_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """Right-deep plan from the IKKBZ linearization, mirroring the
+    reference's reconstruction (each new relation joins as the left /
+    build side against the accumulated chain)."""
+    lin = ikkbz_order(aliases, edges, cards)
+    if not lin:
+        return None
+    tree: object = lin[0]
+    for a in lin[1:]:
+        tree = (a, tree)
+    return tree
 
 
 def _tree_aliases(t) -> frozenset:
@@ -263,7 +546,10 @@ class JoinPlanner:
     broadcast_rows: int = 1_000_000
     #: "dpccp" = exact DP over csg-cmp pairs (bushy, cross-product-free),
     #: falling back to GOO for disconnected graphs or past
-    #: ``max_dp_relations``; "goo" = always greedy left-deep
+    #: ``max_dp_relations``; "goo" = always greedy left-deep. The other
+    #: reference enumerators are available for parity experiments:
+    #: "dpsize"/"dpsub"/"tdbasic" (exact, same optimum as dpccp) and
+    #: "ikkbz" (polynomial, optimal linear order on the selectivity MST).
     enumerator: str = "dpccp"
     max_dp_relations: int = 12
 
@@ -306,8 +592,18 @@ class JoinPlanner:
         the same exact-with-greedy-fallback pairing the reference's
         enumerator registry offers (`PlanEnumerator.cpp:725-738`)."""
         eff = self._effective(aliases, alias_table)
-        if self.enumerator == "dpccp" and 1 < len(aliases) <= self.max_dp_relations:
-            tree = dpccp_plan(aliases, edges, eff)
+        exact = {
+            "dpccp": dpccp_plan,
+            "dpsize": dpsize_plan,
+            "dpsub": dpsub_plan,
+            "tdbasic": tdbasic_plan,
+            "ikkbz": ikkbz_plan,
+        }
+        if (
+            self.enumerator in exact
+            and 1 < len(aliases) <= self.max_dp_relations
+        ):
+            tree = exact[self.enumerator](aliases, edges, eff)
             if tree is not None:
                 return tree
         order = goo_order(aliases, edges, eff)

@@ -14,8 +14,13 @@ from mutable_spark.plans.planner import (
     Cardinalities,
     JoinPlanner,
     dpccp_plan,
+    dpsize_plan,
+    dpsub_plan,
     goo_order,
+    ikkbz_order,
+    ikkbz_plan,
     plan_cost,
+    tdbasic_plan,
     footer_cardinalities,
 )
 from tests.conftest import SF_DIR
@@ -197,12 +202,138 @@ def test_dpccp_exhaustive_vs_bruteforce():
     assert plan_cost(dp, cards) == brute_cost
 
 
-def test_planner_plan_uses_dpccp_and_results_match_goo(spark, tables):
+# --- the rest of the reference's enumerator family ------------------------
+_EXACT_DPS = [dpccp_plan, dpsize_plan, dpsub_plan, tdbasic_plan]
+
+
+@pytest.mark.parametrize("enum", _EXACT_DPS[1:], ids=lambda f: f.__name__)
+def test_exact_dps_agree_with_dpccp_on_trap_chain(enum):
+    """DPsize/DPsub/TDbasic are exact over the same space as DPccp —
+    identical optimum (the bushy 210.0) on the greedy-trap chain."""
+    t = enum(list("ABCD"), _CHAIN_EDGES, _CHAIN)
+    assert plan_cost(t, _CHAIN) == 210.0
+    assert sorted(_flatten(t)) == list("ABCD")
+
+
+@pytest.mark.parametrize("enum", _EXACT_DPS, ids=lambda f: f.__name__)
+def test_exact_dps_agree_on_cycle(enum):
+    """All four exact DPs find the same optimal cost on a cycle graph
+    (many csg-cmp pairs; brute-force pinned by
+    test_dpccp_exhaustive_vs_bruteforce)."""
+    aliases = list("WXYZ")
+    edges = {
+        frozenset("WX"),
+        frozenset("XY"),
+        frozenset("YZ"),
+        frozenset("WZ"),
+    }
+    cards = Cardinalities(
+        base={"W": 50, "X": 40, "Y": 30, "Z": 20},
+        subsets={
+            frozenset("WX"): 500,
+            frozenset("XY"): 60,
+            frozenset("YZ"): 300,
+            frozenset("WZ"): 80,
+            frozenset("WXY"): 1000,
+            frozenset("XYZ"): 90,
+            frozenset("WYZ"): 400,
+            frozenset("WXZ"): 700,
+            frozenset("WXYZ"): 25,
+        },
+    )
+    ref = plan_cost(dpccp_plan(aliases, edges, cards), cards)
+    assert plan_cost(enum(aliases, edges, cards), cards) == ref
+
+
+@pytest.mark.parametrize("enum", _EXACT_DPS[1:], ids=lambda f: f.__name__)
+def test_exact_dps_never_emit_cross_products(enum):
+    cards = Cardinalities(base={"a": 10, "b": 10, "c": 10})
+    assert enum(["a", "b", "c"], {frozenset("ab")}, cards) is None
+
+
+def _bruteforce_linear_min(aliases, edges, cards):
+    """Min C_out over all *connected* left-deep orders."""
+    import itertools
+
+    best = float("inf")
+    for perm in itertools.permutations(aliases):
+        s = {perm[0]}
+        cost = 0.0
+        ok = True
+        for a in perm[1:]:
+            if not any(a in e and e & s for e in edges):
+                ok = False
+                break
+            s.add(a)
+            cost += cards.est(frozenset(s))
+        if ok:
+            best = min(best, cost)
+    return best
+
+
+def _linear_cost(lin, cards):
+    s = set()
+    cost = 0.0
+    for a in lin:
+        s.add(a)
+        if len(s) > 1:
+            cost += cards.est(frozenset(s))
+    return cost
+
+
+def test_ikkbz_optimal_linear_on_star():
+    """Star query with independent per-edge selectivities — the textbook
+    IKKBZ case: rank order = ascending selectivity, optimal among all
+    connected linear orders."""
+    cards = Cardinalities(
+        base={"H": 1000, "S1": 10, "S2": 20, "S3": 30},
+        subsets={
+            frozenset({"H", "S1"}): 10,
+            frozenset({"H", "S2"}): 200,
+            frozenset({"H", "S3"}): 3000,
+            frozenset({"H", "S1", "S2"}): 2,
+            frozenset({"H", "S1", "S3"}): 30,
+            frozenset({"H", "S2", "S3"}): 600,
+            frozenset({"H", "S1", "S2", "S3"}): 6,
+        },
+    )
+    edges = {
+        frozenset({"H", "S1"}),
+        frozenset({"H", "S2"}),
+        frozenset({"H", "S3"}),
+    }
+    aliases = ["H", "S1", "S2", "S3"]
+    lin = ikkbz_order(aliases, edges, cards)
+    assert sorted(lin) == sorted(aliases)
+    assert _linear_cost(lin, cards) == _bruteforce_linear_min(
+        aliases, edges, cards
+    )
+
+
+def test_ikkbz_optimal_linear_on_trap_chain():
+    """On the greedy-trap chain the best *linear* order costs 2020 (the
+    bushy DP optimum 210 is out of IKKBZ's space by design) — IKKBZ must
+    find it."""
+    lin = ikkbz_order(list("ABCD"), _CHAIN_EDGES, _CHAIN)
+    assert _linear_cost(lin, _CHAIN) == _bruteforce_linear_min(
+        list("ABCD"), _CHAIN_EDGES, _CHAIN
+    )
+    # and the reconstructed plan is right-deep over that order
+    t = ikkbz_plan(list("ABCD"), _CHAIN_EDGES, _CHAIN)
+    assert sorted(_flatten(t)) == list("ABCD")
+
+
+@pytest.mark.parametrize(
+    "enum", ["dpsize", "dpsub", "tdbasic", "ikkbz", "goo"]
+)
+def test_planner_results_identical_across_enumerators(spark, tables, enum):
+    """Join order is a physical choice: every enumerator must produce the
+    same rows as the default DPccp plan on a real query."""
     cards = footer_cardinalities(SF_DIR)
     dp = JoinPlanner(cards, broadcast_rows=50_000, enumerator="dpccp")
-    goo = JoinPlanner(cards, broadcast_rows=50_000, enumerator="goo")
+    other = JoinPlanner(cards, broadcast_rows=50_000, enumerator=enum)
     a = compile_select(parse(SQL), tables, planner=dp)
-    b = compile_select(parse(SQL), tables, planner=goo)
+    b = compile_select(parse(SQL), tables, planner=other)
     assert sorted(tuple(r) for r in a.collect()) == sorted(
         tuple(r) for r in b.collect()
     )
