@@ -1,0 +1,146 @@
+"""ArrayIndex / RecursiveModelIndex (`include/mutable/storage/Index.hpp`)
+parity + the ZoneIndex scan-pruning integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mutable_spark.catalog import load_tables
+from mutable_spark.sources.indexes import (
+    ArrayIndex,
+    LinearModel,
+    RecursiveModelIndex,
+    ZoneIndex,
+)
+from tests.conftest import SF_DIR
+
+
+def _reference_bounds(keys, q):
+    return (
+        int(np.searchsorted(keys, q, side="left")),
+        int(np.searchsorted(keys, q, side="right")),
+    )
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["uniform", "lognormal", "dups"],
+)
+def test_rmi_bounds_equal_binary_search(dist):
+    rng = np.random.default_rng(11)
+    if dist == "uniform":
+        keys = rng.uniform(0, 1e6, 20_000)
+    elif dist == "lognormal":
+        keys = rng.lognormal(10, 2, 20_000)  # heavy skew
+    else:
+        keys = rng.integers(0, 500, 20_000).astype(float)  # many dups
+    arr = ArrayIndex()
+    rmi = RecursiveModelIndex()
+    arr.bulkload(keys, np.arange(len(keys)))
+    rmi.bulkload(keys, np.arange(len(keys)))
+    arr.finalize()
+    rmi.finalize()
+    sorted_keys = np.sort(keys)
+    queries = np.concatenate(
+        [
+            rng.choice(keys, 200),  # present
+            rng.uniform(keys.min() - 10, keys.max() + 10, 200),  # arbitrary
+            [keys.min() - 100, keys.max() + 100],  # out of range
+        ]
+    )
+    for q in queries:
+        lo, hi = _reference_bounds(sorted_keys, q)
+        assert arr.lower_bound(q) == lo
+        assert arr.upper_bound(q) == hi
+        assert rmi.lower_bound(q) == lo, q
+        assert rmi.upper_bound(q) == hi, q
+
+
+def test_rmi_is_actually_learned():
+    rmi = RecursiveModelIndex()
+    rmi.bulkload(np.arange(10_000, dtype=float), np.arange(10_000))
+    rmi.finalize()
+    assert len(rmi.models) >= 2
+    # on perfectly linear keys the leaf prediction is near-exact
+    assert abs(rmi._predict(5_000.0) - 5_000) <= 2
+
+
+def test_unfinalized_index_raises():
+    idx = ArrayIndex()
+    idx.add(1, "a")
+    with pytest.raises(RuntimeError):
+        idx.lower_bound(1)
+
+
+def test_lookup_range_inclusive_exclusive():
+    idx = ArrayIndex()
+    idx.bulkload([1, 2, 2, 3, 4], ["a", "b1", "b2", "c", "d"])
+    idx.finalize()
+    assert list(idx.lookup_range(2, 3)) == ["b1", "b2", "c"]
+    assert list(idx.lookup_range(2, 3, lo_open=True)) == ["c"]
+    assert list(idx.lookup_range(2, 3, hi_open=True)) == ["b1", "b2"]
+    assert list(idx.lookup_range(None, 1)) == ["a"]
+    assert list(idx.lookup_range(5, None)) == []
+
+
+def test_linear_regression_matches_polyfit():
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0, 100, 500))
+    m = LinearModel.train_linear_regression(x, offset=10)
+    slope, intercept = np.polyfit(x, 10 + np.arange(500), 1)
+    assert m.slope == pytest.approx(slope)
+    assert m.intercept == pytest.approx(intercept)
+
+
+# --- ZoneIndex: file pruning over a range-partitioned layout ---------------
+@pytest.fixture(scope="module")
+def sorted_orders_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("zones") / "orders_by_key"
+    t = load_tables(spark, SF_DIR)
+    (
+        t.orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(str(out))
+    )
+    return str(out)
+
+
+def test_zone_index_prunes_files_and_preserves_results(
+    spark, sorted_orders_dir
+):
+    t = load_tables(spark, SF_DIR)
+    zi = ZoneIndex.build(sorted_orders_dir, "o_orderkey", learned=True)
+    n_files = len(zi.zones)
+    assert n_files >= 4
+    lo, hi = 100, 900
+    pruned_files = zi.files_for_range(lo, hi)
+    assert 0 < len(pruned_files) < n_files  # actually prunes
+    got = sorted(
+        r.o_orderkey
+        for r in zi.read_pruned(spark, lo, hi).select("o_orderkey").collect()
+    )
+    exp = sorted(
+        r.o_orderkey
+        for r in t.orders.filter(
+            f"o_orderkey >= {lo} AND o_orderkey <= {hi}"
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == exp
+
+
+def test_zone_index_empty_range(spark, sorted_orders_dir):
+    zi = ZoneIndex.build(sorted_orders_dir, "o_orderkey")
+    df = zi.read_pruned(spark, 10**9, 2 * 10**9)
+    assert df.count() == 0
+
+
+def test_zone_index_open_ended(spark, sorted_orders_dir):
+    t = load_tables(spark, SF_DIR)
+    zi = ZoneIndex.build(sorted_orders_dir, "o_orderkey")
+    got = zi.read_pruned(spark, lo=5_000, hi=None).count()
+    exp = t.orders.filter("o_orderkey >= 5000").count()
+    assert got == exp
