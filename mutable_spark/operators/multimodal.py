@@ -16,7 +16,6 @@ features are checked rows-only.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,26 +68,16 @@ def fake_decode(payload: bytes) -> tuple[int, float, int]:
     """,
 )
 def multimodal_extract(spark, sf_dir):
-    """Binary feature extraction via mapInPandas: byte length + md5 content
-    address per payload. The Python work is Arrow-batched (one pandas
-    DataFrame per batch, ~10-100× the throughput of a row-at-a-time UDF)
-    and embarrassingly parallel — no shuffle at any scale."""
+    """Binary feature extraction with JVM builtins: byte length + md5
+    content address per payload, computed in whole-stage codegen
+    (`F.length` / `F.md5` on the binary column — zero Python on the data
+    path, no shuffle at any scale). Python/mapInPandas is reserved for the
+    decode pass that genuinely needs it (`multimodal_fake_features`)."""
     df = _payload_df(spark, sf_dir)
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
-                    "content_md5": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                }
-            )
-
-    return df.mapInPandas(
-        extract, schema="doc_id long, byte_len long, content_md5 string"
+    return df.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("content_md5"),
     )
 
 

@@ -26,22 +26,29 @@ from pyspark.sql import DataFrame, SparkSession
 from mutable_spark.functions import dsum
 from mutable_spark.session import apply_runtime_confs
 
-#: raw file schema (ts as int64 nanos, pre-conversion)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """Raw file schema for the streaming source; ``ts`` is LongType for
+    TIMESTAMP(NANOS) files (read via ``nanosAsLong``) or TimestampNTZType
+    for ordinary timestamp[us] files."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs TIMESTAMP_NTZ
-    normalization as the batch catalog."""
+    """readStream over the events parquet with the same timestamp
+    normalization as the batch catalog (`catalog.load_table`): a batch
+    schema probe decides whether the file stores INT64 nanos (read as long,
+    divide to µs) or a plain timestamp[us] (read as TIMESTAMP_NTZ
+    directly). Streaming and batch must agree on this guard or every
+    watermark/window is silently 1000x off."""
     apply_runtime_confs(spark)
     # FileStreamSource requires a *directory*; the testdata dir mixes all
     # tables, so stage a symlink-only dir (no copy) holding just events.
@@ -51,11 +58,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = stage / "events.parquet"
     if not link.exists():
         link.symlink_to(src)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(stage))
+    # Probe the footer through the same reader the batch path uses, so the
+    # two can never disagree on the raw dtype.
+    raw_ts_dtype = dict(spark.read.parquet(str(src)).dtypes).get("ts")
+    is_nanos = raw_ts_dtype in ("bigint", "long")
+    ts_type = T.LongType() if is_nanos else T.TimestampNTZType()
+    raw = spark.readStream.schema(_events_raw_schema(ts_type)).parquet(str(stage))
     # NOTE: watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ —
     # with the session timezone pinned to UTC (RUNTIME_CONFS) the collected
     # wall-clock values are identical to the batch twin's NTZ values.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dict(out.dtypes)["ts"] == "timestamp", dict(out.dtypes)
+    return out
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
