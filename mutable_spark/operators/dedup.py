@@ -98,6 +98,72 @@ _SQL_PAIRS = rf"""
 
 
 # --------------------------------------------------------------------------
+# Portable hashed shingles: tokens are hashed with md5 — a builtin in BOTH
+# engines with identical output — parsed from the first 13 hex digits to a
+# 52-bit int (Spark `conv(substr(md5(t),1,13),16,10)`, DuckDB
+# `('0x' || substr(md5(t),1,13))::BIGINT`), then 3-gram-combined with
+# polynomial arithmetic mod a prime. Both engines compute the *identical*
+# function, so hash-Jaccard values match bit-for-bit — the oracle
+# comparison stays deterministic even under a hash collision.
+# 2^55-55 is prime and keeps every ANSI-mode intermediate < 2^63:
+# token hash < 2^52, th*131 < 2^59; (x % _PH)*131 < 2^62.
+_PH = 36_028_797_018_963_913
+
+
+def _token_hash(t):
+    """52-bit md5-prefix hash of one token — JVM codegen in Spark, mirrored
+    exactly by the DuckDB oracle (see module comment)."""
+    return F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long")
+
+
+def _hashed_shingle_df(d):
+    """(doc_id, shh) with shh = hashes of word-3-gram shingles.
+
+    Tokens are md5-hashed once each; shingle hashes are then cheap
+    arithmetic over three aligned slices (same zip_with layout as
+    `_shingle_df`). The string shingles never materialize: the MinHash
+    signature tier hashes these longs and the verification tier intersects
+    long arrays — at 100 TB the candidate join-backs carry ~8-byte
+    elements instead of ~20-char strings."""
+    toks = _tokens()
+    d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    d = d.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
+    n = F.size("th") - 2
+    pair = F.zip_with(
+        F.slice(F.col("th"), 1, n),
+        F.slice(F.col("th"), 2, n),
+        lambda x, y: (x * 131 + y) % _PH,
+    )
+    shh = F.zip_with(pair, F.slice(F.col("th"), 3, n), lambda x, y: (x * 131 + y) % _PH)
+    return d.select("doc_id", shh.alias("shh"))
+
+
+_SQL_HASHED_SHINGLES = rf"""
+    SELECT doc_id,
+           list_transform(range(1, len(th)-1),
+               i -> ((th[i] * 131 + th[i+1]) % {_PH} * 131 + th[i+2]) % {_PH}) AS shh
+    FROM (SELECT doc_id,
+                 list_transform(string_split_regex(trim(text), '\s+'),
+                     t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
+          FROM documents)
+    WHERE len(th) >= 3
+"""
+
+_SQL_PAIRS_HASHED = rf"""
+    WITH g AS ({_SQL_HASHED_SHINGLES})
+    SELECT doc_a, doc_b, jac FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shh, b.shh))) AS jac
+        FROM g a, g b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_distinct(a.shh)) * 2 >= len(list_distinct(b.shh))
+          AND len(list_distinct(b.shh)) * 2 >= len(list_distinct(a.shh))
+    ) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 @query(
     "dedup_exact",
     oracle=f"""
@@ -198,12 +264,20 @@ def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
     )
 
 
-@query("dedup_minhash_lsh", oracle=_SQL_PAIRS)
+@query("dedup_minhash_lsh", oracle=_SQL_PAIRS_HASHED)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH near-dup detection, exact-verified.
 
+    Everything downstream of tokenization runs on *hashed* shingles
+    (`_hashed_shingle_df`): the portable polynomial hash is mirrored
+    exactly by the DuckDB oracle, so the verified hash-Jaccard matches the
+    oracle bit-for-bit, and the candidate join-backs shuffle long arrays
+    instead of full string shingles. (Hash-Jaccard equals string-Jaccard
+    unless two distinct shingles of one pair collide mod 2^55 — ~1e-12 per
+    pair — and even then both engines compute the same value.)
+
     Pipeline (all JVM-side, one plan):
-      1. explode shingles → (doc_id, h = pmod(xxhash64(shingle), 2³¹-1));
+      1. explode hashed shingles → (doc_id, h = pmod(shh, 2³¹-1));
       2. groupBy(doc_id) with 128 `min((aᵢ·h+bᵢ) mod p)` aggregates. This
          explode→groupBy formulation beats the tempting map-only
          array-HOF version (`array_min(transform(hs, …))` per perm):
@@ -240,20 +314,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     Above the cap the intended consumer is components, not the pair list
     — see ``tests/test_dedup_scale.py::test_minhash_degenerate_corpus_bounded``
     and COVERAGE.md."""
-    g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
+    g = _hashed_shingle_df(load_tables(spark, sf_dir).documents).cache()
     return minhash_lsh_pairs(g)
 
 
 def minhash_lsh_pairs(g):
-    """Verified near-dup pairs (doc_a, doc_b, jac ≥ 0.5) from a shingle
-    DataFrame ``g`` = (doc_id, sh). The reusable LSH tier — consumed by
-    ``dedup_minhash_lsh`` and by ``pipeline_clean_corpus``'s near-dup
-    stage. ``g`` should be cached by the caller (read 3×: signature build
-    + two verification join-backs)."""
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P31))
+    """Verified near-dup pairs (doc_a, doc_b, jac ≥ 0.5) from a hashed
+    shingle DataFrame ``g`` = (doc_id, shh) (see `_hashed_shingle_df`).
+    The reusable LSH tier — consumed by ``dedup_minhash_lsh`` and by
+    ``pipeline_clean_corpus``'s near-dup stage. ``g`` should be cached by
+    the caller (read 3×: signature build + two verification join-backs)."""
     sig = (
-        g.select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", h.alias("h"))
+        g.select("doc_id", F.explode("shh").alias("sh_h"))
+        .select("doc_id", F.pmod(F.col("sh_h"), F.lit(_P31)).alias("h"))
         .groupBy("doc_id")
         .agg(
             *[
@@ -284,8 +357,8 @@ def minhash_lsh_pairs(g):
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
+        .join(g.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )

@@ -25,6 +25,7 @@ from mutable_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _NORMALIZE_SQL,
     _SQL_PAIRS,
+    _hashed_shingle_df,
     _normalize,
     _shingle_df,
     _tokens,
@@ -111,7 +112,7 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     )
 
     if pair_source == "lsh":
-        g = _shingle_df(d, distinct=False).cache()
+        g = _hashed_shingle_df(d).cache()
         pairs = minhash_lsh_pairs(g)
     else:  # "exact" — the quadratic baseline the oracle recomputes
         g = _shingle_df(d)

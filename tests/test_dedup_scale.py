@@ -62,9 +62,9 @@ def test_minhash_degenerate_corpus_bounded(spark):
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"), F.lit(text).alias("text")
     )
-    from mutable_spark.operators.dedup import _shingle_df
+    from mutable_spark.operators.dedup import _hashed_shingle_df
 
-    g = _shingle_df(docs, distinct=False).cache()
+    g = _hashed_shingle_df(docs).cache()
     t0 = time.monotonic()
     pairs = minhash_lsh_pairs(g).collect()
     elapsed = time.monotonic() - t0
