@@ -88,10 +88,15 @@ class Engine:
     >>> eng.execute("SELECT * FROM r WHERE key < 2").collect()
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, planner=None):
         self.spark = spark
         from mutable_spark.catalog import Catalog
 
+        #: optional JoinPlanner (plans/planner.py). The estimator chain
+        #: mirrors the reference's: injected cardinality JSON when given
+        #: (`--use-cardinality-file`), else learned SPN estimates
+        #: (`plans/index_queries.spn_planner`), else Catalyst's own stats.
+        self.planner = planner
         self.catalog = Catalog(spark)
         self.schemas: dict[tuple[str, str], T.StructType] = {}
         #: CHAR(n)/VARCHAR(n) declared lengths per (db, table): the
@@ -130,7 +135,7 @@ class Engine:
     def execute(self, text: str) -> DataFrame | None:
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
-            return Compiler(self.catalog._db()).compile_select(stmt)
+            return Compiler(self.catalog._db(), self.planner).compile_select(stmt)
         if isinstance(stmt, A.CreateDatabaseStmt):
             self.catalog.create_database(stmt.name)
             return None

@@ -1,0 +1,186 @@
+"""Driver-visible gates for the learned-index and SPN-estimator surfaces.
+
+Both layers were previously unit-tested only (`sources/indexes.py`,
+`plans/spn.py`); these registry queries put them on the driver's
+correctness gate:
+
+- ``op_zoneindex_scan`` scans through ``ZoneIndex.read_pruned``
+  (`sources/indexes.py`): a key-range-partitioned multi-file layout of
+  ``orders`` is built once (fingerprinted cache, same discipline as
+  `catalog._maybe_relayout`), the zone index selects the file subset that
+  can contain the key range from parquet footers alone, and the residual
+  filter is still applied — pruning is an I/O layer, never a correctness
+  layer, so the result is bit-identical to the oracle's full-scan filter.
+  The query asserts the prune actually dropped files; plan/file-count
+  checks live in ``tests/test_index_queries.py``.
+
+- ``dialect_spn_planned_join`` compiles dialect SQL with a ``JoinPlanner``
+  whose cardinalities come from learned SPN models over the real tables
+  (`plans/spn.py::spn_base_cardinalities` — the reference's SpnEstimator
+  role, `include/mutable/catalog/CardinalityEstimator.hpp:321`): the
+  selective ``o_totalprice`` filter shrinks the orders estimate, which
+  flips the join order and marks the filtered side broadcast. Join results
+  are plan-invariant, so the oracle match proves the SPN-planned pipeline
+  end-to-end without pinning a plan in the correctness contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from mutable_spark.catalog import _RELAYOUT_DIR, load_tables
+from mutable_spark.functions import dsum, sql_dsum
+from mutable_spark.registry import query
+
+_ZONE_PARTS = 16
+#: key range as fractions of max(o_custkey) — custkey domains scale with
+#: SF, so fixed constants would select everything at one SF and nothing at
+#: another; both engines derive the same integer bounds from the same max.
+_LO_FRAC, _HI_FRAC = 0.15, 0.45
+
+
+def _key_range(spark, layout: Path) -> tuple[int, int]:
+    m = spark.read.parquet(str(layout)).agg(F.max("o_custkey")).collect()[0][0]
+    return int(_LO_FRAC * m), int(_HI_FRAC * m)
+
+
+def _keyed_orders_layout(spark, sf_dir: str) -> Path:
+    """A ``repartitionByRange(o_custkey)``-partitioned copy of ``orders``
+    — the key-sorted multi-file layout a 100 TB table would already have
+    (each file covers a narrow custkey range, so zone maps prune).
+    Built at most once per source identity (size+mtime fingerprint);
+    concurrent builders race on an atomic rename."""
+    src = Path(sf_dir.rstrip("/")) / "orders.parquet"
+    st = src.stat()
+    fp = hashlib.sha256(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_ZONE_PARTS}:zone-v1".encode()
+    ).hexdigest()[:16]
+    dest = _RELAYOUT_DIR / f"orders-zoned-{fp}"
+    if (dest / "_SUCCESS").exists():
+        return dest
+    tmp = _RELAYOUT_DIR / f".build-zoned-{fp}-{os.getpid()}"
+    try:
+        (
+            spark.read.parquet(str(src))
+            .repartitionByRange(_ZONE_PARTS, "o_custkey")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        os.rename(tmp, dest)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest if (dest / "_SUCCESS").exists() else dest
+
+
+@query(
+    "op_zoneindex_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice")} AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN CAST(FLOOR({_LO_FRAC} * (SELECT MAX(o_custkey) FROM orders)) AS BIGINT)
+                        AND CAST(FLOOR({_HI_FRAC} * (SELECT MAX(o_custkey) FROM orders)) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def op_zoneindex_scan(spark, sf_dir):
+    """Range aggregate over orders where the scan goes through the zone
+    index: only files whose footer [min,max] intersects the custkey range
+    are read (RMI-backed file map, `sources/indexes.py::ZoneIndex`), then
+    the residual filter + groupBy run as normal. Identical results to a
+    full scan by construction; the in-query assertion guarantees the
+    driver row really exercised the pruned path."""
+    from mutable_spark.sources.indexes import ZoneIndex
+
+    layout = _keyed_orders_layout(spark, sf_dir)
+    lo, hi = _key_range(spark, layout)
+    zi = ZoneIndex.build(str(layout), "o_custkey", learned=True)
+    pruned = zi.files_for_range(lo, hi)
+    assert 0 < len(pruned) < len(zi.zones), (
+        f"zone index did not prune: {len(pruned)}/{len(zi.zones)} files"
+    )
+    df = zi.read_pruned(spark, lo, hi)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: learned SPN models per sf_dir (driver-side, bounded samples); the learn
+#: cost is paid once per process per scale factor.
+_SPN_MODELS: dict[str, dict] = {}
+
+#: the SQL's selective predicate, in SPN condition form — this is the
+#: estimator input the dialect compiler would derive from the WHERE clause
+_SPN_FILTERS = {"o": {"o_totalprice": [(">", 450_000.0)]}}
+_TOTALPRICE_CUT = 450_000.0
+
+
+def _spn_models(spark, sf_dir: str) -> dict:
+    from mutable_spark.plans.spn import SpnTableModel
+
+    key = sf_dir.rstrip("/")
+    if key not in _SPN_MODELS:
+        t = load_tables(spark, sf_dir)
+        _SPN_MODELS[key] = {
+            "c": SpnTableModel.from_dataframe(t.customer, ["c_acctbal"]),
+            "o": SpnTableModel.from_dataframe(t.orders, ["o_totalprice"]),
+            "l": SpnTableModel.from_dataframe(t.lineitem, ["l_quantity"]),
+        }
+    return _SPN_MODELS[key]
+
+
+def spn_planner(spark, sf_dir: str, filters: dict | None = None):
+    """A ``JoinPlanner`` whose base cardinalities are learned-SPN estimates
+    under each table's local filter — the default estimator when no
+    injected cardinality JSON is given (the reference's fallback chain:
+    injected file → SpnEstimator → Cartesian/size heuristics)."""
+    from mutable_spark.plans.planner import JoinPlanner
+    from mutable_spark.plans.spn import spn_base_cardinalities
+
+    cards = spn_base_cardinalities(_spn_models(spark, sf_dir), filters or {})
+    return JoinPlanner(cards, broadcast_rows=10_000)
+
+
+@query(
+    "dialect_spn_planned_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS cnt,
+           SUM(l.l_quantity) AS qty
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+      AND o.o_totalprice > {_TOTALPRICE_CUT}
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dialect_spn_planned_join(spark, sf_dir):
+    """3-way join through the dialect frontend, planned by SPN estimates:
+    the ``o_totalprice`` filter's SPN selectivity shrinks orders below the
+    broadcast threshold, so the planner both reorders the join and
+    broadcasts the filtered side (asserted in ``tests/test_index_queries.py``).
+    SUM(l_quantity) is exact in any order (integral doubles ≤ 2^53)."""
+    from mutable_spark.dialect import parse
+    from mutable_spark.dialect.compiler import compile_select
+
+    t = load_tables(spark, sf_dir)
+    tables = {name: getattr(t, name) for name in vars(t)}
+    stmt = parse(
+        f"""
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS cnt,
+               SUM(l.l_quantity) AS qty
+        FROM customer AS c, orders AS o, lineitem AS l
+        WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          AND o.o_totalprice > {_TOTALPRICE_CUT}
+        GROUP BY o.o_orderpriority
+        """
+    )
+    return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir, _SPN_FILTERS))

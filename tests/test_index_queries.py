@@ -1,0 +1,84 @@
+"""Plan-shape and pruning assertions for the zone-index scan and the
+SPN-planned dialect join (`mutable_spark/plans/index_queries.py`) — the
+oracle equality itself is covered by `test_queries_oracle.py`; these pin
+the *mechanism*: files actually skipped, SPN estimates actually reaching
+the planner's order/broadcast decisions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mutable_spark.plans.index_queries import (
+    _SPN_FILTERS,
+    _key_range,
+    _keyed_orders_layout,
+    _spn_models,
+    spn_planner,
+)
+from tests.conftest import SF_DIR
+
+
+def test_zone_index_prunes_files_and_loses_no_rows(spark):
+    from mutable_spark.sources.indexes import ZoneIndex
+
+    layout = _keyed_orders_layout(spark, SF_DIR)
+    lo, hi = _key_range(spark, layout)
+    zi = ZoneIndex.build(str(layout), "o_custkey", learned=True)
+    pruned = zi.files_for_range(lo, hi)
+    # the range layout concentrates the key range in few files — most of
+    # the dataset must be skipped, from footer metadata alone
+    assert len(pruned) < len(zi.zones) / 2, (len(pruned), len(zi.zones))
+    # pruning is an I/O layer, never a correctness layer: the pruned scan
+    # equals the full scan + filter row-for-row
+    full = (
+        spark.read.parquet(str(layout))
+        .filter(F.col("o_custkey").between(lo, hi))
+        .count()
+    )
+    assert zi.read_pruned(spark, lo, hi).count() == full
+
+
+def test_zone_index_scan_reads_only_pruned_files(spark):
+    from mutable_spark.sources.indexes import ZoneIndex
+
+    layout = _keyed_orders_layout(spark, SF_DIR)
+    lo, hi = _key_range(spark, layout)
+    zi = ZoneIndex.build(str(layout), "o_custkey", learned=True)
+    pruned = set(zi.files_for_range(lo, hi))
+    df = zi.read_pruned(spark, lo, hi)
+    scanned = {
+        r[0]
+        for r in df.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    # every scanned file is one the index admitted (file:// prefix aside)
+    assert all(any(s.endswith(p.split("/")[-1]) for p in pruned) for s in scanned)
+    assert len(scanned) <= len(pruned)
+
+
+def test_spn_estimates_drive_order_and_broadcast(spark):
+    """The SpnEstimator integration on real testdata: the o_totalprice
+    filter shrinks orders' SPN estimate below the broadcast threshold,
+    flipping it from the middle of the join order into a broadcast side."""
+    models = _spn_models(spark, SF_DIR)
+    unfiltered = spn_planner(spark, SF_DIR, None)
+    filtered = spn_planner(spark, SF_DIR, _SPN_FILTERS)
+    # the filter's SPN selectivity reaches the planner: orders' base
+    # estimate collapses and the filtered side becomes a broadcast
+    # candidate (at tiny SFs the unfiltered table may already be under the
+    # absolute broadcast bar — the scale-invariant claim is the shrink)
+    assert filtered.cards.base["o"] < unfiltered.cards.base["o"] / 5
+    assert filtered.should_broadcast("o", {})
+    # and the unfiltered estimate is sane vs truth (loose q-error bound)
+    true_o = models["o"].n_rows
+    assert 0.5 <= unfiltered.cards.base["o"] / true_o <= 2.0
+
+
+def test_spn_planned_join_broadcasts_filtered_orders(spark):
+    from mutable_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["dialect_spn_planned_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -6,7 +6,9 @@ the 50-query sample window (VERDICT r2, next-round item #3)."""
 from mutable_spark import registry
 
 # Operator families never driver-sampled in rounds 1-2; round 3 orders the
-# registry so each finally gets a CORRECTNESS row.
+# registry so each finally gets a CORRECTNESS row. Round 5 swaps op_except/
+# op_union (green r3+r4; family still covered by op_set_ops) for the
+# zone-index and SPN-planned gates.
 NEVER_SAMPLED = [
     "op_join_left_outer",
     "op_join_semi",
@@ -17,8 +19,8 @@ NEVER_SAMPLED = [
     "op_count_distinct",
     "op_approx_sketches",
     "op_set_ops",
-    "op_except",
-    "op_union",
+    "op_zoneindex_scan",
+    "dialect_spn_planned_join",
     "op_topk_per_group",
     "op_pivot",
     "op_cube",
