@@ -533,6 +533,165 @@ def dpccp_plan(
     return best[full][1]
 
 
+def hs_plan(
+    aliases: list[str],
+    edges: set[frozenset],
+    cards: Cardinalities,
+    *,
+    heuristic: str = "zero",
+    weight: float = 1.0,
+    beam_width: int = 0,
+    expansion_budget: int | None = None,
+):
+    """Heuristic-search join enumeration — the reference's flagship
+    optimizer research (SIGMOD'23 "Efficiently Computing Join Orders with
+    Heuristic Search", `include/mutable/IR/HeuristicSearchPlanEnumerator.hpp`,
+    `README.md:62`), re-derived from the paper's structure:
+
+    - a *state* is the set of subproblems yet to be joined
+      (`search_states::SubproblemsArray`, hpp:196), starting from all
+      singletons; the goal is a single subproblem covering the query;
+    - *expansion* joins any two connected subproblems
+      (`expansions::BottomUpComplete`, hpp:1251) — g accumulates C_out
+      (each join adds the estimated cardinality of its result, the same
+      cost `plan_cost` charges);
+    - *h* is one of the reference's heuristics (hpp:1698):
+      ``zero`` (admissible → optimal, the A* baseline), ``sum`` of
+      remaining subproblem cardinalities (inadmissible bottom-up,
+      hpp:1729), ``scaled_sum`` (hpp:1824), or ``goo`` — the cost of a
+      greedy completion of the state (hpp:1958), the informative anytime
+      heuristic;
+    - config axes mirror the preconfigured strategies (hpp:2158-2169):
+      ``weight`` > 1 multiplies h (weighted_AStar), ``beam_width`` > 0
+      keeps only the k best successors per expansion (beam_search), and
+      ``expansion_budget`` caps expansions, after which the best open
+      state is completed greedily (`goo_path_completion`) — anytimeAStar's
+      bounded-effort guarantee.
+
+    Returns a join tree (nested 2-tuples), or None on a disconnected
+    graph (the caller falls back to GOO, as with the exact DPs)."""
+    import heapq
+    import itertools
+
+    if not aliases:
+        return None
+    if len(aliases) == 1:
+        return aliases[0]
+
+    def connected(x: frozenset, y: frozenset) -> bool:
+        return any((e & x) and (e & y) for e in edges)
+
+    def goo_complete(state):
+        """Greedy completion of a partial state: (added C_out, merge list).
+        The reference's `goo_path_completion` — both the ``goo`` heuristic
+        and the anytime fallback use it."""
+        parts = list(state)
+        cost = 0.0
+        merges: list[tuple[frozenset, frozenset]] = []
+        while len(parts) > 1:
+            best = None
+            for i in range(len(parts)):
+                for j in range(i + 1, len(parts)):
+                    conn = connected(parts[i], parts[j])
+                    size = cards.est(parts[i] | parts[j])
+                    key = (not conn, size)
+                    if best is None or key < best[0]:
+                        best = (key, i, j)
+            _, i, j = best
+            merged = parts[i] | parts[j]
+            cost += cards.est(merged)
+            merges.append((parts[i], parts[j]))
+            parts = [p for k, p in enumerate(parts) if k not in (i, j)] + [merged]
+        return cost, merges
+
+    def h(state) -> float:
+        if len(state) == 1 or heuristic == "zero":
+            return 0.0
+        if heuristic == "sum":
+            return sum(cards.est(s) for s in state)
+        if heuristic == "scaled_sum":
+            cs = sorted((cards.est(s) for s in state), reverse=True)
+            return sum((i + 1) * c for i, c in enumerate(cs[:-1])) + (
+                len(cs) - 1
+            ) * cs[-1]
+        if heuristic == "goo":
+            return goo_complete(state)[0]
+        raise ValueError(f"unknown heuristic {heuristic!r}")
+
+    def finish_with_goo(state, trees):
+        _, merges = goo_complete(state)
+        trees = dict(trees)
+        for x, y in merges:
+            trees[x | y] = (trees[x], trees[y])
+        return trees[frozenset(aliases)]
+
+    start = frozenset(frozenset([a]) for a in aliases)
+    start_trees = {frozenset([a]): a for a in aliases}
+    tick = itertools.count()  # heap tiebreak: FIFO among equal f
+    open_heap = [(weight * h(start), 0.0, next(tick), start, start_trees)]
+    best_g = {start: 0.0}
+    expansions = 0
+
+    while open_heap:
+        f, g, _, state, trees = heapq.heappop(open_heap)
+        if len(state) == 1:
+            return trees[next(iter(state))]
+        if g > best_g.get(state, float("inf")):
+            continue  # stale queue entry superseded by a cheaper path
+        if expansion_budget is not None and expansions >= expansion_budget:
+            return finish_with_goo(state, trees)
+        expansions += 1
+        ordered = sorted(state, key=lambda s: tuple(sorted(s)))
+        succs = []
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                x, y = ordered[i], ordered[j]
+                if not connected(x, y):
+                    continue
+                joined = x | y
+                ng = g + cards.est(joined)
+                ns = frozenset(s for s in state if s != x and s != y) | {joined}
+                nt = dict(trees)
+                nt[joined] = (nt.pop(x), nt.pop(y))
+                succs.append((ng + weight * h(ns), ng, ns, nt))
+        if beam_width:
+            succs = sorted(succs, key=lambda t: t[0])[:beam_width]
+        for fv, ng, ns, nt in succs:
+            if ng < best_g.get(ns, float("inf")):
+                best_g[ns] = ng
+                heapq.heappush(open_heap, (fv, ng, next(tick), ns, nt))
+    return None  # disconnected graph: no goal reachable without a cross product
+
+
+# Preconfigured strategies in the reference's naming
+# (`HeuristicSearchPlanEnumerator.hpp:2158-2169`).
+def hs_astar_plan(aliases, edges, cards):
+    """AStar: zero heuristic → uniform-cost search, provably C_out-optimal
+    (pinned against the exact DPs in tests)."""
+    return hs_plan(aliases, edges, cards, heuristic="zero")
+
+
+def hs_weighted_astar_plan(aliases, edges, cards):
+    """weighted_AStar: f = g + 2·h(sum) — faster goal-directed descent,
+    bounded suboptimality in exchange."""
+    return hs_plan(aliases, edges, cards, heuristic="sum", weight=2.0)
+
+
+def hs_beam_plan(aliases, edges, cards):
+    """beam_search: keep the 2 best successors per expansion under the
+    GOO heuristic — near-linear states at the cost of optimality."""
+    return hs_plan(aliases, edges, cards, heuristic="goo", beam_width=2)
+
+
+def hs_anytime_plan(aliases, edges, cards, budget: int = 1_000):
+    """anytimeAStar: full A* under the GOO heuristic until the expansion
+    budget, then greedy completion of the best open state — optimal when
+    the budget suffices, never worse than bounded-effort greedy."""
+    return hs_plan(
+        aliases, edges, cards, heuristic="goo", expansion_budget=budget
+    )
+
+
 @dataclass
 class JoinPlanner:
     """Join-order + broadcast decisions for the dialect compiler.
@@ -598,6 +757,13 @@ class JoinPlanner:
             "dpsub": dpsub_plan,
             "tdbasic": tdbasic_plan,
             "ikkbz": ikkbz_plan,
+            # heuristic-search family (SIGMOD'23): hs-astar is exact
+            # (admissible zero heuristic); the rest trade optimality for
+            # bounded search effort
+            "hs-astar": hs_astar_plan,
+            "hs-weighted": hs_weighted_astar_plan,
+            "hs-beam": hs_beam_plan,
+            "hs-anytime": hs_anytime_plan,
         }
         if (
             self.enumerator in exact

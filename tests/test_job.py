@@ -551,3 +551,17 @@ def test_job_plan_shape(job_env, query):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize("query", _cases())
+def test_job_heuristic_search_plans(job_env, query):
+    """The SIGMOD'23 heuristic-search enumerator over the same JOB join
+    graphs: anytime A* (GOO heuristic, bounded expansions —
+    `plans/planner.py::hs_anytime_plan`) must produce cross-product-free
+    plans on every expressible case, like the exact DPs."""
+    tables, duck, planner = job_env
+    hs = JoinPlanner(planner.cards, broadcast_rows=1_000, enumerator="hs-anytime")
+    df = compile_select(parse(query), tables, planner=hs)
+    p = explain(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
