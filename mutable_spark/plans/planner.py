@@ -533,6 +533,328 @@ def dpccp_plan(
     return best[full][1]
 
 
+def peall_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """PEall (reference `src/IR/PlanEnumerator.cpp:33`): exhaustive DP over
+    ALL partitions INCLUDING Cartesian products — every mask in integer
+    order, split into every (S1, complement) pair, symmetric halves pruned
+    by the reference's highest-bit break condition (S1 never contains S's
+    top relation). The only enumerator whose space admits cross products,
+    so it alone finds plans like a tiny-dim × tiny-dim pre-join; it never
+    returns None on a disconnected graph. Honest results require the
+    estimator to price disconnected sets as products (inject subset
+    cardinalities); O(3^n)."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    for S in range(3, full + 1):
+        if S.bit_count() < 2:
+            continue
+        hi = 1 << (S.bit_length() - 1)
+        sub = (S - 1) & S
+        while sub:
+            if not (sub & hi):  # commutativity: complement keeps the top bit
+                _combine(best, sub, S & ~sub, g, cards)
+            sub = (sub - 1) & S
+    return best[full][1]
+
+
+def dpsizeopt_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """DPsizeOpt (reference `src/IR/PlanEnumerator.cpp:110`): DPsize with
+    the symmetric-subproblem optimizations — sizes only up to s/2 and, for
+    equal halves, only subset pairs in ascending order (commutativity
+    supplies the mirror). Same optimum as DPsize/DPccp; ~half the pair
+    visits."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+
+    def sized(k: int):
+        s = (1 << k) - 1
+        while s <= full:
+            yield s
+            c = s & -s
+            r = s + c
+            s = (((r ^ s) >> 2) // c) | r
+            if c == 0:
+                break
+
+    for s in range(2, n + 1):
+        for s1 in range(1, s // 2 + 1):
+            s2 = s - s1
+            for S1 in sized(s1):
+                if S1 not in best:
+                    continue
+                for S2 in sized(s2):
+                    if s1 == s2 and S2 <= S1:
+                        continue  # enumerate only subsets following S1
+                    if S2 not in best or (S1 & S2):
+                        continue
+                    if not g.nbr(S1) & S2:
+                        continue
+                    _combine(best, S1, S2, g, cards)
+    return best[full][1]
+
+
+def dpsizesub_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """DPsizeSub (reference `src/IR/PlanEnumerator.cpp:166`): size-driven
+    outer loop like DPsize, but each connected result set S enumerates its
+    own subset/complement pairs (like DPsub) instead of pairing two
+    independent size classes. Same optimum; avoids the disjointness and
+    edge re-checks of DPsize."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+
+    def sized(k: int):
+        s = (1 << k) - 1
+        while s <= full:
+            yield s
+            c = s & -s
+            r = s + c
+            s = (((r ^ s) >> 2) // c) | r
+            if c == 0:
+                break
+
+    for s in range(2, n + 1):
+        for S in sized(s):
+            if not g.connected(S):
+                continue
+            sub = (S - 1) & S
+            while sub:
+                comp = S & ~sub
+                if comp and sub in best and comp in best:
+                    _combine(best, sub, comp, g, cards)
+                sub = (sub - 1) & S
+    return best[full][1]
+
+
+def dpsubopt_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """DPsubOpt (reference `src/IR/PlanEnumerator.cpp:236`): DPsub with
+    the symmetric-pair break condition — S1 never contains S's top
+    relation, the complement does; commutativity supplies the mirror.
+    Same optimum, half the splits."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    for S in range(3, full + 1):
+        if S.bit_count() < 2 or not g.connected(S):
+            continue
+        hi = 1 << (S.bit_length() - 1)
+        sub = (S - 1) & S
+        while sub:
+            if not (sub & hi):
+                comp = S & ~sub
+                if sub in best and comp in best:
+                    _combine(best, sub, comp, g, cards)
+            sub = (sub - 1) & S
+    return best[full][1]
+
+
+def _reachable(g: _BitGraph, start: int, within: int) -> int:
+    """Vertices of ``within`` reachable from ``start`` (`AdjacencyMatrix::
+    reachable`)."""
+    seen = start & within
+    if not seen:
+        return 0
+    while True:
+        grow = seen | (g.nbr(seen) & within)
+        if grow == seen:
+            return seen
+        seen = grow
+
+
+def _mincut_agat_partitions(g: _BitGraph, S: int):
+    """All ccp (C, S∖C) partitions of connected mask ``S``, enumerated with
+    the reference's min-cut advanced generate-and-test
+    (`include/mutable/util/MinCutAGaT.hpp:12`): grow a cut C from S's
+    lowest vertex; emit (C, S−C) when the neighborhood of the
+    newly-added vertices T stays reachable within S−C (the sufficient
+    connectivity test), else remember C as T for the children; branch on
+    C's not-yet-excluded neighborhood with an exclusion set X preventing
+    duplicate cuts."""
+    first = S & -S
+    worklist: list[tuple[int, int, int]] = [(first, 0, first)]
+    while worklist:
+        C, X, T = worklist.pop()
+        N_T = g.nbr(T) & S & ~C
+        if N_T.bit_count() <= 1:
+            is_conn = True
+        else:
+            n0 = N_T & -N_T
+            is_conn = (N_T & ~_reachable(g, n0, S & ~C)) == 0
+        T_tmp = 0
+        if is_conn:
+            yield C, S & ~C
+        else:
+            T_tmp = C
+        if C.bit_count() + 1 >= S.bit_count():
+            continue
+        X_tmp = X
+        N_C = g.nbr(C) & S & ~X_tmp
+        while N_C:
+            v = N_C & -N_C
+            worklist.append((C | v, X_tmp, T_tmp | v))
+            X_tmp |= v
+            N_C &= N_C - 1
+    return
+
+
+def tdmincut_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """TDMinCutAGaT (reference `src/IR/PlanEnumerator.cpp:643`): exact
+    top-down enumeration where each connected set's ccp partitions come
+    from the MinCutAGaT cut enumeration instead of naive
+    generate-and-test. Same optimum as the bottom-up DPs."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    done: set[int] = {1 << i for i in range(n)}
+
+    def plan_gen(S: int) -> None:
+        if S in done:
+            return
+        for C, comp in _mincut_agat_partitions(g, S):
+            plan_gen(C)
+            plan_gen(comp)
+            _combine(best, C, comp, g, cards)
+        done.add(S)
+
+    plan_gen(full)
+    return best[full][1]
+
+
+def tdgoo_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """TDGOO (reference `src/IR/PlanEnumerator.cpp:707`,
+    `PlanEnumerator.hpp:163`): top-down greedy operator ordering — cut
+    each subproblem with the MinCutAGaT partition minimizing
+    est(left) + est(right) (hpp:185) and recurse on both sides. Greedy:
+    exactly n−1 cuts; no optimality guarantee, but each cut keeps the
+    smallest intermediate frontier."""
+    g = _BitGraph(aliases, edges)
+    n = g.n
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+
+    def split(S: int):
+        if S.bit_count() == 1:
+            return aliases[S.bit_length() - 1]
+        best_cut = None
+        for C, comp in _mincut_agat_partitions(g, S):
+            c = cards.est(g.mask_aliases(C)) + cards.est(g.mask_aliases(comp))
+            if best_cut is None or c < best_cut[0]:
+                best_cut = (c, C, comp)
+        _, l, r = best_cut
+        tl, tr = split(l), split(r)
+        el = cards.est(g.mask_aliases(l))
+        er = cards.est(g.mask_aliases(r))
+        return (tl, tr) if el >= er else (tr, tl)
+
+    return split(full)
+
+
+def linearizeddp_plan(
+    aliases: list[str], edges: set[frozenset], cards: Cardinalities
+) -> tuple | str | None:
+    """LinearizedDP (reference `src/IR/PlanEnumerator.cpp:457`): exact DP
+    restricted to subproblems *contiguous in the IKKBZ linearization* —
+    interval DP over the linear order, splitting every connected interval
+    at each midpoint whose halves both have plans. Polynomial — O(n²)
+    intervals × O(n) splits — vs the exponential full DPs; the space
+    contains IKKBZ's own left-deep plan (all prefixes are intervals), so
+    the result is never worse than IKKBZ and often bushy-better."""
+    n = len(aliases)
+    if n == 0:
+        return None
+    if n == 1:
+        return aliases[0]
+    g = _BitGraph(aliases, edges)
+    full = (1 << n) - 1
+    if not g.connected(full):
+        return None
+    order = ikkbz_order(aliases, edges, cards)
+    pos = {a: i for i, a in enumerate(aliases)}
+    pre = [0] * (n + 1)  # pre[i] = mask of order[:i]
+    for i, a in enumerate(order):
+        pre[i + 1] = pre[i] | (1 << pos[a])
+
+    def interval(b: int, e: int) -> int:
+        return pre[e] & ~pre[b]
+
+    best: dict[int, tuple[float, object]] = {
+        1 << i: (0.0, aliases[i]) for i in range(n)
+    }
+    for length in range(2, n + 1):
+        for b in range(0, n - length + 1):
+            e = b + length
+            S = interval(b, e)
+            if not g.connected(S):
+                continue
+            for mid in range(b + 1, e):
+                S1, S2 = interval(b, mid), interval(mid, e)
+                if S1 in best and S2 in best:
+                    _combine(best, S1, S2, g, cards)
+    return best[full][1] if full in best else None
+
+
 def hs_plan(
     aliases: list[str],
     edges: set[frozenset],
@@ -754,9 +1076,16 @@ class JoinPlanner:
         exact = {
             "dpccp": dpccp_plan,
             "dpsize": dpsize_plan,
+            "dpsizeopt": dpsizeopt_plan,
+            "dpsizesub": dpsizesub_plan,
             "dpsub": dpsub_plan,
+            "dpsubopt": dpsubopt_plan,
             "tdbasic": tdbasic_plan,
+            "tdmincut": tdmincut_plan,
+            "tdgoo": tdgoo_plan,
             "ikkbz": ikkbz_plan,
+            "lineardp": linearizeddp_plan,
+            "peall": peall_plan,
             # heuristic-search family (SIGMOD'23): hs-astar is exact
             # (admissible zero heuristic); the rest trade optimality for
             # bounded search effort

@@ -15,12 +15,19 @@ from mutable_spark.plans.planner import (
     JoinPlanner,
     dpccp_plan,
     dpsize_plan,
+    dpsizeopt_plan,
+    dpsizesub_plan,
     dpsub_plan,
+    dpsubopt_plan,
     goo_order,
     ikkbz_order,
     ikkbz_plan,
+    linearizeddp_plan,
+    peall_plan,
     plan_cost,
     tdbasic_plan,
+    tdgoo_plan,
+    tdmincut_plan,
     footer_cardinalities,
 )
 from tests.conftest import SF_DIR
@@ -203,7 +210,16 @@ def test_dpccp_exhaustive_vs_bruteforce():
 
 
 # --- the rest of the reference's enumerator family ------------------------
-_EXACT_DPS = [dpccp_plan, dpsize_plan, dpsub_plan, tdbasic_plan]
+_EXACT_DPS = [
+    dpccp_plan,
+    dpsize_plan,
+    dpsizeopt_plan,
+    dpsizesub_plan,
+    dpsub_plan,
+    dpsubopt_plan,
+    tdbasic_plan,
+    tdmincut_plan,
+]
 
 
 @pytest.mark.parametrize("enum", _EXACT_DPS[1:], ids=lambda f: f.__name__)
@@ -324,7 +340,11 @@ def test_ikkbz_optimal_linear_on_trap_chain():
 
 
 @pytest.mark.parametrize(
-    "enum", ["dpsize", "dpsub", "tdbasic", "ikkbz", "goo"]
+    "enum",
+    [
+        "dpsize", "dpsizeopt", "dpsizesub", "dpsub", "dpsubopt",
+        "tdbasic", "tdmincut", "tdgoo", "ikkbz", "lineardp", "peall", "goo",
+    ],
 )
 def test_planner_results_identical_across_enumerators(spark, tables, enum):
     """Join order is a physical choice: every enumerator must produce the
@@ -343,3 +363,121 @@ def test_footer_cardinalities_are_exact(spark):
     cards = footer_cardinalities(SF_DIR)
     li = load_tables(spark, SF_DIR).lineitem
     assert cards.base["lineitem"] == li.count()
+
+
+# --- the round-5 additions: full 13-enumerator parity ----------------------
+def test_peall_finds_cross_product_plan_dp_cannot():
+    """PEall's space includes Cartesian products (PlanEnumerator.cpp:33):
+    on a star with two tiny dimensions whose cross product is cheaper than
+    any connected intermediate, PEall must beat the cross-product-free
+    DPs. Subset cardinalities are fully injected (including disconnected
+    sets priced as products) so the comparison is honest."""
+    cards = Cardinalities(
+        base={"F": 100_000, "d1": 3, "d2": 4},
+        subsets={
+            frozenset({"F", "d1"}): 50_000,
+            frozenset({"F", "d2"}): 60_000,
+            frozenset({"d1", "d2"}): 12,  # the cross product: 3 × 4
+            frozenset({"F", "d1", "d2"}): 20_000,
+        },
+    )
+    edges = {frozenset({"F", "d1"}), frozenset({"F", "d2"})}
+    aliases = ["F", "d1", "d2"]
+    dp = plan_cost(dpccp_plan(aliases, edges, cards), cards)
+    pe = plan_cost(peall_plan(aliases, edges, cards), cards)
+    assert pe == 12 + 20_000  # (d1 × d2) ⋈ F
+    assert pe < dp  # 70k / 80k for the connected orders
+
+    # and on a disconnected graph PEall still returns a (cross-product)
+    # plan where every other enumerator yields None
+    dis = Cardinalities(
+        base={"a": 10, "b": 20},
+        subsets={frozenset({"a", "b"}): 200},
+    )
+    t = peall_plan(["a", "b"], set(), dis)
+    assert sorted(_flatten(t)) == ["a", "b"]
+
+
+def test_peall_exhaustive_optimum_on_trap_chain_with_full_subsets():
+    """With every disconnected set priced as its true product, PEall's
+    exhaustive space finds (A×D) ⋈ (B⋈C) at 100 + 10 + 10 = 120 — below
+    the cross-product-free optimum of 210, because this fixture's
+    connected intermediates (ABC/BCD = 2000) are deliberately inflated.
+    The exact DPs cannot see this plan by design."""
+    cards = Cardinalities(
+        base=dict(_CHAIN.base),
+        subsets={
+            **_CHAIN.subsets,
+            # disconnected subsets priced as true products (10 × 10 etc.)
+            frozenset("AC"): 100,
+            frozenset("AD"): 100,
+            frozenset("BD"): 100,
+            frozenset("ABD"): 1000,
+            frozenset("ACD"): 1000,
+        },
+    )
+    t = peall_plan(list("ABCD"), _CHAIN_EDGES, cards)
+    assert plan_cost(t, cards) == 120.0
+    assert plan_cost(dpccp_plan(list("ABCD"), _CHAIN_EDGES, cards), cards) == 210.0
+
+
+def test_tdgoo_valid_and_greedy_quality():
+    """TDGOO cuts each set to minimize the two sides' estimated sizes —
+    greedy, so ≥ the DP optimum, but always a valid cross-product-free
+    covering plan."""
+    t = tdgoo_plan(list("ABCD"), _CHAIN_EDGES, _CHAIN)
+    assert sorted(_flatten(t)) == list("ABCD")
+    assert plan_cost(t, _CHAIN) >= 210.0
+    # disconnected → None like the DPs
+    cards = Cardinalities(base={"a": 10, "b": 10, "c": 10})
+    assert tdgoo_plan(["a", "b", "c"], {frozenset("ab")}, cards) is None
+
+
+def test_linearizeddp_between_ikkbz_and_optimum():
+    """LinearizedDP searches all bushy plans over contiguous IKKBZ-order
+    intervals (PlanEnumerator.cpp:457): never worse than IKKBZ's own
+    left-deep plan (a prefix chain of intervals), never better than the
+    unrestricted DP optimum."""
+    aliases = list("ABCD")
+    opt = plan_cost(dpccp_plan(aliases, _CHAIN_EDGES, _CHAIN), _CHAIN)
+    ik = plan_cost(ikkbz_plan(aliases, _CHAIN_EDGES, _CHAIN), _CHAIN)
+    t = linearizeddp_plan(aliases, _CHAIN_EDGES, _CHAIN)
+    assert sorted(_flatten(t)) == aliases
+    lin = plan_cost(t, _CHAIN)
+    assert opt <= lin <= ik, (opt, lin, ik)
+
+
+def test_mincut_agat_enumerates_exactly_the_ccp_partitions():
+    """The MinCutAGaT cut enumeration must yield each unordered connected
+    subgraph / connected complement partition exactly once — pinned
+    against naive generate-and-test on a cycle (rich in ccps)."""
+    from mutable_spark.plans.planner import _BitGraph, _mincut_agat_partitions
+
+    aliases = list("WXYZ")
+    g = _BitGraph(aliases, _CYCLE_EDGES_P)
+    full = (1 << 4) - 1
+    got = sorted(
+        (min(c, s), max(c, s)) for c, s in _mincut_agat_partitions(g, full)
+    )
+    naive = []
+    sub = (full - 1) & full
+    while sub:
+        comp = full & ~sub
+        if (
+            comp
+            and (sub & -sub) < (comp & -comp)
+            and g.connected(sub)
+            and g.connected(comp)
+        ):
+            naive.append((min(sub, comp), max(sub, comp)))
+        sub = (sub - 1) & full
+    assert got == sorted(naive)
+    assert len(got) == len(set(got))  # no duplicates
+
+
+_CYCLE_EDGES_P = {
+    frozenset("WX"),
+    frozenset("XY"),
+    frozenset("YZ"),
+    frozenset("WZ"),
+}
