@@ -76,8 +76,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_approx_sketches",
     "op_set_ops",
     "op_topk_per_group",
-    "op_pivot",
     "op_cube",
+    # MVCC snapshot reads (round-5 gate for versioning.py — the last §1.1
+    # reference surface with no driver row)
+    "op_mvcc_snapshot",
     "op_window_running_sum",
     "op_window_zscore",
     # dialect frontend (TPC-H scripts subsume the demoted shape queries)
@@ -110,6 +112,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
+    "op_pivot",   # grouping-analytics family covered in-sample by op_cube
     "op_filter_disjunctive",
     "op_cross_product",
     "op_group_expr_alias",
@@ -157,5 +160,6 @@ def load_all() -> None:
     import mutable_spark.operators.analytics  # noqa: F401
     import mutable_spark.operators.pipeline  # noqa: F401
     import mutable_spark.plans.index_queries  # noqa: F401
+    import mutable_spark.versioning  # noqa: F401
 
     _reorder_by_priority()

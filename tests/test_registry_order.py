@@ -21,8 +21,8 @@ NEVER_SAMPLED = [
     "op_set_ops",
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
+    "op_mvcc_snapshot",
     "op_topk_per_group",
-    "op_pivot",
     "op_cube",
     "op_window_running_sum",
     "op_window_zscore",
