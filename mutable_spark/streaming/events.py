@@ -100,6 +100,36 @@ def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 h
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of `events_window_sliding`: 1-hour hopping windows
+    every 30 minutes — each event enters exactly two open windows; the
+    watermark bounds how long both stay in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def json_extract_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of `events_json_extract`: the regexp extraction is
+    stateless (map-only), so only the global aggregate needs streaming
+    state — no watermark required for a complete-mode aggregate."""
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+    ).cast("long")
+    return (
+        events.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("sum_value"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
 def run_available_now(df: DataFrame, name: str, mode: str = "complete"):
     """Drive a streaming frame over all currently-available input and
     return the materialized rows (memory sink). `complete` mode emits

@@ -57,3 +57,21 @@ def test_stateful_running_totals(spark):
     for r in got:  # update mode may emit once per batch; keep the last
         got_last[r.user_id] = r.n_events
     assert got_last == {r.user_id: r.n_events for r in want}
+
+
+def test_streaming_sliding_equals_batch(spark):
+    from mutable_spark.streaming.events import sliding_counts
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(sliding_counts(stream), "t_sliding")
+    want = registry.QUERIES["events_window_sliding"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_json_extract_equals_batch(spark):
+    from mutable_spark.streaming.events import json_extract_counts
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(json_extract_counts(stream), "t_json")
+    want = registry.QUERIES["events_json_extract"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
