@@ -187,7 +187,7 @@ class Engine:
             db[stmt.table] = db[stmt.table].unionByName(new)
             return None
         if isinstance(stmt, A.ImportDSVStmt):
-            from mutable_spark.sources.dsv import import_dsv
+            from mutable_spark.sources.dsv import import_dsv, materialize_import
 
             db = self.catalog._db()
             if stmt.table not in db:
@@ -197,6 +197,24 @@ class Engine:
                 schema = db[stmt.table].schema
             imported = import_dsv(self.spark, stmt, schema)
             imported = self._apply_char_limits(stmt.table, imported)
+            # IMPORT-to-store: parse DSV once, serve queries from the
+            # engine's columnar layout — the reference's IMPORT semantics
+            # (`src/mutable.cpp:263-292` copies into the Store).
+            key = repr(
+                (
+                    schema.json(),
+                    stmt.delimiter,
+                    stmt.quote,
+                    stmt.escape,
+                    stmt.has_header,
+                    stmt.skip_header,
+                    stmt.rows,
+                    sorted(
+                        (self.char_limits.get((self.catalog.current, stmt.table)) or {}).items()
+                    ),
+                )
+            )
+            imported = materialize_import(self.spark, imported, stmt.path, key)
             db[stmt.table] = db[stmt.table].unionByName(imported)
             return None
         raise SemaError(f"unsupported statement {type(stmt).__name__}")
