@@ -160,6 +160,27 @@ class InsertStmt(Node):
 
 
 @dataclass
+class UpdateStmt(Node):
+    """UPDATE t SET a = expr {, a = expr} [WHERE cond] — grammar
+    update-statement (`doc/syntax-grammar.md:105,163`; AST.hpp:985). The
+    reference parses this but its sema/execution are `M_unreachable`
+    (`Sema.cpp:1884`, `DatabaseCommand.cpp:189-191`); here it executes
+    copy-on-write (additive)."""
+    table: str
+    assignments: list[tuple[str, Node]]
+    where: Node | None = None
+
+
+@dataclass
+class DeleteStmt(Node):
+    """DELETE FROM t [WHERE cond] — grammar delete-statement
+    (`doc/syntax-grammar.md:110`; AST.hpp:1004); reference execution
+    unreachable, completed here copy-on-write (additive)."""
+    table: str
+    where: Node | None = None
+
+
+@dataclass
 class ImportDSVStmt(Node):
     """IMPORT INTO t DSV "file" [ROWS n] [DELIMITER c] [ESCAPE c] [QUOTE c]
     [HAS HEADER] [SKIP HEADER] — grammar import-statement; reader config

@@ -217,7 +217,135 @@ class Engine:
             imported = materialize_import(self.spark, imported, stmt.path, key)
             db[stmt.table] = db[stmt.table].unionByName(imported)
             return None
+        if isinstance(stmt, A.UpdateStmt):
+            return self._execute_update(stmt)
+        if isinstance(stmt, A.DeleteStmt):
+            return self._execute_delete(stmt)
         raise SemaError(f"unsupported statement {type(stmt).__name__}")
+
+    # -- UPDATE / DELETE ---------------------------------------------------
+    # The reference parses both (grammar update/delete-statement) but sema
+    # and execution are `M_unreachable` (`Sema.cpp:1884,1892`,
+    # `DatabaseCommand.cpp:189-196`). Completed here (additive):
+    # copy-on-write over the catalog's immutable DataFrames — the same
+    # model `versioning.MultiVersioningTable` uses with history retained.
+    _AGG_FNS = frozenset({"COUNT", "SUM", "AVG", "MIN", "MAX"})
+
+    def _reject_aggregates(self, node, ctx: str) -> None:
+        """Vectorial context: aggregates are meaningless row-wise
+        (`Sema.cpp` scalar/vector sanction)."""
+        if isinstance(node, A.FnApplication) and node.name.upper() in self._AGG_FNS:
+            raise SemaError(f"aggregate function not allowed in {ctx}")
+        for f in getattr(node, "__dataclass_fields__", {}):
+            v = getattr(node, f)
+            for x in v if isinstance(v, list) else [v]:
+                if isinstance(x, A.Node) and not isinstance(x, A.SelectStmt):
+                    self._reject_aggregates(x, ctx)
+
+    def _compile_row_exprs(self, table: str, exprs: list[tuple[str, A.Node]]) -> DataFrame:
+        """Compile expressions row-wise against ``table`` by routing them
+        through the SELECT compiler (full sema: name resolution, typing,
+        subqueries) with every original column carried alongside."""
+        db = self.catalog._db()
+        df = db[table]
+        sel = A.SelectStmt()
+        sel.items = [
+            A.SelectItem(expr=A.Designator(None, c), alias=c) for c in df.columns
+        ] + [A.SelectItem(expr=e, alias=alias) for alias, e in exprs]
+        sel.from_ = [A.TableRef(name=table, subquery=None, alias=None)]
+        return Compiler(db, self.planner).compile_select(sel)
+
+    @staticmethod
+    def _type_category(dt: T.DataType) -> str:
+        if isinstance(
+            dt,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            ),
+        ):
+            return "numeric"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return "datetime"
+        return "other"
+
+    def _execute_delete(self, stmt: A.DeleteStmt) -> None:
+        import pyspark.sql.functions as F
+
+        db = self.catalog._db()
+        if stmt.table not in db:
+            raise SemaError(f"table {stmt.table!r} does not exist")
+        if stmt.where is None:
+            db[stmt.table] = db[stmt.table].limit(0)
+            return None
+        self._reject_aggregates(stmt.where, "WHERE clause")
+        out = self._compile_row_exprs(stmt.table, [("__pred", stmt.where)])
+        if not isinstance(out.schema["__pred"].dataType, T.BooleanType):
+            raise SemaError("WHERE clause must be of type BOOL")
+        # DELETE removes rows where the predicate is TRUE; NULL keeps
+        db[stmt.table] = out.filter(
+            ~F.coalesce(F.col("__pred"), F.lit(False))
+        ).drop("__pred")
+        return None
+
+    def _execute_update(self, stmt: A.UpdateStmt) -> None:
+        import pyspark.sql.functions as F
+
+        db = self.catalog._db()
+        if stmt.table not in db:
+            raise SemaError(f"table {stmt.table!r} does not exist")
+        df = db[stmt.table]
+        types = {f.name: f.dataType for f in df.schema.fields}
+        seen: set[str] = set()
+        for name, e in stmt.assignments:
+            if name not in types:
+                raise SemaError(
+                    f"attribute {name!r} not found in table {stmt.table!r}"
+                )
+            if name in seen:
+                raise SemaError(f"duplicate assignment to attribute {name!r}")
+            seen.add(name)
+            self._reject_aggregates(e, "UPDATE assignment")
+        if stmt.where is not None:
+            self._reject_aggregates(stmt.where, "WHERE clause")
+
+        exprs = [(f"__set__{n}", e) for n, e in stmt.assignments]
+        if stmt.where is not None:
+            exprs.append(("__pred", stmt.where))
+        out = self._compile_row_exprs(stmt.table, exprs)
+        out_types = {f.name: f.dataType for f in out.schema.fields}
+        if stmt.where is not None:
+            if not isinstance(out_types["__pred"], T.BooleanType):
+                raise SemaError("WHERE clause must be of type BOOL")
+            pred = F.coalesce(F.col("__pred"), F.lit(False))
+        else:
+            pred = F.lit(True)
+        for name, _ in stmt.assignments:
+            src = out_types[f"__set__{name}"]
+            if isinstance(src, T.NullType):
+                continue  # NULL is assignable to any attribute
+            if self._type_category(src) != self._type_category(types[name]):
+                raise SemaError(
+                    f"cannot assign value of type {src.simpleString()} to "
+                    f"attribute {name!r} of type {types[name].simpleString()}"
+                )
+        assigned = {n for n, _ in stmt.assignments}
+        limits = self.char_limits.get((self.catalog.current, stmt.table)) or {}
+        new_cols = []
+        for c in df.columns:
+            if c in assigned:
+                v = F.col(f"__set__{c}").cast(types[c])
+                if c in limits:  # CHAR(n)/VARCHAR(n) truncation at write
+                    v = F.substring(v, 1, limits[c])
+                new_cols.append(F.when(pred, v).otherwise(F.col(c)).alias(c))
+            else:
+                new_cols.append(F.col(c))
+        db[stmt.table] = out.select(*new_cols)
+        return None
 
     # -- DDL sema + execution (`Sema.cpp:1431-1788` Drop*/CreateIndex) ----
     def _sema_create_table(self, stmt: A.CreateTableStmt) -> None:

@@ -116,10 +116,10 @@ class Parser:
             stmt = self.parse_insert()
         elif t.text == "IMPORT":
             stmt = self.parse_import()
-        elif t.text in ("UPDATE", "DELETE"):
-            # parsed-but-unimplemented, exactly like the reference
-            # (`src/catalog/DatabaseCommand.cpp:189-196`)
-            raise ParseError(f"{t.text} statements are not yet implemented")
+        elif t.text == "UPDATE":
+            stmt = self.parse_update()
+        elif t.text == "DELETE":
+            stmt = self.parse_delete()
         else:
             raise ParseError(f"unsupported statement {t.text}")
         self.accept("OP", ";")
@@ -353,6 +353,32 @@ class Parser:
             if not self.accept("OP", ","):
                 break
         return A.InsertStmt(table, rows)
+
+    def parse_update(self) -> A.UpdateStmt:
+        """update-statement ::= 'UPDATE' IDENTIFIER 'SET' IDENTIFIER '='
+        expression { ',' ... } [ where-clause ]
+        (`doc/syntax-grammar.md:105,163`)."""
+        self.expect_kw("UPDATE")
+        table = self.expect("IDENT").text
+        self.expect_kw("SET")
+        assignments: list[tuple[str, A.Node]] = []
+        while True:
+            name = self.expect("IDENT").text
+            self.expect("OP", "=")
+            assignments.append((name, self.parse_expr()))
+            if not self.accept("OP", ","):
+                break
+        where = self.parse_expr() if self.accept_kw("WHERE") else None
+        return A.UpdateStmt(table, assignments, where)
+
+    def parse_delete(self) -> A.DeleteStmt:
+        """delete-statement ::= 'DELETE' 'FROM' IDENTIFIER [ where-clause ]
+        (`doc/syntax-grammar.md:110`)."""
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        table = self.expect("IDENT").text
+        where = self.parse_expr() if self.accept_kw("WHERE") else None
+        return A.DeleteStmt(table, where)
 
     def parse_import(self) -> A.ImportDSVStmt:
         self.expect_kw("IMPORT")

@@ -252,11 +252,17 @@ def test_sema_negative_extended(tables, sql, fragment):
     assert fragment.lower() in str(exc.value).lower()
 
 
-def test_update_delete_rejected_like_reference():
-    # parsed-but-unimplemented (`src/catalog/DatabaseCommand.cpp:189-196`)
-    for sql in ("UPDATE r SET x = 1", "DELETE FROM r"):
-        with pytest.raises(ParseError, match="not yet implemented"):
-            parse(sql)
+def test_update_delete_parse_to_ast():
+    # the reference parses both but leaves execution unreachable
+    # (`DatabaseCommand.cpp:189-196`); we parse AND execute (additive,
+    # `tests/test_update_delete.py`) — here just pin the AST shapes
+    from mutable_spark.dialect import ast_nodes as A
+
+    u = parse("UPDATE r SET x = 1, y = x + 1 WHERE x < 3")
+    assert isinstance(u, A.UpdateStmt)
+    assert [n for n, _ in u.assignments] == ["x", "y"] and u.where is not None
+    d = parse("DELETE FROM r")
+    assert isinstance(d, A.DeleteStmt) and d.where is None
 
 
 # --- round-2 advice fixes -------------------------------------------------
