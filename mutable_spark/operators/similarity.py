@@ -109,14 +109,23 @@ _rng = np.random.default_rng(7)
 _PLANES = _rng.standard_normal((_N_PLANES, _DIM)).tolist()
 
 
+#: 2^40 — exact scale (a power of two only shifts the exponent, so
+#: product*SCALE never rounds); |x|<1, |w|<6 ⇒ scaled terms < 2^43 and the
+#: 64-term sum < 2^49, comfortably inside long range.
+_DOT_SCALE = float(1 << 40)
+
+
 def _sql_plane_dot(p: int) -> str:
-    """DuckDB twin of the Spark-side plane-p dot fold (left-to-right over
-    1-based indexes, DOUBLE throughout — bit-identical)."""
+    """DuckDB twin of the Spark-side plane-p dot: per-dim IEEE double
+    product (identical single multiply on both engines), exactly scaled by
+    2^40, floored to BIGINT, then summed. Integer addition is associative,
+    so the sum is bit-identical regardless of either engine's accumulation
+    order — no fold-order or aggregate-spill caveat."""
     w = "[" + ", ".join(repr(x) for x in _PLANES[p]) + "]"
     return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {_DIM}+1), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * ({w})[i])), (acc, x) -> acc + x)"
+        f"list_sum(list_transform(range(1, {_DIM}+1), "
+        f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ({w})[i] "
+        f"* {_DOT_SCALE!r}) AS BIGINT)))"
     )
 
 
@@ -124,7 +133,7 @@ def _sql_ann_sig() -> str:
     """(vec_id, label, embedding, chunks[4]) with chunk c packing the sign
     bits of planes 4c..4c+3 as sum(b_i * 2^i)."""
     bits = [
-        f"(CASE WHEN {_sql_plane_dot(p)} > 0.0 THEN 1 ELSE 0 END)"
+        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1 ELSE 0 END)"
         for p in range(_N_PLANES)
     ]
     chunks = [
@@ -175,19 +184,17 @@ def sim_ann_lsh(spark, sf_dir):
     aggregate). A weights *table* is also how a real system ships its
     quantizer to 1000 executors: broadcast data, not code.
 
-    Despite floating SUM, the dots are bit-identical to the DuckDB
-    oracle's left-to-right `list_reduce`: one vector's posexploded dims
-    stay adjacent inside one task (explode never splits a row's output
-    across partitions), the broadcast join preserves stream-side order,
-    and hash-aggregate partials accumulate in input order — so each
-    (vec, plane) sum adds products in dim order 0..63, exactly the
-    oracle's fold. This makes the approximate operator fully
-    oracle-checkable (candidates, and hence the re-ranked top-10, match
-    exactly). Caveat, documented deliberately: if the hash aggregate ever
-    spills to sort-based aggregation the intra-group order guarantee
-    weakens — at driver scale factors it never does, and at 100 TB the
-    *semantics* (sign of a dot product) are unaffected, only last-ulp
-    reproducibility."""
+    The sign-bit dots are computed as exact integer sums: each per-dim
+    product (one IEEE double multiply, identical on both engines) is
+    scaled by 2^40 — a power of two, so the scaling never rounds — then
+    floored to a long and SUMmed. Integer addition is associative, so the
+    per-(vec, plane) sum is bit-identical to the DuckDB oracle no matter
+    how the hash aggregate partitions, partial-aggregates, or spills to
+    sort-based fallback (a test pins this by forcing
+    `spark.sql.TungstenAggregate.testFallbackStartsAt`). The <2^-39
+    quantization of the threshold is symmetric on both sides, so the
+    candidate sets — and hence the exactly re-ranked top-10 — match the
+    oracle unconditionally."""
     e = load_tables(spark, sf_dir).embeddings
     planes = spark.createDataFrame(
         [
@@ -204,13 +211,16 @@ def sim_ann_lsh(spark, sf_dir):
     # codegen'd, order-independent (exact), and the signature frame stays
     # (vec_id, 4 ints) — embeddings are only joined in for the few
     # candidate rows that survive the chunk match.
-    bit = (F.col("dot") > 0.0).cast("int")
+    bit = (F.col("dot") > 0).cast("int")
     chunk_weight = F.expr("shiftleft(1, plane % 4)")
+    scaled_term = F.floor(
+        F.col("x").cast("double") * F.col("w") * F.lit(_DOT_SCALE)
+    ).cast("long")
     sig = (
         e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
         .join(F.broadcast(planes), "dim")
         .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        .agg(F.sum(scaled_term).alias("dot"))
         .groupBy("vec_id")
         .agg(
             *[

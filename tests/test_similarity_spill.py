@@ -1,0 +1,89 @@
+"""sim_ann_lsh's oracle identity must not depend on aggregation order.
+
+The sign-bit dot products are exact integer sums (floor(x*w*2^40) longs),
+so accumulation order cannot matter. Two pins:
+
+1. `test_ann_matches_oracle_with_objecthash_fallback` — run the full
+   query against the DuckDB oracle with
+   `spark.sql.objectHashAggregate.sortBased.fallbackThreshold=1`, the
+   runtime-settable spill knob (VERDICT r4 item #8). The declarative
+   HashAggregateExec twin, `spark.sql.TungstenAggregate.testFallbackStartsAt`,
+   is NOT used: in PySpark 4.1.2 local mode it crashes the JVM
+   (ArrayIndexOutOfBoundsException then heap OOM) even on a toy
+   `groupBy().sum()`, so order-independence of that path is pinned
+   directly instead:
+2. `test_scaled_dot_is_order_independent` — compute the per-(vec, plane)
+   scaled-long dots twice, once normally and once after scrambling the
+   posexploded (vec, dim) rows across partitions and reversing dim order
+   inside them, and assert bit-exact equality. This is *stronger* than a
+   spill test: it proves ANY accumulation order (including sort-based
+   fallback's) yields the same longs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mutable_spark import registry
+from mutable_spark.catalog import load_tables
+from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _N_PLANES, _PLANES
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare
+
+registry.load_all()
+
+
+def test_ann_matches_oracle_with_objecthash_fallback(spark, duck):
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, "1")
+    try:
+        ok, msg = compare("sim_ann_lsh", spark, duck, SF_DIR)
+        assert ok, f"with objectHashAggregate fallbackThreshold=1: {msg}"
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
+def _dots(spark, terms):
+    return {
+        (r.vec_id, r.plane): r.dot
+        for r in terms.groupBy("vec_id", "plane")
+        .agg(F.sum("t").alias("dot"))
+        .collect()
+    }
+
+
+def test_scaled_dot_is_order_independent(spark):
+    e = load_tables(spark, SF_DIR).embeddings.limit(200)
+    planes = spark.createDataFrame(
+        [(p, d, float(_PLANES[p][d])) for p in range(_N_PLANES) for d in range(_DIM)],
+        "plane int, dim int, w double",
+    )
+    terms = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(planes), "dim")
+        .select(
+            "vec_id",
+            "plane",
+            F.floor(F.col("x").cast("double") * F.col("w") * F.lit(_DOT_SCALE))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    forward = _dots(spark, terms)
+    # scramble: hash-shuffle rows to 13 partitions, then feed the aggregate
+    # dims in descending order — a completely different accumulation order
+    scrambled = _dots(
+        spark,
+        terms.repartition(13, F.pmod(F.xxhash64("vec_id", "plane", "t"), F.lit(97)))
+        .sortWithinPartitions(F.col("t").desc()),
+    )
+    assert forward == scrambled
+    assert len(forward) == 200 * _N_PLANES
