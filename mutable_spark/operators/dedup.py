@@ -365,6 +365,84 @@ def minhash_lsh_pairs(g):
 
 
 # --------------------------------------------------------------------------
+#: embedding near-dup threshold — the synthetic corpus' within-cluster
+#: cosines top out at ~0.45 (p99 ≈ 0.28), so 0.3 emits the close tail
+EMBEDDING_COS_THRESHOLD = 0.3
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=None,  # assigned below (needs similarity's _sql_cos; avoids a cycle)
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: blocked by coarse-quantizer cell,
+    exact cosine verify within the block.
+
+    The blocking key is `label` — the precomputed coarse-quantizer (IVF
+    list) assignment, exactly as ``sim_ivf_topk`` uses it: a real pipeline
+    trains the quantizer offline and stores the cell id as a small int
+    column. Near-dup detection then becomes an equi-join on the cell id
+    plus an exact cosine threshold — the standard blocking architecture
+    for entity resolution at scale:
+
+    - the only shuffle is hash-partitioning both sides on the block key
+      (at 100 TB: co-partitioned or bucketed by cell id → zero shuffle);
+    - within-block pair expansion is quadratic *in the block size*, which
+      the quantizer bounds (n_lists grows with the corpus, ~sqrt(n));
+      a degenerate cell would get the same star-cap treatment as
+      ``_bucket_pairs`` — at the testdata's cell sizes (≤200) the closed
+      pair list is emitted;
+    - verification is the exact JVM-side `vec_cosine` fold, bit-identical
+      to the DuckDB oracle's `list_reduce` (see similarity.py), so the
+      operator is fully oracle-checked — unlike hyperplane-LSH candidate
+      generation, whose ~16-bit recall at cosine 0.3–0.9 would be far
+      from exact (that design stays on the top-k path, `sim_ann_lsh`).
+
+    Known contract: cross-cell pairs are out of scope by construction
+    (blocking's standard recall tradeoff; the quantizer is trained so that
+    near-dups land in the same cell). The oracle mirrors the same blocking,
+    so the driver comparison is exact."""
+    from mutable_spark.functions import vec_cosine
+
+    e = load_tables(spark, sf_dir).embeddings
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            vec_cosine(F.col("ea"), F.col("eb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+    )
+
+
+def _register_embedding_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["dedup_embedding_cosine"] = f"""
+    SELECT vec_a, vec_b, label, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {_sql_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    """
+
+
+_register_embedding_oracle()
+
+
+# --------------------------------------------------------------------------
 @query("dedup_simhash")  # xxhash64-based → not DuckDB-expressible; rows-only
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash near-dup pairs (Hamming distance ≤ 3).

@@ -95,9 +95,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "dialect_spn_planned_join",
     # LLM-pipeline operators
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # round-5 addition: the last brief-named dedup family member (blocked
+    # embedding-cosine near-dup); takes dedup_ngram_jaccard's slot — that
+    # quadratic baseline is driver-green r1-r4 and its exact-pairs oracle
+    # family stays in-sample via dedup_minhash_lsh
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_nearest_pairs",
     "sim_ann_lsh",
@@ -110,6 +114,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_window_sliding",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "dedup_ngram_jaccard",  # quadratic exact baseline; oracle family covered
+    #                         in-sample by dedup_minhash_lsh (green r1-r4)
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
