@@ -39,6 +39,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # split per core — for ~25 MB inputs.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+    # Whole-stage codegen caps out at 100 fields by default, which silently
+    # drops the MinHash signature build (128 min-aggregates) and other wide
+    # sketch aggregates to interpreted evaluation — measured 3x slower at
+    # sf0.1. 250 keeps every registered operator inside codegen; Spark still
+    # splits the generated code into sub-8KB JIT-able methods.
+    "spark.sql.codegen.maxFields": "250",
 }
 
 
