@@ -365,6 +365,86 @@ def minhash_lsh_pairs(g):
 
 
 # --------------------------------------------------------------------------
+_SQL_CLASSES = rf"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_SQL_PAIRS_HASHED})
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS class_rep FROM reach GROUP BY n
+"""
+
+
+@query("dedup_duplicate_classes", oracle=_SQL_CLASSES)
+def dedup_duplicate_classes(spark, sf_dir):
+    """Duplicate *classes* from the verified near-dup pairs: connected
+    components with the class representative = the component's minimum
+    doc_id. This is the consumer the LSH star-cap contract is written for
+    (see ``_bucket_pairs``): above the cap the emitted pairs are a
+    spanning set per class, and components recover the full class exactly.
+
+    Algorithm: distributed min-label propagation —
+    ``rep(v) <- min(rep(v), min over neighbors rep(u))`` iterated to
+    fixpoint. Each round is one equi-join + one groupBy (both on doc ids,
+    partial-aggregated map-side); the driver loop carries only a
+    convergence count, never data. Rounds needed = graph diameter, and
+    LSH duplicate classes are star/clique shaped (every member shares a
+    bucket with the seed, or is linked through the bucket minimum by the
+    star cap), so the diameter is ~2 — propagation converges in 2-3
+    rounds regardless of corpus size. For general graphs with long
+    chains the production refinement is large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which this
+    formulation extends to directly. Lineage is truncated per round with
+    ``localCheckpoint`` so the plan does not grow with the iteration
+    count.
+
+    The unique fixpoint (min id reachable from each node) is engine
+    independent, so the DuckDB oracle computes the same classes with a
+    recursive CTE over the identical exact-verified pair list."""
+    g = _hashed_shingle_df(load_tables(spark, sf_dir).documents).cache()
+    pairs = (
+        minhash_lsh_pairs(g).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("class_rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(32):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("class_rep").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("class_rep"), F.col("nmin")).alias("class_rep"),
+                (F.col("nmin") < F.col("class_rep")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", "class_rep")
+        if changed == 0:
+            return labels
+    raise RuntimeError("label propagation did not converge in 32 rounds")
+
+
+# --------------------------------------------------------------------------
 #: embedding near-dup threshold — the synthetic corpus' within-cluster
 #: cosines top out at ~0.45 (p99 ≈ 0.28), so 0.3 emits the close tail
 EMBEDDING_COS_THRESHOLD = 0.3

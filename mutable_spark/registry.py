@@ -102,8 +102,12 @@ _SAMPLE_PRIORITY: list[str] = [
     # quadratic baseline is driver-green r1-r4 and its exact-pairs oracle
     # family stays in-sample via dedup_minhash_lsh
     "dedup_embedding_cosine",
+    # round-5 addition: connected components over the verified near-dup
+    # pairs (the star-cap contract's consumer); takes sim_nearest_pairs'
+    # slot — that quadratic baseline is driver-green r1-r4 and its family
+    # stays in-sample via sim_cosine_topk + sim_ann_lsh
+    "dedup_duplicate_classes",
     "sim_cosine_topk",
-    "sim_nearest_pairs",
     "sim_ann_lsh",
     "sim_ivf_topk",
     "multimodal_extract",
@@ -116,6 +120,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "dedup_ngram_jaccard",  # quadratic exact baseline; oracle family covered
     #                         in-sample by dedup_minhash_lsh (green r1-r4)
+    "sim_nearest_pairs",  # quadratic exact baseline; family covered
+    #                       in-sample by sim_cosine_topk + sim_ann_lsh
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
