@@ -56,6 +56,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Keys absent here (LSH/SimHash candidate generation, stubbed decode)
-    are genuinely non-SQL-expressible → rows-only check."""
+    Keys absent here (HLL/KLL sketch internals, the stubbed multimodal
+    codec) are genuinely non-SQL-expressible → rows-only check."""
     return dict(registry.ORACLES)

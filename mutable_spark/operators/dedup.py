@@ -15,16 +15,25 @@ Four tiers, trading exactness for scalability:
                            band buckets, candidate verify. Linear-ish.
 - ``dedup_simhash``        64-bit SimHash (as 4×16-bit chunks to stay clear
                            of ANSI-mode long overflow), pigeonhole banding
-                           on chunks, Hamming-distance verify.
+                           on chunks, Hamming-distance verify. Fully
+                           oracle-checked: pigeonhole candidates are exact
+                           (a theorem, not a probability) and the portable
+                           md5-halves hash is computed identically by both
+                           engines.
+- ``dedup_embedding_cosine``  near-dup pairs over the embeddings table,
+                           blocked by the coarse-quantizer cell, exact
+                           cosine verify.
+- ``dedup_duplicate_classes`` connected components over the verified pairs
+                           (min-label propagation) — the star-cap
+                           contract's consumer.
 
-MinHash/SimHash signatures use Spark's JVM-side xxhash64 — deliberately:
-it's the fast, distributed-friendly choice. DuckDB has no xxhash64, so
-``dedup_simhash`` carries no SQL oracle (rows-only check). For
-``dedup_minhash_lsh`` the *output* is exact (candidates are verified with
-the true Jaccard before emission), so it shares the exact pairwise oracle:
-with 32 bands × 4 rows, a true pair at the data's minimum observed Jaccard
-(0.9) is missed with probability (1-0.9⁴)³² ≈ 1.5e-15 — deterministic for
-all practical purposes, and verified against the exact oracle in tests.
+All hashing is portable md5-derived arithmetic mirrored exactly by the
+DuckDB oracles (a 100 TB deployment would swap in xxhash64 for ingest
+throughput, changing nothing structural). For ``dedup_minhash_lsh`` the
+*output* is exact (candidates are verified with the true Jaccard before
+emission) so it shares the exact pairwise oracle; only recall is
+probabilistic — a true pair at the emission threshold s=0.5 is missed
+with probability (1-0.5²)⁶⁴ ≈ 1e-8 with 64 bands × 2 rows.
 """
 
 from __future__ import annotations
@@ -523,7 +532,61 @@ _register_embedding_oracle()
 
 
 # --------------------------------------------------------------------------
-@query("dedup_simhash")  # xxhash64-based → not DuckDB-expressible; rows-only
+# Portable 64-bit shingle hash for SimHash: two 32-bit halves parsed from
+# the md5 hex — a builtin with identical output in BOTH engines (the same
+# trick as `_token_hash`; one conv stays < 2^32 so ANSI long arithmetic
+# never overflows). Bit b of the signature comes from half b//32, bit b%32.
+_SQL_SIMHASH_SHINGLES = r"""
+    SELECT doc_id,
+           list_transform(range(1, len(t)-1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+"""
+
+
+def _sql_simhash_sig() -> str:
+    """(doc_id, chunks[4]) — DuckDB twin of the Spark-side signature:
+    integer ±1 votes per bit (order-independent sums), chunk c packing
+    sign bits 16c..16c+15."""
+    def bit(b: int) -> str:
+        half = f"('0x' || substr(md5(s), {1 + 8 * (b // 32)}, 8))::BIGINT"
+        return f"(({half} >> {b % 32}) & 1)"
+
+    votes = [
+        f"list_sum(list_transform(sh, s -> {bit(b)} * 2 - 1))" for b in range(64)
+    ]
+    chunks = [
+        "CAST(" + " + ".join(
+            f"(CASE WHEN {votes[16 * c + i]} > 0 THEN 1 ELSE 0 END) * {1 << i}"
+            for i in range(16)
+        ) + " AS BIGINT)"
+        for c in range(4)
+    ]
+    return (
+        f"SELECT doc_id, [" + ", ".join(chunks) + "] AS chunks "
+        f"FROM ({_SQL_SIMHASH_SHINGLES})"
+    )
+
+
+_SQL_SIMHASH = f"""
+    WITH sig AS ({_sql_simhash_sig()})
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.chunks[1], b.chunks[1]))
+                  + bit_count(xor(a.chunks[2], b.chunks[2]))
+                  + bit_count(xor(a.chunks[3], b.chunks[3]))
+                  + bit_count(xor(a.chunks[4], b.chunks[4])) AS INTEGER) AS hamming
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id
+          AND (a.chunks[1] = b.chunks[1] OR a.chunks[2] = b.chunks[2]
+            OR a.chunks[3] = b.chunks[3] OR a.chunks[4] = b.chunks[4])
+    ) WHERE hamming <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SQL_SIMHASH)
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash near-dup pairs (Hamming distance ≤ 3).
 
@@ -531,8 +594,17 @@ def dedup_simhash(spark, sf_dir):
     64-bit integer — same information, no sign/overflow hazards under
     Spark's ANSI mode. Candidate generation is the pigeonhole band trick:
     two signatures within Hamming distance 3 must agree on at least one of
-    the 4 chunks, so an equi-join per chunk finds all of them — no O(n²).
+    the 4 chunks, so an equi-join per chunk finds all of them — no O(n²),
+    and (unlike MinHash banding) *exactly*: pigeonhole is a theorem, not a
+    probability, so the operator carries a full DuckDB oracle.
     Explode→groupBy keeps the bit-vote aggregation in one shuffle.
+
+    The shingle hash is the portable md5-halves hash (two 32-bit ints
+    parsed from the hex — same construction as `_token_hash`), computed
+    identically by both engines; a 100 TB deployment would swap in
+    xxhash64 for ingest throughput at the cost of the oracle, changing
+    nothing structural. Bit-votes are ±1 integer sums — associative, so
+    no aggregation-order caveat anywhere.
 
     Votes come from word-3-gram *shingles*, not unigram tokens: with a
     small shared vocabulary unigram sets saturate (every doc contains most
@@ -545,13 +617,22 @@ def dedup_simhash(spark, sf_dir):
     dedup_minhash_lsh docstring for the measurement). Duplicate shingles
     vote with their frequency (the standard weighted SimHash)."""
     g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
-    th = g.select("doc_id", F.explode("sh").alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+    ex = g.select("doc_id", F.explode("sh").alias("tok"))
+    th = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h1"),
     )
     votes = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+                (
+                    F.shiftrightunsigned(F.col(f"h{b // 32}"), b % 32).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                )
             ).alias(f"b{b}")
             for b in range(64)
         ]

@@ -270,7 +270,38 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
-@query("sim_ivf_topk")  # approximate (probe subset of lists) → rows-only
+_SQL_IVF = f"""
+    WITH q AS (SELECT embedding AS qv, vec_id AS qid FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    csum AS (
+        SELECT label, d,
+               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+                   AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM embeddings, range(1, {_DIM} + 1) t(d)
+        GROUP BY label, d
+    ),
+    cvec AS (
+        SELECT label,
+               list(CAST(s AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
+                   AS centroid
+        FROM csum GROUP BY label
+    ),
+    probe AS (
+        SELECT label FROM cvec, q
+        ORDER BY {_sql_cos('centroid', 'qv')} DESC, label
+        LIMIT 3
+    )
+    SELECT vec_id, label, cos FROM (
+        SELECT e.vec_id, e.label, {_sql_cos('e.embedding', 'q.qv')} AS cos
+        FROM embeddings e, q
+        WHERE e.label IN (SELECT label FROM probe) AND e.vec_id <> q.qid
+    ) ORDER BY cos DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query("sim_ivf_topk", oracle=_SQL_IVF)
 def sim_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse quantizer → probe the nearest inverted lists
     → exact rerank within them.
@@ -278,13 +309,17 @@ def sim_ivf_topk(spark, sf_dir):
     The testdata's `label` column stands in for the k-means list
     assignment (a real pipeline would train the quantizer offline and
     store the list id exactly like this — a small int column). Search:
-    (1) per-list centroids (tiny: n_lists × dim, collected to the driver
-    and broadcast); (2) pick the `nprobe`=3 lists nearest the query;
-    (3) exact cosine over ONLY those lists' vectors — at 100 TB the table
-    is partitioned by list id, so step 3 is partition-pruned I/O, roughly
-    nprobe/n_lists of the data, vs the full scan of `sim_cosine_topk`."""
-    import numpy as np
-
+    (1) per-list centroids as *exact* scaled-long sums (the same
+    floor(x·2^40) trick as `sim_ann_lsh`: integer sums are associative,
+    so the centroid — and hence the probe choice — is bit-identical to
+    the DuckDB oracle under any aggregation order; this is what upgraded
+    the op from rows-only to a full oracle gate); (2) the `nprobe`=3
+    lists nearest the query by the deterministic left-to-right cosine
+    fold, with a label tiebreak (a 3-row driver collect — the only data
+    that ever leaves the cluster); (3) exact cosine over ONLY those
+    lists' vectors — at 100 TB the table is partitioned by list id, so
+    step 3 is partition-pruned I/O, roughly nprobe/n_lists of the data,
+    vs the full scan of `sim_cosine_topk`."""
     e = load_tables(spark, sf_dir).embeddings
     q = (
         e.orderBy("vec_id")
@@ -292,32 +327,41 @@ def sim_ivf_topk(spark, sf_dir):
         .select(F.col("embedding").alias("qv"), F.col("vec_id").alias("qid"))
     )
 
-    # (1) centroids: mean vector per list — aggregate over the array via
-    # posexplode + avg (codegen'd), n_lists × dim rows back to the driver
-    cent = (
+    # (1) exact centroids: scaled-long sums per (list, dim), re-assembled
+    # into a double array in dim order (sort_array on the struct key)
+    scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
+    cvec = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.struct(
+                "dim",
+                (F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))).alias(
+                    "c"
+                ),
+            ).alias("dc"),
+        )
         .groupBy("label")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("c"))
-        .select("label", F.col("c.m").alias("centroid"))
+        .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
+        .select("label", F.col("arr.c").alias("centroid"))
+    )
+    # (2) deterministic probe selection (3 rows to the driver)
+    probe_rows = (
+        cvec.crossJoin(F.broadcast(q))
+        .select("label", vec_cosine(F.col("centroid"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "label")
+        .limit(3)
         .collect()
     )
-    qrow = q.collect()[0]
-    qv = np.array(qrow.qv, dtype=np.float64)
-    qn = qv / np.linalg.norm(qv)
-
-    def cos_to_q(vec) -> float:
-        v = np.array(vec, dtype=np.float64)
-        return float(v @ qn / np.linalg.norm(v))
-
-    probe = sorted(cent, key=lambda r: -cos_to_q(r.centroid))[:3]
-    probe_labels = [r.label for r in probe]
+    probe_labels = [r.label for r in probe_rows]
+    qid = q.collect()[0].qid
 
     # (3) partition-pruned exact search within the probed lists
     return (
         e.filter(F.col("label").isin(probe_labels))
-        .filter(F.col("vec_id") != F.lit(int(qrow.qid)))
+        .filter(F.col("vec_id") != F.lit(int(qid)))
         .crossJoin(F.broadcast(q.select("qv")))
         .select(
             "vec_id", "label", vec_cosine(F.col("embedding"), F.col("qv")).alias("cos")

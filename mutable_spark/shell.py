@@ -9,7 +9,13 @@ Usage:
     echo 'SELECT 1 + 1 AS x;' | python -m mutable_spark.shell
 
 Meta-commands (reference `\\instructions` analog): `.quit`, `.tables`,
-`.load <sf_dir>` registers the testdata tables into the current database.
+`.load <sf_dir>` registers the testdata tables into the current database,
+`.learn_spns` mirrors the reference's registered instruction of the same
+name ("create an SPN for every table in the database",
+`src/catalog/DatabaseCommand.cpp:23-45`): learns an SPN per table over its
+numeric columns and installs an SPN-estimating JoinPlanner on the engine,
+so subsequent multi-table SELECTs are join-ordered by learned estimates —
+the reference's `--cardinality-estimator Spn` behavior.
 """
 
 from __future__ import annotations
@@ -29,6 +35,39 @@ def run_statement(eng, text: str, out=sys.stdout) -> None:
         out.write(f"({n} rows)\n")
     else:
         out.write("ok\n")
+
+
+_NUMERIC_TYPES = ("byte", "short", "integer", "long", "float", "double", "decimal")
+
+
+def learn_spns(eng) -> list[str]:
+    """The reference's `learn_spns` instruction
+    (`src/catalog/DatabaseCommand.cpp:23-45`): learn an SPN for every
+    table in the current database (numeric columns; tables without any
+    are skipped, matching `SpnWrapper`'s column filter), stash the models
+    on the engine, and install a `JoinPlanner` whose base cardinalities
+    are the SPN estimates — the reference's SpnEstimator wired into
+    planning. Returns the per-table status lines the shell prints."""
+    from mutable_spark.plans.planner import JoinPlanner
+    from mutable_spark.plans.spn import SpnTableModel, spn_base_cardinalities
+
+    msgs, models = [], {}
+    for name, df in sorted(eng.catalog._db().items()):
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName().split("(")[0] in _NUMERIC_TYPES
+        ]
+        if not cols:
+            msgs.append(f"skipped {name}: no numeric columns")
+            continue
+        models[name] = SpnTableModel.from_dataframe(df, cols)
+        msgs.append(f"learned SPN on {name} ({len(cols)} numeric columns)")
+    eng.spn_models = models
+    eng.planner = JoinPlanner(
+        spn_base_cardinalities(models, {}), broadcast_rows=10_000
+    )
+    return msgs
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -60,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                 if t not in eng.catalog._db():
                     eng.catalog.create_table(t, load_table(spark, sf_dir, t))
             print(f"loaded {len(TABLE_NAMES)} tables from {sf_dir}")
+            return True
+        if line == ".learn_spns":
+            for msg in learn_spns(eng):
+                print(msg)
             return True
         try:
             run_statement(eng, line)

@@ -1,0 +1,51 @@
+"""The shell's `.learn_spns` instruction — the reference's registered
+instruction of the same name (`src/catalog/DatabaseCommand.cpp:23-45`):
+one SPN per table in the current database, then planning uses the learned
+estimates (SpnEstimator wired in)."""
+
+from __future__ import annotations
+
+from mutable_spark.dialect import Engine
+from mutable_spark.shell import learn_spns
+
+
+def _engine(spark) -> Engine:
+    eng = Engine(spark)
+    eng.execute("CREATE DATABASE spnshell")
+    eng.execute("USE spnshell")
+    eng.register(
+        "r",
+        spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(200)], "key int, val double"
+        ),
+    )
+    eng.register(
+        "s",
+        spark.createDataFrame(
+            [(i % 50, i) for i in range(1000)], "rkey int, sval int"
+        ),
+    )
+    eng.register(
+        "names", spark.createDataFrame([("a",), ("b",)], "label string")
+    )
+    return eng
+
+
+def test_learn_spns_instruction(spark):
+    eng = _engine(spark)
+    assert eng.planner is None
+    msgs = learn_spns(eng)
+    assert "learned SPN on r (2 numeric columns)" in msgs
+    assert "learned SPN on s (2 numeric columns)" in msgs
+    assert "skipped names: no numeric columns" in msgs
+    # models learned for every numeric table, estimates anchored on true size
+    assert set(eng.spn_models) == {"r", "s"}
+    assert eng.spn_models["r"].estimate_rows({}) == 200
+    assert eng.spn_models["s"].estimate_rows({}) == 1000
+    # an SPN-estimating planner is installed and planning still yields
+    # correct results on a multi-table query
+    assert eng.planner is not None
+    rows = eng.execute(
+        "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey"
+    ).collect()
+    assert rows[0].n == 1000  # every s row matches exactly one r key
