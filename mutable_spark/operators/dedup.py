@@ -422,6 +422,16 @@ def dedup_duplicate_classes(spark, sf_dir):
     pairs = (
         minhash_lsh_pairs(g).select("doc_a", "doc_b").localCheckpoint(eager=True)
     )
+    return connected_components(pairs)
+
+
+def connected_components(pairs, max_rounds: int = 64):
+    """(doc_id, class_rep) for every node of the undirected edge list
+    ``pairs`` = (doc_a, doc_b): class_rep = the minimum id in the node's
+    connected component. See ``dedup_duplicate_classes`` for the design
+    discussion; rounds needed = graph diameter, capped at ``max_rounds``
+    (2^64 nodes' worth of doubling for large-star-style propagation —
+    practically a cycle guard)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
@@ -431,7 +441,7 @@ def dedup_duplicate_classes(spark, sf_dir):
         .select("doc_id", F.col("doc_id").alias("class_rep"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(32):
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -450,7 +460,7 @@ def dedup_duplicate_classes(spark, sf_dir):
         labels = updated.select("doc_id", "class_rep")
         if changed == 0:
             return labels
-    raise RuntimeError("label propagation did not converge in 32 rounds")
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""`connected_components` (the dedup_duplicate_classes engine) against a
+Python union-find oracle on adversarial graph shapes. The driver gate only
+ever sees diameter-2 LSH classes; these pin multi-round convergence
+(chains), merging star constellations, and random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from mutable_spark.operators.dedup import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.class_rep) for r in connected_components(df).collect()
+    }
+    want = set(_union_find(None, edges).items())
+    assert got == want
+
+
+def test_long_chain_converges(spark):
+    # a 40-node path: diameter 39 — the min label advances one hop per
+    # round, so this exercises ~40 rounds and the per-round lineage
+    # truncation (the driver gate's LSH classes converge in 2-3)
+    _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_two_stars_merged_by_bridge(spark):
+    edges = [(0, i) for i in range(1, 10)] + [(100, 100 + i) for i in range(1, 10)]
+    edges.append((9, 109))  # bridge merges both stars into one class
+    _check(spark, edges)
+
+
+def test_disjoint_cliques(spark):
+    edges = []
+    for base in (0, 50, 90):
+        members = list(range(base, base + 5))
+        edges += [(a, b) for a in members for b in members if a < b]
+    _check(spark, edges)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        )
+        if a != b
+    ]
+    _check(spark, edges)
