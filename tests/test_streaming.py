@@ -75,3 +75,82 @@ def test_streaming_json_extract_equals_batch(spark):
     got = run_available_now(json_extract_counts(stream), "t_json")
     want = registry.QUERIES["events_json_extract"](spark, SF_DIR).collect()
     assert _rows(got) == _rows(want)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart recovery: run the tumbling aggregation in append mode
+    with a checkpoint over half the input, then deliver the rest and
+    restart with the SAME checkpoint. The file source must resume from its
+    tracked offsets (no reprocessing), pending windows in the state store
+    must absorb the new events, and the file sink's commit log must yield
+    exactly-once output — the union of both runs equals the batch answer
+    with no duplicates. A far-future sentinel event pushes the final
+    watermark past every real window so append mode flushes them all."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.functions import dsum
+
+    ev = (
+        load_tables(spark, SF_DIR)
+        .events.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                       "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+    sentinel = spark.createDataFrame(
+        [(10**9, hi + __import__("datetime").timedelta(hours=10),
+          0, "sentinel", 0.0, "{}")],
+        ev.schema,
+    )
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") >= F.lit(split)).unionByName(sentinel), "phase2")
+    run_once()
+
+    got = (
+        spark.read.schema(
+            T.StructType([
+                T.StructField("bucket_start", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("cnt", T.LongType()),
+                T.StructField("sum_value", T.DoubleType()),
+            ])
+        )
+        .parquet(str(sink))
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    )
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "cnt",
+                "sum_value")
+        .collect()
+    )
+    assert _rows(got) == _rows(want)
