@@ -86,6 +86,39 @@ class Source:
     dups: frozenset = frozenset()
 
 
+#: comparison ops SpnTableModel understands (plans/spn.py leaf likelihoods)
+_SPN_OPS = {"<", "<=", ">", ">=", "="}
+_SPN_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+
+def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
+    """{col: [(op, value)]} from one source's pushed conjuncts — the
+    estimator input ``SpnTableModel.estimate_rows`` takes. Only the shape
+    `attr <cmp> numeric-literal` (either direction) contributes; anything
+    else estimates as selectivity 1, so a non-extractable predicate can
+    only make the SPN estimate an over-count, never an under-typed error
+    (the same conservatism as the reference's SpnEstimator, which models
+    numeric columns only — `SpnWrapper`'s column filter)."""
+    out: dict[str, list] = {}
+    for c in conjuncts:
+        if not isinstance(c, A.Binary) or c.op not in _SPN_OPS:
+            continue
+        lhs, rhs = c.left, c.right
+        if (
+            isinstance(lhs, A.Designator)
+            and isinstance(rhs, A.Literal)
+            and rhs.kind in ("int", "float")
+        ):
+            out.setdefault(lhs.attr, []).append((c.op, float(rhs.value)))
+        elif (
+            isinstance(rhs, A.Designator)
+            and isinstance(lhs, A.Literal)
+            and lhs.kind in ("int", "float")
+        ):
+            out.setdefault(rhs.attr, []).append((_SPN_FLIP[c.op], float(lhs.value)))
+    return out
+
+
 class Compiler:
     def __init__(self, tables: dict[str, DataFrame], planner=None):
         self.tables = tables
@@ -340,16 +373,27 @@ class Compiler:
         tree: object = aliases[0]
         for a in aliases[1:]:
             tree = (tree, a)
-        if self.planner is not None and len(sources) > 1:
+        planner = self.planner
+        if planner is not None and len(sources) > 1:
+            # SpnEstimator integration: hand the planner each alias'
+            # pushed numeric comparisons so base cardinalities become
+            # filtered SPN estimates (no-op for planners without models)
+            if hasattr(planner, "with_spn_filters"):
+                spn_filters = {
+                    a: d
+                    for a, cs in per_source.items()
+                    if (d := _spn_filter_dict(cs))
+                }
+                planner = planner.with_spn_filters(spn_filters, alias_table)
             edges = {frozenset(srcs) for srcs, _ in multi if len(srcs) == 2}
-            tree = self.planner.plan(aliases, edges, alias_table)
+            tree = planner.plan(aliases, edges, alias_table)
 
         def leaf(alias: str, is_probe_root: bool) -> DataFrame:
             f = frames[alias]
             if (
                 not is_probe_root
-                and self.planner is not None
-                and self.planner.should_broadcast(alias, alias_table)
+                and planner is not None
+                and planner.should_broadcast(alias, alias_table)
             ):
                 f = F.broadcast(f)
             return f

@@ -145,8 +145,13 @@ def spn_planner(spark, sf_dir: str, filters: dict | None = None):
     from mutable_spark.plans.planner import JoinPlanner
     from mutable_spark.plans.spn import spn_base_cardinalities
 
-    cards = spn_base_cardinalities(_spn_models(spark, sf_dir), filters or {})
-    return JoinPlanner(cards, broadcast_rows=10_000)
+    models = _spn_models(spark, sf_dir)
+    cards = spn_base_cardinalities(models, filters or {})
+    # spn_models makes the planner self-estimating: the dialect compiler
+    # derives each SELECT's per-alias numeric comparisons and calls
+    # `with_spn_filters`, so explicit ``filters`` are only needed when
+    # planning outside the compiler
+    return JoinPlanner(cards, broadcast_rows=10_000, spn_models=models)
 
 
 @query(
@@ -183,4 +188,7 @@ def dialect_spn_planned_join(spark, sf_dir):
         GROUP BY o.o_orderpriority
         """
     )
-    return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir, _SPN_FILTERS))
+    # no explicit filter dict: the compiler derives {"o": {"o_totalprice":
+    # [(">", cut)]}} from the WHERE clause and re-estimates via the
+    # planner's SPN models (JoinPlanner.with_spn_filters)
+    return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))

@@ -1033,6 +1033,46 @@ class JoinPlanner:
     #: "ikkbz" (polynomial, optimal linear order on the selectivity MST).
     enumerator: str = "dpccp"
     max_dp_relations: int = 12
+    #: optional alias/table-name → SpnTableModel map. When set, the
+    #: dialect compiler hands each SELECT's single-source numeric
+    #: comparisons to ``with_spn_filters`` before planning, so base
+    #: cardinalities become *filtered* SPN estimates — the reference's
+    #: SpnEstimator estimating under the query's own predicates
+    #: (`CardinalityEstimator.hpp:321`), not static table sizes.
+    spn_models: dict | None = None
+
+    def with_spn_filters(
+        self,
+        spn_filters: dict[str, dict],
+        alias_table: dict[str, str] | None = None,
+    ) -> "JoinPlanner":
+        """A planner whose base cardinalities are SPN estimates under the
+        given per-alias conjunctive filters ({alias: {col: [(op, val)]}}).
+        Aliases without a model keep their existing injected/heuristic
+        cardinality. No-op without ``spn_models``."""
+        if not self.spn_models:
+            return self
+        from dataclasses import replace
+
+        from mutable_spark.plans.spn import spn_base_cardinalities
+
+        at = alias_table or {}
+        by_alias = {}
+        for alias in set(at) | set(spn_filters) | set(self.spn_models):
+            m = self.spn_models.get(alias)
+            if m is None:
+                m = self.spn_models.get(at.get(alias))
+            if m is not None:
+                by_alias[alias] = m
+        if not by_alias:
+            return self
+        est = spn_base_cardinalities(by_alias, spn_filters).base
+        merged = dict(self.cards.base)
+        merged.update(est)
+        return replace(
+            self,
+            cards=Cardinalities(base=merged, subsets=dict(self.cards.subsets)),
+        )
 
     def _base(self, alias: str, alias_table: dict[str, str]) -> float:
         """Base-cardinality lookup: by query alias first (the reference's

@@ -64,8 +64,12 @@ def learn_spns(eng) -> list[str]:
         models[name] = SpnTableModel.from_dataframe(df, cols)
         msgs.append(f"learned SPN on {name} ({len(cols)} numeric columns)")
     eng.spn_models = models
+    # spn_models on the planner lets the compiler re-estimate each query's
+    # base cardinalities under its own WHERE comparisons (with_spn_filters)
     eng.planner = JoinPlanner(
-        spn_base_cardinalities(models, {}), broadcast_rows=10_000
+        spn_base_cardinalities(models, {}),
+        broadcast_rows=10_000,
+        spn_models=models,
     )
     return msgs
 

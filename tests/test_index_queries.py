@@ -82,3 +82,36 @@ def test_spn_planned_join_broadcasts_filtered_orders(spark):
     df = QUERIES["dialect_spn_planned_join"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_compiler_derives_spn_filters_from_where():
+    """The compiler → SpnEstimator hand-off: single-source numeric
+    comparisons in WHERE become the planner's filter dict (including
+    flipped literal-first comparisons); everything else contributes
+    nothing (selectivity 1)."""
+    from mutable_spark.dialect import ast_nodes as A
+    from mutable_spark.dialect.compiler import _spn_filter_dict
+
+    des = lambda a: A.Designator(table="o", attr=a)
+    num = lambda v: A.Literal(value=v, kind="float" if isinstance(v, float) else "int")
+    conjuncts = [
+        A.Binary(op=">", left=des("o_totalprice"), right=num(450_000.0)),
+        A.Binary(op="<", left=num(7), right=des("o_shippriority")),  # flips to >
+        A.Binary(op="=", left=des("o_orderstatus"), right=A.Literal(value="F", kind="str")),
+        A.Binary(op="+", left=des("o_custkey"), right=num(1)),  # not a comparison
+    ]
+    assert _spn_filter_dict(conjuncts) == {
+        "o_totalprice": [(">", 450_000.0)],
+        "o_shippriority": [(">", 7.0)],
+    }
+
+
+def test_with_spn_filters_reestimates_base_cards(spark):
+    """JoinPlanner.with_spn_filters: derived filters shrink the filtered
+    alias' base estimate exactly as the hand-fed dict did, and leave
+    model-less aliases untouched."""
+    planner = spn_planner(spark, SF_DIR)
+    refined = planner.with_spn_filters(_SPN_FILTERS, {})
+    assert refined.cards.base["o"] < planner.cards.base["o"] / 5
+    assert refined.cards.base["l"] == planner.cards.base["l"]
+    assert refined.should_broadcast("o", {})
