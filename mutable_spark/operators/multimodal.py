@@ -81,6 +81,67 @@ def multimodal_extract(spark, sf_dir):
     )
 
 
+#: fake-video frame geometry: 32-byte frames, keep every 3rd
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 3
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, frame_idx, md5(frame_payload) AS frame_md5 FROM (
+        SELECT doc_id,
+               j AS frame_idx,
+               substr(text, 1 + CAST(j * {_FRAME_BYTES} AS INT),
+                      {_FRAME_BYTES}) AS frame_payload
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, strlen(text) // {_FRAME_BYTES})) AS j
+              FROM documents)
+    ) WHERE frame_idx % {_FRAME_STRIDE} = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over fake video payloads: every 3rd 32-byte
+    frame of each binary payload becomes its own row — the 1-row-in,
+    N-rows-out `mapInPandas` batch shape a real video pipeline needs
+    (PyAV/ffmpeg frame iteration goes exactly where the byte slicing is).
+
+    Division of labor is the module's rule: Python (Arrow-batched) does
+    only the codec-shaped step — walking the container and emitting
+    sampled frame payloads — while the per-frame fingerprint runs as a
+    JVM builtin (`F.md5`) on the exploded rows. Because the fake
+    "container format" is plain byte slicing and the payloads are ASCII,
+    the DuckDB oracle reproduces the exact frames with substr arithmetic,
+    so even the Python tier is hash-checked end-to-end (the real-codec
+    twin `multimodal_fake_features` stays rows-only by nature).
+
+    At 100 TB: stateless map — no shuffle; output rows inherit the input
+    partitioning; `arrow.maxRecordsPerBatch` bounds executor memory
+    exactly as documented for the decode pass."""
+
+    df = _payload_df(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j in range(0, len(b) // _FRAME_BYTES, _FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(b[j * _FRAME_BYTES : (j + 1) * _FRAME_BYTES])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    frames = df.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, frame_payload binary"
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5")
+    )
+
+
 @query("multimodal_fake_features")  # stubbed decode → rows-only check
 def multimodal_fake_features(spark, sf_dir):
     """The decode+featurize pass with the stub decoder: same mapInPandas

@@ -111,7 +111,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ann_lsh",
     "sim_ivf_topk",
     "multimodal_extract",
-    "multimodal_fake_features",
+    # round-5 addition: the 1-row-in-N-frames-out mapInPandas shape with a
+    # full oracle; takes multimodal_fake_features' slot (rows-only stub,
+    # driver-green r3/r4, still checked by the local suite)
+    "multimodal_frame_sample",
     "events_json_extract",
     "events_window_tumbling",
     "events_sessionize",
@@ -122,6 +125,8 @@ _SAMPLE_PRIORITY: list[str] = [
     #                         in-sample by dedup_minhash_lsh (green r1-r4)
     "sim_nearest_pairs",  # quadratic exact baseline; family covered
     #                       in-sample by sim_cosine_topk + sim_ann_lsh
+    "multimodal_fake_features",  # rows-only stub; mapInPandas plumbing now
+    #                              oracle-gated by multimodal_frame_sample
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
