@@ -99,23 +99,28 @@ def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
     only make the SPN estimate an over-count, never an under-typed error
     (the same conservatism as the reference's SpnEstimator, which models
     numeric columns only — `SpnWrapper`'s column filter)."""
+    from mutable_spark.plans.spn import date_to_spn_value
+
+    def as_value(lit: A.Literal) -> float | None:
+        if lit.kind in ("int", "float"):
+            return float(lit.value)
+        if lit.kind in ("date", "datetime"):
+            return date_to_spn_value(lit.value)
+        return None
+
     out: dict[str, list] = {}
     for c in conjuncts:
         if not isinstance(c, A.Binary) or c.op not in _SPN_OPS:
             continue
         lhs, rhs = c.left, c.right
-        if (
-            isinstance(lhs, A.Designator)
-            and isinstance(rhs, A.Literal)
-            and rhs.kind in ("int", "float")
-        ):
-            out.setdefault(lhs.attr, []).append((c.op, float(rhs.value)))
-        elif (
-            isinstance(rhs, A.Designator)
-            and isinstance(lhs, A.Literal)
-            and lhs.kind in ("int", "float")
-        ):
-            out.setdefault(rhs.attr, []).append((_SPN_FLIP[c.op], float(lhs.value)))
+        if isinstance(lhs, A.Designator) and isinstance(rhs, A.Literal):
+            v = as_value(rhs)
+            if v is not None:
+                out.setdefault(lhs.attr, []).append((c.op, v))
+        elif isinstance(rhs, A.Designator) and isinstance(lhs, A.Literal):
+            v = as_value(lhs)
+            if v is not None:
+                out.setdefault(rhs.attr, []).append((_SPN_FLIP[c.op], v))
     return out
 
 

@@ -131,8 +131,12 @@ def _spn_models(spark, sf_dir: str) -> dict:
         t = load_tables(spark, sf_dir)
         _SPN_MODELS[key] = {
             "c": SpnTableModel.from_dataframe(t.customer, ["c_acctbal"]),
-            "o": SpnTableModel.from_dataframe(t.orders, ["o_totalprice"]),
-            "l": SpnTableModel.from_dataframe(t.lineitem, ["l_quantity"]),
+            "o": SpnTableModel.from_dataframe(
+                t.orders, ["o_totalprice", "o_orderdate"]
+            ),
+            "l": SpnTableModel.from_dataframe(
+                t.lineitem, ["l_quantity", "l_shipdate"]
+            ),
         }
     return _SPN_MODELS[key]
 

@@ -359,14 +359,34 @@ class SpnTableModel:
     @classmethod
     def from_dataframe(cls, df, columns: list[str]) -> "SpnTableModel":
         """Learn from a Spark DataFrame: bounded sample of the numeric
-        projection (driver-side contact is ≤ SAMPLE_CAP rows)."""
+        projection (driver-side contact is ≤ SAMPLE_CAP rows).
+
+        DATE/DATETIME columns are modeled as numerics — uniformly epoch
+        seconds (dates at midnight UTC) — matching the reference, whose
+        DATE/DATETIME are 32/64-bit integers under the hood
+        (`Type.hpp:334-389`) and flow into the SPN like any numeric
+        attribute. Filter values must use the same encoding
+        (`date_to_spn_value`; the dialect compiler converts its date
+        literals with it)."""
         import pyspark.sql.functions as F
 
         n_rows = df.count()
         frac = min(1.0, SAMPLE_CAP / max(n_rows, 1))
-        proj = df.select(
-            *[F.col(c).cast("double").alias(c) for c in columns]
-        )
+        dtypes = dict(df.dtypes)
+
+        def numeric(c):
+            dt = dtypes.get(c, "")
+            if dt == "date":
+                return (F.unix_date(F.col(c)) * 86400.0).alias(c)
+            if dt.startswith("timestamp"):
+                return (
+                    F.unix_timestamp(F.col(c).cast("timestamp"))
+                    .cast("double")
+                    .alias(c)
+                )
+            return F.col(c).cast("double").alias(c)
+
+        proj = df.select(*[numeric(c) for c in columns])
         sample = (
             proj.sample(fraction=frac, seed=7) if frac < 1.0 else proj
         )
@@ -387,6 +407,17 @@ class SpnTableModel:
     def estimate_distinct(self, column: str) -> int:
         """`Spn::estimate_number_distinct_values` (`Spn.cpp:946`)."""
         return max(1, _node_distinct(self.root, self.pos[column]))
+
+
+def date_to_spn_value(text: str) -> float:
+    """The SPN encoding of a dialect date/datetime literal: epoch seconds
+    (UTC-naive; plain dates at midnight) — the same numbers
+    `SpnTableModel.from_dataframe` learns from DATE/DATETIME columns."""
+    import datetime as dt
+
+    text = text.strip()
+    d = dt.datetime.fromisoformat(text)
+    return float(d.replace(tzinfo=dt.timezone.utc).timestamp())
 
 
 def spn_base_cardinalities(models: dict, filters: dict):

@@ -37,7 +37,12 @@ def run_statement(eng, text: str, out=sys.stdout) -> None:
         out.write("ok\n")
 
 
-_NUMERIC_TYPES = ("byte", "short", "integer", "long", "float", "double", "decimal")
+#: SPN-modelable column types: numerics plus DATE/DATETIME (encoded as
+#: days / epoch seconds — see SpnTableModel.from_dataframe)
+_NUMERIC_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+    "date", "timestamp", "timestamp_ntz",
+)
 
 
 def learn_spns(eng) -> list[str]:

@@ -115,3 +115,37 @@ def test_with_spn_filters_reestimates_base_cards(spark):
     assert refined.cards.base["o"] < planner.cards.base["o"] / 5
     assert refined.cards.base["l"] == planner.cards.base["l"]
     assert refined.should_broadcast("o", {})
+
+
+def test_spn_models_estimate_date_filters(spark):
+    """DATE columns are SPN-modeled as days-since-epoch (the reference's
+    DATE is a 32-bit integer, `Type.hpp:334-360`): a shipdate range filter
+    estimates within a loose q-error of the true count, and the dialect
+    compiler's derived filter dict carries the same encoding."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.dialect import ast_nodes as A
+    from mutable_spark.dialect.compiler import _spn_filter_dict
+    from mutable_spark.plans.spn import date_to_spn_value
+
+    models = _spn_models(spark, SF_DIR)
+    cut = "1995-06-17"
+    filt = {"l_shipdate": [("<=", date_to_spn_value(cut))]}
+    est = models["l"].estimate_rows(filt)
+    true = (
+        load_tables(spark, SF_DIR)
+        .lineitem.filter(F.col("l_shipdate") <= F.lit(cut).cast("date"))
+        .count()
+    )
+    assert true / 4 <= est <= true * 4, (est, true)
+
+    # the compiler derives the identical encoding from a date literal
+    conj = [
+        A.Binary(
+            op="<=",
+            left=A.Designator(table="l", attr="l_shipdate"),
+            right=A.Literal(value=cut, kind="date"),
+        )
+    ]
+    assert _spn_filter_dict(conj) == filt
