@@ -13,9 +13,13 @@ Meta-commands (reference `\\instructions` analog): `.quit`, `.tables`,
 `.learn_spns` mirrors the reference's registered instruction of the same
 name ("create an SPN for every table in the database",
 `src/catalog/DatabaseCommand.cpp:23-45`): learns an SPN per table over its
-numeric columns and installs an SPN-estimating JoinPlanner on the engine,
-so subsequent multi-table SELECTs are join-ordered by learned estimates —
-the reference's `--cardinality-estimator Spn` behavior.
+numeric/date columns and installs an SPN-estimating JoinPlanner on the
+engine, so subsequent multi-table SELECTs are join-ordered by learned
+estimates — the reference's `--cardinality-estimator Spn` behavior.
+`.cardinalities <file>` installs an injected-cardinality planner from the
+reference's JSON format (`--use-cardinality-file`; Injected beats Spn in
+the estimator precedence). `.plan <select>` emits the chosen plan without
+executing (`--plan`).
 """
 
 from __future__ import annotations
@@ -79,6 +83,33 @@ def learn_spns(eng) -> list[str]:
     return msgs
 
 
+def install_cardinalities(eng, path: str) -> str:
+    """The reference's `--use-cardinality-file` flag as a shell command:
+    load an injected-cardinality JSON (the reference's format —
+    `{"<db>": [{"relations": [...], "size": n}, ...]}`) and install a
+    JoinPlanner over it, replacing any SPN-estimating planner (the
+    reference's estimator precedence: Injected beats Spn)."""
+    from mutable_spark.plans.planner import Cardinalities, JoinPlanner
+
+    cards = Cardinalities.from_json(path)
+    eng.planner = JoinPlanner(cards, broadcast_rows=10_000)
+    return f"installed injected cardinalities for {len(cards.base)} relations"
+
+
+def plan_text(eng, statement: str) -> str:
+    """The reference's `--plan` dump ("Emit the logical query plan") for
+    one statement: compile without executing and render the physical plan
+    Catalyst chose — join order, broadcast sides, pushed filters."""
+    df = eng.execute(statement)
+    if df is None:
+        return "ok (no plan: DDL/DML statement)"
+    return df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     from mutable_spark.dialect import Engine
@@ -112,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
         if line == ".learn_spns":
             for msg in learn_spns(eng):
                 print(msg)
+            return True
+        if line.startswith(".cardinalities"):
+            parts = line.split(None, 1)
+            if len(parts) < 2:
+                print("usage: .cardinalities <json-file>", file=sys.stderr)
+                return True
+            print(install_cardinalities(eng, parts[1].strip()))
+            return True
+        if line.startswith(".plan "):
+            print(plan_text(eng, line[len(".plan "):]))
             return True
         try:
             run_statement(eng, line)

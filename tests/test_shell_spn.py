@@ -49,3 +49,29 @@ def test_learn_spns_instruction(spark):
         "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey"
     ).collect()
     assert rows[0].n == 1000  # every s row matches exactly one r key
+
+
+def test_plan_and_cardinalities_commands(spark, tmp_path):
+    """`.plan` (the reference's --plan dump) and `.cardinalities` (the
+    reference's --use-cardinality-file): the injected file drives the
+    compiled join's broadcast side, visible in the plan text."""
+    import json
+
+    from mutable_spark.shell import install_cardinalities, plan_text
+
+    eng = _engine(spark)
+    ptext = plan_text(eng, "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey")
+    assert "== Physical Plan ==" in ptext
+    assert plan_text(eng, 'CREATE TABLE t2 (key INT(4) PRIMARY KEY)').startswith("ok")
+
+    f = tmp_path / "cards.json"
+    f.write_text(json.dumps({"db": [
+        {"relations": ["r"], "size": 5},
+        {"relations": ["s"], "size": 5_000_000},
+        {"relations": ["r", "s"], "size": 5_000_000},
+    ]}))
+    msg = install_cardinalities(eng, str(f))
+    assert "2 relations" in msg
+    assert eng.planner.should_broadcast("r", {}) and not eng.planner.should_broadcast("s", {})
+    ptext = plan_text(eng, "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey")
+    assert "BroadcastHashJoin" in ptext or "broadcast" in ptext.lower()
