@@ -164,3 +164,77 @@ def events_window_sliding(spark, sf_dir):
             F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    SELECT user_id, views, converted_views,
+           CAST(converted_views AS DOUBLE) / views AS conv_rate
+    FROM (
+        SELECT user_id,
+               COUNT(*) AS views,
+               COUNT(CASE WHEN next_click <= ts + INTERVAL 1 HOUR
+                          THEN 1 END) AS converted_views
+        FROM (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_click
+            FROM events
+        )
+        WHERE event_type = 'view'
+        GROUP BY user_id
+    )
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Funnel analysis: per user, how many 'view' events converted to a
+    'click' within one hour. The classic formulation is a range self-join
+    (view x later clicks); this is the single-shuffle window form — a
+    reverse running-min over each user's timeline gives every event its
+    *next* click timestamp, so conversion is a per-row comparison:
+
+        next_click = MIN(ts if click) OVER (user, ORDER BY ts, event_id
+                                            ROWS CURRENT..UNBOUNDED FOLLOWING)
+        converted  = next_click <= ts + 1 hour   (on view rows)
+
+    One hash-partition by user_id, no join, no second shuffle until the
+    tiny per-user aggregate — at 100 TB this is the difference between a
+    skew-prone interval join and a scan-shaped pass. The (ts, event_id)
+    ordering makes the window total, so both engines compute identical
+    next_click values."""
+    e = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    per_view = (
+        e.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("next_click", next_click)
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("views"),
+            F.count(
+                F.when(
+                    F.col("next_click")
+                    <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                    1,
+                )
+            ).alias("converted_views"),
+        )
+    )
+    return per_view.select(
+        "user_id",
+        "views",
+        "converted_views",
+        (F.col("converted_views").cast("double") / F.col("views")).alias(
+            "conv_rate"
+        ),
+    )

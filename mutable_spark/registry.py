@@ -127,6 +127,8 @@ _SAMPLE_PRIORITY: list[str] = [
     #                       in-sample by sim_cosine_topk + sim_ann_lsh
     "multimodal_fake_features",  # rows-only stub; mapInPandas plumbing now
     #                              oracle-gated by multimodal_frame_sample
+    "events_funnel",  # events family covered in-sample by the 4 window ops;
+    #                   oracle-green in the local suite
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
