@@ -487,10 +487,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     - the only shuffle is hash-partitioning both sides on the block key
       (at 100 TB: co-partitioned or bucketed by cell id → zero shuffle);
     - within-block pair expansion is quadratic *in the block size*, which
-      the quantizer bounds (n_lists grows with the corpus, ~sqrt(n));
-      a degenerate cell would get the same star-cap treatment as
-      ``_bucket_pairs`` — at the testdata's cell sizes (≤200) the closed
-      pair list is emitted;
+      the quantizer bounds (n_lists grows with the corpus, ~sqrt(n)); AQE
+      skew-join splits an oversized cell's probe work across tasks, and a
+      *degenerate* cell (quantizer collapse) is an offline re-training
+      signal in standard IVF practice — if the closed pair list must be
+      abandoned instead, the ``_bucket_pairs`` star cap is the drop-in
+      (with minhash's spanning-set output contract). At the testdata's
+      cell sizes (≤200) the closed pair list is emitted;
     - verification is the exact JVM-side `vec_cosine` fold, bit-identical
       to the DuckDB oracle's `list_reduce` (see similarity.py), so the
       operator is fully oracle-checked — unlike hyperplane-LSH candidate
