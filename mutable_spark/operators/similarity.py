@@ -10,6 +10,10 @@
                               exact re-rank. The scale path — candidates
                               come from an equi-join on sign-pattern
                               chunks, never a cross join.
+- ``sim_ivf_topk``            IVF probe-and-rerank: exact scaled-long
+                              centroids → deterministic probe choice →
+                              partition-pruned exact rerank. Fully
+                              oracle-checked since r5.
 
 All vector math is JVM-side (`zip_with` + `aggregate` folds, left-to-right,
 in DOUBLE) so Spark and the DuckDB oracle (`list_reduce` with a prepended
