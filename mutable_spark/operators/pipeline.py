@@ -140,3 +140,49 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+#: train fraction for the deterministic split (md5 52-bit hash / 2^52)
+_TRAIN_FRAC = 0.8
+
+
+@query(
+    "pipeline_train_test_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                         < {_TRAIN_FRAC} * 4503599627370496.0
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def pipeline_train_test_split(spark, sf_dir):
+    """Deterministic train/test split: a document lands in 'train' iff the
+    52-bit md5 prefix of its id is below 0.8·2^52. Properties a pipeline
+    needs and random() can't give: (1) stable — the same doc_id lands in
+    the same split on every run, cluster size, and partitioning; (2)
+    stateless — no shuffle, no sampling pass, pure map over the scan; (3)
+    leak-proof joins — any table keyed by doc_id derives the same split
+    locally. The portable md5 arithmetic is the same construction as the
+    dedup token hash, so the oracle reproduces the split bit-for-bit;
+    the registered result is the per-split summary (counts + id range),
+    which pins membership without hashing 60k rows through the driver."""
+    d = load_tables(spark, sf_dir).documents
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    split = F.when(h < F.lit(_TRAIN_FRAC * float(1 << 52)), "train").otherwise("test")
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

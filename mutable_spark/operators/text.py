@@ -221,3 +221,44 @@ def text_fingerprint(spark, sf_dir):
         token_hashes, F.lit(0).cast("long"), lambda h, th: (h * 131 + th) % _P
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_vocab_topk",
+    oracle=r"""
+    SELECT tok, cnt, docs FROM (
+        SELECT tok,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT doc_id) AS docs
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ) ORDER BY cnt DESC, tok
+    LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: the top-50 tokens by total count with
+    their document frequencies — the canonical wordcount shape, and the
+    input to stopword lists, BPE seeding, and contamination screens.
+
+    Scale shape: explode → one groupBy on the token. Map-side partial
+    aggregation means the shuffle carries one (token, partial count,
+    partial df-sketch) per distinct token per task, not the exploded
+    rows; COUNT(DISTINCT doc_id) expands to Spark's two-phase distinct
+    aggregate (the same expand the oracle computes exactly at these
+    scales). The final ORDER BY+LIMIT is a distributed top-k
+    (TakeOrderedAndProject), never a global sort."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(50)
+    )

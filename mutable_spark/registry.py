@@ -129,6 +129,9 @@ _SAMPLE_PRIORITY: list[str] = [
     #                              oracle-gated by multimodal_frame_sample
     "events_funnel",  # events family covered in-sample by the 4 window ops;
     #                   oracle-green in the local suite
+    "text_vocab_topk",  # text family covered in-sample (r1/r2 green twins)
+    "pipeline_train_test_split",  # pipeline family covered in-sample by
+    #                               pipeline_clean_corpus
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
