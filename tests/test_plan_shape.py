@@ -101,3 +101,38 @@ def test_pipeline_uses_lsh_tier_no_cartesian(plans):
     p = plans("pipeline_clean_corpus")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_neardup_is_blocked_equi_join(plans):
+    # blocked by quantizer cell: an equi-join on the cell id carrying the
+    # cosine threshold — never a cartesian/BNLJ all-pairs expansion
+    p = plans("dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_funnel_is_window_pass_not_interval_join(plans):
+    # the next-click computation must be the reverse running-min window,
+    # not a view x click interval self-join
+    p = plans("events_funnel")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # no join operator anywhere in the plan
+
+
+def test_vocab_topk_partial_agg_and_topk(plans):
+    # wordcount shape: map-side partial aggregation before the shuffle,
+    # distributed top-k finish instead of a global sort
+    p = plans("text_vocab_topk")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_train_test_split_partial_agg(plans):
+    # the split itself is a pure map; the only shuffle is the 2-group
+    # summary aggregate, with map-side partials
+    p = plans("pipeline_train_test_split")
+    assert "partial_count" in p
+    assert "Join" not in p
