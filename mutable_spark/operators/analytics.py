@@ -164,6 +164,27 @@ def op_cube(spark, sf_dir):
 
 
 @query(
+    "op_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {sql_dsum('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def op_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): the hierarchical prefix of
+    CUBE's grouping sets — (flag, status), (flag), () — completing the
+    grouping-sets family beside ``op_cube`` and ``op_pivot`` (the
+    reference has none, SURVEY §2.5). Same single-aggregation shape: Spark
+    expands the 3 sets before the shuffle, partial aggregation intact."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
     "op_window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,

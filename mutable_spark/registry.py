@@ -135,6 +135,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube
+    "op_rollup",  # grouping-sets family covered in-sample by op_cube
     "op_filter_disjunctive",
     "op_cross_product",
     "op_group_expr_alias",
