@@ -186,3 +186,48 @@ def pipeline_train_test_split(spark, sf_dir):
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: stand-in eval-set selector: every 25th document is "benchmark data"
+_EVAL_MOD = 25
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE md5({_NORMALIZE_SQL}) NOT IN (
+        SELECT md5({_NORMALIZE_SQL}) FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    )
+    GROUP BY source
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop every training document whose
+    normalized-content digest appears in an evaluation set (stood in for
+    by every 25th document — a real pipeline loads the digests of
+    MMLU/GSM8K/... test splits). The architecture is the one that works at
+    100 TB: the blocklist is reduced to 16-byte md5 digests (a few MB for
+    any real benchmark suite), broadcast to every executor, and applied as
+    a LEFT ANTI hash join during the scan — no shuffle of the corpus at
+    all, because the normalized digest is computed per-row map-side. This
+    catches verbatim and trailing-marker-mutated copies; the fuzzy tier
+    for paraphrased contamination is the MinHash machinery
+    (``dedup_minhash_lsh`` with the eval set as one side)."""
+    d = load_tables(spark, sf_dir).documents
+    digest = F.md5(_normalize(F.col("text")))
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(digest.alias("eval_md5"))
+        .distinct()
+    )
+    kept = d.join(
+        F.broadcast(evalset),
+        digest == F.col("eval_md5"),
+        "left_anti",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )

@@ -132,6 +132,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_vocab_topk",  # text family covered in-sample (r1/r2 green twins)
     "pipeline_train_test_split",  # pipeline family covered in-sample by
     #                               pipeline_clean_corpus
+    "pipeline_decontaminate",  # same family; broadcast anti-join shape
+    #                            pinned in test_plan_shape
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube

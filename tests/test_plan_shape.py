@@ -136,3 +136,11 @@ def test_train_test_split_partial_agg(plans):
     p = plans("pipeline_train_test_split")
     assert "partial_count" in p
     assert "Join" not in p
+
+
+def test_decontaminate_is_broadcast_anti_join(plans):
+    # the blocklist must broadcast and apply as LEFT ANTI during the scan
+    # — the corpus itself is never shuffled for the screen
+    p = plans("pipeline_decontaminate")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
