@@ -181,3 +181,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def funnel_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_funnel``: per-user view→click
+    conversion totals maintained incrementally.
+
+    The batch form needs *future* events (each view's next click), which a
+    stream cannot see — the standard streaming-funnel answer is per-key
+    state: pending view timestamps wait in the state store until the
+    user's next click arrives. Because the batch rule resolves every view
+    at its FIRST following click (converted iff that click is within the
+    hour, dead otherwise), each click settles the whole pending list —
+    state never grows past one inter-click gap's worth of views (a real
+    deployment adds a GroupStateTimeout to expire users who never click;
+    omitted for the bounded replay).
+
+    State: (views long, converted long, pending array of epoch-micros).
+    Events inside each micro-batch are replayed in the batch twin's
+    (ts, event_id) total order, so a single-replay run reproduces the
+    batch totals exactly (asserted in tests)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        views, converted, pending = (
+            state.get if state.exists else (0, 0, [])
+        )
+        pending = list(pending)
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["ts", "event_id", "event_type"]])
+        if rows:
+            allr = pd.concat(rows).sort_values(["ts", "event_id"])
+            for ts, _eid, etype in allr.itertuples(index=False):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if etype == "view":
+                    pending.append(t_us)
+                    views += 1
+                elif etype == "click":
+                    converted += sum(
+                        1 for p in pending if t_us - p <= 3_600_000_000
+                    )
+                    pending = []
+        state.update((views, converted, pending))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "views": [views],
+                "converted_views": [converted],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, views long, converted_views long",
+        stateStructType="views long, converted long, pending array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -154,3 +154,20 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         .collect()
     )
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_funnel_equals_batch(spark):
+    from mutable_spark.streaming.events import funnel_user_totals
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(funnel_user_totals(stream), "t_funnel", mode="update")
+    last = {}
+    for r in got:  # update mode emits once per user per batch; keep last
+        last[r.user_id] = (r.views, r.converted_views)
+    want = {
+        r.user_id: (r.views, r.converted_views)
+        for r in registry.QUERIES["events_funnel"](spark, SF_DIR).collect()
+    }
+    # batch output covers users with >=1 view; the stream emits every user
+    got_views = {u: v for u, v in last.items() if v[0] > 0}
+    assert got_views == want
