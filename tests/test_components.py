@@ -74,3 +74,29 @@ def test_random_graph_matches_union_find(spark, seed):
         if a != b
     ]
     _check(spark, edges)
+
+
+def test_train_test_split_stable_across_partitionings(spark):
+    """pipeline_train_test_split's core guarantee: the same doc lands in
+    the same split no matter how the data is partitioned or ordered."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import _TRAIN_FRAC
+
+    d = load_tables(spark, "/root/testdata/sf0.001").documents
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    split = F.when(h < F.lit(_TRAIN_FRAC * float(1 << 52)), "train").otherwise("test")
+    a = {r.doc_id: r.s for r in d.select("doc_id", split.alias("s")).collect()}
+    scrambled = d.repartition(13, F.xxhash64("text")).sortWithinPartitions(
+        F.col("doc_id").desc()
+    )
+    b = {
+        r.doc_id: r.s
+        for r in scrambled.select("doc_id", split.alias("s")).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # hash threshold lands near the target split
