@@ -1,0 +1,42 @@
+"""op_approx_sketches has no SQL oracle (HLL++/KLL internals are
+engine-specific), so pin its accuracy locally against the exact answers:
+HyperLogLog++ within its configured relative standard deviation envelope,
+percentile_approx within the value-neighborhood of the true median."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mutable_spark import registry
+from mutable_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_sketches_track_exact_answers(spark):
+    got = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["op_approx_sketches"](spark, SF_DIR).collect()
+    }
+    li = load_tables(spark, SF_DIR).lineitem
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        # HLL++ default rsd is 5%; allow 4 sigma
+        assert abs(g.approx_parts - e.parts) <= max(4, 0.20 * e.parts), flag
+        # percentile_approx returns a true data value near the median:
+        # within the column's range and within 10% of the exact median
+        assert e.lo <= g.approx_median_price <= e.hi, flag
+        assert abs(g.approx_median_price - e.median) <= 0.10 * e.median, flag
