@@ -431,7 +431,13 @@ def connected_components(pairs, max_rounds: int = 64):
     connected component. See ``dedup_duplicate_classes`` for the design
     discussion; rounds needed = graph diameter, capped at ``max_rounds``
     (2^64 nodes' worth of doubling for large-star-style propagation —
-    practically a cycle guard)."""
+    practically a cycle guard).
+
+    Durability note: lineage is truncated per round with ``localCheckpoint``
+    (executor-local blocks — right for this bounded driver gate); a
+    long-running cluster job would set a checkpoint dir and use
+    ``checkpoint()`` so an executor loss replays one round, not the whole
+    iteration history."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})

@@ -171,3 +171,73 @@ def test_streaming_funnel_equals_batch(spark):
     # batch output covers users with >=1 view; the stream emits every user
     got_views = {u: v for u, v in last.items() if v[0] > 0}
     assert got_views == want
+
+
+def test_streaming_funnel_state_survives_restart(spark, tmp_path):
+    """Funnel state across a stop/restart: deliver the first half of each
+    user's timeline, stop, deliver the rest against the same checkpoint.
+    Pending views from phase 1 must wait in the state store and be settled
+    by phase-2 clicks; final totals equal the batch funnel exactly."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import funnel_user_totals
+
+    ev = (
+        load_tables(spark, SF_DIR)
+        .events.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                       "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            funnel_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase2")
+    run_once()
+
+    import pyspark.sql.types as T
+
+    out = spark.read.schema(
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("views", T.LongType()),
+            T.StructField("converted_views", T.LongType()),
+        ])
+    ).parquet(str(sink))
+    # each run emits one row per user seen in that run; the phase-2 row
+    # (higher totals) is the final state — keep the max views per user
+    last = {}
+    for r in out.collect():
+        if r.user_id not in last or r.views > last[r.user_id][0]:
+            last[r.user_id] = (r.views, r.converted_views)
+    want = {
+        r.user_id: (r.views, r.converted_views)
+        for r in registry.QUERIES["events_funnel"](spark, SF_DIR).collect()
+    }
+    got_views = {u: v for u, v in last.items() if v[0] > 0}
+    assert got_views == want
