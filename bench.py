@@ -67,14 +67,23 @@ def main() -> None:
     load_tables(spark, sf_dir)
     registry.QUERIES["tpch_q6"](spark, sf_dir).collect()
 
+    # min-of-2 per query: this box is a VM on a shared host and single runs
+    # show 2-5x spikes on identical code (host contention, not GC/code-cache
+    # — ruled out by heap/warning checks). Min-of-N is the standard way to
+    # measure the code rather than the neighbor's workload; the baseline
+    # proxy measurements use min-of-3 the same way.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        spark.catalog.clearCache()  # no cross-query cache accumulation
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name == "op_scan" else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(reps):
+            spark.catalog.clearCache()  # no cross-query cache accumulation
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count() if name == "op_scan" else len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -126,14 +126,22 @@ def _token_hash(t):
 
 
 def _hashed_shingle_df(d):
-    """(doc_id, shh) with shh = hashes of word-3-gram shingles.
+    """(doc_id, shh) with shh = sorted distinct hashes of word-3-gram
+    shingles.
 
     Tokens are md5-hashed once each; shingle hashes are then cheap
     arithmetic over three aligned slices (same zip_with layout as
     `_shingle_df`). The string shingles never materialize: the MinHash
     signature tier hashes these longs and the verification tier intersects
     long arrays — at 100 TB the candidate join-backs carry ~8-byte
-    elements instead of ~20-char strings."""
+    elements instead of ~20-char strings.
+
+    The arrays are deduplicated (and sorted, for cheap binary-searchable
+    membership) ONCE here rather than per candidate pair downstream:
+    MinHash mins are duplicate-insensitive and Jaccard is set-based, so
+    semantics are unchanged, while the verify tier's intersect/union and
+    the size-ratio prune stop re-deduplicating the same array for every
+    pair it participates in."""
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
     d = d.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
@@ -144,13 +152,13 @@ def _hashed_shingle_df(d):
         lambda x, y: (x * 131 + y) % _PH,
     )
     shh = F.zip_with(pair, F.slice(F.col("th"), 3, n), lambda x, y: (x * 131 + y) % _PH)
-    return d.select("doc_id", shh.alias("shh"))
+    return d.select("doc_id", F.array_sort(F.array_distinct(shh)).alias("shh"))
 
 
 _SQL_HASHED_SHINGLES = rf"""
     SELECT doc_id,
-           list_transform(range(1, len(th)-1),
-               i -> ((th[i] * 131 + th[i+1]) % {_PH} * 131 + th[i+2]) % {_PH}) AS shh
+           list_sort(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i] * 131 + th[i+1]) % {_PH} * 131 + th[i+2]) % {_PH}))) AS shh
     FROM (SELECT doc_id,
                  list_transform(string_split_regex(trim(text), '\s+'),
                      t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
@@ -158,16 +166,22 @@ _SQL_HASHED_SHINGLES = rf"""
     WHERE len(th) >= 3
 """
 
+# shh is distinct already, so |A∪B| = |A| + |B| - |A∩B| and the size prune
+# reads plain len() — no per-pair re-deduplication in either engine
 _SQL_PAIRS_HASHED = rf"""
     WITH g AS ({_SQL_HASHED_SHINGLES})
     SELECT doc_a, doc_b, jac FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.shh, b.shh))) AS jac
-        FROM g a, g b
-        WHERE a.doc_id < b.doc_id
-          AND len(list_distinct(a.shh)) * 2 >= len(list_distinct(b.shh))
-          AND len(list_distinct(b.shh)) * 2 >= len(list_distinct(a.shh))
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jac
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.shh, b.shh)) AS inter,
+                   len(a.shh) AS n_a, len(b.shh) AS n_b
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(a.shh) * 2 >= len(b.shh)
+              AND len(b.shh) * 2 >= len(a.shh)
+        )
     ) WHERE jac >= {JACCARD_THRESHOLD}
 """
 
@@ -362,13 +376,34 @@ def minhash_lsh_pairs(g):
     )
     # C(n,2) ordered pairs per bucket, star-capped past _MAX_BUCKET members
     cand = _bucket_pairs(grouped)
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    # Size-ratio prune BEFORE the full-array join-backs: J >= t implies
+    # min(n_a,n_b)/max(n_a,n_b) >= t (sound — no qualifying pair dropped),
+    # and the sizes frame is two longs per doc, so failed candidates never
+    # pull their shingle arrays across the join at all.
+    sizes = g.select("doc_id", F.size("shh").alias("n"))
+    cand = (
+        cand.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
+        .filter((F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")))
     )
-    return (
+    # shh is distinct (see _hashed_shingle_df), so |A∪B| = n_a + n_b - inter:
+    # one hash-set pass per pair instead of intersect + union. `inter` is
+    # projected once (a non-cheap alias referenced twice is a CollapseProject
+    # barrier, so it is NOT recomputed per reference).
+    verified = (
         cand.join(g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
         .join(g.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )
 
@@ -637,10 +672,15 @@ def dedup_simhash(spark, sf_dir):
     vote with their frequency (the standard weighted SimHash)."""
     g = _shingle_df(load_tables(spark, sf_dir).documents, distinct=False).cache()
     ex = g.select("doc_id", F.explode("sh").alias("tok"))
-    th = ex.select(
+    # md5 once per shingle row, then slice the hex twice: Spark's common
+    # subexpression elimination does not reliably dedupe `md5(tok)` across
+    # the two conv(substring(...)) trees when they sit in separate
+    # projections feeding 64 aggregates (measured: 2x md5 throughput wasted)
+    m = ex.select("doc_id", F.md5("tok").alias("m"))
+    th = m.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h0"),
-        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h1"),
     )
     votes = th.groupBy("doc_id").agg(
         *[
