@@ -5,30 +5,29 @@ the 50-query sample window (VERDICT r2, next-round item #3)."""
 
 from mutable_spark import registry
 
-# Operator families never driver-sampled in rounds 1-2; round 3 orders the
-# registry so each finally gets a CORRECTNESS row. Round 5 swaps op_except/
-# op_union (green r3+r4; family still covered by op_set_ops) for the
-# zone-index and SPN-planned gates.
+# Operator families that must hold a slot in the current 50-query sample.
+# Round 6 rotates the five never-sampled round-5 operators in (VERDICT r5
+# item #1) in place of 3x-green twins (distinct/count_distinct/zscore/
+# left_outer/anti/json_extract/sliding) and the structurally rows-only
+# op_approx_sketches (accuracy pinned locally in test_sketches.py).
 NEVER_SAMPLED = [
-    "op_join_left_outer",
     "op_join_semi",
-    "op_join_anti",
     "op_join_asof",
     "op_join_range",
-    "op_distinct",
-    "op_count_distinct",
-    "op_approx_sketches",
     "op_set_ops",
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
     "op_mvcc_snapshot",
     "op_topk_per_group",
     "op_cube",
+    "op_rollup",
     "op_window_running_sum",
-    "op_window_zscore",
     "events_window_tumbling",
     "events_sessionize",
-    "events_window_sliding",
+    "events_funnel",
+    "text_vocab_topk",
+    "pipeline_train_test_split",
+    "pipeline_decontaminate",
     "pipeline_clean_corpus",
 ]
 
