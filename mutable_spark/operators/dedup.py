@@ -24,7 +24,7 @@ Four tiers, trading exactness for scalability:
                            blocked by the coarse-quantizer cell, exact
                            cosine verify.
 - ``dedup_duplicate_classes`` connected components over the verified pairs
-                           (min-label propagation) — the star-cap
+                           (large-star/small-star) — the star-cap
                            contract's consumer.
 
 All hashing is portable md5-derived arithmetic mirrored exactly by the
@@ -435,20 +435,14 @@ def dedup_duplicate_classes(spark, sf_dir):
     (see ``_bucket_pairs``): above the cap the emitted pairs are a
     spanning set per class, and components recover the full class exactly.
 
-    Algorithm: distributed min-label propagation —
-    ``rep(v) <- min(rep(v), min over neighbors rep(u))`` iterated to
-    fixpoint. Each round is one equi-join + one groupBy (both on doc ids,
-    partial-aggregated map-side); the driver loop carries only a
-    convergence count, never data. Rounds needed = graph diameter, and
-    LSH duplicate classes are star/clique shaped (every member shares a
-    bucket with the seed, or is linked through the bucket minimum by the
-    star cap), so the diameter is ~2 — propagation converges in 2-3
-    rounds regardless of corpus size. For general graphs with long
-    chains the production refinement is large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which this
-    formulation extends to directly. Lineage is truncated per round with
-    ``localCheckpoint`` so the plan does not grow with the iteration
-    count.
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — see
+    ``connected_components``. O(log n) rounds on any graph shape (LSH
+    duplicate classes are star/clique shaped and converge in 1-2 rounds);
+    each round is two groupBy-min + join passes on doc ids, and the
+    driver loop carries only a convergence signature, never data.
+    Lineage is truncated per round with ``localCheckpoint`` so the plan
+    does not grow with the iteration count.
 
     The unique fixpoint (min id reachable from each node) is engine
     independent, so the DuckDB oracle computes the same classes with a
@@ -460,48 +454,107 @@ def dedup_duplicate_classes(spark, sf_dir):
     return connected_components(pairs)
 
 
-def connected_components(pairs, max_rounds: int = 64):
+def _large_star(edges):
+    """One large-star round over symmetric edges (u, v): every node's
+    strictly-larger neighbors are re-pointed at the minimum of its closed
+    neighborhood. Output edges are directed large→small (u > v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", "u").alias("m")
+    )
+    return (
+        edges.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges):
+    """One small-star round over large→small directed edges (u > v): every
+    node's smaller neighbors (and the node itself) are re-pointed at the
+    minimum of that set. Output stays directed large→small."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return moved.union(self_edges).distinct()
+
+
+def connected_components(pairs, max_rounds: int = 64, stats: dict | None = None):
     """(doc_id, class_rep) for every node of the undirected edge list
     ``pairs`` = (doc_a, doc_b): class_rep = the minimum id in the node's
-    connected component. See ``dedup_duplicate_classes`` for the design
-    discussion; rounds needed = graph diameter, capped at ``max_rounds``
-    (2^64 nodes' worth of doubling for large-star-style propagation —
-    practically a cycle guard).
+    connected component. ``stats``, if given, receives {"rounds": k} — the
+    number of large+small star rounds run (the O(log n) bound is
+    property-tested on a long chain).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    is two groupBy-min + join passes; the edge set contracts toward a star
+    per component (every node pointing at the component minimum) in
+    O(log n) rounds on ANY graph shape — unlike plain min-label
+    propagation, whose round count is the graph *diameter* (a 10^6-node
+    chain would need 10^6 propagation rounds but ~25 star rounds;
+    property-tested on a long chain in tests/test_components.py).
+    ``max_rounds`` is a cycle guard far above log2(any corpus).
+
+    Convergence detection: the edge multiset signature
+    (count, sum of xxhash64(u, v)) is compared across rounds — one cheap
+    aggregate instead of a full exceptAll anti-join; the driver loop
+    carries only that signature, never data. The fixpoint (star graphs
+    are invariant under both phases) is engine-independent.
 
     Durability note: lineage is truncated per round with ``localCheckpoint``
     (executor-local blocks — right for this bounded driver gate); a
     long-running cluster job would set a checkpoint dir and use
     ``checkpoint()`` so an executor loss replays one round, not the whole
     iteration history."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("u"))
+        .union(pairs.select(F.col("doc_b").alias("u")))
         .distinct()
-        .select("doc_id", F.col("doc_id").alias("class_rep"))
+    )
+    edges = (
+        pairs.select(F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("class_rep").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("class_rep"), F.col("nmin")).alias("class_rep"),
-                (F.col("nmin") < F.col("class_rep")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter("changed").count()
-        labels = updated.select("doc_id", "class_rep")
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+    def signature(e):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for rounds in range(1, max_rounds + 1):
+        # large-star needs the symmetric view; small-star the directed one
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # fixpoint edges are stars: u → component minimum. Roots appear only
+    # on the v side (and isolated self-pairs not at all): union them back.
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("class_rep"))
+    roots = (
+        nodes.select(F.col("u").alias("doc_id"))
+        .join(edges.select(F.col("u").alias("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("class_rep"))
+    )
+    return labels.union(roots)
 
 
 # --------------------------------------------------------------------------
@@ -659,6 +712,17 @@ def dedup_simhash(spark, sf_dir):
     xxhash64 for ingest throughput at the cost of the oracle, changing
     nothing structural. Bit-votes are ±1 integer sums — associative, so
     no aggregation-order caveat anywhere.
+
+    OUTPUT CONTRACT above the skew cap (mirrors dedup_minhash_lsh):
+    candidate generation routes through ``_bucket_pairs``, so a chunk
+    bucket past ``_MAX_BUCKET`` members emits *star* pairs, not the closed
+    C(n,2) list — and star pairs failing hamming ≤ 3 are dropped, so above
+    the cap the output is a spanning set per duplicate class for
+    ``dedup_duplicate_classes`` to consume. "Pigeonhole candidates are
+    exact" therefore holds *below the cap*; the registered closed-pair
+    oracle relies on every chunk bucket in the driver's data staying under
+    it — asserted for the testdata in
+    ``tests/test_dedup_scale.py::test_simhash_chunk_buckets_under_cap``.
 
     Votes come from word-3-gram *shingles*, not unigram tokens: with a
     small shared vocabulary unigram sets saturate (every doc contains most

@@ -194,8 +194,11 @@ def sim_ann_lsh(spark, sf_dir):
     floored to a long and SUMmed. Integer addition is associative, so the
     per-(vec, plane) sum is bit-identical to the DuckDB oracle no matter
     how the hash aggregate partitions, partial-aggregates, or spills to
-    sort-based fallback (a test pins this by forcing
-    `spark.sql.TungstenAggregate.testFallbackStartsAt`). The <2^-39
+    sort-based fallback (tests/test_similarity_spill.py pins this by
+    forcing `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    plus an input-order scramble; the TungstenAggregate
+    testFallbackStartsAt knob crashes the JVM on this PySpark build and
+    is deliberately not used). The <2^-39
     quantization of the threshold is symmetric on both sides, so the
     candidate sets — and hence the exactly re-ranked top-10 — match the
     oracle unconditionally."""

@@ -54,12 +54,28 @@ class Cardinalities:
     subsets: dict[frozenset, int] = field(default_factory=dict)
 
     @classmethod
-    def from_json(cls, path: str) -> "Cardinalities":
+    def from_json(cls, path: str, database: str | None = None) -> "Cardinalities":
         """Reference format: {"<db>": [{"relations": ["A","B"], "size": n},
-        ...]} or a flat list of the same entries."""
+        ...]} or a flat list of the same entries. ``database`` selects the
+        matching section of a multi-db file (the reference's
+        InjectionCardinalityEstimator keys on the current database name);
+        omitted, a single-section file is accepted as-is and a multi-db
+        file raises rather than silently picking the first section."""
         with open(path) as f:
             doc = json.load(f)
-        entries = doc if isinstance(doc, list) else next(iter(doc.values()))
+        if isinstance(doc, list):
+            entries = doc
+        elif database is not None and database in doc:
+            entries = doc[database]
+        elif len(doc) == 1:
+            # a lone section applies regardless of its label (common case:
+            # the file was exported for exactly this database)
+            entries = next(iter(doc.values()))
+        else:
+            raise KeyError(
+                f"cardinality file has no section for database {database!r} "
+                f"(sections: {sorted(doc)})"
+            )
         c = cls()
         for e in entries:
             rels = frozenset(e["relations"])

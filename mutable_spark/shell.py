@@ -91,18 +91,24 @@ def install_cardinalities(eng, path: str) -> str:
     reference's estimator precedence: Injected beats Spn)."""
     from mutable_spark.plans.planner import Cardinalities, JoinPlanner
 
-    cards = Cardinalities.from_json(path)
+    # a multi-db file selects the section for the session's current
+    # database, mirroring InjectionCardinalityEstimator's db-name keying
+    cards = Cardinalities.from_json(path, database=eng.catalog.current)
     eng.planner = JoinPlanner(cards, broadcast_rows=10_000)
     return f"installed injected cardinalities for {len(cards.base)} relations"
 
 
 def plan_text(eng, statement: str) -> str:
     """The reference's `--plan` dump ("Emit the logical query plan") for
-    one statement: compile without executing and render the physical plan
-    Catalyst chose — join order, broadcast sides, pushed filters."""
+    one SELECT statement: compile without executing and render the physical
+    plan Catalyst chose — join order, broadcast sides, pushed filters.
+
+    DDL/DML is rejected up front: Engine.execute would *run* it (an
+    INSERT/UPDATE mutates the table), and a user asking for a plan must
+    never get a side effect."""
+    if statement.strip().split(None, 1)[0].upper() != "SELECT":
+        return "usage: .plan SELECT ... (DDL/DML statements have no plan and are not executed)"
     df = eng.execute(statement)
-    if df is None:
-        return "ok (no plan: DDL/DML statement)"
     return df._jdf.queryExecution().explainString(
         eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"

@@ -42,10 +42,28 @@ def _check(spark, edges):
 
 
 def test_long_chain_converges(spark):
-    # a 40-node path: diameter 39 — the min label advances one hop per
-    # round, so this exercises ~40 rounds and the per-round lineage
-    # truncation (the driver gate's LSH classes converge in 2-3)
+    # a 40-node path: diameter 39. Min-label propagation would need ~40
+    # rounds here; large-star/small-star contracts it in O(log n).
     _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_long_chain_rounds_logarithmic(spark):
+    """The Kiveris et al. guarantee the implementation claims: a 256-node
+    chain (diameter 255) converges in <= log2(n) + c star rounds — the
+    shape where plain min-label propagation degrades to O(diameter)."""
+    import math
+
+    from mutable_spark.operators.dedup import connected_components as cc
+
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats = {}
+    got = {(r.doc_id, r.class_rep) for r in cc(df, stats=stats).collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= math.log2(n) + 4, (
+        f"{stats['rounds']} rounds for a {n}-chain — not logarithmic"
+    )
 
 
 def test_two_stars_merged_by_bridge(spark):

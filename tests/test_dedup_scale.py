@@ -74,3 +74,50 @@ def test_minhash_degenerate_corpus_bounded(spark):
     assert all(r.jac == 1.0 for r in pairs)
     # bounded expansion — generous wall-clock sanity bound for local[8]
     assert elapsed < 120, f"degenerate corpus took {elapsed:.0f}s — cap not effective?"
+
+
+def test_simhash_chunk_buckets_under_cap(spark):
+    """dedup_simhash's closed-pair oracle holds only while every pigeonhole
+    chunk bucket stays <= _MAX_BUCKET members (above that _bucket_pairs
+    emits star pairs, and star pairs failing hamming<=3 are dropped — see
+    the operator docstring's OUTPUT CONTRACT). Assert the driver's data
+    satisfies the precondition, mirroring test_testdata_classes_under_cap
+    for minhash (ADVICE r5)."""
+    import pyspark.sql.functions as FF
+
+    from mutable_spark.operators import dedup as D
+    from mutable_spark.catalog import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01").documents
+    g = D._shingle_df(docs, distinct=False)
+    ex = g.select("doc_id", FF.explode("sh").alias("tok"))
+    m = ex.select("doc_id", FF.md5("tok").alias("m"))
+    th = m.select(
+        "doc_id",
+        FF.conv(FF.substring("m", 1, 8), 16, 10).cast("long").alias("h0"),
+        FF.conv(FF.substring("m", 9, 8), 16, 10).cast("long").alias("h1"),
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            FF.sum(
+                (FF.shiftrightunsigned(FF.col(f"h{b // 32}"), b % 32).bitwiseAND(FF.lit(1)) * 2 - 1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    chunk = lambda c: sum(
+        (FF.when(FF.col(f"b{16 * c + i}") > 0, 1).otherwise(0) * (1 << i)) for i in range(16)
+    )
+    sig = votes.select("doc_id", FF.array(*[chunk(c) for c in range(4)]).alias("chunks"))
+    biggest = (
+        sig.select(FF.posexplode("chunks").alias("pos", "val"))
+        .groupBy("pos", "val")
+        .count()
+        .agg(FF.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= D._MAX_BUCKET, (
+        f"simhash chunk bucket of {biggest} docs exceeds the {D._MAX_BUCKET} "
+        "star-cap: the registered closed-pair oracle no longer matches the "
+        "operator contract"
+    )

@@ -78,6 +78,34 @@ def test_injected_json_roundtrip(tmp_path):
     assert c.est(frozenset({"l"})) == 600000.0
 
 
+def test_injected_json_multi_db_selects_section(tmp_path):
+    """A multi-db cardinality file installs the section matching the
+    current database (reference InjectionCardinalityEstimator keys on the
+    db name); an unknown db raises instead of silently using the first
+    section (ADVICE r5)."""
+    import pytest
+
+    p = tmp_path / "cards.json"
+    p.write_text(
+        json.dumps(
+            {
+                "db1": [{"relations": ["r"], "size": 10}],
+                "db2": [{"relations": ["r"], "size": 99}],
+            }
+        )
+    )
+    assert Cardinalities.from_json(str(p), database="db2").base["r"] == 99
+    assert Cardinalities.from_json(str(p), database="db1").base["r"] == 10
+    with pytest.raises(KeyError):
+        Cardinalities.from_json(str(p), database="nope")
+    with pytest.raises(KeyError):
+        Cardinalities.from_json(str(p))  # ambiguous without a db name
+    # a lone section applies regardless of label
+    q = tmp_path / "one.json"
+    q.write_text(json.dumps({"whatever": [{"relations": ["r"], "size": 7}]}))
+    assert Cardinalities.from_json(str(q), database="other").base["r"] == 7
+
+
 def test_planner_changes_plan_not_results(spark, tables):
     stmt = parse(SQL)
     plain = compile_select(stmt, tables)

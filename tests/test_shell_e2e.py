@@ -30,3 +30,34 @@ def test_shell_stdin_roundtrip():
     assert "11" in out.stdout          # the SELECT result
     assert "(1 rows)" in out.stdout
     assert "r" in out.stdout           # .tables listing
+
+
+def test_plan_rejects_dml_without_side_effect():
+    """`.plan INSERT ...` must neither execute the mutation nor crash: the
+    table row count stays unchanged and the usage message is printed
+    (ADVICE r5: plan_text used to run Engine.execute, silently inserting)."""
+    script = (
+        "CREATE DATABASE d;\n"
+        "USE d;\n"
+        "CREATE TABLE r (key INT(4) PRIMARY KEY);\n"
+        "INSERT INTO r VALUES (1);\n"
+        '.plan INSERT INTO r VALUES (2)\n'
+        "SELECT COUNT() AS n FROM r;\n"
+        ".plan SELECT key FROM r\n"
+        ".quit\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "usage: .plan SELECT" in out.stdout
+    # COUNT() == 1: the .plan INSERT did not run (a result row is printed
+    # on its own line in the reference's literal format)
+    assert "\n1\n" in out.stdout
+    assert "\n2\n" not in out.stdout
+    assert "Physical Plan" in out.stdout  # SELECT plan still renders

@@ -62,7 +62,10 @@ def test_plan_and_cardinalities_commands(spark, tmp_path):
     eng = _engine(spark)
     ptext = plan_text(eng, "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey")
     assert "== Physical Plan ==" in ptext
-    assert plan_text(eng, 'CREATE TABLE t2 (key INT(4) PRIMARY KEY)').startswith("ok")
+    # DDL/DML gets a usage message and is NOT executed (ADVICE r5: .plan
+    # used to silently run the statement)
+    assert plan_text(eng, 'CREATE TABLE t2 (key INT(4) PRIMARY KEY)').startswith("usage:")
+    assert "t2" not in eng.catalog._db()
 
     f = tmp_path / "cards.json"
     f.write_text(json.dumps({"db": [
