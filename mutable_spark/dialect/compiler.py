@@ -84,6 +84,9 @@ class Source:
     #: attr names exported more than once (FROM-subquery like
     #: `SELECT R.key, S.key` — any access errors, `Sema.cpp:245,266`)
     dups: frozenset = frozenset()
+    #: base table name when this source scans a catalog table directly
+    #: (None for FROM-subqueries) — the key the zone-index lookup uses
+    table: str | None = None
 
 
 #: comparison ops SpnTableModel understands (plans/spn.py leaf likelihoods)
@@ -125,8 +128,14 @@ def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
 
 
 class Compiler:
-    def __init__(self, tables: dict[str, DataFrame], planner=None):
+    def __init__(self, tables: dict[str, DataFrame], planner=None, zone_indexes=None):
         self.tables = tables
+        #: {table: {column: ZoneIndex}} for parquet-backed tables with a
+        #: CREATE INDEX — the scan path swaps Filter∘Scan for a
+        #: footer-pruned file-subset scan when a WHERE conjunct ranges
+        #: over an indexed column (reference physical optimizer:
+        #: `src/backend/WasmOperator.hpp:397-405` IndexScan replacement)
+        self.zone_indexes: dict[str, dict[str, object]] = zone_indexes or {}
         #: optional JoinPlanner (plans/planner.py): GOO join ordering from
         #: injected/footer cardinalities + broadcast decisions — the
         #: reference's plan-enumerator/estimator surface (SURVEY §4.1)
@@ -252,7 +261,9 @@ class Compiler:
         sources: list[Source] = []
         for ref in stmt.from_:
             if ref.subquery is not None:
-                sub = Compiler(self.tables, self.planner).compile_select(ref.subquery)
+                sub = Compiler(
+                    self.tables, self.planner, self.zone_indexes
+                ).compile_select(ref.subquery)
                 alias = ref.alias
                 base = sub
             else:
@@ -279,7 +290,7 @@ class Compiler:
                 seen.add(c)
                 cols.append(F.col(f"__b{i}").alias(f"{alias}{SEP}{c}"))
             renamed = uniq.select(*cols)
-            sources.append(Source(alias, renamed, attrs, dups))
+            sources.append(Source(alias, renamed, attrs, dups, table=ref.name))
         if not sources:
             # SELECT without FROM: single-row frame (the reference allows
             # constant queries)
@@ -328,6 +339,57 @@ class Compiler:
         return out
 
     # ------------------------------------------------------------------
+    def _zone_pruned_scan(self, s: Source, conjuncts: list[A.Node]):
+        """Filter∘Scan → pruned scan: when a pushed conjunct ranges over a
+        zone-indexed column of this base table, read only the parquet
+        files whose footer [min, max] intersects the derived bounds
+        (`sources/indexes.py::ZoneIndex`; reference parity:
+        `src/backend/WasmOperator.hpp:397-405` replaces Filter∘Scan with
+        IndexScan). Returns None when no index applies.
+
+        Pruning is an I/O layer, never a correctness layer: the caller
+        still applies EVERY conjunct to the pruned frame, so strict
+        bounds (`>`/`<` mapped to closed zone bounds) and non-indexed
+        predicates stay exact — a stale or coarse index can only
+        over-read."""
+        zcols = self.zone_indexes.get(s.table) if s.table else None
+        if not zcols:
+            return None
+
+        def bound(c: A.Node, column: str):
+            if not isinstance(c, A.Binary) or c.op not in _SPN_OPS:
+                return None
+            lhs, rhs = c.left, c.right
+            if isinstance(lhs, A.Designator) and isinstance(rhs, A.Literal):
+                d, lit, op = lhs, rhs, c.op
+            elif isinstance(rhs, A.Designator) and isinstance(lhs, A.Literal):
+                d, lit, op = rhs, lhs, _SPN_FLIP[c.op]
+            else:
+                return None
+            if d.attr != column or lit.kind not in ("int", "float"):
+                return None
+            return op, lit.value
+
+        for column, zi in zcols.items():
+            lo = hi = None
+            for c in conjuncts:
+                b = bound(c, column)
+                if b is None:
+                    continue
+                op, v = b
+                if op in (">", ">=", "="):
+                    lo = v if lo is None else max(lo, v)
+                if op in ("<", "<=", "="):
+                    hi = v if hi is None else min(hi, v)
+            if lo is None and hi is None:
+                continue
+            pruned = zi.read_pruned(s.df.sparkSession, lo, hi)
+            return pruned.select(
+                *[F.col(a).alias(f"{s.alias}{SEP}{a}") for a in s.attrs]
+            )
+        return None
+
+    # ------------------------------------------------------------------
     def _build_joins(self, stmt: A.SelectStmt, sources: list[Source]) -> DataFrame:
         conjuncts: list[A.Node] = []
 
@@ -359,7 +421,7 @@ class Compiler:
         # push single-source filters below the joins (GraphBuilder placement)
         frames: dict[str, DataFrame] = {}
         for s in sources:
-            df = s.df
+            df = self._zone_pruned_scan(s, per_source[s.alias]) or s.df
             for c in per_source[s.alias]:
                 col, t = self._expr(c, [])
                 if t != "boolean":
@@ -834,6 +896,6 @@ class Compiler:
 
 
 def compile_select(
-    stmt: A.SelectStmt, tables: dict[str, DataFrame], planner=None
+    stmt: A.SelectStmt, tables: dict[str, DataFrame], planner=None, zone_indexes=None
 ) -> DataFrame:
-    return Compiler(tables, planner).compile_select(stmt)
+    return Compiler(tables, planner, zone_indexes).compile_select(stmt)

@@ -99,6 +99,15 @@ class Engine:
         self.planner = planner
         self.catalog = Catalog(spark)
         self.schemas: dict[tuple[str, str], T.StructType] = {}
+        #: parquet directory backing a table, when known ((db, table) →
+        #: path). A backed table is what makes CREATE INDEX build a real
+        #: file-zone index instead of catalog metadata only.
+        self.table_paths: dict[tuple[str, str], str] = {}
+        #: (db, table) → {column: ZoneIndex} — built by CREATE INDEX over
+        #: parquet-backed tables; the compiler's scan path prunes with
+        #: these (the reference's physical optimizer replaces Filter∘Scan
+        #: with IndexScan the same way, `src/backend/WasmOperator.hpp:397-405`)
+        self.zone_indexes: dict[tuple[str, str], dict[str, object]] = {}
         #: CHAR(n)/VARCHAR(n) declared lengths per (db, table): the
         #: reference stores CHAR(n) in exactly n bytes (NUL-padded,
         #: `Type.hpp:310-318`), so over-length strings are truncated at
@@ -129,13 +138,34 @@ class Engine:
             self.catalog.use("default")
         self.catalog.create_table(name, df)
 
+    def create_table_from_parquet(self, name: str, path: str) -> None:
+        """Register a table served directly from a parquet directory — the
+        engine's analogue of a reference table whose Store lives in files.
+        Recording the backing path is what lets ``CREATE INDEX`` build a
+        real file-zone index over the layout (see ``_execute_create_index``)
+        and the compiler prune the scan through it."""
+        self.register(name, self.spark.read.parquet(path))
+        self.table_paths[(self.catalog.current, name)] = path
+
     def sql(self, text: str) -> DataFrame | None:
         return self.execute(text)
+
+    def _zone_indexes_in_use(self) -> dict[str, dict[str, object]]:
+        db = self.catalog.current
+        return {
+            table: cols
+            for (dbname, table), cols in self.zone_indexes.items()
+            if dbname == db and cols
+        }
 
     def execute(self, text: str) -> DataFrame | None:
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
-            return Compiler(self.catalog._db(), self.planner).compile_select(stmt)
+            return Compiler(
+                self.catalog._db(),
+                self.planner,
+                zone_indexes=self._zone_indexes_in_use(),
+            ).compile_select(stmt)
         if isinstance(stmt, A.CreateDatabaseStmt):
             self.catalog.create_database(stmt.name)
             return None
@@ -457,8 +487,17 @@ class Engine:
                 self.catalog.drop_table(name)
                 self.schemas.pop((self.catalog.current, name), None)
                 self.char_limits.pop((self.catalog.current, name), None)
+                self.table_paths.pop((self.catalog.current, name), None)
+                self.zone_indexes.pop((self.catalog.current, name), None)
             else:
+                table, attr = idx[name]
                 del idx[name]
+                # drop the zone index only when no other named index
+                # still covers the same (table, column)
+                if not any(v == (table, attr) for v in idx.values()):
+                    cols = self.zone_indexes.get((self.catalog.current, table))
+                    if cols is not None:
+                        cols.pop(attr, None)
 
     def _execute_create_index(self, stmt: A.CreateIndexStmt) -> None:
         """Sema order mirrors `Sema.cpp:1611-1703`: db-in-use → UNIQUE
@@ -497,3 +536,15 @@ class Engine:
                 f"attribute {field.attr!r} does not exist in table {stmt.table!r}"
             )
         idx[stmt.name] = (stmt.table, field.attr)
+        # Parquet-backed table: build a real file-zone index over the
+        # layout from footer metadata alone (reference: CREATE INDEX
+        # bulkloads an ArrayIndex/RMI, `DatabaseCommand.cpp` CreateIndex;
+        # on Spark the index's job is file pruning — sources/indexes.py).
+        # `rmi` → learned file map; DEFAULT/`array` → sorted-array map.
+        path = self.table_paths.get((self.catalog.current, stmt.table))
+        if path is not None:
+            from mutable_spark.sources.indexes import ZoneIndex
+
+            self.zone_indexes.setdefault((self.catalog.current, stmt.table), {})[
+                field.attr
+            ] = ZoneIndex.build(path, field.attr, learned=stmt.method == "rmi")

@@ -94,6 +94,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # previously unit-only surfaces in sources/indexes.py and plans/spn.py)
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
+    # round-6 gate: the zone index reached from dialect SQL (CREATE INDEX
+    # → file-zone layout → compiler Filter∘Scan pruning)
+    "dialect_zoneindex_scan",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
