@@ -9,9 +9,9 @@ binary column construction, the mapInPandas batch contract (pandas
 DataFrames in/out, explicit output schema), and partition-parallel
 execution. Swapping `fake_decode` for PIL/libvips is a one-function change.
 
-``multimodal_extract`` has a DuckDB oracle because its "features"
-(byte length, md5 content address) are engine-computable; the fake decode
-features are checked rows-only.
+Every operator here carries a full DuckDB oracle — including the
+Python-tier decode passes, whose stand-in codec arithmetic the oracle
+reproduces with substr/ascii math over the same ASCII payloads.
 """
 
 from __future__ import annotations
@@ -112,8 +112,9 @@ def multimodal_frame_sample(spark, sf_dir):
     JVM builtin (`F.md5`) on the exploded rows. Because the fake
     "container format" is plain byte slicing and the payloads are ASCII,
     the DuckDB oracle reproduces the exact frames with substr arithmetic,
-    so even the Python tier is hash-checked end-to-end (the real-codec
-    twin `multimodal_fake_features` stays rows-only by nature).
+    so even the Python tier is hash-checked end-to-end
+    (`multimodal_fake_features` carries the same full-oracle check for
+    the decode+featurize shape).
 
     At 100 TB: stateless map — no shuffle; output rows inherit the input
     partitioning; `arrow.maxRecordsPerBatch` bounds executor memory
@@ -142,11 +143,36 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@query("multimodal_fake_features")  # stubbed decode → rows-only check
+@query(
+    "multimodal_fake_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                         i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                     / strlen(text)
+           END AS mean_byte,
+           CAST(CASE WHEN strlen(text) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
+    FROM documents
+    """,
+)
 def multimodal_fake_features(spark, sf_dir):
-    """The decode+featurize pass with the stub decoder: same mapInPandas
-    plumbing and schema discipline a real image pipeline needs (swap
-    `fake_decode` for a real codec; nothing else changes)."""
+    """The decode+featurize pass through the real `mapInPandas` plumbing,
+    with the deterministic stand-in codec (`fake_decode`): same batch
+    contract, schema discipline, and partition-parallel shape a real
+    image pipeline needs — swap `fake_decode` for a real codec
+    (`decode_image`) and nothing else changes.
+
+    Full oracle since round 6: the stand-in codec's per-byte arithmetic
+    (length, mean byte value, first byte) is mirrored exactly by DuckDB
+    ascii/substr math over the same ASCII payloads — the same trick as
+    `multimodal_frame_sample` — so the Python decode tier itself is
+    hash-checked. mean_byte is exact: the byte sum is integer (< 2^53),
+    and one correctly-rounded double division is computed identically by
+    Python int division and DuckDB's DOUBLE/int division. The real-codec
+    entry point stays stubbed (`decode_image`) and documented."""
     df = _payload_df(spark, sf_dir)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -118,9 +118,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ivf_topk",
     "multimodal_extract",
     # round-5 addition: the 1-row-in-N-frames-out mapInPandas shape with a
-    # full oracle; takes multimodal_fake_features' slot (rows-only stub,
-    # driver-green r3/r4, still checked by the local suite)
+    # full oracle
     "multimodal_frame_sample",
+    # round-6 promotion: the decode+featurize mapInPandas pass gained a
+    # full oracle (stand-in codec arithmetic mirrored in SQL) — back
+    # in-sample as a hash-checked row instead of the old rows-only check
+    "multimodal_fake_features",
     "events_window_tumbling",
     "events_sessionize",
     # round-6 rotation: the five round-5 operators registered past the
@@ -146,8 +149,6 @@ _SAMPLE_PRIORITY: list[str] = [
     #                         in-sample by dedup_minhash_lsh (green r1-r4)
     "sim_nearest_pairs",  # quadratic exact baseline; family covered
     #                       in-sample by sim_cosine_topk + sim_ann_lsh
-    "multimodal_fake_features",  # rows-only stub; mapInPandas plumbing now
-    #                              oracle-gated by multimodal_frame_sample
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "op_pivot",   # grouping-analytics family covered in-sample by op_cube

@@ -17,6 +17,9 @@ NEVER_SAMPLED = [
     "op_set_ops",
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
+    "dialect_zoneindex_scan",
+    "dialect_spn_string_filter",
+    "multimodal_fake_features",
     "op_mvcc_snapshot",
     "op_topk_per_group",
     "op_cube",
