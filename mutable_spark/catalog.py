@@ -145,6 +145,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     )
 
 
+def table_backing_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Parquet path backing ``load_table``'s frame, or None when the served
+    frame is value-transformed from the raw file bytes (events: the ns→µs
+    timestamp conversion — a file-zone index over the raw file would
+    describe different values than the frame). Lets the shell register
+    loaded tables as parquet-backed so ``CREATE INDEX`` builds a real
+    file-zone index (`dialect/engine.py`)."""
+    if name == "events":
+        return None
+    return str(_maybe_relayout(spark, Path(sf_dir.rstrip("/")) / f"{name}.parquet"))
+
+
 @dataclass
 class Catalog:
     """Minimal multi-database catalog in the reference's shape

@@ -139,11 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         if line.startswith(".load"):
             parts = line.split()
             sf_dir = parts[1] if len(parts) > 1 else "/root/testdata/sf0.001"
-            from mutable_spark.catalog import TABLE_NAMES, load_table
+            from mutable_spark.catalog import (
+                TABLE_NAMES,
+                load_table,
+                table_backing_path,
+            )
 
             for t in TABLE_NAMES:
                 if t not in eng.catalog._db():
                     eng.catalog.create_table(t, load_table(spark, sf_dir, t))
+                    # parquet-backed registration: CREATE INDEX on a loaded
+                    # table builds a real file-zone index over the layout
+                    p = table_backing_path(spark, sf_dir, t)
+                    if p is not None:
+                        eng.table_paths[(eng.catalog.current, t)] = p
             print(f"loaded {len(TABLE_NAMES)} tables from {sf_dir}")
             return True
         if line == ".learn_spns":

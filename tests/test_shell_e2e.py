@@ -61,3 +61,33 @@ def test_plan_rejects_dml_without_side_effect():
     assert "\n1\n" in out.stdout
     assert "\n2\n" not in out.stdout
     assert "Physical Plan" in out.stdout  # SELECT plan still renders
+
+
+def test_shell_create_index_on_loaded_table():
+    """.load registers parquet-backed tables, so CREATE INDEX builds a
+    file-zone index and a range SELECT runs through the pruned scan path
+    — the full reference workflow (load, index, query) over stdin."""
+    script = (
+        ".load /root/testdata/sf0.001\n"
+        "CREATE INDEX ock ON orders USING rmi (o_custkey);\n"
+        "SELECT COUNT() AS n FROM orders WHERE o_custkey >= 10 AND o_custkey <= 50;\n"
+        ".quit\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "loaded" in out.stdout
+    assert "error" not in out.stderr.lower().replace("stderr", "")
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/orders.parquet' "
+        "WHERE o_custkey BETWEEN 10 AND 50"
+    ).fetchone()[0]
+    assert f"\n{want}\n" in out.stdout
