@@ -372,9 +372,18 @@ class Compiler:
                 d, lit, op = rhs, lhs, _SPN_FLIP[c.op]
             else:
                 return None
-            if d.attr != column or lit.kind not in ("int", "float"):
+            if d.attr != column:
                 return None
-            return op, lit.value
+            if lit.kind in ("int", "float"):
+                return op, lit.value
+            if lit.kind in ("date", "datetime"):
+                # time-range pruning over a date-partitioned layout — the
+                # canonical 100 TB scan pattern; ZoneIndex normalizes
+                # datetime bounds into its numeric key space
+                import datetime as dt
+
+                return op, dt.datetime.fromisoformat(str(lit.value).strip())
+            return None
 
         for column, zi in zcols.items():
             lo = hi = None
@@ -389,7 +398,11 @@ class Compiler:
                     hi = v if hi is None else min(hi, v)
             if lo is None and hi is None:
                 continue
-            pruned = zi.read_pruned(s.df.sparkSession, lo, hi)
+            # apply_bounds=False: the caller compiles EVERY WHERE conjunct
+            # onto this frame with the dialect's own coercion rules, so the
+            # index's generic bound filter would be redundant (and for time
+            # bounds, wrongly typed vs TIMESTAMP_NTZ columns)
+            pruned = zi.read_pruned(s.df.sparkSession, lo, hi, apply_bounds=False)
             return pruned.select(
                 *[F.col(a).alias(f"{s.alias}{SEP}{a}") for a in s.attrs]
             )

@@ -213,6 +213,23 @@ class RecursiveModelIndex(ArrayIndex):
 
 
 # --- Spark integration: file-zone index for scan pruning -------------------
+def _key_num(v):
+    """Numeric key-space for zone bounds: datetimes/dates normalize to
+    epoch seconds (naive = UTC, matching the engine's session timezone),
+    so the RMI's float arithmetic and range lookups work uniformly for
+    numeric AND time columns — time-range pruning over a date-partitioned
+    layout is the canonical 100 TB scan pattern."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return (v.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+    if isinstance(v, dt.date):
+        return (
+            dt.datetime(v.year, v.month, v.day) - dt.datetime(1970, 1, 1)
+        ).total_seconds()
+    return v
+
+
 class ZoneIndex:
     """Min/max zones per parquet file of a dataset directory, held in an
     (Array|RecursiveModel)Index keyed by zone minimum.
@@ -258,7 +275,9 @@ class ZoneIndex:
                 # no stats: the file can never be pruned
                 z.zones.append((-np.inf, np.inf, str(f)))
             else:
-                z.zones.append((min(mins), max(maxs), str(f)))
+                z.zones.append(
+                    (_key_num(min(mins)), _key_num(max(maxs)), str(f))
+                )
         z.index.bulkload(
             [zmin for zmin, _, _ in z.zones], list(range(len(z.zones)))
         )
@@ -268,7 +287,10 @@ class ZoneIndex:
     def files_for_range(self, lo=None, hi=None) -> list[str]:
         # candidate zones: zone_min <= hi; then verify zone_max >= lo.
         # The index narrows by zone minimum in O(log) / O(model) time;
-        # the residual check is linear in candidates only.
+        # the residual check is linear in candidates only. Bounds may be
+        # numeric or datetime/date (normalized like the zone keys).
+        lo = _key_num(lo) if lo is not None else None
+        hi = _key_num(hi) if hi is not None else None
         cand = self.index.lookup_range(None, hi)
         out = []
         for i in cand:
@@ -277,9 +299,13 @@ class ZoneIndex:
                 out.append(f)
         return out
 
-    def read_pruned(self, spark, lo=None, hi=None):
+    def read_pruned(self, spark, lo=None, hi=None, apply_bounds: bool = True):
         """DataFrame over only the files that can contain
-        ``column ∈ [lo, hi]``, with the residual filter applied."""
+        ``column ∈ [lo, hi]``, with the residual bound filter applied.
+        ``apply_bounds=False`` skips that filter for callers that apply
+        their own residual predicates (the dialect compiler compiles every
+        WHERE conjunct onto the pruned frame with dialect coercion rules,
+        which also sidesteps lit-vs-NTZ typing for time bounds)."""
         import pyspark.sql.functions as F
 
         files = self.files_for_range(lo, hi)
@@ -290,6 +316,8 @@ class ZoneIndex:
                 .filter(F.lit(False))
             )
         df = spark.read.parquet(*files)
+        if not apply_bounds:
+            return df
         c = F.col(self.column)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))

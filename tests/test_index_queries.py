@@ -322,3 +322,41 @@ def test_string_filter_flips_plan(spark):
     df = QUERIES["dialect_spn_string_filter"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dialect_date_range_scan_prunes_files(spark, tmp_path):
+    """Time-range pruning over a date-partitioned layout — the canonical
+    100 TB pattern: a dialect WHERE over date literals reads only the
+    files whose footer time range intersects, and results equal the full
+    scan (residual predicates compiled with dialect coercion)."""
+    import pyspark.sql.functions as FF
+
+    from mutable_spark.dialect import Engine
+
+    layout = tmp_path / "orders_by_date"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartitionByRange(8, "o_orderdate").write.parquet(str(layout))
+
+    eng = Engine(spark)
+    eng.catalog.create_database("zd")
+    eng.catalog.use("zd")
+    eng.create_table_from_parquet("orders", str(layout))
+    eng.execute("CREATE INDEX od ON orders USING rmi (o_orderdate)")
+
+    total_files = len(spark.read.parquet(str(layout)).inputFiles())
+    df = eng.execute(
+        "SELECT COUNT() AS n FROM orders "
+        "WHERE o_orderdate >= d'1996-01-01' AND o_orderdate < d'1996-07-01'"
+    )
+    assert 0 < len(df.inputFiles()) < total_files, (
+        f"{len(df.inputFiles())}/{total_files} files"
+    )
+    want = (
+        spark.read.parquet(str(layout))
+        .filter(
+            (FF.col("o_orderdate") >= "1996-01-01")
+            & (FF.col("o_orderdate") < "1996-07-01")
+        )
+        .count()
+    )
+    assert df.collect()[0][0] == want
