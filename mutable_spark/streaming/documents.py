@@ -1,0 +1,84 @@
+"""Streaming twins for the ingest-side curation operators: the documents
+table as a file stream, exact dedup as an incremental digest aggregation,
+and benchmark decontamination as a stream-static broadcast anti-join.
+
+Why these two: at 100 TB the curation pipeline is not a one-shot batch —
+new shards arrive continuously, and the two stages that must run *at
+ingest* are exact-duplicate accounting (state = one row per distinct
+digest, bounded and tiny relative to the corpus) and eval-set
+decontamination (state = none; the blocklist is a static broadcast side).
+The fuzzy tiers (MinHash/SimHash) stay batch: their candidate generation
+is a global shuffle over all-time state and is run as periodic
+compaction, not per-microbatch — the standard lambda split.
+
+Each streaming op is the *same declarative aggregation* as its registered
+batch twin (`dedup_exact`, `pipeline_decontaminate`), so the stream==batch
+tests pin the results equal row-for-row under availableNow replay.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mutable_spark.session import apply_runtime_confs
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet. Same staging trick as
+    `stream_events`: FileStreamSource needs a directory, so a symlink-only
+    dir holds just documents.parquet; the schema comes from a batch footer
+    probe so stream and batch can never disagree on dtypes."""
+    apply_runtime_confs(spark)
+    src = Path(sf_dir.rstrip("/")) / "documents.parquet"
+    stage = (
+        Path(tempfile.gettempdir())
+        / "mutable_spark_stream_docs"
+        / src.parent.name
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    link = stage / "documents.parquet"
+    if not link.exists():
+        link.symlink_to(src)
+    schema = spark.read.parquet(str(src)).schema
+    return spark.readStream.schema(schema).parquet(str(stage))
+
+
+def _digest(col="text"):
+    """The batch path's normalized content digest (`operators/dedup.py`:
+    strip the generator's trailing near-dup marker, md5)."""
+    return F.md5(F.regexp_replace(F.col(col), r"( dup)+$", ""))
+
+
+def dedup_exact_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``dedup_exact``: incremental digest aggregation.
+    State per distinct digest is (min doc_id, count) — 40-ish bytes,
+    bounded by distinct-content count, and updated map-side per
+    microbatch. First-arrival `dropDuplicates` would be arrival-order
+    dependent; the min/count aggregate is deterministic and equals the
+    batch answer exactly."""
+    return (
+        docs.select(_digest().alias("group_md5"), "doc_id")
+        .groupBy("group_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dupes"),
+        )
+    )
+
+
+def decontaminate_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
+    """Streaming twin of ``pipeline_decontaminate``: per-microbatch LEFT
+    ANTI hash join against the static broadcast digest blocklist — a
+    stream-static join, stateless on the stream side, so contaminated
+    rows never enter any downstream state. ``eval_digests`` is a static
+    (batch) frame with one ``eval_md5`` column."""
+    kept = docs.join(
+        F.broadcast(eval_digests), _digest() == F.col("eval_md5"), "left_anti"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )

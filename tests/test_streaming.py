@@ -241,3 +241,44 @@ def test_streaming_funnel_state_survives_restart(spark, tmp_path):
     }
     got_views = {u: v for u, v in last.items() if v[0] > 0}
     assert got_views == want
+
+
+def test_streaming_dedup_exact_equals_batch(spark):
+    """Ingest-side exact dedup: the streaming digest aggregation replayed
+    over the bounded documents equals the registered batch dedup_exact
+    row-for-row."""
+    from mutable_spark.streaming.documents import dedup_exact_stream, stream_documents
+
+    stream = stream_documents(spark, SF_DIR)
+    assert stream.isStreaming
+    got = run_available_now(dedup_exact_stream(stream), "t_dedup_exact")
+    want = registry.QUERIES["dedup_exact"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_decontaminate_equals_batch(spark):
+    """Ingest-side decontamination: stream-static broadcast anti-join
+    against the eval digest blocklist equals the registered batch
+    pipeline_decontaminate."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import _EVAL_MOD
+    from mutable_spark.streaming.documents import (
+        _digest,
+        decontaminate_stream,
+        stream_documents,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(_digest().alias("eval_md5"))
+        .distinct()
+    )
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(
+        decontaminate_stream(stream, evalset), "t_decontaminate"
+    )
+    want = registry.QUERIES["pipeline_decontaminate"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
