@@ -241,6 +241,11 @@ def sim_ann_lsh(spark, sf_dir):
             ]
         )
     )
+    # cache: sig (N × 5 ints — a few hundred KB at any nprobe-worthy N) is
+    # read twice — the corpus pieces AND the 1-row query signature. Without
+    # the cache the 20M-row plane-dot aggregation runs twice (measured ~2x
+    # the op's cost at sf0.1).
+    sig = sig.cache()
     chunks_arr = F.array(*[F.col(f"chunk{c}") for c in range(4)])
     pieces = sig.select("vec_id", F.posexplode(chunks_arr).alias("pos", "val"))
     qpieces = (
