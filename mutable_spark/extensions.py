@@ -1,0 +1,109 @@
+"""Component registry — the reference's research-facing extension surface.
+
+mutable's Catalog lets third-party code register components by name and
+select them at runtime (`include/mutable/catalog/Catalog.hpp:343-660`:
+stores, data layouts, cardinality estimators, plan enumerators, cost
+functions, backends, shell instructions, pre/post optimizations). That
+registry IS the reference's "UDF surface" (SURVEY §2.11) — research
+plugs in a new enumerator or estimator without touching the engine.
+
+The Spark engine's analogue, with the same name-keyed semantics
+(register → duplicate raises unless replace → select by name):
+
+- **plan enumerators**: ``register_plan_enumerator(name, fn)`` with
+  ``fn(aliases, edges, cards) -> tree | None`` (None = "not applicable,
+  fall back to GOO", exactly how the builtin DP family degrades).
+  ``JoinPlanner(enumerator=name)`` resolves builtins first, then this
+  registry — `Catalog::register_plan_enumerator`.
+- **cardinality estimators**: ``register_cardinality_estimator(name,
+  factory)`` with ``factory(spark, sf_dir) -> Cardinalities | JoinPlanner
+  feed`` — `Catalog::register_cardinality_estimator`. Builtins mirror the
+  reference's estimator set: "injected" (cardinality JSON), "footer"
+  (parquet metadata = the reference's table statistics), "spn"
+  (learned SpnEstimator).
+- **shell instructions**: ``register_instruction(name, handler)`` with
+  ``handler(engine, args: list[str]) -> str | None`` — the reference's
+  `Catalog::register_instruction`, whose registered names the shell
+  dispatches as ``.name arg...`` (`src/shell.cpp` instruction loop). The
+  builtin `.learn_spns` / `.cardinalities` / `.plan` route through the
+  same table, so user instructions are first-class.
+
+Components that have no Spark-side meaning are deliberately absent:
+stores/data layouts (Tungsten owns memory layout), Wasm backends
+(whole-stage codegen), cost functions beyond cardinality (Catalyst's
+CBO) — SURVEY §4.2 maps each to the Spark machinery that replaces it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+PLAN_ENUMERATORS: dict[str, Callable] = {}
+CARDINALITY_ESTIMATORS: dict[str, Callable] = {}
+SHELL_INSTRUCTIONS: dict[str, Callable] = {}
+
+
+def _register(table: dict, kind: str, name: str, obj, replace: bool):
+    if not replace and name in table:
+        raise ValueError(f"{kind} {name!r} already registered")
+    table[name] = obj
+    return obj
+
+
+def register_plan_enumerator(name: str, fn=None, *, replace: bool = False):
+    """Register (or decorate) a join enumerator: ``fn(aliases, edges,
+    cards) -> tree | None``. Returning None falls back to GOO."""
+    if fn is None:
+        return lambda f: _register(
+            PLAN_ENUMERATORS, "plan enumerator", name, f, replace
+        )
+    return _register(PLAN_ENUMERATORS, "plan enumerator", name, fn, replace)
+
+
+def register_cardinality_estimator(name: str, factory=None, *, replace: bool = False):
+    """Register (or decorate) an estimator factory:
+    ``factory(spark, sf_dir) -> Cardinalities``."""
+    if factory is None:
+        return lambda f: _register(
+            CARDINALITY_ESTIMATORS, "cardinality estimator", name, f, replace
+        )
+    return _register(
+        CARDINALITY_ESTIMATORS, "cardinality estimator", name, factory, replace
+    )
+
+
+def register_instruction(name: str, handler=None, *, replace: bool = False):
+    """Register (or decorate) a shell instruction: ``handler(engine,
+    args) -> str | None``; the shell dispatches ``.name arg...`` to it and
+    prints the returned text."""
+    if handler is None:
+        return lambda f: _register(
+            SHELL_INSTRUCTIONS, "instruction", name, f, replace
+        )
+    return _register(SHELL_INSTRUCTIONS, "instruction", name, handler, replace)
+
+
+def _register_builtin_estimators() -> None:
+    """The reference's estimator set, as registry entries."""
+
+    def injected(path, database=None):
+        from mutable_spark.plans.planner import Cardinalities
+
+        return Cardinalities.from_json(path, database=database)
+
+    def footer(spark, sf_dir):
+        from mutable_spark.plans.planner import footer_cardinalities
+
+        return footer_cardinalities(sf_dir)
+
+    def spn(spark, sf_dir, filters=None):
+        from mutable_spark.plans.index_queries import spn_planner
+
+        return spn_planner(spark, sf_dir, filters).cards
+
+    CARDINALITY_ESTIMATORS.setdefault("injected", injected)
+    CARDINALITY_ESTIMATORS.setdefault("footer", footer)
+    CARDINALITY_ESTIMATORS.setdefault("spn", spn)
+
+
+_register_builtin_estimators()

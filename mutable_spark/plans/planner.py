@@ -1150,6 +1150,12 @@ class JoinPlanner:
             "hs-beam": hs_beam_plan,
             "hs-anytime": hs_anytime_plan,
         }
+        # user-registered enumerators (the reference's
+        # Catalog::register_plan_enumerator surface) resolve after the
+        # builtins; same contract — return None to fall back to GOO
+        from mutable_spark.extensions import PLAN_ENUMERATORS
+
+        exact = {**PLAN_ENUMERATORS, **exact}
         if (
             self.enumerator in exact
             and 1 < len(aliases) <= self.max_dp_relations

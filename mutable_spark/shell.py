@@ -169,6 +169,24 @@ def main(argv: list[str] | None = None) -> int:
         if line.startswith(".plan "):
             print(plan_text(eng, line[len(".plan "):]))
             return True
+        if line.startswith("."):
+            # user-registered instructions (the reference's
+            # Catalog::register_instruction surface; `src/shell.cpp`
+            # dispatches unrecognized `.name arg...` the same way)
+            from mutable_spark.extensions import SHELL_INSTRUCTIONS
+
+            parts = line[1:].split()
+            handler = SHELL_INSTRUCTIONS.get(parts[0]) if parts else None
+            if handler is not None:
+                try:
+                    out = handler(eng, parts[1:])
+                    if out is not None:
+                        print(out)
+                except Exception as e:
+                    print(f"error: {e}", file=sys.stderr)
+                return True
+            print(f"unknown instruction {line.split()[0]!r}", file=sys.stderr)
+            return True
         try:
             run_statement(eng, line)
         except Exception as e:  # surface, keep the session alive
