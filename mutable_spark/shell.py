@@ -116,6 +116,35 @@ def plan_text(eng, statement: str) -> str:
     )
 
 
+def _register_builtin_instructions() -> None:
+    """The shell's builtin instructions live in the same registry user
+    instructions do (the reference registers `learn_spns` through the
+    identical Catalog mechanism, `DatabaseCommand.cpp:40-48`)."""
+    from mutable_spark.extensions import SHELL_INSTRUCTIONS
+
+    def _learn_spns(eng, args):
+        return "\n".join(learn_spns(eng))
+
+    def _cardinalities(eng, args):
+        if not args:
+            print("usage: .cardinalities <json-file>", file=sys.stderr)
+            return None
+        return install_cardinalities(eng, " ".join(args))
+
+    def _plan(eng, args):
+        if not args:
+            print("usage: .plan SELECT ...", file=sys.stderr)
+            return None
+        return plan_text(eng, " ".join(args))
+
+    SHELL_INSTRUCTIONS.setdefault("learn_spns", _learn_spns)
+    SHELL_INSTRUCTIONS.setdefault("cardinalities", _cardinalities)
+    SHELL_INSTRUCTIONS.setdefault("plan", _plan)
+
+
+_register_builtin_instructions()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     from mutable_spark.dialect import Engine
@@ -155,24 +184,11 @@ def main(argv: list[str] | None = None) -> int:
                         eng.table_paths[(eng.catalog.current, t)] = p
             print(f"loaded {len(TABLE_NAMES)} tables from {sf_dir}")
             return True
-        if line == ".learn_spns":
-            for msg in learn_spns(eng):
-                print(msg)
-            return True
-        if line.startswith(".cardinalities"):
-            parts = line.split(None, 1)
-            if len(parts) < 2:
-                print("usage: .cardinalities <json-file>", file=sys.stderr)
-                return True
-            print(install_cardinalities(eng, parts[1].strip()))
-            return True
-        if line.startswith(".plan "):
-            print(plan_text(eng, line[len(".plan "):]))
-            return True
         if line.startswith("."):
-            # user-registered instructions (the reference's
-            # Catalog::register_instruction surface; `src/shell.cpp`
-            # dispatches unrecognized `.name arg...` the same way)
+            # instruction dispatch (the reference's
+            # Catalog::register_instruction surface, `src/shell.cpp`):
+            # builtins (.learn_spns/.cardinalities/.plan) and
+            # user-registered instructions resolve from the same table
             from mutable_spark.extensions import SHELL_INSTRUCTIONS
 
             parts = line[1:].split()
