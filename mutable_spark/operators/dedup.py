@@ -341,12 +341,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(g)
 
 
-def minhash_lsh_pairs(g):
-    """Verified near-dup pairs (doc_a, doc_b, jac ≥ 0.5) from a hashed
-    shingle DataFrame ``g`` = (doc_id, shh) (see `_hashed_shingle_df`).
-    The reusable LSH tier — consumed by ``dedup_minhash_lsh`` and by
-    ``pipeline_clean_corpus``'s near-dup stage. ``g`` should be cached by
-    the caller (read 3×: signature build + two verification join-backs)."""
+def _minhash_buckets(g):
+    """(doc_id, band, bkey) LSH band-bucket rows from a hashed-shingle
+    frame: 128 codegen'd min-aggregates → 64 xxhash64 band keys →
+    posexplode. The signature subplan is NOT cached: each consumer reads
+    it exactly once (the old bucket self-join needed a cache; the
+    posexplode+groupBy formulation does not — a cache would only pay a
+    pointless block-store materialization of a 128-column frame,
+    profiled ~3 s at sf0.1)."""
     sig = (
         g.select("doc_id", F.explode("shh").alias("sh_h"))
         .select("doc_id", F.pmod(F.col("sh_h"), F.lit(_P31)).alias("h"))
@@ -357,10 +359,6 @@ def minhash_lsh_pairs(g):
                 for i, (a, b) in enumerate(_AB)
             ]
         )
-        # NOT cached: the old bucket self-join read the signature twice and
-        # needed a cache; the posexplode+groupBy bucket pass reads it exactly
-        # once, so a cache would only pay a pointless block-store
-        # materialization of a 128-column frame (profiled ~3 s at sf0.1).
     )
     bands = F.array(
         *[
@@ -368,7 +366,16 @@ def minhash_lsh_pairs(g):
             for j in range(_BANDS)
         ]
     )
-    buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bkey"))
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bkey"))
+
+
+def minhash_lsh_pairs(g):
+    """Verified near-dup pairs (doc_a, doc_b, jac ≥ 0.5) from a hashed
+    shingle DataFrame ``g`` = (doc_id, shh) (see `_hashed_shingle_df`).
+    The reusable LSH tier — consumed by ``dedup_minhash_lsh`` and by
+    ``pipeline_clean_corpus``'s near-dup stage. ``g`` should be cached by
+    the caller (read 3×: signature build + two verification join-backs)."""
+    buckets = _minhash_buckets(g)
     grouped = (
         buckets.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -376,20 +383,27 @@ def minhash_lsh_pairs(g):
     )
     # C(n,2) ordered pairs per bucket, star-capped past _MAX_BUCKET members
     cand = _bucket_pairs(grouped)
-    # Size-ratio prune BEFORE the full-array join-backs: J >= t implies
-    # min(n_a,n_b)/max(n_a,n_b) >= t (sound — no qualifying pair dropped),
-    # and the sizes frame is two longs per doc, so failed candidates never
-    # pull their shingle arrays across the join at all.
+    return _verify_pairs(cand, g)
+
+
+def _verify_pairs(cand, g):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the hashed-shingle frame ``g``; emits pairs with jac ≥ 0.5.
+
+    Size-ratio prune BEFORE the full-array join-backs: J >= t implies
+    min(n_a,n_b)/max(n_a,n_b) >= t (sound — no qualifying pair dropped),
+    and the sizes frame is two longs per doc, so failed candidates never
+    pull their shingle arrays across the join at all. shh is distinct
+    (see _hashed_shingle_df), so |A∪B| = n_a + n_b - inter: one hash-set
+    pass per pair instead of intersect + union. `inter` is projected once
+    (a non-cheap alias referenced twice is a CollapseProject barrier, so
+    it is NOT recomputed per reference)."""
     sizes = g.select("doc_id", F.size("shh").alias("n"))
     cand = (
         cand.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
         .filter((F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")))
     )
-    # shh is distinct (see _hashed_shingle_df), so |A∪B| = n_a + n_b - inter:
-    # one hash-set pass per pair instead of intersect + union. `inter` is
-    # projected once (a non-cheap alias referenced twice is a CollapseProject
-    # barrier, so it is NOT recomputed per reference).
     verified = (
         cand.join(g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
         .join(g.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")

@@ -231,3 +231,103 @@ def pipeline_decontaminate(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
     )
+
+
+# --------------------------------------------------------------------------
+_SQL_DECONTAM_FUZZY = rf"""
+    WITH g AS ({{shingles}}),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM g t, g e
+        WHERE (e.doc_id % {_EVAL_MOD} = 0) AND (t.doc_id % {_EVAL_MOD} <> 0)
+          AND len(t.shh) * 2 >= len(e.shh)
+          AND len(e.shh) * 2 >= len(t.shh)
+          AND CAST(len(list_intersect(t.shh, e.shh)) AS DOUBLE)
+              / (len(t.shh) + len(e.shh) - len(list_intersect(t.shh, e.shh)))
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE doc_id % {_EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY source
+"""
+
+
+@query("pipeline_decontaminate_fuzzy", oracle=None)  # assigned below
+def pipeline_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy benchmark decontamination — the paraphrase tier
+    ``pipeline_decontaminate`` defers to: drop every training document
+    whose word-3-gram Jaccard with ANY eval-set document is ≥ 0.5 (the
+    n-gram-overlap decontamination large-model training runs use, where
+    exact digests miss reworded test items).
+
+    Architecture is a *cross-corpus* MinHash join — a different LSH shape
+    from the self-join dedup tier: both sides share one signature build
+    (`_minhash_buckets`), each band bucket splits its members into eval
+    and train lists map-side (the side flag is derived from doc_id, no
+    join), and only train×eval pairs expand — never train×train — so the
+    candidate volume is bounded by the (small) eval side's presence in
+    each bucket. Verification is the exact shared tier (`_verify_pairs`),
+    so emitted contamination is exact; recall is the LSH guarantee
+    (miss ≈ 1e-8 at the 0.5 threshold with 64 bands × 2 rows).
+
+    Skew contract (mirrors the dedup star cap): a bucket's eval list is
+    capped at ``_MAX_BUCKET`` members — past that, train members verify
+    against the first 1,000 eval docs of the bucket (degenerate
+    boilerplate buckets; at that point the eval set itself contains
+    near-identical items and any one of them attests contamination).
+    Testdata stays far under the cap
+    (`tests/test_dedup_scale.py::test_testdata_classes_under_cap`)."""
+    import mutable_spark.operators.dedup as D
+
+    d = load_tables(spark, sf_dir).documents
+    g = D._hashed_shingle_df(d).cache()
+    buckets = D._minhash_buckets(g)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
+    grouped = (
+        buckets.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(is_eval, F.col("doc_id")))
+            ).alias("evs"),
+            F.sort_array(
+                F.collect_list(F.when(~is_eval, F.col("doc_id")))
+            ).alias("trs"),
+        )
+        .filter((F.size("evs") >= 1) & (F.size("trs") >= 1))
+    )
+    evs_capped = F.slice(F.col("evs"), 1, D._MAX_BUCKET)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("trs"),
+            lambda t: F.transform(
+                evs_capped,
+                lambda e: F.struct(t.alias("doc_a"), e.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    contaminated = (
+        D._verify_pairs(cand, g).select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    kept = d.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )
+
+
+def _register_fuzzy_oracle():
+    from mutable_spark.operators.dedup import _SQL_HASHED_SHINGLES
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["pipeline_decontaminate_fuzzy"] = _SQL_DECONTAM_FUZZY.format(
+        shingles=_SQL_HASHED_SHINGLES
+    )
+
+
+_register_fuzzy_oracle()

@@ -75,8 +75,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # tests/test_sketches.py)
     "op_set_ops",
     "op_topk_per_group",
-    "op_cube",
-    # rollup completes the grouping-sets family in-sample (never sampled r5)
+    # rollup completes the grouping-sets family in-sample (never sampled
+    # r5; op_cube demoted r6 — 3x green, same family)
     "op_rollup",
     # MVCC snapshot reads (round-5 gate for versioning.py — the last §1.1
     # reference surface with no driver row)
@@ -134,6 +134,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_vocab_topk",
     "pipeline_train_test_split",
     "pipeline_decontaminate",
+    # round-6 addition: the fuzzy (MinHash cross-corpus) decontamination
+    # tier — takes op_cube's slot
+    "pipeline_decontaminate_fuzzy",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "op_join_left_outer",  # green r3-r5; extended-join family in-sample
@@ -151,7 +154,8 @@ _SAMPLE_PRIORITY: list[str] = [
     #                       in-sample by sim_cosine_topk + sim_ann_lsh
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
-    "op_pivot",   # grouping-analytics family covered in-sample by op_cube
+    "op_cube",    # green r3-r5; grouping-sets family covered by op_rollup
+    "op_pivot",   # grouping-analytics family covered in-sample by op_rollup
     "op_filter_disjunctive",
     "op_cross_product",
     "op_group_expr_alias",

@@ -22,7 +22,6 @@ NEVER_SAMPLED = [
     "multimodal_fake_features",
     "op_mvcc_snapshot",
     "op_topk_per_group",
-    "op_cube",
     "op_rollup",
     "op_window_running_sum",
     "events_window_tumbling",
@@ -31,6 +30,7 @@ NEVER_SAMPLED = [
     "text_vocab_topk",
     "pipeline_train_test_split",
     "pipeline_decontaminate",
+    "pipeline_decontaminate_fuzzy",
     "pipeline_clean_corpus",
 ]
 
