@@ -27,18 +27,42 @@ from __future__ import annotations
 import sys
 
 
-def run_statement(eng, text: str, out=sys.stdout) -> None:
+def run_statement(eng, text: str, out=sys.stdout, options=None) -> None:
     from mutable_spark.plans.sinks import print_result
 
     text = text.strip()
     if not text:
         return
+    opt = options or {}
+    if opt.get("echo"):  # reference --echo: echo statements
+        out.write(text + "\n")
+    if opt.get("ast"):  # reference --ast: print the AST of statements
+        from mutable_spark.dialect import parse
+
+        out.write(repr(parse(text)) + "\n")
+    import time
+
+    t0 = time.perf_counter()
     df = eng.execute(text)
+    t_compile = time.perf_counter() - t0
     if df is not None:
+        if opt.get("plan"):  # reference --plan: emit the chosen plan
+            out.write(_explain(eng, df) + "\n")
+        t1 = time.perf_counter()
         n = print_result(df, out)
-        out.write(f"({n} rows)\n")
+        t_exec = time.perf_counter() - t1
+        if not opt.get("quiet"):
+            out.write(f"({n} rows)\n")
+        if opt.get("times"):  # reference -t/--times: report exact timings
+            out.write(
+                f"compile: {t_compile * 1e3:.3f} ms, "
+                f"execute: {t_exec * 1e3:.3f} ms\n"
+            )
     else:
-        out.write("ok\n")
+        if not opt.get("quiet"):
+            out.write("ok\n")
+        if opt.get("times"):
+            out.write(f"execute: {t_compile * 1e3:.3f} ms\n")
 
 
 #: SPN-modelable column types: numerics plus DATE/DATETIME (encoded as
@@ -98,6 +122,14 @@ def install_cardinalities(eng, path: str) -> str:
     return f"installed injected cardinalities for {len(cards.base)} relations"
 
 
+def _explain(eng, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 def plan_text(eng, statement: str) -> str:
     """The reference's `--plan` dump ("Emit the logical query plan") for
     one SELECT statement: compile without executing and render the physical
@@ -108,12 +140,7 @@ def plan_text(eng, statement: str) -> str:
     never get a side effect."""
     if statement.strip().split(None, 1)[0].upper() != "SELECT":
         return "usage: .plan SELECT ... (DDL/DML statements have no plan and are not executed)"
-    df = eng.execute(statement)
-    return df._jdf.queryExecution().explainString(
-        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    return _explain(eng, eng.execute(statement))
 
 
 def _register_builtin_instructions() -> None:
@@ -147,6 +174,29 @@ _register_builtin_instructions()
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="mutable_spark.shell",
+        description="mutable-dialect shell on Spark (reference: src/shell.cpp)",
+    )
+    # the reference shell's additional-output options (`src/shell.cpp`
+    # option table): -t/--times, --echo, --ast, --plan, -q/--quiet,
+    # --noprompt. --astdot/--graphdot (graphviz dumps) are omitted — no
+    # display surface here; --plan prints the formatted physical plan,
+    # which is this engine's query-graph dump.
+    ap.add_argument("-t", "--times", action="store_true", help="report exact timings")
+    ap.add_argument("--echo", action="store_true", help="echo statements")
+    ap.add_argument("--ast", action="store_true", help="print the AST of statements")
+    ap.add_argument("--plan", action="store_true", help="emit the query plan")
+    ap.add_argument("-q", "--quiet", action="store_true", help="work in quiet mode")
+    ap.add_argument("--noprompt", action="store_true", help="disable prompt")
+    ap.add_argument("script", nargs="?", help="SQL script to run")
+    args = ap.parse_args(argv)
+    options = {
+        k: getattr(args, k) for k in ("times", "echo", "ast", "plan", "quiet")
+    }
+
     from mutable_spark.dialect import Engine
     from mutable_spark.session import get_spark
 
@@ -204,19 +254,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown instruction {line.split()[0]!r}", file=sys.stderr)
             return True
         try:
-            run_statement(eng, line)
+            run_statement(eng, line, options=options)
         except Exception as e:  # surface, keep the session alive
             print(f"error: {e}", file=sys.stderr)
         return True
 
-    if argv:
-        text = open(argv[0]).read()
+    if args.script:
+        text = open(args.script).read()
         for stmt in text.split(";"):
             if stmt.strip():
                 handle(stmt)
         return 0
 
-    interactive = sys.stdin.isatty()
+    interactive = sys.stdin.isatty() and not args.noprompt
     if interactive:
         print("mutable_spark shell — .load [sf_dir], .tables, .quit")
     buf = ""

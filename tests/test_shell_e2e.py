@@ -91,3 +91,41 @@ def test_shell_create_index_on_loaded_table():
         "WHERE o_custkey BETWEEN 10 AND 50"
     ).fetchone()[0]
     assert f"\n{want}\n" in out.stdout
+
+
+def test_shell_output_options():
+    """The reference shell's additional-output options (-t/--times,
+    --echo, --ast, --plan, -q) drive the real process."""
+    script = (
+        "CREATE TABLE r (key INT(4) PRIMARY KEY);\n"
+        "INSERT INTO r VALUES (1), (2);\n"
+        "SELECT key FROM r WHERE key < 2;\n"
+        ".quit\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell", "-t", "--echo", "--ast", "--plan"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SELECT key FROM r WHERE key < 2" in out.stdout   # --echo
+    assert "SelectStmt(" in out.stdout                        # --ast
+    assert "Physical Plan" in out.stdout                      # --plan
+    assert "compile:" in out.stdout and "execute:" in out.stdout  # --times
+    assert "(1 rows)" in out.stdout
+
+    quiet = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell", "-q"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert quiet.returncode == 0, quiet.stderr[-2000:]
+    assert "(1 rows)" not in quiet.stdout   # -q suppresses row summaries
+    assert "ok" not in quiet.stdout
+    assert "1" in quiet.stdout.splitlines()  # results still print
