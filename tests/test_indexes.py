@@ -144,3 +144,39 @@ def test_zone_index_open_ended(spark, sorted_orders_dir):
     got = zi.read_pruned(spark, lo=5_000, hi=None).count()
     exp = t.orders.filter("o_orderkey >= 5000").count()
     assert got == exp
+
+
+def test_zone_index_range_edge_cases(spark, tmp_path):
+    """Pruned scans equal full-scan filters on every range shape: one-sided,
+    out-of-domain (below min / above max), reversed (empty), and exact
+    single-key ranges — pruning may only ever over-read, never drop."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.sources.indexes import ZoneIndex
+
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    layout = tmp_path / "edge"
+    src.repartitionByRange(8, "k").write.parquet(str(layout))
+    full = spark.read.parquet(str(layout))
+    for learned in (True, False):
+        zi = ZoneIndex.build(str(layout), "k", learned=learned)
+        for lo, hi in [
+            (None, 100),       # one-sided upper
+            (900, None),       # one-sided lower
+            (-50, -1),         # entirely below the domain -> empty
+            (2000, 3000),      # entirely above the domain -> empty
+            (500, 400),        # reversed -> empty
+            (123, 123),        # single key
+            (None, None),      # unbounded -> everything
+            (0, 999),          # exact domain
+        ]:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("k") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("k") <= hi)
+            want = sorted(r.k for r in full.filter(cond).collect())
+            got = sorted(r.k for r in zi.read_pruned(spark, lo, hi).collect())
+            assert got == want, (learned, lo, hi)
