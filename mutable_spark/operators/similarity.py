@@ -14,6 +14,10 @@
                               centroids → deterministic probe choice →
                               partition-pruned exact rerank. Fully
                               oracle-checked since r5.
+- ``sim_ivf_train``           distributed Lloyd k-means for the coarse
+                              quantizer (fixed rounds, bit-deterministic
+                              exact arithmetic — a fully oracle-checked
+                              iterative training job). Since r6.
 
 All vector math is JVM-side (`zip_with` + `aggregate` folds, left-to-right,
 in DOUBLE) so Spark and the DuckDB oracle (`list_reduce` with a prepended
@@ -380,4 +384,165 @@ def sim_ivf_topk(spark, sf_dir):
         )
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+#: k-means trainer shape: 8 lists, 2 Lloyd rounds per job (a production
+#: trainer loops the same job to convergence; fixing the round count keeps
+#: the oracle finitely expressible)
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _sql_ivf_train() -> str:
+    """DuckDB twin of ``sim_ivf_train``: the identical fixed-round Lloyd
+    iteration with the identical exact arithmetic (see the operator
+    docstring for why every step is bit-deterministic)."""
+    S = int(_DOT_SCALE)
+    ex = f"""
+        SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+        FROM embeddings, range(1, {_DIM} + 1) t(d)
+    """
+    dist = (
+        f"SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * {S}) AS BIGINT))"
+    )
+    mean = (
+        f"CAST(SUM(CAST(floor(e.x * {S}) AS BIGINT)) AS DOUBLE)"
+        f" / (COUNT(*) * CAST({S} AS DOUBLE))"
+    )
+    return f"""
+    WITH ex AS ({ex}),
+    init AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS (SELECT i.cluster, e.d, e.x AS c FROM init i JOIN ex e USING (vec_id)),
+    p1 AS (
+        SELECT e.vec_id, c.cluster, {dist} AS dist
+        FROM ex e JOIN c0 c USING (d)
+        GROUP BY e.vec_id, c.cluster
+    ),
+    a1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM p1
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a.cluster, e.d, {mean} AS c
+        FROM a1 a JOIN ex e USING (vec_id)
+        GROUP BY a.cluster, e.d
+    ),
+    p2 AS (
+        SELECT e.vec_id, c.cluster, {dist} AS dist
+        FROM ex e JOIN c1 c USING (d)
+        GROUP BY e.vec_id, c.cluster
+    ),
+    a2 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM p2
+        ) WHERE rn = 1
+    )
+    SELECT a2.cluster,
+           COUNT(*) AS n_members,
+           MIN(a2.vec_id) AS min_vec,
+           MAX(c1.c) AS c_dim1
+    FROM a2 JOIN (SELECT cluster, c FROM c1 WHERE d = 1) c1 USING (cluster)
+    GROUP BY a2.cluster
+    """
+
+
+@query("sim_ivf_train", oracle=_sql_ivf_train())
+def sim_ivf_train(spark, sf_dir):
+    """Distributed k-means training for the IVF coarse quantizer — the
+    offline job that produces the list assignment ``sim_ivf_topk``
+    consumes (its `label` column). Lloyd's algorithm, 8 lists, 2 rounds
+    (a production trainer loops this same job to convergence; the fixed
+    round count keeps the DuckDB oracle finitely expressible as chained
+    CTEs).
+
+    Every step is engineered bit-deterministic across engines AND across
+    any partitioning/aggregation order, so an *iterative ML algorithm*
+    carries a full value-hash oracle:
+
+    - init: the 8 smallest vec_ids' vectors, cluster = vec_id rank;
+    - distances: Σ_d floor((x_d − c_d)² · 2^40) as LONG — each per-dim
+      term is a deterministic double op, the scaled floor is exact, and
+      integer SUM is associative (same trick as `sim_ann_lsh`'s sign
+      bits), so the per-(vec, cluster) distance is identical under any
+      partial-agg/spill order;
+    - assignment: argmin by (dist, cluster) — a total order, no ties;
+    - centroid update: per-dim means from exact scaled-long sums, one
+      correctly-rounded double division (sum and n·2^40 are both exactly
+      representable), identical in both engines.
+
+    Scale shape: the only driver-side data is nothing at all — vectors
+    explode to (vec_id, d, x) once (codegen), centroids are a k×64-row
+    broadcast side, each round is two keyed shuffles (per-(vec,cluster)
+    distance partial-sums map-side; per-(cluster,d) mean partial-sums
+    map-side). k and dims bound the broadcast; N only flows through
+    linear scans — the standard distributed Lloyd round. The interpreted
+    per-row HOF fold over 64-dim arrays is deliberately avoided (see the
+    `sim_ann_lsh` docstring measurements)."""
+    S = int(_DOT_SCALE)
+    e = load_tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xr")
+    ).select("vec_id", (F.col("d") + 1).alias("d"), F.col("xr").cast("double").alias("x"))
+
+    from pyspark.sql import Window
+
+    init = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+    )
+    cent = init.join(ex, "vec_id").select(
+        "cluster", "d", F.col("x").alias("c")
+    )
+
+    assign = None
+    for it in range(_KM_ITERS):
+        term = F.floor((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(S)).cast(
+            "long"
+        )
+        pair = (
+            ex.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(term).alias("dist"))
+        )
+        assign = (
+            pair.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
+        )
+        if it == _KM_ITERS - 1:
+            break
+        cent = (
+            assign.join(ex, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * F.lit(S)).cast("long")).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(S)))
+                ).alias("c")
+            )
+        )
+
+    c_dim1 = cent.filter(F.col("d") == 1).select("cluster", F.col("c").alias("c_dim1"))
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec"))
+        .join(c_dim1, "cluster")
+        .select("cluster", "n_members", "min_vec", "c_dim1")
     )

@@ -113,9 +113,12 @@ _SAMPLE_PRIORITY: list[str] = [
     # slot — that quadratic baseline is driver-green r1-r4 and its family
     # stays in-sample via sim_cosine_topk + sim_ann_lsh
     "dedup_duplicate_classes",
-    "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ivf_topk",
+    # round-6 addition: the distributed k-means quantizer trainer (full
+    # oracle over fixed Lloyd rounds) — takes sim_cosine_topk's slot
+    # (3x green; exact baseline family stays via ann/ivf + local suite)
+    "sim_ivf_train",
     "multimodal_extract",
     # round-5 addition: the 1-row-in-N-frames-out mapInPandas shape with a
     # full oracle
@@ -154,6 +157,7 @@ _SAMPLE_PRIORITY: list[str] = [
     #                       in-sample by sim_cosine_topk + sim_ann_lsh
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
+    "sim_cosine_topk",  # green r3-r5; sim family covered by ann/ivf/train
     "op_cube",    # green r3-r5; grouping-sets family covered by op_rollup
     "op_pivot",   # grouping-analytics family covered in-sample by op_rollup
     "op_filter_disjunctive",

@@ -31,6 +31,7 @@ NEVER_SAMPLED = [
     "pipeline_train_test_split",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
+    "sim_ivf_train",
     "pipeline_clean_corpus",
 ]
 
