@@ -279,12 +279,25 @@ def pipeline_decontaminate_fuzzy(spark, sf_dir):
     near-identical items and any one of them attests contamination).
     Testdata stays far under the cap
     (`tests/test_dedup_scale.py::test_testdata_classes_under_cap`)."""
+    d = load_tables(spark, sf_dir).documents
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
+    contaminated = fuzzy_contaminated_ids(d, is_eval)
+    kept = d.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )
+
+
+def fuzzy_contaminated_ids(d, is_eval):
+    """(doc_id) frame of non-eval documents whose Jaccard with any eval
+    document is ≥ 0.5 — the reusable cross-corpus LSH tier behind
+    ``pipeline_decontaminate_fuzzy``. ``is_eval`` is a boolean Column over
+    ``d``'s rows (derived from doc_id, so the band buckets can split
+    sides map-side without a join)."""
     import mutable_spark.operators.dedup as D
 
-    d = load_tables(spark, sf_dir).documents
     g = D._hashed_shingle_df(d).cache()
     buckets = D._minhash_buckets(g)
-    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
     grouped = (
         buckets.groupBy("band", "bkey")
         .agg(
@@ -312,12 +325,8 @@ def pipeline_decontaminate_fuzzy(spark, sf_dir):
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    contaminated = (
+    return (
         D._verify_pairs(cand, g).select(F.col("doc_a").alias("doc_id")).distinct()
-    )
-    kept = d.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
     )
 
 

@@ -121,3 +121,27 @@ def test_simhash_chunk_buckets_under_cap(spark):
         "star-cap: the registered closed-pair oracle no longer matches the "
         "operator contract"
     )
+
+
+def test_fuzzy_decontaminate_degenerate_bounded(spark):
+    """Cross-corpus LSH under degenerate boilerplate: 1,200 identical docs
+    (every 25th an eval member) collapse into one bucket per band. The
+    eval-side cap bounds the expansion to |trs| x min(|evs|, cap) instead
+    of |trs| x |evs| x 64 bands, and every train doc is still flagged
+    contaminated (any one capped eval member attests it)."""
+    import pyspark.sql.functions as FF
+
+    from mutable_spark.operators.pipeline import fuzzy_contaminated_ids
+
+    n = 1200
+    text = " ".join(f"tok{i % 7}" for i in range(20))
+    docs = spark.range(n).select(
+        FF.col("id").alias("doc_id"), FF.lit(text).alias("text")
+    )
+    is_eval = FF.pmod(FF.col("doc_id"), FF.lit(25)) == 0
+    t0 = time.monotonic()
+    contaminated = {r.doc_id for r in fuzzy_contaminated_ids(docs, is_eval).collect()}
+    elapsed = time.monotonic() - t0
+    train = {i for i in range(n) if i % 25 != 0}
+    assert contaminated == train  # every train doc is a verbatim eval dup
+    assert elapsed < 120, f"degenerate corpus took {elapsed:.0f}s — cap not effective?"
