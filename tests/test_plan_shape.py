@@ -144,3 +144,23 @@ def test_decontaminate_is_broadcast_anti_join(plans):
     p = plans("pipeline_decontaminate")
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_fuzzy_decontaminate_no_cartesian(plans):
+    """The cross-corpus LSH tier stays an equi-join pipeline: no cartesian
+    or broadcast-nested-loop anywhere, and the final keep is an anti join."""
+    p = plans("pipeline_decontaminate_fuzzy")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "LeftAnti" in p
+
+
+def test_ivf_train_broadcasts_centroids_no_cartesian(plans):
+    """Lloyd rounds join the exploded vectors against the k x 64-row
+    centroid side as a broadcast hash join — the corpus never shuffles for
+    the join — and aggregation is partial before each shuffle."""
+    p = plans("sim_ivf_train")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p or "partial_min" in p or "HashAggregate" in p
