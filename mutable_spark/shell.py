@@ -164,9 +164,22 @@ def _register_builtin_instructions() -> None:
             return None
         return plan_text(eng, " ".join(args))
 
+    def _parquet(eng, args):
+        if len(args) != 2:
+            print("usage: .parquet <table> <path>", file=sys.stderr)
+            return None
+        table, path = args
+        eng.create_table_from_parquet(table, path)
+        n = eng.catalog._db()[table].count()
+        return f"registered {table} from {path} ({n} rows, parquet-backed)"
+
     SHELL_INSTRUCTIONS.setdefault("learn_spns", _learn_spns)
     SHELL_INSTRUCTIONS.setdefault("cardinalities", _cardinalities)
     SHELL_INSTRUCTIONS.setdefault("plan", _plan)
+    # parquet-backed table registration: the Spark-native ingest path
+    # (beyond the reference's DSV-only IMPORT); CREATE INDEX on such a
+    # table builds a real file-zone index over the layout
+    SHELL_INSTRUCTIONS.setdefault("parquet", _parquet)
 
 
 _register_builtin_instructions()

@@ -129,3 +129,31 @@ def test_shell_output_options():
     assert "(1 rows)" not in quiet.stdout   # -q suppresses row summaries
     assert "ok" not in quiet.stdout
     assert "1" in quiet.stdout.splitlines()  # results still print
+
+
+def test_shell_parquet_instruction():
+    """`.parquet <table> <path>` registers a parquet-backed table that a
+    subsequent CREATE INDEX + range query prune through."""
+    script = (
+        ".parquet ords /root/testdata/sf0.001/orders.parquet\n"
+        "CREATE INDEX oi ON ords USING rmi (o_custkey);\n"
+        "SELECT COUNT() AS n FROM ords WHERE o_custkey >= 10 AND o_custkey <= 50;\n"
+        ".quit\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "registered ords" in out.stdout
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/orders.parquet' "
+        "WHERE o_custkey BETWEEN 10 AND 50"
+    ).fetchone()[0]
+    assert f"\n{want}\n" in out.stdout
