@@ -340,3 +340,55 @@ def _register_fuzzy_oracle():
 
 
 _register_fuzzy_oracle()
+
+
+# --------------------------------------------------------------------------
+#: source-mixing rates: a deterministic per-source downsampling weight —
+#: the "domain mixing" step of LLM data curation (e.g. upweight curated
+#: sources, downsample web crawl). Derived from the source suffix so the
+#: policy is total over any source set: srcN keeps (N % 4 + 1) * 0.25.
+_MIX_SQL_RATE = "((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 0.25"
+
+
+@query(
+    "pipeline_mix_sources",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM (
+        SELECT source, doc_id
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+              < {_MIX_SQL_RATE} * 4503599627370496.0
+    )
+    GROUP BY source
+    """,
+)
+def pipeline_mix_sources(spark, sf_dir):
+    """Deterministic source mixing (domain weighting): each document is
+    kept iff its stable 52-bit md5(doc_id) fraction falls under its
+    source's sampling rate — here srcN keeps (N mod 4 + 1)/4 of its docs,
+    standing in for a real mixing policy (upweight curated domains,
+    downsample crawl). Same contract as ``pipeline_train_test_split``:
+    stable across runs/partitionings, stateless (pure map during the
+    scan, zero shuffle before the summary), and composable — the kept
+    set is a strict subset relation preserved as rates change (a doc
+    kept at rate r stays kept at any r' > r, because the hash fraction
+    is fixed), which is what lets a pipeline re-mix without re-ingesting.
+    The registered result is the per-source summary (counts + id range),
+    pinning membership without hashing the corpus through the driver."""
+    d = load_tables(spark, sf_dir).documents
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    rate = (
+        (F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1) * F.lit(0.25)
+    )
+    kept = d.filter(h < rate * F.lit(float(1 << 52)))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

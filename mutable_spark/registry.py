@@ -127,7 +127,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # full oracle (stand-in codec arithmetic mirrored in SQL) — back
     # in-sample as a hash-checked row instead of the old rows-only check
     "multimodal_fake_features",
-    "events_window_tumbling",
     "events_sessionize",
     # round-6 rotation: the five round-5 operators registered past the
     # 50-sample horizon take the slots of long-green family twins
@@ -140,6 +139,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # round-6 addition: the fuzzy (MinHash cross-corpus) decontamination
     # tier — takes op_cube's slot
     "pipeline_decontaminate_fuzzy",
+    # round-6 addition: deterministic source mixing (domain weights) —
+    # takes events_window_tumbling's slot (5x green; events family keeps
+    # sessionize + funnel in-sample)
+    "pipeline_mix_sources",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "op_join_left_outer",  # green r3-r5; extended-join family in-sample
@@ -158,6 +161,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "sim_cosine_topk",  # green r3-r5; sim family covered by ann/ivf/train
+    "events_window_tumbling",  # green r1-r5; events family in-sample
     "op_cube",    # green r3-r5; grouping-sets family covered by op_rollup
     "op_pivot",   # grouping-analytics family covered in-sample by op_rollup
     "op_filter_disjunctive",

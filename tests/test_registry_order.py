@@ -24,7 +24,6 @@ NEVER_SAMPLED = [
     "op_topk_per_group",
     "op_rollup",
     "op_window_running_sum",
-    "events_window_tumbling",
     "events_sessionize",
     "events_funnel",
     "text_vocab_topk",
@@ -32,6 +31,7 @@ NEVER_SAMPLED = [
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
     "sim_ivf_train",
+    "pipeline_mix_sources",
     "pipeline_clean_corpus",
 ]
 
