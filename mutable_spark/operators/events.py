@@ -238,3 +238,51 @@ def events_funnel(spark, sf_dir):
             "conv_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+#: retention horizon (day offsets 0..7 from the user's first-seen day)
+_RETENTION_DAYS = 7
+
+
+@query(
+    "events_retention",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_k,
+           COUNT(*) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    WHERE a.day - c.cohort_day <= {_RETENTION_DAYS}
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention — the third classic event-analytics shape beside
+    sessionization and funnels: users cohorted by first-seen day, counted
+    on each of the following {0..7} days they return.
+
+    Plan shape at scale: one shuffle builds the distinct (user, day)
+    activity set; the cohort min-day aggregate and the cohort⋈activity
+    join both reuse that user_id partitioning (no further exchange of the
+    big side — AQE keeps them co-partitioned); only the tiny
+    (cohort_day, day_k) summary shuffles again. COUNT(*) is exact per
+    construction because activity is distinct."""
+    e = load_tables(spark, sf_dir).events
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_k"),
+        )
+        .filter(F.col("day_k") <= _RETENTION_DAYS)
+        .groupBy("cohort_day", "day_k")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -119,7 +119,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # oracle over fixed Lloyd rounds) — takes sim_cosine_topk's slot
     # (3x green; exact baseline family stays via ann/ivf + local suite)
     "sim_ivf_train",
-    "multimodal_extract",
     # round-5 addition: the 1-row-in-N-frames-out mapInPandas shape with a
     # full oracle
     "multimodal_frame_sample",
@@ -128,6 +127,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # in-sample as a hash-checked row instead of the old rows-only check
     "multimodal_fake_features",
     "events_sessionize",
+    # round-6 addition: cohort retention (the third classic event shape)
+    # — takes multimodal_extract's slot (green r1-r5; family keeps
+    # frame_sample + fake_features in-sample)
+    "events_retention",
     # round-6 rotation: the five round-5 operators registered past the
     # 50-sample horizon take the slots of long-green family twins
     # (json_extract/sliding 3-4x green beside tumbling+sessionize;
@@ -162,6 +165,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
     "sim_cosine_topk",  # green r3-r5; sim family covered by ann/ivf/train
     "events_window_tumbling",  # green r1-r5; events family in-sample
+    "multimodal_extract",  # green r1-r5; family keeps frame_sample + fake_features
     "op_cube",    # green r3-r5; grouping-sets family covered by op_rollup
     "op_pivot",   # grouping-analytics family covered in-sample by op_rollup
     "op_filter_disjunctive",

@@ -32,6 +32,7 @@ NEVER_SAMPLED = [
     "pipeline_decontaminate_fuzzy",
     "sim_ivf_train",
     "pipeline_mix_sources",
+    "events_retention",
     "pipeline_clean_corpus",
 ]
 
