@@ -164,3 +164,20 @@ def test_ivf_train_broadcasts_centroids_no_cartesian(plans):
     assert "BroadcastNestedLoop" not in p
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p or "partial_min" in p or "HashAggregate" in p
+
+
+def test_retention_single_scan(plans, spark):
+    """events_retention scans events exactly once: the cohort day is a
+    window min over the post-distinct activity frame, not a second
+    aggregate branch over the raw events."""
+    p = plans("events_retention", mode="simple")
+    assert p.count("Scan parquet") == 1
+    assert "Window" in p
+
+
+def test_mix_sources_zero_preaggregate_shuffle(plans):
+    """pipeline_mix_sources is a pure map during the scan: the only
+    exchange is the final per-source summary."""
+    p = plans("pipeline_mix_sources")
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in p
