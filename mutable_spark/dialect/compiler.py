@@ -385,28 +385,52 @@ class Compiler:
                 return op, dt.datetime.fromisoformat(str(lit.value).strip())
             return None
 
+        # every bounded indexed column contributes its admissible file
+        # set; the scan reads the INTERSECTION (each index is sound, so
+        # intersecting can only prune more, never drop a matching file —
+        # and a point predicate on a second index tightens a wide range
+        # on the first)
+        file_sets: list[set] = []
+        all_files: list[str] | None = None
         for column, zi in zcols.items():
             lo = hi = None
+            mixed = False
             for c in conjuncts:
                 b = bound(c, column)
                 if b is None:
                     continue
                 op, v = b
-                if op in (">", ">=", "="):
-                    lo = v if lo is None else max(lo, v)
-                if op in ("<", "<=", "="):
-                    hi = v if hi is None else min(hi, v)
-            if lo is None and hi is None:
+                try:
+                    if op in (">", ">=", "="):
+                        lo = v if lo is None else max(lo, v)
+                    if op in ("<", "<=", "="):
+                        hi = v if hi is None else min(hi, v)
+                except TypeError:
+                    # mixed literal types on one column (int vs date):
+                    # skip pruning here and let sema raise its proper
+                    # "invalid operands" error when the filter compiles
+                    mixed = True
+                    break
+            if mixed or (lo is None and hi is None):
                 continue
-            # apply_bounds=False: the caller compiles EVERY WHERE conjunct
-            # onto this frame with the dialect's own coercion rules, so the
-            # index's generic bound filter would be redundant (and for time
-            # bounds, wrongly typed vs TIMESTAMP_NTZ columns)
-            pruned = zi.read_pruned(s.df.sparkSession, lo, hi, apply_bounds=False)
-            return pruned.select(
-                *[F.col(a).alias(f"{s.alias}{SEP}{a}") for a in s.attrs]
-            )
-        return None
+            file_sets.append(set(zi.files_for_range(lo, hi)))
+            all_files = [f for _, _, f in zi.zones]
+        if not file_sets:
+            return None
+        files = sorted(set.intersection(*file_sets))
+        spark = s.df.sparkSession
+        if not files:
+            # no file can match: schema-preserving empty scan
+            pruned = spark.read.parquet(*all_files).filter(F.lit(False))
+        else:
+            pruned = spark.read.parquet(*files)
+        # no index-side bound filter: the caller compiles EVERY WHERE
+        # conjunct onto this frame with the dialect's own coercion rules,
+        # so a generic bound filter would be redundant (and for time
+        # bounds, wrongly typed vs TIMESTAMP_NTZ columns)
+        return pruned.select(
+            *[F.col(a).alias(f"{s.alias}{SEP}{a}") for a in s.attrs]
+        )
 
     # ------------------------------------------------------------------
     def _build_joins(self, stmt: A.SelectStmt, sources: list[Source]) -> DataFrame:
@@ -622,7 +646,7 @@ class Compiler:
                 limit=inner.limit,
                 offset=inner.offset,
             )
-            sub = Compiler(self.tables, self.planner).compile_select(sub_stmt)
+            sub = Compiler(self.tables, self.planner, self.zone_indexes).compile_select(sub_stmt)
             self.subq_map.append((qe, name, dict(sub.dtypes)[name]))
             # enforce scalar (≤1 row) semantics at runtime: probe at most 2
             # rows, then raise if a second exists — otherwise
@@ -655,7 +679,7 @@ class Compiler:
             where=remaining,
             group_by=[A.GroupItem(d, alias=f"{name}_k{j}") for j, (d, _) in enumerate(corr)],
         )
-        sub = Compiler(self.tables, self.planner).compile_select(sub_stmt)
+        sub = Compiler(self.tables, self.planner, self.zone_indexes).compile_select(sub_stmt)
         cond = None
         for j, (_, outer_d) in enumerate(corr):
             oc, _t = self._resolve(outer_d)

@@ -150,6 +150,15 @@ class Engine:
     def sql(self, text: str) -> DataFrame | None:
         return self.execute(text)
 
+    def _invalidate_backing(self, table: str) -> None:
+        """A mutated table no longer equals its backing parquet files:
+        drop the path registration and any file-zone indexes so the
+        compiler's pruned-scan swap can never serve stale data (the
+        CREATE INDEX catalog metadata itself stays — the reference keeps
+        the index object too; only the physical file map is gone)."""
+        self.table_paths.pop((self.catalog.current, table), None)
+        self.zone_indexes.pop((self.catalog.current, table), None)
+
     def _zone_indexes_in_use(self) -> dict[str, dict[str, object]]:
         db = self.catalog.current
         return {
@@ -215,6 +224,7 @@ class Engine:
                 stmt.table, self.spark.createDataFrame(rows, schema)
             )
             db[stmt.table] = db[stmt.table].unionByName(new)
+            self._invalidate_backing(stmt.table)
             return None
         if isinstance(stmt, A.ImportDSVStmt):
             from mutable_spark.sources.dsv import import_dsv, materialize_import
@@ -246,6 +256,7 @@ class Engine:
             )
             imported = materialize_import(self.spark, imported, stmt.path, key)
             db[stmt.table] = db[stmt.table].unionByName(imported)
+            self._invalidate_backing(stmt.table)
             return None
         if isinstance(stmt, A.UpdateStmt):
             return self._execute_update(stmt)
@@ -283,7 +294,9 @@ class Engine:
             A.SelectItem(expr=A.Designator(None, c), alias=c) for c in df.columns
         ] + [A.SelectItem(expr=e, alias=alias) for alias, e in exprs]
         sel.from_ = [A.TableRef(name=table, subquery=None, alias=None)]
-        return Compiler(db, self.planner).compile_select(sel)
+        return Compiler(
+            db, self.planner, self._zone_indexes_in_use()
+        ).compile_select(sel)
 
     @staticmethod
     def _type_category(dt: T.DataType) -> str:
@@ -311,6 +324,7 @@ class Engine:
             raise SemaError(f"table {stmt.table!r} does not exist")
         if stmt.where is None:
             db[stmt.table] = db[stmt.table].limit(0)
+            self._invalidate_backing(stmt.table)
             return None
         self._reject_aggregates(stmt.where, "WHERE clause")
         out = self._compile_row_exprs(stmt.table, [("__pred", stmt.where)])
@@ -320,6 +334,7 @@ class Engine:
         db[stmt.table] = out.filter(
             ~F.coalesce(F.col("__pred"), F.lit(False))
         ).drop("__pred")
+        self._invalidate_backing(stmt.table)
         return None
 
     def _execute_update(self, stmt: A.UpdateStmt) -> None:
@@ -375,6 +390,7 @@ class Engine:
             else:
                 new_cols.append(F.col(c))
         db[stmt.table] = out.select(*new_cols)
+        self._invalidate_backing(stmt.table)
         return None
 
     # -- DDL sema + execution (`Sema.cpp:1431-1788` Drop*/CreateIndex) ----

@@ -16,11 +16,11 @@ The Spark engine's analogue, with the same name-keyed semantics
   ``JoinPlanner(enumerator=name)`` resolves builtins first, then this
   registry — `Catalog::register_plan_enumerator`.
 - **cardinality estimators**: ``register_cardinality_estimator(name,
-  factory)`` with ``factory(spark, sf_dir) -> Cardinalities | JoinPlanner
-  feed`` — `Catalog::register_cardinality_estimator`. Builtins mirror the
-  reference's estimator set: "injected" (cardinality JSON), "footer"
-  (parquet metadata = the reference's table statistics), "spn"
-  (learned SpnEstimator).
+  factory)`` with ``factory(spark, source, **kw) -> Cardinalities`` —
+  `Catalog::register_cardinality_estimator`. ``source`` is whatever the
+  estimator reads: an sf_dir for "footer"/"spn", a cardinality-JSON path
+  for "injected" (the reference's --use-cardinality-file). Builtins
+  mirror the reference's estimator set.
 - **shell instructions**: ``register_instruction(name, handler)`` with
   ``handler(engine, args: list[str]) -> str | None`` — the reference's
   `Catalog::register_instruction`, whose registered names the shell
@@ -86,10 +86,13 @@ def register_instruction(name: str, handler=None, *, replace: bool = False):
 def _register_builtin_estimators() -> None:
     """The reference's estimator set, as registry entries."""
 
-    def injected(path, database=None):
+    def injected(spark, source, database=None):
+        """`source` is the cardinality JSON path (the reference's
+        --use-cardinality-file input); `spark` is unused but keeps the
+        uniform factory(spark, source) dispatch shape."""
         from mutable_spark.plans.planner import Cardinalities
 
-        return Cardinalities.from_json(path, database=database)
+        return Cardinalities.from_json(source, database=database)
 
     def footer(spark, sf_dir):
         from mutable_spark.plans.planner import footer_cardinalities

@@ -374,7 +374,8 @@ def minhash_lsh_pairs(g):
     shingle DataFrame ``g`` = (doc_id, shh) (see `_hashed_shingle_df`).
     The reusable LSH tier — consumed by ``dedup_minhash_lsh`` and by
     ``pipeline_clean_corpus``'s near-dup stage. ``g`` should be cached by
-    the caller (read 3×: signature build + two verification join-backs)."""
+    the caller (read 4×: signature build, the narrow sizes frame for the
+    pre-join size prune, and two verification join-backs)."""
     buckets = _minhash_buckets(g)
     grouped = (
         buckets.groupBy("band", "bkey")

@@ -142,6 +142,27 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     )
 
 
+
+# --------------------------------------------------------------------------
+#: 2^52 — the denominator of the stable hash fraction below
+_HASH52_DOMAIN = float(1 << 52)
+
+
+def _hash52(col):
+    """Stable 52-bit hash of a column's string form: the first 13 hex
+    digits of its md5, as a long — the same portable construction as the
+    dedup token hash (`operators/dedup.py::_token_hash`). ``_hash52(x) /
+    2^52`` is a uniform, engine-independent fraction; every deterministic
+    sampling decision in this module (train/test split, source mixing)
+    derives from it, and the SQL twin below MUST stay in lockstep."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+
+
+#: DuckDB twin of _hash52 over a SQL expression
+def _sql_hash52(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 13))::BIGINT"
+
+
 # --------------------------------------------------------------------------
 #: train fraction for the deterministic split (md5 52-bit hash / 2^52)
 _TRAIN_FRAC = 0.8
@@ -153,7 +174,7 @@ _TRAIN_FRAC = 0.8
     SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM (
         SELECT doc_id,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               CASE WHEN {_sql_hash52('doc_id')}
                          < {_TRAIN_FRAC} * 4503599627370496.0
                     THEN 'train' ELSE 'test' END AS split
         FROM documents
@@ -173,10 +194,8 @@ def pipeline_train_test_split(spark, sf_dir):
     the registered result is the per-split summary (counts + id range),
     which pins membership without hashing 60k rows through the driver."""
     d = load_tables(spark, sf_dir).documents
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-        "long"
-    )
-    split = F.when(h < F.lit(_TRAIN_FRAC * float(1 << 52)), "train").otherwise("test")
+    h = _hash52(F.col("doc_id"))
+    split = F.when(h < F.lit(_TRAIN_FRAC * _HASH52_DOMAIN), "train").otherwise("test")
     return (
         d.select(split.alias("split"), "doc_id")
         .groupBy("split")
@@ -360,7 +379,7 @@ _MIX_SQL_RATE = "((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 0.25"
     FROM (
         SELECT source, doc_id
         FROM documents
-        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        WHERE {_sql_hash52('doc_id')}
               < {_MIX_SQL_RATE} * 4503599627370496.0
     )
     GROUP BY source
@@ -380,13 +399,11 @@ def pipeline_mix_sources(spark, sf_dir):
     The registered result is the per-source summary (counts + id range),
     pinning membership without hashing the corpus through the driver."""
     d = load_tables(spark, sf_dir).documents
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-        "long"
-    )
+    h = _hash52(F.col("doc_id"))
     rate = (
         (F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1) * F.lit(0.25)
     )
-    kept = d.filter(h < rate * F.lit(float(1 << 52)))
+    kept = d.filter(h < rate * F.lit(_HASH52_DOMAIN))
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_id"),

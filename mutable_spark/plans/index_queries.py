@@ -74,7 +74,10 @@ def _keyed_orders_layout(spark, sf_dir: str) -> Path:
         os.rename(tmp, dest)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
-    return dest if (dest / "_SUCCESS").exists() else dest
+    # a failed build degrades to the unsplit source file (same fallback
+    # discipline as catalog._maybe_relayout) — zones then cover one file
+    # and pruning is a no-op rather than an error
+    return dest if (dest / "_SUCCESS").exists() else src
 
 
 @query(

@@ -18,13 +18,13 @@ tests pin the results equal row-for-row under availableNow replay.
 
 from __future__ import annotations
 
-import tempfile
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mutable_spark.session import apply_runtime_confs
+from mutable_spark.streaming.staging import _ensure_link, _stage_dir
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,15 +34,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe so stream and batch can never disagree on dtypes."""
     apply_runtime_confs(spark)
     src = Path(sf_dir.rstrip("/")) / "documents.parquet"
-    stage = (
-        Path(tempfile.gettempdir())
-        / "mutable_spark_stream_docs"
-        / src.parent.name
-    )
-    stage.mkdir(parents=True, exist_ok=True)
+    stage = _stage_dir("mutable_spark_stream_docs", src)
     link = stage / "documents.parquet"
-    if not link.exists():
-        link.symlink_to(src)
+    _ensure_link(link, src)
     schema = spark.read.parquet(str(src)).schema
     return spark.readStream.schema(schema).parquet(str(stage))
 

@@ -16,7 +16,6 @@ twins' results exactly.
 
 from __future__ import annotations
 
-import tempfile
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -25,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mutable_spark.functions import dsum
 from mutable_spark.session import apply_runtime_confs
+from mutable_spark.streaming.staging import _ensure_link, _stage_dir
 
 def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     """Raw file schema for the streaming source; ``ts`` is LongType for
@@ -53,11 +53,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource requires a *directory*; the testdata dir mixes all
     # tables, so stage a symlink-only dir (no copy) holding just events.
     src = Path(sf_dir.rstrip("/")) / "events.parquet"
-    stage = Path(tempfile.gettempdir()) / "mutable_spark_stream" / src.parent.name
-    stage.mkdir(parents=True, exist_ok=True)
+    stage = _stage_dir("mutable_spark_stream", src)
     link = stage / "events.parquet"
-    if not link.exists():
-        link.symlink_to(src)
+    _ensure_link(link, src)
     # Probe the footer through the same reader the batch path uses, so the
     # two can never disagree on the raw dtype.
     raw_ts_dtype = dict(spark.read.parquet(str(src)).dtypes).get("ts")

@@ -360,3 +360,63 @@ def test_dialect_date_range_scan_prunes_files(spark, tmp_path):
         .count()
     )
     assert df.collect()[0][0] == want
+
+
+def test_mutation_invalidates_zone_backing(spark):
+    """INSERT/UPDATE/DELETE on a parquet-backed indexed table must drop
+    the file-zone backing: a pruned scan over the ORIGINAL files would
+    silently miss inserted rows and resurrect deleted ones (round-6
+    review finding)."""
+    eng, layout = _zoned_engine(spark)
+    eng.execute("CREATE INDEX i1 ON orders USING rmi (o_custkey)")
+    assert eng.zone_indexes  # index built
+    total = spark.read.parquet(str(layout)).count()
+
+    eng.execute(
+        "INSERT INTO orders VALUES (999999001, 42, \"O\", 1.0, d'1996-01-01', \"1-URGENT\")"
+    )
+    assert eng.zone_indexes == {} or ("zt", "orders") not in eng.zone_indexes
+    # the inserted row is visible through a range SELECT (no stale prune)
+    n = eng.execute(
+        "SELECT COUNT() AS n FROM orders WHERE o_custkey >= 42 AND o_custkey <= 42"
+    ).collect()[0][0]
+    want = (
+        spark.read.parquet(str(layout))
+        .filter("o_custkey = 42")
+        .count()
+        + 1
+    )
+    assert n == want
+    assert eng.execute("SELECT COUNT() AS n FROM orders").collect()[0][0] == total + 1
+
+
+def test_two_indexes_intersect_file_sets(spark, tmp_path):
+    """With indexes on two columns, a query bounding both reads the
+    INTERSECTION of the admissible file sets — a point predicate on the
+    second index tightens a wide range on the first (round-6 review
+    finding: first-index-wins ignored the tighter bound)."""
+    import pyspark.sql.functions as FF
+
+    from mutable_spark.dialect import Engine
+
+    # k ascending, v descending: range layouts by k cluster v inversely,
+    # so bounding both genuinely intersects different file subsets
+    src = spark.range(0, 4000).select(
+        FF.col("id").alias("k"), (3999 - FF.col("id")).alias("v")
+    )
+    layout = tmp_path / "two_idx"
+    src.repartitionByRange(8, "k").write.parquet(str(layout))
+
+    eng = Engine(spark)
+    eng.catalog.create_database("zi2")
+    eng.catalog.use("zi2")
+    eng.create_table_from_parquet("t", str(layout))
+    eng.execute("CREATE INDEX ik ON t (k)")
+    eng.execute("CREATE INDEX iv ON t (v)")
+
+    wide = eng.execute("SELECT COUNT() AS n FROM t WHERE k >= 0 AND k <= 3999")
+    both = eng.execute(
+        "SELECT COUNT() AS n FROM t WHERE k >= 0 AND k <= 3999 AND v >= 100 AND v <= 150"
+    )
+    assert len(both.inputFiles()) < len(wide.inputFiles())
+    assert both.collect()[0][0] == 51
