@@ -482,6 +482,13 @@ class Engine:
                     return  # warn-and-skip
                 raise SemaError(f"database {name!r} does not exist")
             self.catalog.drop_database(name)
+            # purge parquet-backing state keyed by the dropped db: a
+            # recreated database+table must never serve the old files
+            # through the pruned-scan swap (same invariant as
+            # _invalidate_backing, at database granularity)
+            for d in (self.table_paths, self.zone_indexes, self.schemas, self.char_limits):
+                for key in [k for k in d if k[0] == name]:
+                    del d[key]
             return
         # TABLE / INDEX: validate ALL names first, then drop (the reference
         # builds the full name list and only emits the command when every

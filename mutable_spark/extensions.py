@@ -22,11 +22,14 @@ The Spark engine's analogue, with the same name-keyed semantics
   for "injected" (the reference's --use-cardinality-file). Builtins
   mirror the reference's estimator set.
 - **shell instructions**: ``register_instruction(name, handler)`` with
-  ``handler(engine, args: list[str]) -> str | None`` — the reference's
+  ``handler(engine, raw: str) -> str | None`` — the reference's
   `Catalog::register_instruction`, whose registered names the shell
-  dispatches as ``.name arg...`` (`src/shell.cpp` instruction loop). The
-  builtin `.learn_spns` / `.cardinalities` / `.plan` route through the
-  same table, so user instructions are first-class.
+  dispatches as ``.name arg...`` (`src/shell.cpp` instruction loop).
+  ``raw`` is the VERBATIM argument tail (whitespace preserved — `.plan`'s
+  statement text and paths with spaces must not be re-tokenized); split
+  it yourself if you want words. The builtin `.learn_spns` /
+  `.cardinalities` / `.plan` / `.parquet` route through the same table,
+  so user instructions are first-class.
 
 Components that have no Spark-side meaning are deliberately absent:
 stores/data layouts (Tungsten owns memory layout), Wasm backends
@@ -74,8 +77,9 @@ def register_cardinality_estimator(name: str, factory=None, *, replace: bool = F
 
 def register_instruction(name: str, handler=None, *, replace: bool = False):
     """Register (or decorate) a shell instruction: ``handler(engine,
-    args) -> str | None``; the shell dispatches ``.name arg...`` to it and
-    prints the returned text."""
+    raw) -> str | None`` with ``raw`` the verbatim argument tail; the
+    shell dispatches ``.name arg...`` to it and prints the returned
+    text."""
     if handler is None:
         return lambda f: _register(
             SHELL_INSTRUCTIONS, "instruction", name, f, replace

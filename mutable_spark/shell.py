@@ -149,28 +149,38 @@ def _register_builtin_instructions() -> None:
     identical Catalog mechanism, `DatabaseCommand.cpp:40-48`)."""
     from mutable_spark.extensions import SHELL_INSTRUCTIONS
 
-    def _learn_spns(eng, args):
+    def _learn_spns(eng, raw):
         return "\n".join(learn_spns(eng))
 
-    def _cardinalities(eng, args):
-        if not args:
+    def _cardinalities(eng, raw):
+        if not raw:
             print("usage: .cardinalities <json-file>", file=sys.stderr)
             return None
-        return install_cardinalities(eng, " ".join(args))
+        return install_cardinalities(eng, raw)
 
-    def _plan(eng, args):
-        if not args:
+    def _plan(eng, raw):
+        if not raw:
             print("usage: .plan SELECT ...", file=sys.stderr)
             return None
-        return plan_text(eng, " ".join(args))
+        return plan_text(eng, raw)
 
-    def _parquet(eng, args):
-        if len(args) != 2:
+    def _parquet(eng, raw):
+        parts = raw.split(None, 1)
+        if len(parts) != 2:
             print("usage: .parquet <table> <path>", file=sys.stderr)
             return None
-        table, path = args
+        table, path = parts[0], parts[1].strip()
         eng.create_table_from_parquet(table, path)
-        n = eng.catalog._db()[table].count()
+        # footer-metadata row count — registration must not launch a scan
+        # job over an arbitrarily large layout just for a message
+        from pathlib import Path as _P
+
+        from mutable_spark.plans.planner import parquet_row_count
+
+        p = _P(path)
+        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+        counts = [parquet_row_count(str(f)) for f in files]
+        n = sum(c for c in counts if c is not None)
         return f"registered {table} from {path} ({n} rows, parquet-backed)"
 
     SHELL_INSTRUCTIONS.setdefault("learn_spns", _learn_spns)
@@ -251,14 +261,16 @@ def main(argv: list[str] | None = None) -> int:
             # instruction dispatch (the reference's
             # Catalog::register_instruction surface, `src/shell.cpp`):
             # builtins (.learn_spns/.cardinalities/.plan) and
-            # user-registered instructions resolve from the same table
+            # user-registered instructions resolve from the same table.
+            # The handler receives the VERBATIM argument tail — .plan's
+            # statement text and paths must not have whitespace collapsed
             from mutable_spark.extensions import SHELL_INSTRUCTIONS
 
-            parts = line[1:].split()
-            handler = SHELL_INSTRUCTIONS.get(parts[0]) if parts else None
+            head = line[1:].split(None, 1)
+            handler = SHELL_INSTRUCTIONS.get(head[0]) if head else None
             if handler is not None:
                 try:
-                    out = handler(eng, parts[1:])
+                    out = handler(eng, head[1].strip() if len(head) > 1 else "")
                     if out is not None:
                         print(out)
                 except Exception as e:

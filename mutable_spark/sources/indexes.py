@@ -299,13 +299,13 @@ class ZoneIndex:
                 out.append(f)
         return out
 
-    def read_pruned(self, spark, lo=None, hi=None, apply_bounds: bool = True):
+    def read_pruned(self, spark, lo=None, hi=None):
         """DataFrame over only the files that can contain
         ``column ∈ [lo, hi]``, with the residual bound filter applied.
-        ``apply_bounds=False`` skips that filter for callers that apply
-        their own residual predicates (the dialect compiler compiles every
-        WHERE conjunct onto the pruned frame with dialect coercion rules,
-        which also sidesteps lit-vs-NTZ typing for time bounds)."""
+        (The dialect compiler does NOT route through this method: it
+        intersects file sets across every bounded indexed column and
+        compiles its own residual predicates with dialect coercion rules
+        — see `dialect/compiler.py::_zone_pruned_scan`.)"""
         import pyspark.sql.functions as F
 
         files = self.files_for_range(lo, hi)
@@ -316,8 +316,6 @@ class ZoneIndex:
                 .filter(F.lit(False))
             )
         df = spark.read.parquet(*files)
-        if not apply_bounds:
-            return df
         c = F.col(self.column)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))

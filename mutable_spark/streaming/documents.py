@@ -42,9 +42,13 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _digest(col="text"):
-    """The batch path's normalized content digest (`operators/dedup.py`:
-    strip the generator's trailing near-dup marker, md5)."""
-    return F.md5(F.regexp_replace(F.col(col), r"( dup)+$", ""))
+    """The batch path's normalized content digest — md5 over the SAME
+    `_normalize` the batch operators use (imported, not copied: the
+    stream==batch contract would silently break if the normalization
+    marker changed in one place only)."""
+    from mutable_spark.operators.dedup import _normalize
+
+    return F.md5(_normalize(F.col(col)))
 
 
 def dedup_exact_stream(docs: DataFrame) -> DataFrame:

@@ -58,7 +58,7 @@ def test_register_instruction_dispatches_in_shell():
     shell process (the reference's Catalog::register_instruction flow)."""
     code = (
         "import mutable_spark.extensions as E\n"
-        "E.register_instruction('hello', lambda eng, args: 'hi ' + ' '.join(args))\n"
+        "E.register_instruction('hello', lambda eng, raw: 'hi ' + raw)\n"
         "import io, sys\n"
         "sys.stdin = io.StringIO('.hello spark world\\n.nosuch\\n.quit\\n')\n"
         "import mutable_spark.shell as sh\n"

@@ -420,3 +420,26 @@ def test_two_indexes_intersect_file_sets(spark, tmp_path):
     )
     assert len(both.inputFiles()) < len(wide.inputFiles())
     assert both.collect()[0][0] == 51
+
+
+def test_drop_database_purges_zone_backing(spark):
+    """DROP DATABASE must purge parquet-backing state for its tables: a
+    recreated database+table would otherwise serve the dropped files
+    through the pruned-scan swap (round-6 review finding)."""
+    eng, layout = _zoned_engine(spark)  # creates+uses db 'zt'
+    eng.execute("CREATE INDEX i1 ON orders USING rmi (o_custkey)")
+    assert ("zt", "orders") in eng.zone_indexes
+    eng.catalog.create_database("other")
+    eng.catalog.use("other")
+    eng.execute("DROP DATABASE zt")
+    assert ("zt", "orders") not in eng.zone_indexes
+    assert ("zt", "orders") not in eng.table_paths
+    # recreated db+table: in-memory, no stale pruning, fresh results
+    eng.execute("CREATE DATABASE zt")
+    eng.catalog.use("zt")
+    eng.execute("CREATE TABLE orders (o_custkey INT(8) PRIMARY KEY)")
+    eng.execute("INSERT INTO orders VALUES (7)")
+    rows = eng.execute(
+        "SELECT o_custkey FROM orders WHERE o_custkey >= 0"
+    ).collect()
+    assert [r[0] for r in rows] == [7]
