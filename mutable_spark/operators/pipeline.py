@@ -329,19 +329,18 @@ def fuzzy_contaminated_ids(d, is_eval):
         )
         .filter((F.size("evs") >= 1) & (F.size("trs") >= 1))
     )
-    evs_capped = F.slice(F.col("evs"), 1, D._MAX_BUCKET)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("trs"),
-            lambda t: F.transform(
-                evs_capped,
-                lambda e: F.struct(t.alias("doc_a"), e.alias("doc_b")),
-            ),
-        )
-    )
+    # chained explodes, NOT an in-row flatten(transform(...)) product: two
+    # Generate operators stream the train×eval pairs row by row, so
+    # per-row memory is one bucket's capped eval list (≤ _MAX_BUCKET)
+    # regardless of how many train members a degenerate bucket holds — an
+    # in-row product array would materialize |trs|×|evs| structs inside a
+    # single row before exploding
     cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        grouped.select(
+            F.slice(F.col("evs"), 1, D._MAX_BUCKET).alias("evs"),
+            F.explode("trs").alias("doc_a"),
+        )
+        .select("doc_a", F.explode("evs").alias("doc_b"))
         .distinct()
     )
     return (
