@@ -264,7 +264,14 @@ def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
     linked to the bucket's first (smallest) id, O(n) pairs — which keeps
     the duplicate class connected for connected-components dedup while
     bounding the expansion. ``F.when`` branches evaluate lazily per row, so
-    the quadratic branch never materializes for oversized buckets."""
+    the quadratic branch never materializes for oversized buckets.
+
+    Residual bound: the bucket member list itself (collect_list) and the
+    star output live in one row, O(bucket) memory — fine for any bucket
+    the cap contract anticipates (boilerplate clusters of thousands). A
+    pathological 10M-identical-document corpus should run exact dedup
+    FIRST (as ``pipeline_clean_corpus`` orders its stages), which
+    collapses identical texts before LSH ever sees them."""
     ids = F.col("ids")
     full = F.flatten(
         F.transform(
