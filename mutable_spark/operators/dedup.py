@@ -270,8 +270,8 @@ def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
     star output live in one row, O(bucket) memory — fine for any bucket
     the cap contract anticipates (boilerplate clusters of thousands). A
     pathological 10M-identical-document corpus should run exact dedup
-    FIRST (as ``pipeline_clean_corpus`` orders its stages), which
-    collapses identical texts before LSH ever sees them."""
+    before the LSH tier, collapsing identical texts so no bucket can
+    exceed the distinct-near-dup population in the first place."""
     ids = F.col("ids")
     full = F.flatten(
         F.transform(
