@@ -87,3 +87,49 @@ def test_scaled_dot_is_order_independent(spark):
     )
     assert forward == scrambled
     assert len(forward) == 200 * _N_PLANES
+
+
+def test_ivf_train_matches_oracle_with_objecthash_fallback(spark, duck):
+    """sim_ivf_train's determinism contract (scaled-long distances and
+    centroid sums are associative integer aggregates) must survive the
+    sort-based aggregation fallback: same oracle triple-match with the
+    spill knob forced to 1."""
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, "1")
+    try:
+        ok, msg = compare("sim_ivf_train", spark, duck, SF_DIR)
+        assert ok, f"with objectHashAggregate fallbackThreshold=1: {msg}"
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
+def test_ivf_train_stable_under_input_scramble(spark):
+    """Repartitioning/scrambling the embeddings changes every partial-agg
+    grouping; the trainer's output must be bit-identical (integer sums
+    are order-free, argmin is a total order, the one double division per
+    centroid coordinate is correctly rounded from exact operands)."""
+    from mutable_spark.catalog import _TABLE_CACHE, load_tables
+    from mutable_spark.operators.similarity import sim_ivf_train
+
+    base = sorted(tuple(r) for r in sim_ivf_train(spark, SF_DIR).collect())
+
+    # scramble the cached embeddings frame the operator will load
+    t = load_tables(spark, SF_DIR)
+    key = next(k for k in _TABLE_CACHE if k[1] == SF_DIR.rstrip("/") and k[2] == "embeddings")
+    saved = _TABLE_CACHE[key]
+    try:
+        _TABLE_CACHE[key] = (
+            saved.repartition(13, F.xxhash64("vec_id"))
+            .sortWithinPartitions(F.col("vec_id").desc())
+        )
+        scrambled = sorted(tuple(r) for r in sim_ivf_train(spark, SF_DIR).collect())
+    finally:
+        _TABLE_CACHE[key] = saved
+    assert base == scrambled
