@@ -7,6 +7,8 @@ Usage:
     python -m mutable_spark.shell                 # interactive
     python -m mutable_spark.shell script.sql      # run a .sql script
     echo 'SELECT 1 + 1 AS x;' | python -m mutable_spark.shell
+    # reference-parity output options (src/shell.cpp option table):
+    python -m mutable_spark.shell -t --echo --ast --plan -q --noprompt
 
 Meta-commands (reference `\\instructions` analog): `.quit`, `.tables`,
 `.load <sf_dir>` registers the testdata tables into the current database,
@@ -19,7 +21,10 @@ estimates — the reference's `--cardinality-estimator Spn` behavior.
 `.cardinalities <file>` installs an injected-cardinality planner from the
 reference's JSON format (`--use-cardinality-file`; Injected beats Spn in
 the estimator precedence). `.plan <select>` emits the chosen plan without
-executing (`--plan`).
+executing (`--plan`). `.parquet <table> <path>` registers a parquet-backed
+table (CREATE INDEX on it builds a real file-zone index). All instructions
+— builtin and user-registered — resolve from the extension registry
+(`mutable_spark/extensions.py`, the reference's Catalog::register_instruction).
 """
 
 from __future__ import annotations
