@@ -393,6 +393,11 @@ class Compiler:
         file_sets: list[set] = []
         all_files: list[str] | None = None
         for column, zi in zcols.items():
+            if not zi.zones:
+                # an index that maps no files cannot prune anything —
+                # fall through to the registered frame rather than
+                # fabricating an empty scan
+                continue
             lo = hi = None
             mixed = False
             for c in conjuncts:

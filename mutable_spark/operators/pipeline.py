@@ -149,13 +149,15 @@ _HASH52_DOMAIN = float(1 << 52)
 
 
 def _hash52(col):
-    """Stable 52-bit hash of a column's string form: the first 13 hex
-    digits of its md5, as a long — the same portable construction as the
-    dedup token hash (`operators/dedup.py::_token_hash`). ``_hash52(x) /
-    2^52`` is a uniform, engine-independent fraction; every deterministic
-    sampling decision in this module (train/test split, source mixing)
-    derives from it, and the SQL twin below MUST stay in lockstep."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+    """Stable 52-bit hash of a column's string form: the dedup token hash
+    (`operators/dedup.py::_token_hash` — reused, not copied) over the
+    stringified value. ``_hash52(x) / 2^52`` is a uniform,
+    engine-independent fraction; every deterministic sampling decision in
+    this module (train/test split, source mixing) derives from it, and
+    the SQL twin below MUST stay in lockstep."""
+    from mutable_spark.operators.dedup import _token_hash
+
+    return _token_hash(col.cast("string"))
 
 
 #: DuckDB twin of _hash52 over a SQL expression

@@ -74,9 +74,11 @@ def _keyed_orders_layout(spark, sf_dir: str) -> Path:
         os.rename(tmp, dest)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
-    # a failed build degrades to the unsplit source file (same fallback
-    # discipline as catalog._maybe_relayout) — zones then cover one file
-    # and pruning is a no-op rather than an error
+    # a failed build degrades to the unsplit source file so the scan
+    # itself still works (same fallback discipline as
+    # catalog._maybe_relayout); the zone gates' did-it-prune assertions
+    # will then fail LOUDLY — a build failure is an environment error the
+    # driver row should surface, not mask
     return dest if (dest / "_SUCCESS").exists() else src
 
 
@@ -134,7 +136,10 @@ def dialect_zoneindex_scan(spark, sf_dir):
     parquet-backed ``orders`` registered on an ``Engine``, ``CREATE INDEX``
     building the real file-zone index over the layout, and a plain
     ``SELECT … WHERE o_custkey BETWEEN``-shaped range query whose scan the
-    compiler routes through ``ZoneIndex.read_pruned`` — the reference's
+    compiler swaps for the index's pruned file subset
+    (`dialect/compiler.py::_zone_pruned_scan`, which intersects
+    admissible file sets across every bounded indexed column) — the
+    reference's
     Filter∘Scan → IndexScan physical rewrite
     (`src/backend/WasmOperator.hpp:397-405`), here as file-subset I/O
     pruning. The in-query assertions guarantee the driver row exercised

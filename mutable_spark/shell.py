@@ -183,10 +183,12 @@ def _register_builtin_instructions() -> None:
         from mutable_spark.plans.planner import parquet_row_count
 
         p = _P(path)
-        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
         counts = [parquet_row_count(str(f)) for f in files]
-        n = sum(c for c in counts if c is not None)
-        return f"registered {table} from {path} ({n} rows, parquet-backed)"
+        if not counts or any(c is None for c in counts):
+            # unreadable/unknown footers: say so rather than undercount
+            return f"registered {table} from {path} (parquet-backed)"
+        return f"registered {table} from {path} ({sum(counts)} rows, parquet-backed)"
 
     SHELL_INSTRUCTIONS.setdefault("learn_spns", _learn_spns)
     SHELL_INSTRUCTIONS.setdefault("cardinalities", _cardinalities)

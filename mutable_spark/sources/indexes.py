@@ -251,8 +251,11 @@ class ZoneIndex:
 
         z = cls(column, learned)
         p = Path(path)
+        # recursive: a partitioned layout keeps its data files nested
+        # (key=1/part-*.parquet) — a top-level-only glob would build an
+        # empty (useless) index for it
         files = (
-            sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+            sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
         )
         for f in files:
             meta = pq.ParquetFile(f).metadata

@@ -25,8 +25,26 @@ def _stage_dir(prefix: str, src: Path) -> Path:
 
 
 def _ensure_link(link: Path, src: Path) -> None:
+    """Idempotent and concurrency-tolerant: two sessions staging the same
+    source may race on unlink/symlink — each tolerates the other's moves
+    as long as the surviving link targets the right file."""
+    import shutil
+
+    target = str(src.resolve())
     if os.path.lexists(link):
-        if link.is_symlink() and os.path.realpath(link) == str(src.resolve()):
+        if link.is_symlink() and os.path.realpath(link) == target:
             return
-        link.unlink()
-    link.symlink_to(src)
+        if link.is_dir() and not link.is_symlink():
+            shutil.rmtree(link, ignore_errors=True)
+        else:
+            try:
+                link.unlink()
+            except FileNotFoundError:
+                pass  # a concurrent stager removed it first
+    try:
+        link.symlink_to(src)
+    except FileExistsError:
+        # a concurrent stager won the race — accept its link iff it
+        # points at the same source
+        if not (link.is_symlink() and os.path.realpath(link) == target):
+            raise
