@@ -224,6 +224,200 @@ def text_fingerprint(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+#: repetition-filter thresholds (Gopher-style, Rae et al. 2021 table A1
+#: adapted to token streams): a document is kept iff its token diversity
+#: is high enough and no single bigram dominates.
+_REP_MIN_DISTINCT = 0.3
+_REP_MAX_TOP_BIGRAM = 0.2
+_REP_MAX_DUP_BIGRAM = 0.6
+
+
+@query(
+    "text_repetition_filter",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM d
+        WHERE len(t) >= 2
+    ),
+    c AS (
+        SELECT doc_id, bg, COUNT(*) AS cnt,
+               MIN(n_tok) AS n_tok, MIN(n_distinct) AS n_distinct
+        FROM b
+        GROUP BY doc_id, bg
+    ),
+    m AS (
+        SELECT doc_id,
+               MIN(n_tok) AS n_tok,
+               CAST(MIN(n_distinct) AS DOUBLE) / MIN(n_tok) AS distinct_ratio,
+               CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / SUM(cnt) AS dup_bigram_frac
+        FROM c
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, distinct_ratio, top_bigram_frac, dup_bigram_frac,
+           (distinct_ratio >= {_REP_MIN_DISTINCT}
+            AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}
+            AND dup_bigram_frac <= {_REP_MAX_DUP_BIGRAM}) AS keep
+    FROM m
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher/MassiveText rules
+    re-expressed over whitespace token streams): per document, the distinct
+    -token ratio, the fraction of bigram occurrences held by the single
+    most frequent bigram, and the fraction of bigram occurrences whose
+    bigram appears more than once; ``keep`` applies fixed thresholds.
+    Repetition filters are the standard cheap screen against
+    boilerplate/spam before dedup in an LLM ingest pipeline.
+
+    Scale shape: one explode of the bigram stream (each row carries the
+    map-side-computed n_tok/n_distinct along), then two hash aggregations
+    — (doc_id, bigram) then doc_id — both with map-side partial
+    aggregation, so the shuffles carry one row per distinct (doc,
+    bigram), never the raw occurrence stream. No joins, no windows;
+    ratios are single double divisions of exact integer counts, so the
+    oracle comparison is bit-exact."""
+    d = load_tables(spark, sf_dir).documents
+    t = _toks()
+    n = F.size("t") - 1
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n),
+        F.slice(F.col("t"), 2, n),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    b = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tok"),
+            F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+            F.explode(bigrams).alias("bg"),
+        )
+    )
+    c = b.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_tok").alias("n_tok"),
+        F.min("n_distinct").alias("n_distinct"),
+    )
+    m = c.groupBy("doc_id").agg(
+        F.min("n_tok").alias("n_tok"),
+        (F.min("n_distinct").cast("double") / F.min("n_tok")).alias("distinct_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast("double")
+            / F.sum("cnt")
+        ).alias("dup_bigram_frac"),
+    )
+    keep = (
+        (F.col("distinct_ratio") >= _REP_MIN_DISTINCT)
+        & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
+        & (F.col("dup_bigram_frac") <= _REP_MAX_DUP_BIGRAM)
+    )
+    return m.select(
+        "doc_id", "n_tok", "distinct_ratio", "top_bigram_frac", "dup_bigram_frac",
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: PII patterns — deliberately restricted to regex constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, literal dots. No backreferences or
+#: lookaround (RE2 has neither).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+#: deterministic PII injection: the synthetic corpus contains no PII, so
+#: both engines append the SAME synthetic contact strings (keyed off
+#: doc_id) before scrubbing — the redaction path is exercised on real
+#: matches instead of vacuously passing on zero-match text.
+_SQL_PII_TEXT = """
+    text || CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+        WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+        WHEN 2 THEN ' from host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        ELSE '' END
+"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_SQL_PII_TEXT} AS txt FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS scrub_md5
+    FROM t
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: count and replace email / phone / IPv4
+    literals with typed placeholder tags — the compliance scrub every
+    training-data pipeline runs before anything else sees the text.
+
+    The patterns are restricted to the Java-regex ∩ RE2 common subset so
+    the DuckDB oracle computes the identical function; the scrubbed text
+    is pinned via md5 so the driver hash-checks full redaction output
+    without shipping the corpus through the compare.
+
+    Scale shape: a pure map over the scan — three regexp_count and three
+    chained regexp_replace column expressions, all inside whole-stage
+    codegen; zero shuffles, zero Python. At 100 TB this runs at scan
+    throughput and pushes only (doc_id, 3 longs, 1 hash) downstream."""
+    d = load_tables(spark, sf_dir).documents
+    pii = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com now")),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+                     F.lit("-0199")),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 2,
+            F.concat(F.lit(" from host 10.2."),
+                     F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7")),
+        )
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(F.col("text"), pii)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(txt, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(txt, F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 @query(
     "text_vocab_topk",
     oracle=r"""
