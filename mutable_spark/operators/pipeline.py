@@ -410,3 +410,139 @@ def pipeline_mix_sources(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+#: per-source stratum cap for balanced sampling (sources hold 25-250 docs
+#: at the test SFs, so the cap genuinely downsamples at every scale)
+_STRATUM_CAP = 15
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_total
+        FROM documents GROUP BY source
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id, s.n_total
+        FROM documents d JOIN s USING (source)
+        WHERE {_sql_hash52('doc_id')}
+              < LEAST(1.0, {_STRATUM_CAP} / CAST(s.n_total AS DOUBLE))
+                * 4503599627370496.0
+    )
+    SELECT source, MIN(n_total) AS n_total, COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM kept
+    GROUP BY source
+    """,
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Balanced stratified sampling: cap every source stratum at
+    ~`_STRATUM_CAP` expected documents by deriving a per-stratum rate
+    ``min(1, cap/n)`` from the observed counts, then keeping a document
+    iff its stable 52-bit md5(doc_id) fraction falls under its stratum's
+    rate — the standard rebalancing step before training-mixture assembly
+    (downsample the dominant crawl strata, keep the rare ones whole).
+
+    Same determinism contract as the other `_hash52` samplers: membership
+    is stable across runs, partitionings, and cluster sizes, and rate
+    changes preserve subset relations (raising a stratum's cap only adds
+    documents). Expected-size (Bernoulli) semantics, not exact-size — the
+    scale-correct choice, since exact-k per stratum needs a per-stratum
+    sort or reservoir pass, while Bernoulli keeps the kept-set decision a
+    pure map.
+
+    Scale shape: one tiny aggregation (distinct strata only — thousands
+    of rows at any corpus size) that Spark broadcasts back onto the scan
+    (AQE: the stratum frame is far under the broadcast threshold), so the
+    corpus itself is never shuffled before the final summary; the
+    membership decision is a map over the scan exactly like
+    ``pipeline_mix_sources``."""
+    d = load_tables(spark, sf_dir).documents
+    strata = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(_STRATUM_CAP)) / F.col("n_total").cast("double")
+    )
+    kept = (
+        d.join(F.broadcast(strata), ["source"])
+        .filter(_hash52(F.col("doc_id")) < rate * F.lit(_HASH52_DOMAIN))
+    )
+    return kept.groupBy("source").agg(
+        F.min("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: training-sequence capacity (tokens) and shard fan-out for packing
+_PACK_CAP = 512
+_PACK_SHARDS = 64
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               {_sql_hash52('doc_id')} % {_PACK_SHARDS} AS shard
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS off
+        FROM t
+    )
+    SELECT doc_id, shard, n_tok, off,
+           off // {_PACK_CAP} AS begin_seq,
+           off % {_PACK_CAP} AS begin_off,
+           (off + n_tok - 1) // {_PACK_CAP} AS end_seq
+    FROM o
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: assign every document a byte-exact
+    position in a stream of fixed-capacity training sequences
+    (concatenate-and-chunk, the standard LLM pretraining packing). Each
+    document lands in a shard by stable hash, documents are laid out in
+    doc_id order within the shard, and the running token offset fixes the
+    (sequence index, offset) the document starts at — plus the sequence
+    it ends in, since packing splits documents across sequence
+    boundaries. Downstream, a writer materializes sequence s of shard h
+    from exactly the docs with begin_seq <= s <= end_seq: a deterministic,
+    resumable layout with no coordination.
+
+    Scale shape: one shuffle on the shard key, then a running-sum window
+    per shard — the only scalable way to get a global order at 100 TB is
+    to shard it, and `_PACK_SHARDS` is the write-side parallelism knob (a
+    real deployment sizes it to ~shard = one output file ≈ 1-4 GB). All
+    arithmetic is exact integer — the oracle matches bit-for-bit."""
+    d = load_tables(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "off",
+        F.floor(F.col("off") / _PACK_CAP).alias("begin_seq"),
+        (F.col("off") % _PACK_CAP).alias("begin_off"),
+        F.floor((F.col("off") + F.col("n_tok") - 1) / _PACK_CAP).alias("end_seq"),
+    )
