@@ -546,3 +546,70 @@ def sim_ivf_train(spark, sf_dir):
         .join(c_dim1, "cluster")
         .select("cluster", "n_members", "min_vec", "c_dim1")
     )
+
+
+# --------------------------------------------------------------------------
+#: k-NN join: every 50th vector is a query; k exact neighbors each
+_KNN_K = 5
+_KNN_QMOD = 50
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_cos('e.embedding', 'q.qv')} AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Exact batch k-NN join: for every query vector (each 50th embedding,
+    standing in for a query table), the top-k cosine neighbors from the
+    corpus — the many-queries generalization of
+    ``sim_cosine_topk`` (retrieval eval sets, hard-negative mining,
+    k-NN-graph construction all reduce to this join).
+
+    Scale shape: the query side broadcasts (a query batch is small by
+    construction — thousands of rows; the corpus is the big side), the
+    corpus is scanned ONCE with all queries scored per scan row, and
+    ranking is a per-query row_number window. The window shuffles the
+    scored stream on query_id — nq × corpus rows — which is the exact
+    mid-scale path; at 100 TB-corpus scale the pre-prune is IVF probing
+    (``sim_ivf_topk``'s cell layout bounds each query's candidate list),
+    and this operator is the exact baseline those probes are verified
+    against. Cosines are left-to-right double folds (`vec_cosine`), ties
+    broken by neighbor_id — a total order, so the oracle matches
+    bit-for-bit."""
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+    )
