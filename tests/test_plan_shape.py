@@ -181,3 +181,42 @@ def test_mix_sources_zero_preaggregate_shuffle(plans):
     p = plans("pipeline_mix_sources")
     assert p.count("Exchange hashpartitioning") <= 1
     assert "CartesianProduct" not in p
+
+
+def test_pii_scrub_map_only(plans):
+    # pure column expressions over the scan: no exchange anywhere
+    p = plans("text_pii_scrub")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repetition_filter_two_partial_aggs(plans):
+    # (doc,bigram) then doc aggregation, each with a map-side partial
+    # before its exchange (the doc-level partial fuses straight onto the
+    # (doc,bigram) final — 5 HashAggregates, 2 exchanges); no joins
+    p = plans("text_repetition_filter")
+    assert p.count("Exchange") == 2
+    assert "Join" not in p
+    assert p.count("HashAggregate") == 5
+
+
+def test_stratified_sample_broadcasts_strata(plans):
+    # the tiny stratum-count frame broadcasts; the corpus is never
+    # shuffled before the final summary aggregation
+    p = plans("pipeline_stratified_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_single_shard_shuffle(plans):
+    # one exchange (the shard key) feeding one running-sum window
+    p = plans("pipeline_pack_sequences")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_knn_join_broadcasts_queries(plans):
+    # query batch broadcasts — the corpus side is scanned exactly once
+    p = plans("sim_knn_join")
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
