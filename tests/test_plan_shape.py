@@ -191,13 +191,12 @@ def test_pii_scrub_map_only(plans):
 
 
 def test_repetition_filter_two_partial_aggs(plans):
-    # (doc,bigram) then doc aggregation, each with a map-side partial
-    # before its exchange (the doc-level partial fuses straight onto the
-    # (doc,bigram) final — 5 HashAggregates, 2 exchanges); no joins
-    p = plans("text_repetition_filter")
+    # (doc,bigram) then doc aggregation, each partial+final around its
+    # exchange — 4 HashAggregates, 2 exchanges; no joins
+    p = plans("text_repetition_filter", "simple")
     assert p.count("Exchange") == 2
     assert "Join" not in p
-    assert p.count("HashAggregate") == 5
+    assert p.count("HashAggregate") == 4
 
 
 def test_stratified_sample_broadcasts_strata(plans):
@@ -210,7 +209,7 @@ def test_stratified_sample_broadcasts_strata(plans):
 
 def test_pack_sequences_single_shard_shuffle(plans):
     # one exchange (the shard key) feeding one running-sum window
-    p = plans("pipeline_pack_sequences")
+    p = plans("pipeline_pack_sequences", "simple")
     assert p.count("Exchange") == 1
     assert "Window" in p
 
