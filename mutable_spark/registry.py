@@ -54,16 +54,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_scan",
     "op_filter_cnf",
     "op_projection_expr",
-    "op_expr_string",
     "op_expr_isnull_intcast",
-    "op_join_equi",
     "op_join_theta",
     "op_join_nary",
     "op_group_all_aggs",
-    "op_agg_global",
     "op_order_limit_offset",
     "op_having",
-    "op_subquery_scalar",
     # extended joins (left_outer/anti demoted r6: 3x driver-green, family
     # stays covered in-sample by semi/asof/range)
     "op_join_semi",
@@ -99,8 +95,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # predicates estimated by the SPN's rank-dictionary discrete leaves
     "dialect_zoneindex_scan",
     "dialect_spn_string_filter",
-    # LLM-pipeline operators
-    "dedup_exact",
+    # LLM-pipeline operators (dedup_exact demoted r7: green r1-r5, and
+    # pipeline_clean_corpus keeps the exact-digest stage in-sample)
     "dedup_minhash_lsh",
     "dedup_simhash",
     # round-5 addition: the last brief-named dedup family member (blocked
@@ -146,8 +142,28 @@ _SAMPLE_PRIORITY: list[str] = [
     # takes events_window_tumbling's slot (5x green; events family keeps
     # sessionize + funnel in-sample)
     "pipeline_mix_sources",
+    # round-7 additions: repetition-quality filtering, PII scrub,
+    # stratified sampling, sequence packing, and the batch k-NN join —
+    # each takes a 5x-driver-green slot (op_expr_string, op_join_equi,
+    # op_agg_global, op_subquery_scalar, dedup_exact; families all stay
+    # covered in-sample, see the demotion notes)
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
+    "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "op_expr_string",  # green r1-r5; expression family in-sample via
+    #                    op_projection_expr + op_expr_isnull_intcast
+    "op_join_equi",  # green r1-r5; join family in-sample via
+    #                  theta/nary/semi/asof/range + every dialect_tpch_*
+    "op_agg_global",  # green r1-r5; global-agg shape in-sample via
+    #                   dialect_tpch_q6 (the deeper dialect path)
+    "op_subquery_scalar",  # green r1-r5; dialect_correlated_subquery
+    #                        keeps decorrelation in-sample
+    "dedup_exact",  # green r1-r5; exact-digest stage in-sample via
+    #                 pipeline_clean_corpus
     "op_join_left_outer",  # green r3-r5; extended-join family in-sample
     "op_join_anti",  # green r3-r5 (0-row case); semi covers the family
     "op_distinct",  # green r3-r5 beside op_set_ops
