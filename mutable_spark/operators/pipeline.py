@@ -399,17 +399,25 @@ def pipeline_mix_sources(spark, sf_dir):
     is fixed), which is what lets a pipeline re-mix without re-ingesting.
     The registered result is the per-source summary (counts + id range),
     pinning membership without hashing the corpus through the driver."""
-    d = load_tables(spark, sf_dir).documents
-    h = _hash52(F.col("doc_id"))
-    rate = (
-        (F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1) * F.lit(0.25)
-    )
-    kept = d.filter(h < rate * F.lit(_HASH52_DOMAIN))
+    kept = mix_kept_frame(load_tables(spark, sf_dir).documents)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def mix_kept_frame(d):
+    """The mixing decision as a frame transform (kept rows only) — shared
+    verbatim by the batch operator and the streaming ingest twin
+    (`streaming/documents.py::mix_sources_stream`): the keep decision is
+    a stateless map off the stable hash, so it applies identically to a
+    bounded scan and to arriving microbatches."""
+    h = _hash52(F.col("doc_id"))
+    rate = (
+        (F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1) * F.lit(0.25)
+    )
+    return d.filter(h < rate * F.lit(_HASH52_DOMAIN))
 
 
 # --------------------------------------------------------------------------

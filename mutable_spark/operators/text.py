@@ -382,7 +382,14 @@ def text_pii_scrub(spark, sf_dir):
     chained regexp_replace column expressions, all inside whole-stage
     codegen; zero shuffles, zero Python. At 100 TB this runs at scan
     throughput and pushes only (doc_id, 3 longs, 1 hash) downstream."""
-    d = load_tables(spark, sf_dir).documents
+    return pii_scrub_frame(load_tables(spark, sf_dir).documents)
+
+
+def pii_scrub_frame(d):
+    """The PII scrub as a frame transform — shared verbatim by the batch
+    operator and the streaming ingest twin
+    (`streaming/documents.py::pii_scrub_stream`), so stream==batch holds
+    by construction (stateless map; no state, no watermark)."""
     pii = (
         F.when(
             F.pmod(F.col("doc_id"), F.lit(5)) == 0,

@@ -80,3 +80,37 @@ def decontaminate_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
     )
+
+
+def pii_scrub_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``text_pii_scrub``: the identical column
+    expressions (shared builder `operators.text.pii_scrub_frame`) applied
+    per microbatch — a stateless map, so redaction happens AT ingest and
+    raw PII never lands in any downstream table or state store (the
+    compliance property that makes scrub-at-ingest mandatory rather than
+    a batch afterthought)."""
+    from mutable_spark.operators.text import pii_scrub_frame
+
+    return pii_scrub_frame(docs)
+
+
+def mix_sources_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``pipeline_mix_sources``: the same stable-hash
+    keep decision per arriving document (shared builder
+    `operators.pipeline.mix_kept_frame` — stateless), followed by the
+    incremental per-source summary aggregation (state: one tiny row per
+    source). Because the hash fraction is fixed per doc_id, replaying,
+    reordering, or re-sharding the stream can never change the kept
+    set — the property that lets ingest mix continuously while batch
+    re-mixes stay consistent."""
+    from mutable_spark.operators.pipeline import mix_kept_frame
+
+    return (
+        mix_kept_frame(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

@@ -282,3 +282,25 @@ def test_streaming_decontaminate_equals_batch(spark):
     )
     want = registry.QUERIES["pipeline_decontaminate"](spark, SF_DIR).collect()
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_pii_scrub_equals_batch(spark):
+    """Scrub-at-ingest: the stateless streaming redaction map equals the
+    registered batch text_pii_scrub row-for-row (append mode — no state)."""
+    from mutable_spark.streaming.documents import pii_scrub_stream, stream_documents
+
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(pii_scrub_stream(stream), "t_pii", mode="append")
+    want = registry.QUERIES["text_pii_scrub"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_mix_sources_equals_batch(spark):
+    """Mix-at-ingest: stable-hash keep decision + incremental per-source
+    summary equals the registered batch pipeline_mix_sources."""
+    from mutable_spark.streaming.documents import mix_sources_stream, stream_documents
+
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(mix_sources_stream(stream), "t_mix")
+    want = registry.QUERIES["pipeline_mix_sources"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
