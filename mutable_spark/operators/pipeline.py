@@ -468,20 +468,26 @@ def pipeline_stratified_sample(spark, sf_dir):
     corpus itself is never shuffled before the final summary; the
     membership decision is a map over the scan exactly like
     ``pipeline_mix_sources``."""
-    d = load_tables(spark, sf_dir).documents
-    strata = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    rate = F.least(
-        F.lit(1.0), F.lit(float(_STRATUM_CAP)) / F.col("n_total").cast("double")
-    )
-    kept = (
-        d.join(F.broadcast(strata), ["source"])
-        .filter(_hash52(F.col("doc_id")) < rate * F.lit(_HASH52_DOMAIN))
-    )
+    kept = stratified_kept_frame(load_tables(spark, sf_dir).documents, _STRATUM_CAP)
     return kept.groupBy("source").agg(
         F.min("n_total").alias("n_total"),
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+def stratified_kept_frame(d, cap: int):
+    """The kept rows (with their stratum's n_total) for a given per-source
+    cap — the cap-parametrized core of ``pipeline_stratified_sample``,
+    exposed so the subset-monotonicity property (raising the cap only
+    ever ADDS documents) is testable directly."""
+    strata = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(cap)) / F.col("n_total").cast("double")
+    )
+    return d.join(F.broadcast(strata), ["source"]).filter(
+        _hash52(F.col("doc_id")) < rate * F.lit(_HASH52_DOMAIN)
     )
 
 
@@ -531,7 +537,13 @@ def pipeline_pack_sequences(spark, sf_dir):
     to shard it, and `_PACK_SHARDS` is the write-side parallelism knob (a
     real deployment sizes it to ~shard = one output file ≈ 1-4 GB). All
     arithmetic is exact integer — the oracle matches bit-for-bit."""
-    d = load_tables(spark, sf_dir).documents
+    return pack_sequences_frame(load_tables(spark, sf_dir).documents)
+
+
+def pack_sequences_frame(d):
+    """The packing layout as a frame transform — parameter-free core of
+    ``pipeline_pack_sequences``, exposed so the layout's invariance to
+    input partitioning/order is testable on a scrambled frame."""
     from pyspark.sql import Window
 
     t = d.select(

@@ -1,0 +1,91 @@
+"""Property pins for the round-7 pipeline operators: the invariants a
+100 TB deployment actually relies on, checked against the real frames.
+
+- packing: per-shard offsets are exactly contiguous (no token gap or
+  overlap between consecutive documents), spans are arithmetic-consistent,
+  and the whole layout is invariant to input partitioning/order;
+- stratified sampling: raising a stratum's cap only ever ADDS documents
+  (re-sampling never churns the kept set), and membership is invariant to
+  partitioning;
+- k-NN join: every query gets exactly k exact-ranked neighbors, invariant
+  to partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mutable_spark import registry
+from mutable_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_pack_offsets_contiguous_per_shard(spark):
+    rows = registry.QUERIES["pipeline_pack_sequences"](spark, SF_DIR).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    from mutable_spark.operators.pipeline import _PACK_CAP
+
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in docs:
+            assert r.off == expect_off, (shard, r.doc_id)
+            assert r.begin_seq == r.off // _PACK_CAP
+            assert r.begin_off == r.off % _PACK_CAP
+            assert r.end_seq == (r.off + r.n_tok - 1) // _PACK_CAP
+            expect_off = r.off + r.n_tok
+
+
+def test_pack_layout_invariant_to_partitioning(spark):
+    from mutable_spark.operators.pipeline import pack_sequences_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    base = sorted(map(tuple, pack_sequences_frame(d).collect()))
+    scrambled = d.repartition(17, F.col("n_chars")).sortWithinPartitions(
+        F.col("text")
+    )
+    got = sorted(map(tuple, pack_sequences_frame(scrambled).collect()))
+    assert got == base
+
+
+def test_stratified_cap_monotone_subset(spark):
+    from mutable_spark.operators.pipeline import stratified_kept_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    kept_small = {r.doc_id for r in stratified_kept_frame(d, 5).select("doc_id").collect()}
+    kept_mid = {r.doc_id for r in stratified_kept_frame(d, 15).select("doc_id").collect()}
+    kept_all = {r.doc_id for r in stratified_kept_frame(d, 10**9).select("doc_id").collect()}
+    assert kept_small < kept_mid < kept_all
+    assert len(kept_all) == d.count()
+
+
+def test_stratified_membership_partition_invariant(spark):
+    from mutable_spark.operators.pipeline import _STRATUM_CAP, stratified_kept_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    base = {r.doc_id for r in stratified_kept_frame(d, _STRATUM_CAP).select("doc_id").collect()}
+    scrambled = d.repartition(13, F.col("lang")).sortWithinPartitions(F.col("n_chars"))
+    got = {r.doc_id for r in stratified_kept_frame(scrambled, _STRATUM_CAP).select("doc_id").collect()}
+    assert got == base
+
+
+def test_knn_every_query_has_k_exact_neighbors(spark):
+    from mutable_spark.operators.similarity import _KNN_K, _KNN_QMOD
+
+    rows = registry.QUERIES["sim_knn_join"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    n_vec = load_tables(spark, SF_DIR).embeddings.count()
+    assert len(by_q) == len([v for v in range(0, n_vec) if v % _KNN_QMOD == 0])
+    for qid, nbrs in by_q.items():
+        assert sorted(r.rank for r in nbrs) == list(range(1, _KNN_K + 1))
+        nbrs.sort(key=lambda r: r.rank)
+        cos = [r.cos for r in nbrs]
+        assert cos == sorted(cos, reverse=True)
+        assert qid not in {r.neighbor_id for r in nbrs}
