@@ -67,12 +67,13 @@ def main() -> None:
     load_tables(spark, sf_dir)
     registry.QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # min-of-2 per query: this box is a VM on a shared host and single runs
+    # min-of-3 per query: this box is a VM on a shared host and single runs
     # show 2-5x spikes on identical code (host contention, not GC/code-cache
-    # — ruled out by heap/warning checks). Min-of-N is the standard way to
-    # measure the code rather than the neighbor's workload; the baseline
-    # proxy measurements use min-of-3 the same way.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # — ruled out by heap/warning checks; r7 measured 2.6-6.0 s on the same
+    # query back-to-back). Min-of-N is the standard way to measure the code
+    # rather than the neighbor's workload; the baseline proxy measurements
+    # use min-of-3 the same way, so 3 reps makes the two sides comparable.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
