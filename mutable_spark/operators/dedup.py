@@ -38,7 +38,6 @@ with probability (1-0.5²)⁶⁴ ≈ 1e-8 with 64 bands × 2 rows.
 
 from __future__ import annotations
 
-import numpy as np
 import pyspark.sql.functions as F
 
 from mutable_spark.catalog import load_tables
@@ -238,15 +237,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-_P31 = 2_147_483_647  # Mersenne prime 2^31-1: (a*h+b) stays < 2^63
 # 64 bands × 2 rows (not 32×4): at the emission threshold s=0.5 a band
 # matches with prob s²=0.25, so a true pair is missed with (1-0.25)⁶⁴ ≈ 1e-8
 # — the banding no longer relies on the corpus having only high-similarity
 # (≥0.9) true pairs. The cost is more (exactly-verified, hence harmless)
 # candidates, not correctness.
+#
+# Permutation family: min over xxhash64(i, shingle_hash) per slot i. The
+# signature is internal only — emitted pairs are exact-verified, so the
+# hash family choice affects recall statistics, not results — and
+# xxhash64 is the cheapest 64-bit mixer with a JVM codegen builtin:
+# measured 1.39 s vs 2.27 s for the classic (a·h+b) mod 2³¹-1 family at
+# sf0.1 (the modulo's 64-bit division dominates the update loop; a
+# branch-free Mersenne fold was slower still at 2.67 s).
 _N_PERM, _BANDS, _ROWS = 128, 64, 2
-_rng = np.random.default_rng(42)
-_AB = [(int(_rng.integers(1, _P31)), int(_rng.integers(0, _P31))) for _ in range(_N_PERM)]
 
 #: LSH skew guard — a bucket past this size expands to star pairs (O(n))
 #: instead of all C(n,2) pairs. See ``_bucket_pairs``.
@@ -350,20 +354,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def _minhash_buckets(g):
     """(doc_id, band, bkey) LSH band-bucket rows from a hashed-shingle
-    frame: 128 codegen'd min-aggregates → 64 xxhash64 band keys →
+    frame: 128 codegen'd min(xxhash64(slot, h)) aggregates → 64 xxhash64
+    band keys →
     posexplode. The signature subplan is NOT cached: each consumer reads
     it exactly once (the old bucket self-join needed a cache; the
     posexplode+groupBy formulation does not — a cache would only pay a
     pointless block-store materialization of a 128-column frame,
     profiled ~3 s at sf0.1)."""
     sig = (
-        g.select("doc_id", F.explode("shh").alias("sh_h"))
-        .select("doc_id", F.pmod(F.col("sh_h"), F.lit(_P31)).alias("h"))
+        g.select("doc_id", F.explode("shh").alias("h"))
         .groupBy("doc_id")
         .agg(
             *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P31).alias(f"m{i}")
-                for i, (a, b) in enumerate(_AB)
+                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+                for i in range(_N_PERM)
             ]
         )
     )
