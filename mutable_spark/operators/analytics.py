@@ -185,6 +185,30 @@ def op_rollup(spark, sf_dir):
 
 
 @query(
+    "op_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
+)
+def op_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form rollup and cube are
+    prefixes of (here: the pair, each single key, but NOT the grand
+    total — a set no rollup/cube can express), completing the
+    grouping-sets family beside ``op_cube`` and ``op_rollup``. Spark's
+    `groupingSets` expands the 3 sets before the shuffle, so partial
+    aggregation is intact and it remains a single aggregation pass."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("l_extendedprice").alias("revenue"))
+
+
+@query(
     "op_window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,

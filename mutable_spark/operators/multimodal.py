@@ -190,3 +190,65 @@ def multimodal_fake_features(spark, sf_dir):
     return df.mapInPandas(
         featurize, schema="doc_id long, n_bytes long, mean_byte double, first_byte long"
     )
+
+
+#: fake-image resize: nearest-neighbor downsample, keep every 4th "pixel"
+_RESIZE_STRIDE = 4
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS orig_bytes,
+           CAST(strlen(resized) AS BIGINT) AS resized_bytes,
+           md5(resized) AS resized_md5
+    FROM (
+        SELECT doc_id, text,
+               list_reduce(
+                 list_prepend('',
+                   list_transform(range(0, (strlen(text) + {_RESIZE_STRIDE} - 1)
+                                           // {_RESIZE_STRIDE}),
+                     i -> substr(text, 1 + CAST(i * {_RESIZE_STRIDE} AS INT), 1))),
+                 (a, b) -> a || b) AS resized
+        FROM documents
+    )
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize pass over fake image payloads: nearest-neighbor downsample
+    — keep every 4th "pixel" byte — through the real `mapInPandas`
+    plumbing (a real resize kernel, PIL/cv2.resize, goes exactly where
+    the stride slice is). Completes the module's verb set: extract /
+    decode+featurize / frame-sample / resize.
+
+    Same division of labor as the siblings: Python (Arrow-batched) does
+    only the codec-shaped byte-level transform and emits the resized
+    payload; the fingerprint (`F.md5`) and sizes run as JVM builtins.
+    The DuckDB oracle rebuilds the identical resized string with substr
+    stride arithmetic, so the Python tier is hash-checked end-to-end.
+
+    At 100 TB: stateless map, no shuffle, output inherits the input
+    partitioning; `arrow.maxRecordsPerBatch` bounds executor memory."""
+    df = _payload_df(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[::_RESIZE_STRIDE])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "resized_payload": resized,
+                }
+            )
+
+    out = df.mapInPandas(
+        resize, schema="doc_id long, orig_bytes long, resized_payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "orig_bytes",
+        F.length("resized_payload").cast("long").alias("resized_bytes"),
+        F.md5("resized_payload").alias("resized_md5"),
+    )

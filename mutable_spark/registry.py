@@ -70,10 +70,14 @@ _SAMPLE_PRIORITY: list[str] = [
     # — its slot serves a full-oracle op better, accuracy stays pinned in
     # tests/test_sketches.py)
     "op_set_ops",
-    "op_topk_per_group",
     # rollup completes the grouping-sets family in-sample (never sampled
     # r5; op_cube demoted r6 — 3x green, same family)
     "op_rollup",
+    # round-7 addition: arbitrary GROUPING SETS (the general form rollup
+    # and cube are prefixes of) — takes op_topk_per_group's slot (green
+    # r1-r5; top-k stays pinned via op_order_limit_offset's
+    # TakeOrderedAndProject plan test and the local suite)
+    "op_grouping_sets",
     # MVCC snapshot reads (round-5 gate for versioning.py — the last §1.1
     # reference surface with no driver row)
     "op_mvcc_snapshot",
@@ -122,7 +126,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # full oracle (stand-in codec arithmetic mirrored in SQL) — back
     # in-sample as a hash-checked row instead of the old rows-only check
     "multimodal_fake_features",
-    "events_sessionize",
+    # round-7 addition: the resize pass (completes the multimodal verb
+    # set: extract / decode+featurize / frame-sample / resize) — takes
+    # events_sessionize's slot (green r1-r5; events family keeps
+    # retention + funnel in-sample, sessionize stays a bench headliner)
+    "multimodal_resize",
     # round-6 addition: cohort retention (the third classic event shape)
     # — takes multimodal_extract's slot (green r1-r5; family keeps
     # frame_sample + fake_features in-sample)
@@ -154,6 +162,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "op_topk_per_group",  # green r1-r5; see op_grouping_sets note
+    "events_sessionize",  # green r1-r5; see multimodal_resize note
     "op_expr_string",  # green r1-r5; expression family in-sample via
     #                    op_projection_expr + op_expr_isnull_intcast
     "op_join_equi",  # green r1-r5; join family in-sample via

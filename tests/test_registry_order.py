@@ -10,6 +10,9 @@ from mutable_spark import registry
 # item #1) in place of 3x-green twins (distinct/count_distinct/zscore/
 # left_outer/anti/json_extract/sliding) and the structurally rows-only
 # op_approx_sketches (accuracy pinned locally in test_sketches.py).
+# Round 7 rotates in its seven new ops; op_topk_per_group and
+# events_sessionize (both green r1-r5) hand over their slots with family
+# coverage retained (TakeOrderedAndProject pin; retention+funnel).
 NEVER_SAMPLED = [
     "op_join_semi",
     "op_join_asof",
@@ -21,10 +24,10 @@ NEVER_SAMPLED = [
     "dialect_spn_string_filter",
     "multimodal_fake_features",
     "op_mvcc_snapshot",
-    "op_topk_per_group",
+    "op_grouping_sets",
     "op_rollup",
     "op_window_running_sum",
-    "events_sessionize",
+    "multimodal_resize",
     "events_funnel",
     "text_vocab_topk",
     "pipeline_train_test_split",
@@ -34,6 +37,11 @@ NEVER_SAMPLED = [
     "pipeline_mix_sources",
     "events_retention",
     "pipeline_clean_corpus",
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
+    "sim_knn_join",
 ]
 
 
