@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Keys absent here (HLL/KLL sketch internals, the stubbed multimodal
-    codec) are genuinely non-SQL-expressible → rows-only check."""
+    The one key absent here (op_approx_sketches: HLL/KLL sketch
+    internals) is genuinely non-SQL-expressible → rows-only check, with
+    accuracy pinned locally against exact answers in tests/test_sketches.py."""
     return dict(registry.ORACLES)

@@ -566,3 +566,31 @@ def pack_sequences_frame(d):
         (F.col("off") % _PACK_CAP).alias("begin_off"),
         F.floor((F.col("off") + F.col("n_tok") - 1) / _PACK_CAP).alias("end_seq"),
     )
+
+
+def write_packed_shards(d, path: str):
+    """Materialize the packing layout (`pack_sequences_frame`) as the
+    training-data writer would: one parquet directory per shard
+    (`partitionBy`), documents in doc_id order, and — because
+    `repartition("shard")` clusters every row of a shard into exactly one
+    task — exactly ONE file per shard directory. A sequence writer then
+    streams each shard file start-to-finish, cutting sequences at the
+    precomputed (begin_seq, begin_off) boundaries, resumable at any file.
+
+    Scale: the shuffle is the same single shard-key exchange the layout
+    computation already needs (Catalyst reuses the partitioning — no
+    second shuffle for the write); `_PACK_SHARDS` sizes files (~1-4 GB of
+    tokens each at 100 TB). Rewriting the same input produces
+    byte-identical row streams per shard — the layout is a pure function
+    of the data, so a writer restart never reshuffles sequence
+    boundaries."""
+    layout = pack_sequences_frame(d).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    (
+        layout.repartition(F.col("shard"))
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -89,3 +89,42 @@ def test_knn_every_query_has_k_exact_neighbors(spark):
         cos = [r.cos for r in nbrs]
         assert cos == sorted(cos, reverse=True)
         assert qid not in {r.neighbor_id for r in nbrs}
+
+
+def test_write_packed_shards_one_ordered_file_per_shard(spark, tmp_path):
+    from mutable_spark.operators.pipeline import (
+        pack_sequences_frame,
+        write_packed_shards,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    path = str(tmp_path / "packed")
+    write_packed_shards(d, path)
+
+    import glob
+    import os
+
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(shard_dirs) > 1
+    for sd in shard_dirs:
+        files = [f for f in glob.glob(os.path.join(sd, "*.parquet"))]
+        assert len(files) == 1, sd  # one task wrote each shard
+
+    back = spark.read.parquet(path)
+    want = {
+        (r.shard, r.doc_id): (r.off, r.begin_seq, r.begin_off, r.end_seq)
+        for r in pack_sequences_frame(d).collect()
+    }
+    got = {
+        (r.shard, r.doc_id): (r.off, r.begin_seq, r.begin_off, r.end_seq)
+        for r in back.collect()
+    }
+    assert got == want
+    # within each shard file, rows are in doc_id order (the stream a
+    # sequence writer consumes)
+    import pyarrow.parquet as pq
+
+    for sd in shard_dirs:
+        f = glob.glob(os.path.join(sd, "*.parquet"))[0]
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)
