@@ -286,3 +286,45 @@ def events_retention(spark, sf_dir):
         .groupBy("cohort_day", "day_k")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_windowed_topk",
+    oracle="""
+    SELECT bucket_start, user_id, cnt, rnk FROM (
+        SELECT bucket_start, user_id, cnt,
+               ROW_NUMBER() OVER (PARTITION BY bucket_start
+                                  ORDER BY cnt DESC, user_id) AS rnk
+        FROM (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+                   user_id, COUNT(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
+        )
+    ) WHERE rnk <= 3
+    """,
+)
+def events_windowed_topk(spark, sf_dir):
+    """Per-window heavy hitters: the top-3 most active users in every
+    tumbling hour — the windowed-leaderboard composite (window agg +
+    per-window ranking) every event pipeline ends up needing.
+
+    Scale shape: one groupBy on (hour bucket, user) with map-side
+    partials — the shuffle carries one row per active (bucket, user) —
+    then a per-bucket row_number window over that already-aggregated
+    (and therefore bounded: ≤ users per hour) frame. Counts are exact
+    integers and ties break on user_id, so the oracle matches
+    bit-for-bit."""
+    e = load_tables(spark, sf_dir).events
+    from pyspark.sql import Window
+
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("bucket_start"), "user_id", "cnt")
+    )
+    w = Window.partitionBy("bucket_start").orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

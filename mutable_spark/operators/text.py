@@ -463,3 +463,68 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "tok")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+#: a token is "rare" when its corpus count is at or below this
+_RARE_TH = 3
+
+
+@query(
+    "text_rarity_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    )
+    SELECT doc_id,
+           MIN(t.n_tok) AS n_tok,
+           CAST(SUM(v.cnt) AS DOUBLE) / MIN(t.n_tok) AS mean_tok_freq,
+           CAST(SUM(CASE WHEN v.cnt <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / MIN(t.n_tok) AS rare_frac
+    FROM tok t JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark, sf_dir):
+    """Corpus-frequency scoring — the exact-arithmetic stand-in for an
+    LM-perplexity quality filter (CCNet-style): per document, the mean
+    corpus frequency of its tokens and the fraction of rare tokens
+    (corpus count ≤ 3). High rare_frac flags gibberish/OCR noise; very
+    high mean_tok_freq flags boilerplate — the two tails an LM filter
+    trims. Frequencies instead of log-probs keep every aggregate an
+    integer sum (one double division at the end), so the oracle matches
+    bit-for-bit — no cross-engine libm log() hazard.
+
+    Scale shape: vocabulary counts (one token groupBy, map-side partials)
+    joined back onto the exploded token stream, then a per-doc
+    aggregation. The join is the classic dictionary join: a min-count
+    vocabulary is ~10M rows even at web scale, so it BROADCASTS — which
+    also sidesteps the severe key skew a shuffle join on raw tokens
+    would hit ("the" alone would swamp one partition). Locally AQE makes
+    the same choice; at 100 TB you'd pin it with a broadcast hint after
+    a min-count prune."""
+    d = load_tables(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tok"),
+        F.explode(_toks()).alias("tok"),
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_tok").alias("n_tok"),
+            (F.sum("cnt").cast("double") / F.min("n_tok")).alias("mean_tok_freq"),
+            (
+                F.sum(F.when(F.col("cnt") <= _RARE_TH, 1).otherwise(0)).cast("double")
+                / F.min("n_tok")
+            ).alias("rare_frac"),
+        )
+    )

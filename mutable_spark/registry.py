@@ -64,7 +64,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # stays covered in-sample by semi/asof/range)
     "op_join_semi",
     "op_join_asof",
-    "op_join_range",
     # set ops / analytics (distinct/count_distinct demoted r6: 3x green
     # beside op_set_ops; approx_sketches demoted r6: structurally rows-only
     # — its slot serves a full-oracle op better, accuracy stays pinned in
@@ -81,7 +80,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # MVCC snapshot reads (round-5 gate for versioning.py — the last §1.1
     # reference surface with no driver row)
     "op_mvcc_snapshot",
-    "op_window_running_sum",
     # (op_window_zscore demoted r6 — green r3-r5 beside running_sum)
     # dialect frontend (TPC-H scripts subsume the demoted shape queries)
     "dialect_correlated_subquery",
@@ -135,6 +133,14 @@ _SAMPLE_PRIORITY: list[str] = [
     # — takes multimodal_extract's slot (green r1-r5; family keeps
     # frame_sample + fake_features in-sample)
     "events_retention",
+    # round-7 additions: the windowed-leaderboard composite and the
+    # corpus-frequency (LM-filter stand-in) score — taking the slots of
+    # op_join_range (green r1-r5; semi+asof keep the extended-join family)
+    # and op_window_running_sum (green r3-r5; the window family stays
+    # doubly covered in-sample: windowed_topk's per-bucket rank and
+    # pack_sequences' running sum)
+    "events_windowed_topk",
+    "text_rarity_score",
     # round-6 rotation: the five round-5 operators registered past the
     # 50-sample horizon take the slots of long-green family twins
     # (json_extract/sliding 3-4x green beside tumbling+sessionize;
@@ -162,6 +168,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "op_join_range",  # green r1-r5; see events_windowed_topk note
+    "op_window_running_sum",  # green r3-r5; see events_windowed_topk note
     "op_topk_per_group",  # green r1-r5; see op_grouping_sets note
     "events_sessionize",  # green r1-r5; see multimodal_resize note
     "op_expr_string",  # green r1-r5; expression family in-sample via

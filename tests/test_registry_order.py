@@ -16,7 +16,6 @@ from mutable_spark import registry
 NEVER_SAMPLED = [
     "op_join_semi",
     "op_join_asof",
-    "op_join_range",
     "op_set_ops",
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
@@ -26,7 +25,6 @@ NEVER_SAMPLED = [
     "op_mvcc_snapshot",
     "op_grouping_sets",
     "op_rollup",
-    "op_window_running_sum",
     "multimodal_resize",
     "events_funnel",
     "text_vocab_topk",
@@ -42,6 +40,8 @@ NEVER_SAMPLED = [
     "pipeline_stratified_sample",
     "pipeline_pack_sequences",
     "sim_knn_join",
+    "events_windowed_topk",
+    "text_rarity_score",
 ]
 
 
