@@ -557,14 +557,16 @@ def pack_sequences_frame(d):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     o = t.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    # `div`, not floor(x / cap): the double division is only exact below
+    # 2^53, and a 100 TB shard offset has no business near a float path
     return o.select(
         "doc_id",
         "shard",
         "n_tok",
         "off",
-        F.floor(F.col("off") / _PACK_CAP).alias("begin_seq"),
+        F.expr(f"off div {_PACK_CAP}").alias("begin_seq"),
         (F.col("off") % _PACK_CAP).alias("begin_off"),
-        F.floor((F.col("off") + F.col("n_tok") - 1) / _PACK_CAP).alias("end_seq"),
+        F.expr(f"(off + n_tok - 1) div {_PACK_CAP}").alias("end_seq"),
     )
 
 
