@@ -504,11 +504,13 @@ def text_rarity_score(spark, sf_dir):
     Scale shape: vocabulary counts (one token groupBy, map-side partials)
     joined back onto the exploded token stream, then a per-doc
     aggregation. The join is the classic dictionary join: a min-count
-    vocabulary is ~10M rows even at web scale, so it BROADCASTS — which
+    vocabulary is ~10M rows even at web scale, so it broadcasts — which
     also sidesteps the severe key skew a shuffle join on raw tokens
-    would hit ("the" alone would swamp one partition). Locally AQE makes
-    the same choice; at 100 TB you'd pin it with a broadcast hint after
-    a min-count prune."""
+    would hit ("the" alone would swamp one partition). The broadcast is
+    left to AQE (which sees the aggregated frame's true runtime size)
+    rather than forced: the vocabulary is data-dependent, and the repo
+    rule is that only structurally-bounded frames get a broadcast hint.
+    A 100 TB deployment would add a min-count prune before this join."""
     d = load_tables(spark, sf_dir).documents
     tok = d.select(
         "doc_id",
@@ -517,7 +519,7 @@ def text_rarity_score(spark, sf_dir):
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.min("n_tok").alias("n_tok"),

@@ -128,3 +128,14 @@ def test_write_packed_shards_one_ordered_file_per_shard(spark, tmp_path):
         f = glob.glob(os.path.join(sd, "*.parquet"))[0]
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert ids == sorted(ids)
+
+
+def test_rarity_score_dictionary_join_broadcasts(spark):
+    """The vocab dictionary join is NOT hinted (data-dependent frame);
+    AQE must still pick a broadcast at runtime from the aggregated
+    frame's true size — the skew-proof shape for a token join."""
+    df = registry.QUERIES["text_rarity_score"](spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
