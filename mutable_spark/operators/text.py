@@ -1,11 +1,15 @@
 """Text-analysis operators for a training-data pipeline over the
-``documents`` table: token counting, quality scoring, language ID, and
-document fingerprinting.
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting, repetition filtering, PII scrubbing, vocabulary
+statistics, and corpus-frequency (rarity) scoring.
 
-All of these are pure JVM-side column expressions (split / higher-order
-functions / regexp) — no Python UDFs — so they run inside whole-stage
-codegen and scale linearly with input splits: at 100 TB each is a single
-scan with zero shuffles.
+Everything is JVM-side — no Python UDFs anywhere. The per-document ops
+(token count, quality, langid, fingerprint, PII scrub) are pure column
+expressions inside whole-stage codegen: a single scan, zero shuffles at
+any scale. The corpus-statistics ops shuffle only aggregates:
+`text_vocab_topk` and `text_rarity_score` one token groupBy each (plus
+the AQE-broadcast dictionary join-back for rarity), and
+`text_repetition_filter` two partial-agg groupBys over the bigram stream.
 
 Every op here is ANSI-SQL-expressible, so each carries a DuckDB oracle whose
 expressions mirror the Spark plan operation-for-operation (same fold order,
