@@ -114,3 +114,32 @@ def mix_sources_stream(docs: DataFrame) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+def curate_ingest_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
+    """The ingest-side curation pipeline as ONE streaming query — the
+    composition the individual twins exist for: source mixing (stateless
+    stable-hash keep) → benchmark decontamination (stream-static
+    broadcast LEFT ANTI) → exact-duplicate accounting (the only stateful
+    stage: one tiny (min id, count) row per distinct digest). Catalyst
+    sees the whole chain per microbatch, so the stateless stages fuse
+    into the scan exactly as they do in batch; state size is bounded by
+    distinct *clean, kept* content — strictly smaller than raw ingest.
+
+    The fuzzy tiers stay periodic batch compaction (the lambda split
+    documented in the module header). Equality with the identical batch
+    composition is pinned under availableNow replay."""
+    from mutable_spark.operators.pipeline import mix_kept_frame
+
+    kept = mix_kept_frame(docs)
+    clean = kept.join(
+        F.broadcast(eval_digests), _digest() == F.col("eval_md5"), "left_anti"
+    )
+    return (
+        clean.select(_digest().alias("group_md5"), "doc_id")
+        .groupBy("group_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dupes"),
+        )
+    )

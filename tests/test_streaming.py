@@ -304,3 +304,39 @@ def test_streaming_mix_sources_equals_batch(spark):
     got = run_available_now(mix_sources_stream(stream), "t_mix")
     want = registry.QUERIES["pipeline_mix_sources"](spark, SF_DIR).collect()
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_curate_composition_equals_batch(spark):
+    """mix → decontaminate → dedup as ONE streaming query equals the
+    identical batch composition of the shared frame builders."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import _EVAL_MOD, mix_kept_frame
+    from mutable_spark.streaming.documents import (
+        _digest,
+        curate_ingest_stream,
+        stream_documents,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(_digest().alias("eval_md5"))
+        .distinct()
+    )
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(curate_ingest_stream(stream, evalset), "t_curate")
+
+    kept = mix_kept_frame(d)
+    clean = kept.join(
+        F.broadcast(evalset), _digest() == F.col("eval_md5"), "left_anti"
+    )
+    want = (
+        clean.select(_digest().alias("group_md5"), "doc_id")
+        .groupBy("group_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dupes"))
+        .collect()
+    )
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
