@@ -131,15 +131,15 @@ def curate_ingest_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
     composition is pinned under availableNow replay."""
     from mutable_spark.operators.pipeline import mix_kept_frame
 
-    kept = mix_kept_frame(docs)
+    # digest projected ONCE: it is both the anti-join key and the group
+    # key, and md5 over full documents is the chain's priciest column
+    kept = mix_kept_frame(docs).select(_digest().alias("group_md5"), "doc_id")
     clean = kept.join(
-        F.broadcast(eval_digests), _digest() == F.col("eval_md5"), "left_anti"
+        F.broadcast(eval_digests),
+        F.col("group_md5") == F.col("eval_md5"),
+        "left_anti",
     )
-    return (
-        clean.select(_digest().alias("group_md5"), "doc_id")
-        .groupBy("group_md5")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).alias("dupes"),
-        )
+    return clean.groupBy("group_md5").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dupes"),
     )
