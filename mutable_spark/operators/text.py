@@ -283,7 +283,9 @@ def text_repetition_filter(spark, sf_dir):
     most frequent bigram, and the fraction of bigram occurrences whose
     bigram appears more than once; ``keep`` applies fixed thresholds.
     Repetition filters are the standard cheap screen against
-    boilerplate/spam before dedup in an LLM ingest pipeline.
+    boilerplate/spam before dedup in an LLM ingest pipeline. Documents
+    with fewer than two tokens have no bigrams and are excluded (they
+    fall to the length tier of ``text_quality_score``).
 
     Scale shape: one explode of the bigram stream (each row carries the
     map-side-computed n_tok/n_distinct along), then two hash aggregations
