@@ -540,16 +540,19 @@ def pipeline_pack_sequences(spark, sf_dir):
     return pack_sequences_frame(load_tables(spark, sf_dir).documents)
 
 
-def pack_sequences_frame(d):
-    """The packing layout as a frame transform — parameter-free core of
+def pack_sequences_frame(d, carry: tuple[str, ...] = ()):
+    """The packing layout as a frame transform — the core of
     ``pipeline_pack_sequences``, exposed so the layout's invariance to
-    input partitioning/order is testable on a scrambled frame."""
+    input partitioning/order is testable on a scrambled frame. ``carry``
+    names extra document columns to thread through the layout (the shard
+    writer carries ``text``), avoiding a join back to the corpus."""
     from pyspark.sql import Window
 
     t = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
         (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+        *carry,
     )
     w = (
         Window.partitionBy("shard")
@@ -567,31 +570,31 @@ def pack_sequences_frame(d):
         F.expr(f"off div {_PACK_CAP}").alias("begin_seq"),
         (F.col("off") % _PACK_CAP).alias("begin_off"),
         F.expr(f"(off + n_tok - 1) div {_PACK_CAP}").alias("end_seq"),
+        *carry,
     )
 
 
 def write_packed_shards(d, path: str):
     """Materialize the packing layout (`pack_sequences_frame`) as the
     training-data writer would: one parquet directory per shard
-    (`partitionBy`), documents in doc_id order, and — because
-    `repartition("shard")` clusters every row of a shard into exactly one
-    task — exactly ONE file per shard directory. A sequence writer then
-    streams each shard file start-to-finish, cutting sequences at the
-    precomputed (begin_seq, begin_off) boundaries, resumable at any file.
+    (`partitionBy`), documents in doc_id order, and exactly ONE file per
+    shard directory — the window's shard-key exchange already clusters
+    every row of a shard into one task, so no repartition (and, because
+    ``text`` is carried through the layout, no join back to the corpus)
+    is needed: ONE shuffle total, the same one the layout computation
+    pays anyway. A sequence writer then streams each shard file
+    start-to-finish, cutting sequences at the precomputed
+    (begin_seq, begin_off) boundaries, resumable at any file.
 
-    Scale: the shuffle is the same single shard-key exchange the layout
-    computation already needs (Catalyst reuses the partitioning — no
-    second shuffle for the write); `_PACK_SHARDS` sizes files (~1-4 GB of
-    tokens each at 100 TB). Rewriting the same input produces
-    byte-identical row streams per shard — the layout is a pure function
-    of the data, so a writer restart never reshuffles sequence
-    boundaries."""
-    layout = pack_sequences_frame(d).join(
-        d.select("doc_id", "text"), "doc_id"
-    )
+    `_PACK_SHARDS` sizes files (~1-4 GB of tokens each at 100 TB).
+    Rewriting the same input produces identical row streams per shard —
+    the layout is a pure function of the data, so a writer restart never
+    reshuffles sequence boundaries. The explicit (shard, doc_id) sort
+    makes the dynamic-partition writer's own partition-column sort a
+    no-op and pins in-file row order."""
     (
-        layout.repartition(F.col("shard"))
-        .sortWithinPartitions("doc_id")
+        pack_sequences_frame(d, carry=("text",))
+        .sortWithinPartitions("shard", "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
