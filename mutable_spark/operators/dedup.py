@@ -361,16 +361,18 @@ def _minhash_buckets(g):
     posexplode+groupBy formulation does not — a cache would only pay a
     pointless block-store materialization of a 128-column frame,
     profiled ~3 s at sf0.1)."""
-    sig = (
-        g.select("doc_id", F.explode("shh").alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
-                for i in range(_N_PERM)
-            ]
-        )
-    )
+    # two 32-bit permutation slots per xxhash64 call (high/low halves —
+    # the standard hash-splitting trick): 64 hash evaluations feed 128
+    # min-slots, measured 0.98 s vs 1.34 s for 128 one-slot hashes at
+    # sf0.1. Half-min collisions across dissimilar docs are verified
+    # away like every other candidate.
+    half_mask = (1 << 32) - 1
+    aggs = []
+    for i in range(_N_PERM // 2):
+        x = F.xxhash64(F.lit(i), F.col("h"))
+        aggs.append(F.min(F.shiftrightunsigned(x, 32)).alias(f"m{2 * i}"))
+        aggs.append(F.min(x.bitwiseAND(F.lit(half_mask))).alias(f"m{2 * i + 1}"))
+    sig = g.select("doc_id", F.explode("shh").alias("h")).groupBy("doc_id").agg(*aggs)
     bands = F.array(
         *[
             F.xxhash64(F.lit(j), *[F.col(f"m{j * _ROWS + r}") for r in range(_ROWS)])
