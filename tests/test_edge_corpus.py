@@ -1,0 +1,128 @@
+"""Adversarial edge-case corpus through the driver's own oracle-equality
+harness: the bit-exact Spark==DuckDB contract must hold not just on the
+generator's well-behaved corpus but on the inputs a real crawl throws at
+an ingest pipeline — empty text, single tokens, maximal repetition,
+unicode, PII-shaped strings with regex metacharacters next to them.
+
+The fixture writes a documents.parquet into tmp_path shaped exactly like
+the testdata table, so every registered text/pipeline operator runs
+unmodified with sf_dir=tmp_path.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mutable_spark import registry
+from tests.oracle_harness import compare
+
+registry.load_all()
+
+#: (doc_id, text, lang, source, n_chars) — adversarial shapes
+_EDGE_DOCS = [
+    (0, "", "en", "src0", 0),  # empty text
+    (1, "solo", "en", "src0", 4),  # single token (no bigrams/shingles)
+    (2, "a a a a a a a a a a", "en", "src1", 19),  # maximal repetition
+    (3, "the quick brown fox jumps over the lazy dog", "en", "src1", 43),
+    (4, "naïve café résumé — ünïcödé tokens", "fr", "src2", 34),  # unicode
+    (5, "email me at a+b.c_d%e@ex-ample.co.uk now", "en", "src2", 40),  # real PII
+    (6, "not an email: a@@b a@ b@c. .@x 1.2.3.4.5", "en", "src3", 40),  # near-misses
+    (7, "call 555-123-4567 or visit 10.0.0.1 today", "en", "src3", 41),
+    (8, "regex bait: a.b*c+d?e(f)g[h]i{2}j|k\\l", "en", "src4", 37),  # metachars
+    (9, "  leading and trailing whitespace   ", "en", "src4", 36),
+    (10, "the the the of of a a is is in", "en", "src0", 30),  # stopword soup
+    (11, "x " * 300 + "y", "en", "src1", 601),  # long doc, 301 tokens
+]
+
+#: ops whose oracle bridge requires ASCII payloads (the multimodal
+#: stand-in codec mirrors BYTE arithmetic with DuckDB CHARACTER
+#: functions — exact only when bytes == characters; real deployments
+#: hold opaque binary and no oracle at all). They get the ASCII-only
+#: fixture below.
+_ASCII_OPS = [
+    "multimodal_extract",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+]
+
+#: every registered op whose only input is the documents table
+_DOC_OPS = [
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "text_rarity_score",
+    "pipeline_train_test_split",
+    "pipeline_mix_sources",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
+    "pipeline_decontaminate",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+]
+
+
+def _write_corpus(spark, path, docs):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    # the catalog loads every table eagerly; the non-document tables are
+    # irrelevant here, so link them from the regular fixture dir
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(path / f))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    return _write_corpus(spark, tmp_path_factory.mktemp("edge_corpus"), _EDGE_DOCS)
+
+
+@pytest.fixture(scope="module")
+def ascii_dir(spark, tmp_path_factory):
+    docs = [d for d in _EDGE_DOCS if d[1].isascii()]
+    return _write_corpus(spark, tmp_path_factory.mktemp("edge_ascii"), docs)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_dir}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def ascii_duck(ascii_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{ascii_dir}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _DOC_OPS)
+def test_edge_corpus_matches_oracle(name, spark, edge_duck, edge_dir):
+    ok, msg = compare(name, spark, edge_duck, edge_dir)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("name", _ASCII_OPS)
+def test_ascii_edge_corpus_matches_oracle(name, spark, ascii_duck, ascii_dir):
+    ok, msg = compare(name, spark, ascii_duck, ascii_dir)
+    assert ok, msg
