@@ -76,4 +76,13 @@ def vec_norm(a: Column) -> Column:
 
 
 def vec_cosine(a: Column, b: Column) -> Column:
-    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    """Cosine in DOUBLE; a zero-norm side yields NULL, not an error.
+
+    Under Spark's ANSI mode a plain `/` raises DIVIDE_BY_ZERO, so ONE
+    corrupt (all-zero) embedding row would kill an entire batch k-NN
+    job. `try_divide` returns NULL instead — exactly what DuckDB's
+    double division by zero produces — and NULL sorts last under the
+    DESC orderings every consumer uses, so zero vectors can never rank
+    as top neighbors in either engine. Pinned by
+    tests/test_edge_embeddings.py."""
+    return F.try_divide(vec_dot(a, b), vec_norm(a) * vec_norm(b))

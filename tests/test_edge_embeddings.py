@@ -1,0 +1,88 @@
+"""Adversarial embeddings through the oracle-equality harness: zero
+vectors (NaN cosines — both engines must place them identically in
+rankings), exact duplicates (cos = 1 ties), antipodal pairs (cos = -1),
+tiny magnitudes, and a constant dimension — the degenerate geometry a
+real embedding table accumulates (failed encoder runs, padding rows).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mutable_spark import registry
+from tests.oracle_harness import compare
+
+registry.load_all()
+
+_DIM = 64
+
+
+def _vec(fill=0.0, **at):
+    v = [float(fill)] * _DIM
+    for k, x in at.items():
+        v[int(k[1:])] = float(x)
+    return v
+
+
+_BASE = _vec(0.1, d0=1.0, d1=-0.5)
+#: (vec_id, embedding, label)
+_EDGE_VECS = [
+    (0, _BASE, 0),
+    (1, _vec(), 1),  # the zero vector: cosine = 0/0 = NaN against anything
+    (2, list(_BASE), 2),  # exact duplicate of 0 (cos = 1, tie-break on id)
+    (3, [-x for x in _BASE], 3),  # antipodal (cos = -1)
+    (4, _vec(1e-30, d5=1e-30), 4),  # tiny magnitude, same direction as d5
+    (5, _vec(0.0, d5=1.0), 5),  # unit vector on d5 (cos 1 with #4)
+    (6, _vec(0.25), 6),  # constant vector
+    (7, _vec(0.1, d0=1.0, d1=-0.5, d63=0.01), 7),  # near-dup of 0
+    (8, _vec(0.0, d2=2.0, d3=-3.0), 8),
+    (9, _vec(0.0, d2=2.0, d3=3.0), 9),
+    (10, _vec(0.5, d10=-5.0), 10),
+    (11, _vec(0.5, d10=5.0), 11),
+]
+
+#: ops whose input is only the embeddings table. sim_knn_join's query set
+#: (vec_id % 50 == 0) is just the base vector here; cosine_topk queries
+#: from MIN(vec_id) = the base vector; the zero vector is a CANDIDATE in
+#: both, so NaN ranking placement is exercised in both engines.
+_EMB_OPS = [
+    "sim_cosine_topk",
+    "sim_nearest_pairs",
+    "sim_knn_join",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_ivf_train",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    path = tmp_path_factory.mktemp("edge_embeddings")
+    df = spark.createDataFrame(_EDGE_VECS, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(path / "embeddings.parquet"))
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(path / f))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def emb_duck(emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _EMB_OPS)
+def test_edge_embeddings_match_oracle(name, spark, emb_duck, emb_dir):
+    ok, msg = compare(name, spark, emb_duck, emb_dir)
+    assert ok, msg
