@@ -54,6 +54,12 @@ _EDGE_EVENTS = [
     (13, _ts(3, 8, 3), 7, "view", 1.0, '{"k": 14}'),
     (14, _ts(3, 8, 4), 7, "view", 1.0, '{"k": 15}'),
     (15, _ts(3, 8, 5), 8, "error", 1.0, '{"k": 16}'),
+    # malformed / empty props: the k-extraction regexp must yield NULL in
+    # both engines, and an event_type whose EVERY row lacks a valid k
+    # exercises the NULL/0 avg path (NULL in both engines, no ANSI error)
+    (16, _ts(3, 9, 0), 8, "signup", 2.0, "{broken"),
+    (17, _ts(3, 9, 1), 8, "signup", 2.0, ""),
+    (18, _ts(3, 9, 2), 8, "signup", 2.0, '{"k": "not-a-number"}'),
 ]
 
 _EVENT_OPS = [
