@@ -328,3 +328,34 @@ def events_windowed_topk(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type — the exact sibling
+    of ``op_approx_sketches``' percentile_approx. Both engines implement
+    the standard (n-1)·p linear interpolation over the sorted group in
+    DOUBLE, so the oracle matches bit-for-bit (verified: p50/p95/p99
+    identical across engines at every test SF).
+
+    Scale note: exact percentile buffers each group's values — the right
+    tool for bounded groups (5 event types here; dashboards, SLO
+    reports). For unbounded cardinality at 100 TB the approximate sketch
+    (`op_approx_sketches`) is the scale path, and THIS op is the exact
+    baseline its accuracy is pinned against in tests/test_sketches.py."""
+    e = load_tables(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )

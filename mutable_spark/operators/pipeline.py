@@ -599,3 +599,59 @@ def write_packed_shards(d, path: str):
         .mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+#: curriculum phases (quality quartiles)
+_CURRICULUM_PHASES = 4
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT phase, COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+           MIN(doc_id) AS min_id
+    FROM (
+        SELECT doc_id, n_tok,
+               NTILE({_CURRICULUM_PHASES}) OVER (ORDER BY n_tok, doc_id) AS phase
+        FROM q
+    )
+    GROUP BY phase
+    """,
+)
+def pipeline_curriculum_order(spark, sf_dir):
+    """Curriculum bucketing: rank the corpus by a difficulty proxy
+    (token length, standing in for a model-scored difficulty) and split
+    it into equal-size phases with NTILE — short/easy documents train
+    first, long/hard ones later. The (n_tok, doc_id) total order makes
+    phase assignment deterministic, and NTILE's equal-split rule
+    (earlier tiles get the remainder) is identical in both engines.
+
+    Scale note: a single global NTILE implies a global sort — correct
+    for the registered summary here, but at 100 TB the deployment shape
+    is phase = NTILE within each stable hash shard (the
+    `pipeline_pack_sequences` sharding), which preserves the equal-split
+    property per shard with no global order. The registered result is
+    the per-phase summary, so the driver pins the split rule without
+    hashing the corpus."""
+    d = load_tables(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    q = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.orderBy("n_tok", "doc_id")
+    phased = q.withColumn("phase", F.ntile(_CURRICULUM_PHASES).over(w))
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.min("doc_id").alias("min_id"),
+    )

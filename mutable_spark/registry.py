@@ -62,7 +62,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_having",
     # extended joins (left_outer/anti demoted r6: 3x driver-green, family
     # stays covered in-sample by semi/asof/range)
-    "op_join_semi",
     "op_join_asof",
     # set ops / analytics (distinct/count_distinct demoted r6: 3x green
     # beside op_set_ops; approx_sketches demoted r6: structurally rows-only
@@ -97,9 +96,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # predicates estimated by the SPN's rank-dictionary discrete leaves
     "dialect_zoneindex_scan",
     "dialect_spn_string_filter",
-    # LLM-pipeline operators (dedup_exact demoted r7: green r1-r5, and
-    # pipeline_clean_corpus keeps the exact-digest stage in-sample)
-    "dedup_minhash_lsh",
+    # LLM-pipeline operators (dedup_exact and dedup_minhash_lsh demoted
+    # r7: both green r1-r5, and pipeline_clean_corpus keeps BOTH the
+    # exact-digest stage and the identical LSH tier (minhash_lsh_pairs)
+    # in-sample with a full oracle)
     "dedup_simhash",
     # round-5 addition: the last brief-named dedup family member (blocked
     # embedding-cosine near-dup); takes dedup_ngram_jaccard's slot — that
@@ -141,6 +141,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # pack_sequences' running sum)
     "events_windowed_topk",
     "text_rarity_score",
+    # round-7 late additions: exact interpolated percentiles (the exact
+    # sibling of the approx sketches) and curriculum bucketing (NTILE) —
+    # taking the slots of op_join_semi (green r1-r5; LeftSemi stays
+    # plan-pinned, join family keeps theta/nary/asof + every dialect
+    # join) and dedup_minhash_lsh (see the dedup note above)
+    "events_value_percentiles",
+    "pipeline_curriculum_order",
     # round-6 rotation: the five round-5 operators registered past the
     # 50-sample horizon take the slots of long-green family twins
     # (json_extract/sliding 3-4x green beside tumbling+sessionize;
@@ -168,6 +175,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "op_join_semi",  # green r1-r5; see events_value_percentiles note
+    "dedup_minhash_lsh",  # green r1-r5; LSH tier in-sample via clean_corpus
     "op_join_range",  # green r1-r5; see events_windowed_topk note
     "op_window_running_sum",  # green r3-r5; see events_windowed_topk note
     "op_topk_per_group",  # green r1-r5; see op_grouping_sets note

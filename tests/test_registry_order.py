@@ -14,7 +14,6 @@ from mutable_spark import registry
 # events_sessionize (both green r1-r5) hand over their slots with family
 # coverage retained (TakeOrderedAndProject pin; retention+funnel).
 NEVER_SAMPLED = [
-    "op_join_semi",
     "op_join_asof",
     "op_set_ops",
     "op_zoneindex_scan",
@@ -42,6 +41,8 @@ NEVER_SAMPLED = [
     "sim_knn_join",
     "events_windowed_topk",
     "text_rarity_score",
+    "events_value_percentiles",
+    "pipeline_curriculum_order",
 ]
 
 
