@@ -62,6 +62,7 @@ _DOC_OPS = [
     "pipeline_stratified_sample",
     "pipeline_pack_sequences",
     "pipeline_decontaminate",
+    "pipeline_curriculum_order",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -70,6 +70,7 @@ _EVENT_OPS = [
     "events_funnel",
     "events_retention",
     "events_windowed_topk",
+    "events_value_percentiles",
 ]
 
 
