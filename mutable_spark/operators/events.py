@@ -351,8 +351,9 @@ def events_value_percentiles(spark, sf_dir):
     Scale note: exact percentile buffers each group's values — the right
     tool for bounded groups (5 event types here; dashboards, SLO
     reports). For unbounded cardinality at 100 TB the approximate sketch
-    (`op_approx_sketches`) is the scale path, and THIS op is the exact
-    baseline its accuracy is pinned against in tests/test_sketches.py."""
+    (`op_approx_sketches`) is the scale path, whose accuracy is pinned
+    against this same exact-percentile aggregate in
+    tests/test_sketches.py."""
     e = load_tables(spark, sf_dir).events
     return e.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
