@@ -376,6 +376,10 @@ class Compiler:
                 return None
             if lit.kind in ("int", "float"):
                 return op, lit.value
+            if lit.kind == "str":
+                # string ranges/equalities prune via the ZoneIndex's
+                # order-preserving 6-byte-prefix key (over-read only)
+                return op, str(lit.value)
             if lit.kind in ("date", "datetime"):
                 # time-range pruning over a date-partitioned layout — the
                 # canonical 100 TB scan pattern; ZoneIndex normalizes

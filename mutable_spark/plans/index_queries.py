@@ -308,3 +308,79 @@ def dialect_spn_string_filter(spark, sf_dir):
         """
     )
     return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+def _source_sorted_docs_layout(spark, sf_dir: str) -> Path:
+    """A ``repartitionByRange(source)``-partitioned copy of ``documents``
+    — each file covers a narrow lexicographic source range, the layout a
+    domain-sharded 100 TB corpus would already have. Same build-once +
+    atomic-rename discipline as `_keyed_orders_layout`."""
+    src = Path(sf_dir.rstrip("/")) / "documents.parquet"
+    st = src.stat()
+    fp = hashlib.sha256(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_ZONE_PARTS}:zone-str-v1".encode()
+    ).hexdigest()[:16]
+    dest = _RELAYOUT_DIR / f"docs-src-zoned-{fp}"
+    if (dest / "_SUCCESS").exists():
+        return dest
+    tmp = _RELAYOUT_DIR / f".build-src-zoned-{fp}-{os.getpid()}"
+    try:
+        (
+            spark.read.parquet(str(src))
+            .repartitionByRange(_ZONE_PARTS, "source")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        os.rename(tmp, dest)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest if (dest / "_SUCCESS").exists() else src
+
+
+@query(
+    "dialect_zoneindex_string",
+    oracle="""
+    SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE source >= 'src10' AND source <= 'src15'
+    GROUP BY source
+    """,
+)
+def dialect_zoneindex_string(spark, sf_dir):
+    """Zone-index pruning over a STRING column from dialect SQL (extends
+    the r6 numeric/date gates): CREATE INDEX on ``documents.source``
+    builds file zones whose keys are the order-preserving 6-byte-prefix
+    surrogate (`sources/indexes.py::_key_num`), and a lexicographic
+    source range prunes the scan to the files whose [min, max] source
+    intersects — domain/URL-prefix range scans over a domain-sharded
+    corpus, the string twin of the canonical date-range prune. In-query
+    assertions pin that the index pruned AND the compiled plan read a
+    strict file subset; prefix ties can only over-read, never drop a
+    file (the index is an I/O layer — every conjunct is still applied)."""
+    from mutable_spark.dialect import Engine
+
+    layout = _source_sorted_docs_layout(spark, sf_dir)
+    eng = Engine(spark)
+    eng.catalog.create_database("zs")
+    eng.catalog.use("zs")
+    eng.create_table_from_parquet("documents", str(layout))
+    eng.execute("CREATE INDEX doc_source ON documents USING array (source)")
+    zi = eng.zone_indexes[("zs", "documents")]["source"]
+    assert 0 < len(zi.files_for_range("src10", "src15")) < len(zi.zones), (
+        "string zone index did not prune"
+    )
+    df = eng.execute(
+        """
+        SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        WHERE source >= "src10" AND source <= "src15"
+        GROUP BY source
+        """
+    )
+    n_layout_files = len([f for _, _, f in zi.zones])
+    assert 0 < len(df.inputFiles()) < n_layout_files, (
+        f"compiled plan reads {len(df.inputFiles())}/{n_layout_files} files "
+        "— the dialect scan did not go through the string zone index"
+    )
+    return df

@@ -218,7 +218,15 @@ def _key_num(v):
     epoch seconds (naive = UTC, matching the engine's session timezone),
     so the RMI's float arithmetic and range lookups work uniformly for
     numeric AND time columns — time-range pruning over a date-partitioned
-    layout is the canonical 100 TB scan pattern."""
+    layout is the canonical 100 TB scan pattern.
+
+    STRING keys (r7) map to their first-6-byte big-endian integer — the
+    classic order-preserving prefix surrogate. 48 bits stay exact in the
+    float64 key space, and `a <= b ⟹ prefix6(a) <= prefix6(b)`, so a
+    range lookup through the surrogate can only OVER-read (prefix ties
+    collapse to equal keys); the zone index is a pruning layer, never a
+    correctness layer, so that is sound. This is how string-keyed scans
+    (URL prefixes, domain ranges, id namespaces) prune at 100 TB."""
     import datetime as dt
 
     if isinstance(v, dt.datetime):
@@ -227,6 +235,9 @@ def _key_num(v):
         return (
             dt.datetime(v.year, v.month, v.day) - dt.datetime(1970, 1, 1)
         ).total_seconds()
+    if isinstance(v, (str, bytes)):
+        b = v.encode("utf-8", "surrogatepass") if isinstance(v, str) else v
+        return float(int.from_bytes(b[:6].ljust(6, b"\x00"), "big"))
     return v
 
 

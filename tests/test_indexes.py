@@ -180,3 +180,36 @@ def test_zone_index_range_edge_cases(spark, tmp_path):
             want = sorted(r.k for r in full.filter(cond).collect())
             got = sorted(r.k for r in zi.read_pruned(spark, lo, hi).collect())
             assert got == want, (learned, lo, hi)
+
+
+def test_zone_index_string_keys(spark, tmp_path):
+    """String zones prune by the 6-byte-prefix surrogate: distinct
+    prefixes prune exactly; a shared prefix beyond 6 bytes collapses to
+    equal keys and can only OVER-read (soundness), never drop a file."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.sources.indexes import ZoneIndex, _key_num
+
+    # order preservation incl. ties past 6 bytes
+    vals = ["", "a", "abcdef", "abcdefX", "abcdefZ", "abcdeg", "b", "src10", "src15", "src2"]
+    keys = [_key_num(v) for v in vals]
+    for a, b in zip(vals, vals[1:]):
+        assert _key_num(a) <= _key_num(b), (a, b)
+    assert _key_num("abcdefX") == _key_num("abcdefZ")  # tie -> over-read only
+
+    path = tmp_path / "docs"
+    df = spark.createDataFrame(
+        [(i, f"src{i:02d}") for i in range(40)], "doc_id long, source string"
+    )
+    df.repartitionByRange(4, "source").write.parquet(str(path))
+    zi = ZoneIndex.build(str(path), "source", learned=False)
+    assert len(zi.zones) == 4
+    pruned = zi.files_for_range("src10", "src15")
+    assert 0 < len(pruned) < len(zi.zones)
+    # soundness: the pruned subset holds every matching row
+    got = (
+        spark.read.parquet(*pruned)
+        .filter((F.col("source") >= "src10") & (F.col("source") <= "src15"))
+        .count()
+    )
+    assert got == 6
