@@ -27,9 +27,13 @@ Four tiers, trading exactness for scalability:
                            (large-star/small-star) — the star-cap
                            contract's consumer.
 
-All hashing is portable md5-derived arithmetic mirrored exactly by the
-DuckDB oracles (a 100 TB deployment would swap in xxhash64 for ingest
-throughput, changing nothing structural). For ``dedup_minhash_lsh`` the
+Content hashing (shingles, digests) is portable md5-derived arithmetic
+mirrored exactly by the DuckDB oracles; purely *internal* hashes with no
+oracle contract — the MinHash signature permutations and band keys —
+use xxhash64, the cheapest JVM-codegen mixer (r7; they only shape
+candidate recall, and every emitted pair is exact-verified). A 100 TB
+deployment would swap the content hashes to xxhash64 too at the cost of
+the oracles, changing nothing structural. For ``dedup_minhash_lsh`` the
 *output* is exact (candidates are verified with the true Jaccard before
 emission) so it shares the exact pairwise oracle; only recall is
 probabilistic — a true pair at the emission threshold s=0.5 is missed
