@@ -174,6 +174,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_pack_sequences",
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
+    # ---- past the 50-sample horizon ----
+    # r7 late addition, never yet sampled: the zone-index family holds
+    # TWO in-sample gates (op_zoneindex_scan, dialect_zoneindex_scan);
+    # the string-key member rotates in next round
+    "dialect_zoneindex_string",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "op_join_semi",  # green r1-r5; see events_value_percentiles note
     "dedup_minhash_lsh",  # green r1-r5; LSH tier in-sample via clean_corpus
