@@ -1,19 +1,23 @@
 """Streaming twins for the ingest-side curation operators: the documents
-table as a file stream, exact dedup as an incremental digest aggregation,
-and benchmark decontamination as a stream-static broadcast anti-join.
+table as a file stream; exact dedup as an incremental digest aggregation;
+benchmark decontamination as a stream-static broadcast anti-join; PII
+scrubbing and source mixing as stateless maps (r7); and the composed
+mix → decontaminate → dedup pipeline as one streaming query (r7).
 
-Why these two: at 100 TB the curation pipeline is not a one-shot batch —
-new shards arrive continuously, and the two stages that must run *at
-ingest* are exact-duplicate accounting (state = one row per distinct
-digest, bounded and tiny relative to the corpus) and eval-set
-decontamination (state = none; the blocklist is a static broadcast side).
-The fuzzy tiers (MinHash/SimHash) stay batch: their candidate generation
-is a global shuffle over all-time state and is run as periodic
-compaction, not per-microbatch — the standard lambda split.
+Why these: at 100 TB the curation pipeline is not a one-shot batch — new
+shards arrive continuously, and the stages that must run *at ingest* are
+exactly the ones here: duplicate accounting (state = one tiny row per
+distinct digest), decontamination (stateless; static broadcast
+blocklist), PII redaction (stateless — raw PII must never land in state
+or storage), and mixing (stateless stable-hash keep). The fuzzy tiers
+(MinHash/SimHash) stay batch: their candidate generation is a global
+shuffle over all-time state and runs as periodic compaction, not
+per-microbatch — the standard lambda split.
 
-Each streaming op is the *same declarative aggregation* as its registered
-batch twin (`dedup_exact`, `pipeline_decontaminate`), so the stream==batch
-tests pin the results equal row-for-row under availableNow replay.
+Each streaming op is the *same declarative computation* as its registered
+batch twin — the stateless ones share the literal frame builders
+(`pii_scrub_frame`, `mix_kept_frame`) — so the stream==batch tests pin
+results equal row-for-row under availableNow replay.
 """
 
 from __future__ import annotations
