@@ -157,3 +157,31 @@ def test_shell_parquet_instruction():
         "WHERE o_custkey BETWEEN 10 AND 50"
     ).fetchone()[0]
     assert f"\n{want}\n" in out.stdout
+
+
+def test_shell_string_index_range():
+    """CREATE INDEX on a STRING column through the real shell process: a
+    lexicographic source range runs through the string-keyed zone path
+    (r7) and returns the exact count."""
+    script = (
+        ".load /root/testdata/sf0.001\n"
+        "CREATE INDEX dsrc ON documents USING array (source);\n"
+        'SELECT COUNT() AS n FROM documents WHERE source >= "src10" AND source <= "src15";\n'
+        ".quit\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mutable_spark.shell"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE source >= 'src10' AND source <= 'src15'"
+    ).fetchone()[0]
+    assert f"\n{want}\n" in out.stdout
