@@ -143,3 +143,60 @@ def test_zone_pruned_scan_matches_duckdb(zoned, conj):
     got = sorted(tuple(r) for r in eng.execute(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, where
+
+
+# --- string-keyed zones: random lexicographic ranges vs DuckDB ------------
+@pytest.fixture(scope="module")
+def str_zoned(spark, tmp_path_factory):
+    """A string-indexed range layout whose keys DELIBERATELY share a
+    common prefix longer than the 6-byte surrogate ("domain" + digits):
+    every zone-key comparison beyond the prefix collapses to a tie, so
+    the index prunes coarsely — and the property is that results stay
+    exact anyway (the surrogate may only ever over-read)."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.dialect import Engine
+
+    layout = tmp_path_factory.mktemp("strprop") / "st"
+    spark.range(0, 1000).select(
+        F.concat(F.lit("domain"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("s"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(8, "s").write.parquet(str(layout))
+    eng = Engine(spark)
+    eng.catalog.create_database("sprop")
+    eng.catalog.use("sprop")
+    eng.create_table_from_parquet("t", str(layout))
+    eng.execute("CREATE INDEX ps ON t (s)")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{layout}/*.parquet'")
+    return eng, con
+
+
+_str_ops = st.sampled_from([">", ">=", "<", "<=", "="])
+_str_bnd = st.one_of(
+    # in-domain, shares the >6-byte prefix with every key
+    st.integers(min_value=-50, max_value=1050).map(lambda i: f"domain{i:04d}"),
+    # short / out-of-domain / prefix-boundary strings
+    st.sampled_from(["", "a", "domain", "domaiz", "dom", "zzz", "domain0500extra"]),
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    conj=st.lists(st.tuples(_str_ops, _str_bnd), min_size=1, max_size=3)
+)
+def test_string_zone_pruned_scan_matches_duckdb(str_zoned, conj):
+    """Any conjunction of lexicographic ranges over the string-indexed
+    column — including bounds that tie on the 6-byte prefix, empty
+    strings, and out-of-domain values — returns exactly DuckDB's
+    full-scan answer through the pruned dialect path."""
+    eng, con = str_zoned
+    where = " AND ".join(f's {op} "{val}"' for op, val in conj)
+    duck_where = " AND ".join(f"s {op} '{val}'" for op, val in conj)
+    got = sorted(tuple(r) for r in eng.execute(f"SELECT s, v FROM t WHERE {where}").collect())
+    want = sorted(tuple(r) for r in con.execute(f"SELECT s, v FROM t WHERE {duck_where}").fetchall())
+    assert got == want, where
