@@ -237,3 +237,53 @@ def funnel_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def retention_user_days(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_retention`` (cohort × day-offset
+    returns), maintained incrementally per user.
+
+    Retention is a TWO-LEVEL aggregation — per-user cohort minimum, then a
+    per-(cohort, offset) count — and Structured Streaming forbids chained
+    streaming aggregations, so this is the canonical case for the
+    `applyInPandasWithState` escape hatch: per-user state holds the
+    cohort day and the distinct active-day set, and each emission is the
+    user's CURRENT (cohort_day, day_k) retention vector. Late events that
+    move the cohort minimum re-base the whole vector from the stored day
+    set, so the latest emission per user always equals the batch answer
+    over the data seen so far; the final (cohort_day, day_k) count is the
+    consumer's reduce over latest-per-user (exactly how the funnel twin's
+    totals are consumed). A production deployment bounds the day set with
+    a watermark — a cohort is immutable once the watermark passes it —
+    and expires idle users via GroupStateTimeout; both are omitted for
+    the bounded replay.
+
+    State: (cohort epoch-day int, active epoch-day array). Output rows
+    per update: one per retained day within the {0..7} window."""
+    import pandas as pd
+
+    from mutable_spark.operators.events import _RETENTION_DAYS
+
+    def update(key, pdfs, state):
+        days = set(state.get[1]) if state.exists else set()
+        for pdf in pdfs:
+            for ts in pdf["ts"]:
+                days.add(int(pd.Timestamp(ts).normalize().value // 86_400_000_000_000))
+        cohort = min(days)
+        state.update((cohort, sorted(days)))
+        ks = sorted(d - cohort for d in days if d - cohort <= _RETENTION_DAYS)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ks),
+                "cohort_day": [pd.Timestamp(cohort * 86_400_000_000_000)] * len(ks),
+                "day_k": ks,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cohort_day timestamp, day_k long",
+        stateStructType="cohort long, active array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -340,3 +340,30 @@ def test_streaming_curate_composition_equals_batch(spark):
     )
     assert _rows(got) == _rows(want)
     assert len(want) > 0
+
+
+def test_streaming_retention_equals_batch(spark):
+    """Two-level aggregation via per-user state: the latest emitted
+    retention vector per user, reduced to (cohort_day, day_k) counts,
+    equals the registered batch events_retention."""
+    from mutable_spark.streaming.events import retention_user_days, stream_events
+
+    stream = stream_events(spark, SF_DIR)
+    rows = run_available_now(retention_user_days(stream), "t_retention", mode="update")
+    latest: dict = {}
+    for r in rows:  # memory sink appends per-batch updates; keep the
+        latest.setdefault(r.user_id, []).append((r.cohort_day, r.day_k))
+    # last emission per user = the rows whose cohort_day is the user's
+    # minimal emitted cohort (late events only ever LOWER the cohort)
+    from collections import Counter
+
+    agg: Counter = Counter()
+    for user, entries in latest.items():
+        cohort = min(c for c, _ in entries)
+        for k in {k for c, k in entries if c == cohort}:
+            agg[(cohort.date(), k)] += 1
+    want = {
+        (r.cohort_day, r.day_k): r.n_users
+        for r in registry.QUERIES["events_retention"](spark, SF_DIR).collect()
+    }
+    assert dict(agg) == want
