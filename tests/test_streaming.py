@@ -367,3 +367,78 @@ def test_streaming_retention_equals_batch(spark):
         for r in registry.QUERIES["events_retention"](spark, SF_DIR).collect()
     }
     assert dict(agg) == want
+
+
+def test_streaming_retention_state_survives_restart(spark, tmp_path):
+    """Retention state across a stop/restart: phase 1 delivers each
+    user's LATER activity days, phase 2 the earlier ones against the same
+    checkpoint — so the restart must both recover the day-set state AND
+    re-base cohorts when phase 2 lowers a user's first-seen day. The
+    latest-per-user reduce over both phases' emissions equals batch."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import retention_user_days
+
+    ev = (
+        load_tables(spark, SF_DIR)
+        .events.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                       "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            retention_user_days(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # LATE-COHORT delivery order: newest half first
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase2")
+    run_once()
+
+    import pyspark.sql.types as T
+
+    out = spark.read.schema(
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cohort_day", T.TimestampType()),
+            T.StructField("day_k", T.LongType()),
+        ])
+    ).parquet(str(sink))
+    from collections import Counter
+
+    per_user: dict = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append((r.cohort_day, r.day_k))
+    agg: Counter = Counter()
+    for user, entries in per_user.items():
+        cohort = min(c for c, _ in entries)  # re-based (lowest) cohort wins
+        for k in {k for c, k in entries if c == cohort}:
+            agg[(cohort.date(), k)] += 1
+    want = {
+        (r.cohort_day, r.day_k): r.n_users
+        for r in registry.QUERIES["events_retention"](spark, SF_DIR).collect()
+    }
+    assert dict(agg) == want
