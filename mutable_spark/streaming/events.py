@@ -287,3 +287,45 @@ def retention_user_days(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def windowed_topk_users(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming twin of ``events_windowed_topk``: the live per-hour
+    leaderboard. Ranking inside a window is (like retention) a two-level
+    streaming aggregation — per-(bucket, user) counts, then a per-bucket
+    rank — so it runs through `applyInPandasWithState` keyed by the hour
+    bucket: state holds the bucket's per-user counts (bounded by active
+    users per hour), each update emits the bucket's CURRENT top-k with
+    the batch twin's exact tie rule (count desc, user_id asc). The
+    latest emission per bucket is the leaderboard; a live deployment
+    expires finished buckets via watermark-driven GroupStateTimeout —
+    omitted for the bounded replay."""
+    import pandas as pd
+
+    bucketed = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "user_id"
+    )
+
+    def update(key, pdfs, state):
+        users = dict(zip(*state.get)) if state.exists else {}
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                users[int(u)] = users.get(int(u), 0) + 1
+        state.update((list(users.keys()), list(users.values())))
+        top = sorted(users.items(), key=lambda uv: (-uv[1], uv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "bucket_start": [key[0]] * len(top),
+                "user_id": [u for u, _ in top],
+                "cnt": [c for _, c in top],
+                "rnk": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return bucketed.groupBy("bucket_start").applyInPandasWithState(
+        update,
+        outputStructType="bucket_start timestamp, user_id long, cnt long, rnk long",
+        stateStructType="users array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -442,3 +442,26 @@ def test_streaming_retention_state_survives_restart(spark, tmp_path):
         for r in registry.QUERIES["events_retention"](spark, SF_DIR).collect()
     }
     assert dict(agg) == want
+
+
+def test_streaming_windowed_topk_equals_batch(spark):
+    """Live leaderboard: the latest emitted top-3 per hour bucket equals
+    the batch events_windowed_topk exactly (same count-desc, user-asc tie
+    rule)."""
+    from mutable_spark.streaming.events import stream_events, windowed_topk_users
+
+    stream = stream_events(spark, SF_DIR)
+    rows = run_available_now(windowed_topk_users(stream), "t_wtopk", mode="update")
+    # update-mode memory-sink rows arrive in emission order: the last
+    # write per (bucket, rank) is the bucket's final leaderboard row
+    by_rank: dict = {}
+    for r in rows:
+        by_rank[(r.bucket_start, r.rnk)] = r
+    got = {
+        (r.bucket_start, r.user_id, r.cnt, r.rnk) for r in by_rank.values()
+    }
+    want = {
+        (r.bucket_start, r.user_id, r.cnt, r.rnk)
+        for r in registry.QUERIES["events_windowed_topk"](spark, SF_DIR).collect()
+    }
+    assert got == want
