@@ -508,9 +508,9 @@ _PACK_SHARDS = 64
     ),
     o AS (
         SELECT doc_id, shard, n_tok,
-               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tok AS off
+                    AS BIGINT) - n_tok AS off
         FROM t
     )
     SELECT doc_id, shard, n_tok, off,
