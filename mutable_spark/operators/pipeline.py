@@ -655,3 +655,64 @@ def pipeline_curriculum_order(spark, sf_dir):
         F.max("n_tok").alias("max_tok"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@query(
+    "pipeline_curriculum_sharded",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               {_sql_hash52('doc_id')} % {_PACK_SHARDS} AS shard
+        FROM documents
+    ),
+    p AS (
+        SELECT shard, doc_id, n_tok,
+               NTILE({_CURRICULUM_PHASES}) OVER (PARTITION BY shard
+                                                 ORDER BY n_tok, doc_id) AS phase
+        FROM q
+    )
+    SELECT shard, phase, COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           MIN(doc_id) AS min_id
+    FROM p
+    GROUP BY shard, phase
+    """,
+)
+def pipeline_curriculum_sharded(spark, sf_dir):
+    """Sharded curriculum bucketing — the 100 TB deployment shape the
+    global-NTILE `pipeline_curriculum_order` documents: documents land
+    in a shard by stable hash (the `pipeline_pack_sequences` sharding,
+    so curriculum phases compose with the packing layout), and NTILE
+    assigns phases WITHIN each shard over the (n_tok, doc_id) total
+    order. Equal-split holds per shard with NO global sort: the only
+    exchange is the hash partitioning on the shard key, and every
+    shard's window sorts locally inside its own task
+    (tests/test_plan_shape.py pins no-SinglePartition-exchange).
+
+    Because the shard hash is independent of the difficulty proxy, each
+    shard sees an i.i.d. sample of the corpus and the per-shard phase
+    boundaries converge on the global quartiles — the standard
+    distributed-quantile argument; a trainer reading phase p across all
+    shards gets ~the same curriculum as the global order at 1/shards
+    the coordination. The registered result is the per-(shard, phase)
+    summary (bounded at shards x phases rows), pinning the split rule
+    and the exact phase contents of every shard."""
+    d = load_tables(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    q = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("n_tok", "doc_id")
+    phased = q.withColumn("phase", F.ntile(_CURRICULUM_PHASES).over(w))
+    return phased.groupBy("shard", "phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.min("doc_id").alias("min_id"),
+    )

@@ -96,6 +96,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # predicates estimated by the SPN's rank-dictionary discrete leaves
     "dialect_zoneindex_scan",
     "dialect_spn_string_filter",
+    # round-8 rotation (VERDICT r7 item #2): the string-key zone-index
+    # member — the only registered query that had never held a driver
+    # row — takes sim_ann_lsh's slot (green r1-r5 + r7; the sim family
+    # stays triply covered in-sample by ivf_topk + ivf_train + knn_join)
+    "dialect_zoneindex_string",
     # LLM-pipeline operators (dedup_exact and dedup_minhash_lsh demoted
     # r7: both green r1-r5, and pipeline_clean_corpus keeps BOTH the
     # exact-digest stage and the identical LSH tier (minhash_lsh_pairs)
@@ -111,15 +116,15 @@ _SAMPLE_PRIORITY: list[str] = [
     # slot — that quadratic baseline is driver-green r1-r4 and its family
     # stays in-sample via sim_cosine_topk + sim_ann_lsh
     "dedup_duplicate_classes",
-    "sim_ann_lsh",
+    # (sim_ann_lsh demoted r8 — see the dialect_zoneindex_string note)
     "sim_ivf_topk",
     # round-6 addition: the distributed k-means quantizer trainer (full
     # oracle over fixed Lloyd rounds) — takes sim_cosine_topk's slot
     # (3x green; exact baseline family stays via ann/ivf + local suite)
     "sim_ivf_train",
-    # round-5 addition: the 1-row-in-N-frames-out mapInPandas shape with a
-    # full oracle
-    "multimodal_frame_sample",
+    # (multimodal_frame_sample demoted r8 — green r5 + r7, and the
+    # mapInPandas family keeps fake_features + resize in-sample; its slot
+    # goes to pipeline_curriculum_sharded below)
     # round-6 promotion: the decode+featurize mapInPandas pass gained a
     # full oracle (stand-in codec arithmetic mirrored in SQL) — back
     # in-sample as a hash-checked row instead of the old rows-only check
@@ -148,6 +153,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # join) and dedup_minhash_lsh (see the dedup note above)
     "events_value_percentiles",
     "pipeline_curriculum_order",
+    # round-8 addition (VERDICT r7 item #5): the sharded-NTILE curriculum
+    # — the 100 TB shape curriculum_order's docstring promised, now a
+    # registered operator with a full oracle and a no-global-sort plan
+    # pin — takes multimodal_frame_sample's slot (see the note above)
+    "pipeline_curriculum_sharded",
     # round-6 rotation: the five round-5 operators registered past the
     # 50-sample horizon take the slots of long-green family twins
     # (json_extract/sliding 3-4x green beside tumbling+sessionize;
@@ -174,12 +184,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_pack_sequences",
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
-    # ---- past the 50-sample horizon ----
-    # r7 late addition, never yet sampled: the zone-index family holds
-    # TWO in-sample gates (op_zoneindex_scan, dialect_zoneindex_scan);
-    # the string-key member rotates in next round
-    "dialect_zoneindex_string",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
+    "multimodal_frame_sample",  # green r5 + r7; family keeps
+    #                             fake_features + resize in-sample
     "op_join_semi",  # green r1-r5; see events_value_percentiles note
     "dedup_minhash_lsh",  # green r1-r5; LSH tier in-sample via clean_corpus
     "op_join_range",  # green r1-r5; see events_windowed_topk note

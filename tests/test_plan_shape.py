@@ -219,3 +219,14 @@ def test_knn_join_broadcasts_queries(plans):
     p = plans("sim_knn_join")
     assert "Broadcast" in p
     assert "SortMergeJoin" not in p
+
+
+def test_curriculum_sharded_no_global_sort(plans):
+    """pipeline_curriculum_sharded's NTILE partitions by the shard key:
+    the window exchange is hashpartitioning(shard), never the
+    SinglePartition exchange a global NTILE (pipeline_curriculum_order)
+    pays — the whole point of the sharded deployment shape."""
+    p = plans("pipeline_curriculum_sharded")
+    assert "Window" in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning" in p
