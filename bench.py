@@ -43,6 +43,14 @@ HEADLINE = [
     "events_window_tumbling",
     "events_sessionize",
     "multimodal_extract",
+    # rounds-6/7 heavy operators (VERDICT r7 item #4): tracked so a perf
+    # regression in them is visible to the per-round gate; the legacy 21
+    # above keep cross-round continuity.
+    "dedup_embedding_cosine",
+    "pipeline_decontaminate_fuzzy",
+    "sim_ivf_train",
+    "sim_knn_join",
+    "text_repetition_filter",
 ]
 
 
