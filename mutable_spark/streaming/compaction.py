@@ -1,0 +1,114 @@
+"""Periodic batch compaction for the fuzzy dedup tiers — the second half
+of the lambda split `streaming/documents.py` documents.
+
+The ingest stream runs the stages that are stateless or carry tiny state
+(mix, decontaminate, PII scrub, exact-digest accounting) and STAGES the
+surviving clean documents to a parquet directory. The fuzzy tiers
+(MinHash/SimHash) cannot run per-microbatch: their candidate generation
+is a global shuffle over *all-time* signatures, and a per-batch variant
+would silently miss every near-dup pair that straddles a batch boundary.
+So they run here, as a periodic batch job over the staged output:
+
+1. read the staged clean docs and diff them against the all-time
+   signature store (one LEFT ANTI on doc_id — already-signed docs are
+   never re-shingled, so the expensive tokenize→shingle→hash pass runs
+   once per document EVER, the incremental part);
+2. append the new signatures to the store (parquet; at 100 TB a real
+   deployment partitions the store by a doc_id hash so the append and
+   the later scan parallelize — the append is the only write);
+3. run the SAME LSH tier the batch operator registers
+   (`operators.dedup.minhash_lsh_pairs` — shared verbatim, so
+   stream+compaction can only ever equal the batch answer by
+   construction) over the FULL store, then alternating-star connected
+   components → merged duplicate classes.
+
+Step 3 is a full re-run over all-time signatures, not an incremental
+merge: near-dup classes are not decomposable across batches (a new doc
+can merge two old classes), and the signature store is ~1% the corpus
+(128 longs + hashed shingles per doc), so the periodic global pass is
+the honest cost of exact class maintenance. Cadence is the deployment
+knob: compaction cost grows with the store, staging lag with the
+interval.
+
+Reference parity: the reference has no streaming surface (SURVEY §2.10);
+this module is additive, mirroring its batch dedup semantics
+(`operators/dedup.py`) at ingest.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stage_clean_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
+    """The ingest stages that gate admission to the staged clean corpus:
+    source mixing (stateless stable-hash keep) → benchmark
+    decontamination (stream-static broadcast LEFT ANTI). Both stateless,
+    so the result is append-mode streamable straight to the staging
+    parquet sink — exactly-once under checkpointing, no state store.
+    Shares the literal frame builders with the batch operators, so the
+    staged set IS the batch-clean set row-for-row."""
+    from mutable_spark.operators.pipeline import mix_kept_frame
+    from mutable_spark.streaming.documents import _digest
+
+    kept = mix_kept_frame(docs)
+    return kept.join(
+        F.broadcast(eval_digests), _digest() == F.col("eval_md5"), "left_anti"
+    ).select("doc_id", "source", "text")
+
+
+def _signature_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "signatures"
+
+
+def extend_signature_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Incremental half of compaction: sign every staged doc not yet in
+    the all-time store and append. Returns the number of newly signed
+    docs. Idempotent — a rerun after a crash between append and class
+    emission re-diffs against the store and appends nothing."""
+    from mutable_spark.operators.dedup import _hashed_shingle_df
+
+    staged = spark.read.parquet(staged_dir)
+    sig_dir = _signature_dir(store_dir)
+    if (sig_dir / "_SUCCESS").exists():
+        seen = spark.read.parquet(str(sig_dir)).select("doc_id")
+        staged = staged.join(seen, "doc_id", "left_anti")
+    new_sigs = _hashed_shingle_df(staged).localCheckpoint(eager=True)
+    n_new = new_sigs.count()
+    if n_new:
+        new_sigs.write.mode("append").parquet(str(sig_dir))
+    return n_new
+
+
+def compact_fuzzy_classes(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One compaction run: extend the signature store from the staged
+    clean docs, then emit merged duplicate classes (doc_id, class_rep)
+    over ALL-TIME signatures — the same (minhash_lsh_pairs →
+    connected_components) composition `dedup_duplicate_classes`
+    registers, so classes equal the batch answer on the same corpus."""
+    from mutable_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    extend_signature_store(spark, staged_dir, store_dir)
+    sig_dir = _signature_dir(store_dir)
+    # cached: minhash_lsh_pairs reads g four times (signature build, the
+    # size-prune frame, and two verification join-backs)
+    g = spark.read.parquet(str(sig_dir)).cache()
+    try:
+        pairs = (
+            minhash_lsh_pairs(g)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        return connected_components(pairs)
+    finally:
+        g.unpersist()

@@ -12,7 +12,11 @@ blocklist), PII redaction (stateless — raw PII must never land in state
 or storage), and mixing (stateless stable-hash keep). The fuzzy tiers
 (MinHash/SimHash) stay batch: their candidate generation is a global
 shuffle over all-time state and runs as periodic compaction, not
-per-microbatch — the standard lambda split.
+per-microbatch — the standard lambda split. That compaction job is
+implemented in `streaming/compaction.py` (stage clean docs → extend the
+all-time signature store incrementally → re-run the shared LSH tier +
+components over the full store), with stream+compaction == batch pinned
+end-to-end in `tests/test_streaming.py`.
 
 Each streaming op is the *same declarative computation* as its registered
 batch twin — the stateless ones share the literal frame builders
