@@ -74,7 +74,13 @@ def _shingle_df(d, distinct: bool = True):
     internally anyway — only size-based pruning needs true set sizes."""
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
-    n = F.size("t") - 2
+    # clamped, though the filter above already guarantees n >= 1: Spark
+    # infers a size(sh) > 0 predicate from downstream explodes
+    # (InferFiltersFromGenerate) and may evaluate it BESIDE the token
+    # filter, where an unguarded size-2 slice length raises under ANSI on
+    # sub-3-token rows; greatest() keeps the expression total wherever
+    # the optimizer places it
+    n = F.greatest(F.size("t") - 2, F.lit(0))
     pair = F.zip_with(
         F.slice(F.col("t"), 1, n),
         F.slice(F.col("t"), 2, n),
@@ -148,7 +154,9 @@ def _hashed_shingle_df(d):
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
     d = d.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
-    n = F.size("th") - 2
+    # clamped for the same ANSI/InferFiltersFromGenerate hazard noted in
+    # _shingle_df
+    n = F.greatest(F.size("th") - 2, F.lit(0))
     pair = F.zip_with(
         F.slice(F.col("th"), 1, n),
         F.slice(F.col("th"), 2, n),
@@ -262,8 +270,10 @@ _MAX_BUCKET = 1_000
 
 
 def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
-    """Expand each LSH bucket's member list ``ids`` (sorted) into candidate
-    (doc_a, doc_b) pairs with a skew guard.
+    """Expand each LSH bucket's sorted member-struct list ``ms`` (first
+    struct field = doc_id; any payload fields ride along) into candidate
+    member pairs ``p = (a, b)`` with a skew guard — callers project
+    ``p.a.*``/``p.b.*`` and dedup.
 
     Buckets up to ``cap`` members expand to all C(n,2) ordered pairs. A
     degenerate bucket (identical boilerplate — headers, licenses) would
@@ -280,26 +290,21 @@ def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
     pathological 10M-identical-document corpus should run exact dedup
     before the LSH tier, collapsing identical texts so no bucket can
     exceed the distinct-near-dup population in the first place."""
-    ids = F.col("ids")
+    ms = F.col("ms")
+    mk = lambda x, y: F.struct(x.alias("a"), y.alias("b"))
     full = F.flatten(
         F.transform(
-            ids,
+            ms,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                F.slice(ms, i + 2, F.size(ms)), lambda y: mk(x, y)
             ),
         )
     )
     star = F.transform(
-        F.slice(ids, 2, F.size(ids)),
-        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")),
+        F.slice(ms, 2, F.size(ms)), lambda y: mk(F.element_at(ms, 1), y)
     )
-    pair_structs = F.when(F.size(ids) <= F.lit(cap), full).otherwise(star)
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    pair_structs = F.when(F.size(ms) <= F.lit(cap), full).otherwise(star)
+    return grouped.select(F.explode(pair_structs).alias("p"))
 
 
 @query("dedup_minhash_lsh", oracle=_SQL_PAIRS_HASHED)
@@ -357,21 +362,24 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_buckets(g):
-    """(doc_id, band, bkey) LSH band-bucket rows from a hashed-shingle
+    """(doc_id, n, band, bkey) LSH band-bucket rows from a hashed-shingle
     frame: 128 codegen'd min(xxhash64(slot, h)) aggregates → 64 xxhash64
     band keys →
-    posexplode. The signature subplan is NOT cached: each consumer reads
-    it exactly once (the old bucket self-join needed a cache; the
-    posexplode+groupBy formulation does not — a cache would only pay a
-    pointless block-store materialization of a 128-column frame,
-    profiled ~3 s at sf0.1)."""
+    posexplode. ``n`` = the doc's distinct-shingle count, free as a
+    count(1) beside the min aggregates (``shh`` is distinct), carried so
+    downstream pair expansion can size-ratio prune inside the bucket row
+    without a sizes join. The signature subplan is NOT cached: each
+    consumer reads it exactly once (the old bucket self-join needed a
+    cache; the posexplode+groupBy formulation does not — a cache would
+    only pay a pointless block-store materialization of a 128-column
+    frame, profiled ~3 s at sf0.1)."""
     # two 32-bit permutation slots per xxhash64 call (high/low halves —
     # the standard hash-splitting trick): 64 hash evaluations feed 128
     # min-slots, measured 0.98 s vs 1.34 s for 128 one-slot hashes at
     # sf0.1. Half-min collisions across dissimilar docs are verified
     # away like every other candidate.
     half_mask = (1 << 32) - 1
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(_N_PERM // 2):
         x = F.xxhash64(F.lit(i), F.col("h"))
         aggs.append(F.min(F.shiftrightunsigned(x, 32)).alias(f"m{2 * i}"))
@@ -383,7 +391,7 @@ def _minhash_buckets(g):
             for j in range(_BANDS)
         ]
     )
-    return sig.select("doc_id", F.posexplode(bands).alias("band", "bkey"))
+    return sig.select("doc_id", "n", F.posexplode(bands).alias("band", "bkey"))
 
 
 def minhash_lsh_pairs(g):
@@ -391,37 +399,45 @@ def minhash_lsh_pairs(g):
     shingle DataFrame ``g`` = (doc_id, shh) (see `_hashed_shingle_df`).
     The reusable LSH tier — consumed by ``dedup_minhash_lsh`` and by
     ``pipeline_clean_corpus``'s near-dup stage. ``g`` should be cached by
-    the caller (read 4×: signature build, the narrow sizes frame for the
-    pre-join size prune, and two verification join-backs)."""
+    the caller (read 3×: signature build and two verification
+    join-backs)."""
     buckets = _minhash_buckets(g)
     grouped = (
         buckets.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    # C(n,2) ordered pairs per bucket, star-capped past _MAX_BUCKET members
-    cand = _bucket_pairs(grouped)
+    # C(n,2) ordered pairs per bucket, star-capped past _MAX_BUCKET
+    # members; the size-ratio prune (J >= t implies min/max sizes >= t,
+    # sound) runs HERE, inside the bucket row via the carried n — before
+    # the cross-bucket distinct ever shuffles a failed candidate
+    p = _bucket_pairs(grouped)
+    cand = (
+        p.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .filter((F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")))
+        .distinct()
+    )
     return _verify_pairs(cand, g)
 
 
 def _verify_pairs(cand, g):
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
-    against the hashed-shingle frame ``g``; emits pairs with jac ≥ 0.5.
+    """Exact-Jaccard verification of candidate (doc_a, doc_b, n_a, n_b)
+    pairs against the hashed-shingle frame ``g``; emits pairs with
+    jac ≥ 0.5.
 
-    Size-ratio prune BEFORE the full-array join-backs: J >= t implies
-    min(n_a,n_b)/max(n_a,n_b) >= t (sound — no qualifying pair dropped),
-    and the sizes frame is two longs per doc, so failed candidates never
-    pull their shingle arrays across the join at all. shh is distinct
-    (see _hashed_shingle_df), so |A∪B| = n_a + n_b - inter: one hash-set
-    pass per pair instead of intersect + union. `inter` is projected once
-    (a non-cheap alias referenced twice is a CollapseProject barrier, so
-    it is NOT recomputed per reference)."""
-    sizes = g.select("doc_id", F.size("shh").alias("n"))
-    cand = (
-        cand.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
-        .filter((F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")))
-    )
+    Callers size-ratio prune BEFORE handing candidates over (J >= t
+    implies min(n_a,n_b)/max(n_a,n_b) >= t, sound — no qualifying pair
+    dropped), carrying the shingle counts from the bucket expansion, so
+    failed candidates never reach the full-array join-backs at all. shh
+    is distinct (see _hashed_shingle_df), so |A∪B| = n_a + n_b - inter:
+    one hash-set pass per pair instead of intersect + union. `inter` is
+    projected once (a non-cheap alias referenced twice is a
+    CollapseProject barrier, so it is NOT recomputed per reference)."""
     verified = (
         cand.join(g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
         .join(g.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")

@@ -319,15 +319,12 @@ def fuzzy_contaminated_ids(d, is_eval):
 
     g = D._hashed_shingle_df(d).cache()
     buckets = D._minhash_buckets(g)
+    member = F.struct("doc_id", "n")
     grouped = (
         buckets.groupBy("band", "bkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.when(is_eval, F.col("doc_id")))
-            ).alias("evs"),
-            F.sort_array(
-                F.collect_list(F.when(~is_eval, F.col("doc_id")))
-            ).alias("trs"),
+            F.sort_array(F.collect_list(F.when(is_eval, member))).alias("evs"),
+            F.sort_array(F.collect_list(F.when(~is_eval, member))).alias("trs"),
         )
         .filter((F.size("evs") >= 1) & (F.size("trs") >= 1))
     )
@@ -336,13 +333,23 @@ def fuzzy_contaminated_ids(d, is_eval):
     # per-row memory is one bucket's capped eval list (≤ _MAX_BUCKET)
     # regardless of how many train members a degenerate bucket holds — an
     # in-row product array would materialize |trs|×|evs| structs inside a
-    # single row before exploding
+    # single row before exploding. Members carry their shingle count n
+    # (free in the signature aggregation), so the size-ratio prune runs
+    # right here — before the cross-bucket distinct and the verify
+    # join-backs ever see a failed candidate.
     cand = (
         grouped.select(
             F.slice(F.col("evs"), 1, D._MAX_BUCKET).alias("evs"),
-            F.explode("trs").alias("doc_a"),
+            F.explode("trs").alias("a"),
         )
-        .select("doc_a", F.explode("evs").alias("doc_b"))
+        .select("a", F.explode("evs").alias("b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n").alias("n_b"),
+        )
+        .filter((F.col("n_a") * 2 >= F.col("n_b")) & (F.col("n_b") * 2 >= F.col("n_a")))
         .distinct()
     )
     return (

@@ -10,20 +10,31 @@ import pyspark.sql.functions as F
 from mutable_spark.operators.dedup import _MAX_BUCKET, _bucket_pairs, minhash_lsh_pairs
 
 
+def _members(n):
+    # member structs (doc_id, n): payload rides along with the id
+    return [([(i, 100 + i) for i in range(n)],)]
+
+
+_MEMBER_SCHEMA = "ms: array<struct<doc_id: long, n: long>>"
+
+
 def test_bucket_pairs_small_bucket_full_expansion(spark):
-    grouped = spark.createDataFrame([(list(range(10)),)], "ids: array<long>")
-    pairs = _bucket_pairs(grouped).collect()
+    grouped = spark.createDataFrame(_members(10), _MEMBER_SCHEMA)
+    pairs = _bucket_pairs(grouped).select("p.a.*", "p.b.*").collect()
     assert len(pairs) == 45  # C(10,2)
-    assert all(r.doc_a < r.doc_b for r in pairs)
+    rows = [(r[0], r[2]) for r in pairs]
+    assert all(a < b for a, b in rows)
+    # the payload field travels with each member
+    assert all((r[1], r[3]) == (100 + r[0], 100 + r[2]) for r in pairs)
 
 
 def test_bucket_pairs_oversized_bucket_star_expansion(spark):
     n = _MAX_BUCKET + 500
-    grouped = spark.createDataFrame([(list(range(n)),)], "ids: array<long>")
-    pairs = _bucket_pairs(grouped).collect()
+    grouped = spark.createDataFrame(_members(n), _MEMBER_SCHEMA)
+    pairs = _bucket_pairs(grouped).select("p.a.*", "p.b.*").collect()
     # star pairs: every member linked to the bucket minimum — O(n), not C(n,2)
     assert len(pairs) == n - 1
-    assert all(r.doc_a == 0 and r.doc_b > 0 for r in pairs)
+    assert all(r[0] == 0 and r[2] > 0 for r in pairs)
 
 
 def test_testdata_classes_under_cap(spark):
