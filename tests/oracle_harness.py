@@ -25,6 +25,50 @@ def _norm(v):
     return v
 
 
+def _type_family(t: str) -> str:
+    """Normalize a type name (DuckDB or Spark dtype string) to the family
+    the driver's value-hash distinguishes. Calibrated against
+    CORRECTNESS_r07: int-width (Spark int vs DuckDB BIGINT) and decimal-
+    precision (decimal(32,4) vs DECIMAL(38,4)) differences hash EQUAL
+    (driver-green rows held them), but DuckDB's HUGEINT — the type its
+    windowed/aggregate SUM(BIGINT) silently widens to — is not
+    int64-representable and hash-diverged on value-identical rows (the
+    one red r7 row, pipeline_pack_sequences). So: all ≤64-bit ints are
+    one family, every decimal is one family, HUGEINT is its own and can
+    never match."""
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{_type_family(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_type_family(t[6:-1])}>"
+    low = t.lower()
+    if low in ("tinyint", "smallint", "integer", "int", "bigint", "long"):
+        return "int64"
+    if low == "hugeint":
+        return "int128"
+    if low.startswith("decimal"):
+        return "decimal"
+    if low in ("double", "float", "real"):
+        return "float"
+    if low in ("varchar", "string"):
+        return "string"
+    if low in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if low == "blob":
+        return "binary"
+    return low
+
+
+def _type_mismatches(s_dtypes, d_cols, d_types):
+    """Per-column (by name) Spark-vs-DuckDB hash-family misalignments."""
+    spark_of = dict(s_dtypes)
+    out = []
+    for c, t in zip(d_cols, [str(x) for x in d_types]):
+        if _type_family(t) != _type_family(spark_of.get(c, "<missing>")):
+            out.append(f"{c}: duck={t} spark={spark_of.get(c)}")
+    return out
+
+
 def _key(row):
     return tuple(
         (x is None, "" if x is None else str(type(x)), x if not isinstance(x, tuple) else str(x))
@@ -52,12 +96,18 @@ def compare(name, spark, duck, sf_dir):
     if oracle is None:
         return True, f"{name}: rows-only ({len(s_rows)} rows)"
 
-    res = duck.execute(oracle)
-    d_cols = [c[0] for c in res.description]
-    d_rows = [tuple(r) for r in res.fetchall()]
+    rel = duck.sql(oracle)
+    d_cols, d_types = list(rel.columns), list(rel.types)
+    d_rows = [tuple(r) for r in rel.fetchall()]
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    bad_types = _type_mismatches(df.dtypes, d_cols, d_types)
+    if bad_types:
+        return False, (
+            f"{name}: dtype misalignment (driver value-hash would diverge "
+            f"even on identical values): " + "; ".join(bad_types)
+        )
     if len(s_rows) != len(d_rows):
         return False, f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
 

@@ -35,3 +35,22 @@ def test_registry_contract():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+
+
+def test_harness_flags_hugeint_family_mismatch():
+    """The CORRECTNESS_r07 failure shape — DuckDB widening a windowed
+    SUM(BIGINT) to HUGEINT while Spark returns BIGINT — must fail the
+    local harness even though the Python-level values are equal; benign
+    width/precision differences (int vs BIGINT, decimal(32,4) vs
+    DECIMAL(38,4)) that the driver hashes equal must pass."""
+    from tests.oracle_harness import _type_mismatches
+
+    assert _type_mismatches([("off", "bigint")], ["off"], ["HUGEINT"])
+    assert not _type_mismatches([("rnk", "int")], ["rnk"], ["BIGINT"])
+    assert not _type_mismatches(
+        [("revenue", "decimal(32,4)")], ["revenue"], ["DECIMAL(38,4)"]
+    )
+    assert _type_mismatches([("x", "double")], ["x"], ["DECIMAL(38,4)"])
+    assert not _type_mismatches(
+        [("v", "array<bigint>")], ["v"], ["BIGINT[]"]
+    )
