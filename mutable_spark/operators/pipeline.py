@@ -723,3 +723,87 @@ def pipeline_curriculum_sharded(spark, sf_dir):
         F.sum("n_tok").alias("sum_tok"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+# --------------------------------------------------------------------------
+_SQL_CONTAM_STATS = rf"""
+    WITH g AS ({{shingles}}),
+    ev AS (
+        SELECT doc_id, unnest(shh) AS h FROM g WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    matched AS (
+        SELECT DISTINCT unnest(shh) AS h FROM g WHERE doc_id % {_EVAL_MOD} <> 0
+        INTERSECT
+        SELECT DISTINCT h FROM ev
+    ),
+    hit AS (
+        SELECT ev.doc_id, COUNT(*) AS n_hit
+        FROM ev JOIN matched USING (h) GROUP BY ev.doc_id
+    )
+    SELECT g.doc_id, len(g.shh) AS n_ngrams,
+           COALESCE(hit.n_hit, 0) AS n_hit,
+           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / len(g.shh) AS overlap
+    FROM g LEFT JOIN hit ON g.doc_id = hit.doc_id
+    WHERE g.doc_id % {_EVAL_MOD} = 0
+"""
+
+
+@query("pipeline_contamination_stats", oracle=None)  # assigned below
+def pipeline_contamination_stats(spark, sf_dir):
+    """Contamination-rate report: for every eval-set document, the share
+    of its distinct word-3-gram shingles that appear anywhere in the
+    training split — the graded n-gram-overlap statistic pre-training
+    runs publish (cf. the GPT-3/PaLM appendix methodology), complementing
+    the binary keep/drop of ``pipeline_decontaminate``. A real deployment
+    uses 8-13-token n-grams; the plumbing is identical and this reuses
+    the exact shared shingle hash (`dedup._hashed_shingle_df`) so the
+    DuckDB oracle mirrors it bit-for-bit.
+
+    100 TB shape — the corpus never shuffles: the eval shingle-hash set
+    is benchmark-sized (MBs), so it BROADCASTS; the training scan
+    semi-joins against it map-side, and only the *matched* hashes (a
+    subset of the eval set, tiny by construction) reach the one distinct
+    shuffle. Per-doc hit counts then resolve eval-side only (broadcast
+    semi-join + two bounded aggregations). Plan-pinned in
+    tests/test_plan_shape.py: both corpus-side joins are broadcast, no
+    sort-merge join anywhere."""
+    import mutable_spark.operators.dedup as D
+
+    d = load_tables(spark, sf_dir).documents
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
+    g = D._hashed_shingle_df(d).cache()
+    ev = g.filter(is_eval).select("doc_id", F.explode("shh").alias("h"))
+    ev_hashes = ev.select("h").distinct()
+    matched = (
+        g.filter(~is_eval)
+        .select(F.explode("shh").alias("h"))
+        .join(F.broadcast(ev_hashes), "h", "left_semi")
+        .distinct()
+    )
+    hits = (
+        ev.join(F.broadcast(matched), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = g.filter(is_eval).select("doc_id", F.size("shh").alias("n_ngrams"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_ngrams")
+        ).alias("overlap"),
+    )
+
+
+def _register_contam_stats_oracle():
+    from mutable_spark.operators.dedup import _SQL_HASHED_SHINGLES
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["pipeline_contamination_stats"] = _SQL_CONTAM_STATS.format(
+        shingles=_SQL_HASHED_SHINGLES
+    )
+
+
+_register_contam_stats_oracle()

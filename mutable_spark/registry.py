@@ -189,6 +189,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # dialect_spn_string_filter keep the estimator family in-sample; the
     # flip itself is pinned in tests/test_index_queries.py)
     "dialect_spn_like_prefix",
+    # r8 addition: the graded contamination-rate report (the binary
+    # decontaminate pair holds two in-sample slots already)
+    "pipeline_contamination_stats",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps

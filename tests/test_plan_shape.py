@@ -230,3 +230,14 @@ def test_curriculum_sharded_no_global_sort(plans):
     assert "Window" in p
     assert "SinglePartition" not in p
     assert "hashpartitioning" in p
+
+
+def test_contamination_stats_corpus_never_shuffles(plans):
+    """pipeline_contamination_stats: the eval shingle set broadcasts and
+    the training corpus semi-joins against it map-side; only the matched
+    subset (bounded by the eval set) reaches a shuffle. No sort-merge
+    join anywhere."""
+    p = plans("pipeline_contamination_stats")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
