@@ -646,9 +646,15 @@ def dedup_embedding_cosine(spark, sf_dir):
     (blocking's standard recall tradeoff; the quantizer is trained so that
     near-dups land in the same cell). The oracle mirrors the same blocking,
     so the driver comparison is exact."""
+    return embedding_cosine_pairs(load_tables(spark, sf_dir).embeddings)
+
+
+def embedding_cosine_pairs(e):
+    """(vec_a, vec_b, label, cos) pairs with cosine ≥ threshold, blocked
+    by quantizer cell — the frame behind ``dedup_embedding_cosine``,
+    shared with ``sim_semantic_dedup``'s class construction."""
     from mutable_spark.functions import vec_cosine
 
-    e = load_tables(spark, sf_dir).embeddings
     a = e.select(
         F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
     )
@@ -684,6 +690,88 @@ def _register_embedding_oracle():
 
 
 _register_embedding_oracle()
+
+
+@query("sim_semantic_dedup", oracle=None)  # assigned below
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): within each coarse-
+    quantizer cell, group embeddings whose pairwise cosine clears the
+    threshold into semantic-duplicate classes and keep ONE representative
+    per class (the minimum vec_id) — the embedding-space analogue of
+    near-dup text removal, pruning paraphrases and re-renderings that no
+    shingle method can see.
+
+    Composition of already-verified pieces, no new moving parts:
+    ``embedding_cosine_pairs`` (blocked equi-join on the cell id, exact
+    JVM cosine — the `dedup_embedding_cosine` tier) → alternating-star
+    ``connected_components`` (O(log n) rounds) → drop non-representatives.
+    Registered result: the per-cell summary (total, dropped, kept, and
+    the smallest kept id), bounded at one row per cell.
+
+    Scale shape inherits from its parts: one shuffle on the cell id for
+    the pair join (zero if the table is bucketed by cell), quadratic only
+    within a cell (the quantizer bounds cell sizes at ~sqrt(n); AQE
+    splits skewed cells), components touch only the near-dup subgraph —
+    a tiny fraction of the corpus. The DuckDB oracle recomputes the
+    identical classes with a recursive CTE over the same blocked-cosine
+    pair list, so keep/drop decisions are hash-checked end-to-end."""
+    e = load_tables(spark, sf_dir).embeddings
+    pairs = (
+        embedding_cosine_pairs(e)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    classes = connected_components(pairs)
+    dropped = classes.filter(F.col("doc_id") != F.col("class_rep")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    marked = e.select("vec_id", "label").join(dropped, "vec_id", "left")
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).cast("long").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).cast("long").alias("n_kept"),
+        F.min(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))).alias("min_kept"),
+    )
+
+
+def _register_semantic_dedup_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["sim_semantic_dedup"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL
+        SELECT vec_b AS a, vec_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    classes AS (SELECT n AS vec_id, MIN(m) AS class_rep FROM reach GROUP BY n),
+    dropped AS (SELECT vec_id FROM classes WHERE vec_id <> class_rep)
+    SELECT e.label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           MIN(CASE WHEN d.vec_id IS NULL THEN e.vec_id END) AS min_kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """
+
+
+_register_semantic_dedup_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -192,6 +192,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # r8 addition: the graded contamination-rate report (the binary
     # decontaminate pair holds two in-sample slots already)
     "pipeline_contamination_stats",
+    # r8 addition: SemDeDup — per-cell semantic duplicate classes over
+    # the dedup_embedding_cosine pair tier (both in-sample family gates,
+    # dedup_embedding_cosine + dedup_duplicate_classes, stay green)
+    "sim_semantic_dedup",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
