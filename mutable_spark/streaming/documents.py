@@ -151,3 +151,28 @@ def curate_ingest_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("dupes"),
     )
+
+
+def contamination_matched_stream(docs: DataFrame, eval_hashes: DataFrame) -> DataFrame:
+    """Streaming half of the contamination-rate report
+    (``pipeline_contamination_stats``): as training documents arrive,
+    explode their hashed shingles, semi-join the static broadcast eval
+    hash set, and maintain (h, n_hits) — how often each eval n-gram has
+    been seen in training data so far.
+
+    State is one tiny row per MATCHED eval hash — bounded by the
+    benchmark suite's n-gram count (MBs), not by the corpus — making
+    this the rare fuzzy-adjacent signal that CAN run at ingest rather
+    than in compaction: the match test is stateless (broadcast
+    semi-join), only the counting aggregates. The per-eval-doc overlap
+    report stays a cheap eval-side batch join against this table (the
+    batch operator computes the same matched set from a bounded scan —
+    pinned equal in tests/test_streaming.py)."""
+    from mutable_spark.operators.dedup import _hashed_shingle_df
+
+    ex = _hashed_shingle_df(docs).select(F.explode("shh").alias("h"))
+    return (
+        ex.join(F.broadcast(eval_hashes), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -562,3 +562,41 @@ def test_stream_plus_compaction_equals_batch_classes(spark, tmp_path):
         if r["class_rep"] <= split and r["doc_id"] > split
     ]
     assert straddles, "no duplicate class crossed the delivery boundary"
+
+
+def test_streaming_contamination_matched_equals_batch(spark):
+    """Ingest-side contamination accounting: the streamed (h, n_hits)
+    matched-hash state over arriving training docs equals the identical
+    batch aggregation — the streaming half of
+    pipeline_contamination_stats' report."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.dedup import _hashed_shingle_df
+    from mutable_spark.operators.pipeline import _EVAL_MOD
+    from mutable_spark.streaming.documents import (
+        contamination_matched_stream,
+        stream_documents,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_hashes = (
+        _hashed_shingle_df(d.filter(is_eval))
+        .select(F.explode("shh").alias("h"))
+        .distinct()
+    )
+    stream = stream_documents(spark, SF_DIR).filter(~is_eval)
+    got = run_available_now(
+        contamination_matched_stream(stream, eval_hashes), "t_contam"
+    )
+    want = (
+        _hashed_shingle_df(d.filter(~is_eval))
+        .select(F.explode("shh").alias("h"))
+        .join(F.broadcast(eval_hashes), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .collect()
+    )
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
