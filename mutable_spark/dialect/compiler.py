@@ -414,7 +414,21 @@ class Compiler:
         if not zcols:
             return None
 
-        def bound(c: A.Node, column: str):
+        def bounds(c: A.Node, column: str) -> list | None:
+            """(op, value) bounds one conjunct contributes to ``column``
+            — a comparison contributes one, a LIKE-prefix its rank range
+            (``x LIKE 'abc%'`` reads only files whose footer range
+            intersects ['abc', 'abd') — same derivation the SPN
+            estimator uses, applied to I/O)."""
+            if (
+                isinstance(c, A.Binary)
+                and c.op == "LIKE"
+                and isinstance(c.left, A.Designator)
+                and c.left.attr == column
+                and isinstance(c.right, A.Literal)
+                and c.right.kind == "str"
+            ):
+                return _like_prefix_range(c.right.value)
             if not isinstance(c, A.Binary) or c.op not in _SPN_OPS:
                 return None
             lhs, rhs = c.left, c.right
@@ -427,18 +441,18 @@ class Compiler:
             if d.attr != column:
                 return None
             if lit.kind in ("int", "float"):
-                return op, lit.value
+                return [(op, lit.value)]
             if lit.kind == "str":
                 # string ranges/equalities prune via the ZoneIndex's
                 # order-preserving 6-byte-prefix key (over-read only)
-                return op, str(lit.value)
+                return [(op, str(lit.value))]
             if lit.kind in ("date", "datetime"):
                 # time-range pruning over a date-partitioned layout — the
                 # canonical 100 TB scan pattern; ZoneIndex normalizes
                 # datetime bounds into its numeric key space
                 import datetime as dt
 
-                return op, dt.datetime.fromisoformat(str(lit.value).strip())
+                return [(op, dt.datetime.fromisoformat(str(lit.value).strip()))]
             return None
 
         # every bounded indexed column contributes its admissible file
@@ -457,15 +471,15 @@ class Compiler:
             lo = hi = None
             mixed = False
             for c in conjuncts:
-                b = bound(c, column)
-                if b is None:
+                bs = bounds(c, column)
+                if not bs:
                     continue
-                op, v = b
                 try:
-                    if op in (">", ">=", "="):
-                        lo = v if lo is None else max(lo, v)
-                    if op in ("<", "<=", "="):
-                        hi = v if hi is None else min(hi, v)
+                    for op, v in bs:
+                        if op in (">", ">=", "="):
+                            lo = v if lo is None else max(lo, v)
+                        if op in ("<", "<=", "="):
+                            hi = v if hi is None else min(hi, v)
                 except TypeError:
                     # mixed literal types on one column (int vs date):
                     # skip pruning here and let sema raise its proper

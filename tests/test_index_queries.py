@@ -520,3 +520,46 @@ def test_like_prefix_filter_flips_join_order(spark):
     assert unfiltered.cards.base["o"] > unfiltered.cards.base["c"]
     assert filtered.cards.base["o"] < filtered.cards.base["c"]
     assert filtered.should_broadcast("o", {})
+
+
+def test_like_prefix_prunes_zone_index_files(spark):
+    """The LIKE-prefix rank range reaches the I/O layer too: a dialect
+    `source LIKE 'src1%'` over a string-zone-indexed layout reads a
+    strict file subset (['src1', 'src2') against the footer ranges) and
+    returns exactly the full-scan answer — the same derivation the SPN
+    estimator uses, applied to file pruning."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.dialect import Engine
+    from mutable_spark.plans.index_queries import _source_sorted_docs_layout
+
+    layout = _source_sorted_docs_layout(spark, SF_DIR)
+    eng = Engine(spark)
+    eng.catalog.create_database("zlike")
+    eng.catalog.use("zlike")
+    eng.create_table_from_parquet("documents", str(layout))
+    eng.execute("CREATE INDEX doc_source ON documents USING array (source)")
+    zi = eng.zone_indexes[("zlike", "documents")]["source"]
+    df = eng.execute(
+        """
+        SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+        FROM documents
+        WHERE source LIKE "src1%"
+        GROUP BY source
+        """
+    )
+    n_layout_files = len([f for _, _, f in zi.zones])
+    assert 0 < len(df.inputFiles()) < n_layout_files, (
+        f"LIKE-prefix read {len(df.inputFiles())}/{n_layout_files} files"
+    )
+    # pruning is I/O only: results equal the full scan + filter
+    want = (
+        spark.read.parquet(str(layout))
+        .filter(F.col("source").startswith("src1"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("min_id"))
+        .collect()
+    )
+    got = df.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
