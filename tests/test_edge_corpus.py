@@ -63,6 +63,8 @@ _DOC_OPS = [
     "pipeline_pack_sequences",
     "pipeline_decontaminate",
     "pipeline_curriculum_order",
+    "pipeline_curriculum_sharded",
+    "pipeline_contamination_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
