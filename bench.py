@@ -90,7 +90,13 @@ def main() -> None:
             spark.catalog.clearCache()  # no cross-query cache accumulation
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count() if name == "op_scan" else len(df.collect())
+            # Arrow fetch (toPandas), not collect(): every result row
+            # still materializes in Python, but through the columnar
+            # Arrow path any real consumer would use. Row-pickle
+            # collect() adds ~0.8 s of pure Py4J deserialization on the
+            # 98k-row sessionize result — harness cost, not engine cost
+            # (the DuckDB baseline's fetch is likewise native).
+            n = len(df.toPandas())
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
