@@ -51,6 +51,10 @@ HEADLINE = [
     "sim_ivf_train",
     "sim_knn_join",
     "text_repetition_filter",
+    # round-8 heavy additions
+    "dedup_verbatim_ngrams",
+    "sim_semantic_dedup",
+    "pipeline_contamination_stats",
 ]
 
 

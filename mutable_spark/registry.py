@@ -196,6 +196,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # the dedup_embedding_cosine pair tier (both in-sample family gates,
     # dedup_embedding_cosine + dedup_duplicate_classes, stay green)
     "sim_semantic_dedup",
+    # r8 addition: the exact-substring (verbatim-span) tier, Lee et al.
+    # 2022 — the dedup family holds simhash + embedding_cosine + classes
+    # + the clean-corpus LSH tier in-sample
+    "dedup_verbatim_ngrams",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps

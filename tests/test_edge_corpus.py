@@ -68,6 +68,7 @@ _DOC_OPS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_verbatim_ngrams",
 ]
 
 
