@@ -241,3 +241,12 @@ def test_contamination_stats_corpus_never_shuffles(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_verbatim_ngrams_no_joins(plans):
+    """dedup_verbatim_ngrams is two partial-agg'd shuffles (gram groupBy,
+    pair count) with in-row pair expansion — no joins, no cartesian."""
+    p = plans("dedup_verbatim_ngrams", "simple")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") == 2
