@@ -563,3 +563,15 @@ def test_like_prefix_prunes_zone_index_files(spark):
     got = df.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_dialect_like_prefix_query_broadcasts(spark):
+    """The registered dialect_spn_like_prefix query's PHYSICAL plan: the
+    LIKE-prefix-estimated orders side broadcasts (the planner flip
+    asserted above, observed in the executed plan)."""
+    from mutable_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["dialect_spn_like_prefix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
