@@ -329,3 +329,24 @@ def windowed_topk_users(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def value_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming value-percentile sketches per event type — the ingest
+    half of the percentile story: ``events_value_percentiles`` is the
+    exact batch answer for bounded groups, ``op_approx_sketches`` its
+    approximate batch sibling, and THIS runs the sketch incrementally so
+    an SLO dashboard reads p50/p95/p99 continuously without buffering any
+    group's full value list. State per group is the bounded
+    percentile_approx buffer (the Greenwald-Khanna summary Spark
+    serializes into the state store), merged across microbatches — so
+    the accuracy contract, unlike the batch sketch's, is exercised
+    through real multi-batch merges (pinned as a RANK bound — the
+    guarantee GK actually makes — against the exact batch percentiles
+    across a two-delivery replay in tests/test_streaming.py)."""
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
+        ).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )

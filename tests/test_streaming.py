@@ -600,3 +600,71 @@ def test_streaming_contamination_matched_equals_batch(spark):
     )
     assert _rows(got) == _rows(want)
     assert len(want) > 0
+
+
+def test_streaming_value_sketch_tracks_exact(spark, tmp_path):
+    """Streaming percentile sketches merged across TWO microbatch
+    deliveries stay within the batch-sketch tolerances of the exact
+    per-group percentiles — the state-store merge path, which a
+    single-batch replay never exercises."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import value_sketch_stream
+
+    ev = load_tables(spark, SF_DIR).events.select("ts", "event_type", "value")
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    split = ev.approxQuantile("value", [0.5], 0.0)[0]
+    deliver(ev.filter(F.col("value") <= split), "phase1")
+    deliver(ev.filter(F.col("value") > split), "phase2")
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        value_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_vsketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: r for r in spark.sql("SELECT * FROM t_vsketch").collect()}
+
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(exact) > 1
+    # the Greenwald-Khanna contract is a RANK bound, not a value bound
+    # (a sparse p99 tail can jump values across adjacent ranks): the
+    # returned data value's true rank must sit within eps of the target
+    # quantile. accuracy=10000 gives eps=1e-4 per summary; merged
+    # summaries degrade, so pin a loose 0.02.
+    for et, e in exact.items():
+        g = got[et]
+        assert g["n"] == e["n"], et  # counts merge exactly
+        for i, p in enumerate([0.5, 0.95, 0.99]):
+            v = g["q"][i]
+            rank = (
+                ev.filter(
+                    (F.col("event_type") == et) & (F.col("value") <= F.lit(v))
+                ).count()
+                / e["n"]
+            )
+            assert abs(rank - p) <= 0.02, (et, p, v, rank)
