@@ -575,3 +575,33 @@ def test_dialect_like_prefix_query_broadcasts(spark):
     df = QUERIES["dialect_spn_like_prefix"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_like_prefix_range_equals_like_semantics():
+    """Property: for any prefix pattern the derived rank range admits
+    EXACTLY the strings LIKE admits — `s LIKE 'p%'` ⟺ `p <= s < succ(p)`
+    (and the no-wildcard case is equality). Hypothesis over arbitrary
+    unicode, including surrogate-adjacent code points."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mutable_spark.dialect.compiler import _like_prefix_range
+
+    texts = st.text(
+        alphabet=st.characters(blacklist_characters="%_\\"), max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=texts, s=texts)
+    def check(prefix, s):
+        rng = _like_prefix_range(prefix + "%")
+        likes = s.startswith(prefix)
+        if rng is None:
+            return  # conservatively non-derivable: never asserted
+        admitted = all(
+            (s >= v if op == ">=" else s < v if op == "<" else s == v)
+            for op, v in rng
+        )
+        assert admitted == likes, (prefix, s, rng)
+
+    check()
