@@ -200,3 +200,64 @@ def test_string_zone_pruned_scan_matches_duckdb(str_zoned, conj):
     got = sorted(tuple(r) for r in eng.execute(f"SELECT s, v FROM t WHERE {where}").collect())
     want = sorted(tuple(r) for r in con.execute(f"SELECT s, v FROM t WHERE {duck_where}").fetchall())
     assert got == want, where
+
+
+# --- query-level fuzzing: grouped aggregates and joins (r8) ---------------
+_agg = st.sampled_from(["COUNT", "SUM", "MIN", "MAX"])
+
+# the reference rejects attribute-free grouping keys (constants group
+# nothing — sema-san-select-scalar_function_in_group_by), so the group
+# key and the aggregate argument are column-anchored
+col_arith = st.builds(lambda c, e: f"({c} + {e})", _cols, arith_expr)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gkey=col_arith, fn=_agg, arg=col_arith, pred=bool_expr)
+def test_random_grouped_aggregates_match_duckdb(ptables, gkey, fn, arg, pred):
+    """Random GROUP BY expression + aggregate over a random argument +
+    random WHERE, through lexer/parser/sema/compiler — the full grouped
+    pipeline, not just scalar expressions. Operand domain keeps SUM far
+    under int64, and DuckDB's HUGEINT SUM compares equal at the Python
+    level (this is not a driver-hash context)."""
+    tables, con = ptables
+    sql = (
+        f"SELECT ({gkey}) AS g, {fn}({arg}) AS a FROM R "
+        f"WHERE {pred} GROUP BY ({gkey}) AS g"
+    )
+    got = sorted(
+        (r.g, int(r.a)) for r in compile_select(parse(sql), tables).collect()
+    )
+    want = sorted(
+        (g, int(a))
+        for g, a in con.execute(
+            f"SELECT ({gkey}) AS g, {fn}({arg}) AS a FROM R "
+            f"WHERE {pred} GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want, sql
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=bool_expr, theta=st.sampled_from(["=", "<", "<="]))
+def test_random_self_joins_match_duckdb(ptables, pred, theta):
+    """Random self-join (equi or theta on the R fixture) with a random
+    single-source residual — exercises the compiler's CNF split between
+    join conditions and pushed filters on arbitrary predicates."""
+    tables, con = ptables
+    # qualify the residual against alias a only, without mangling 'fkey'
+    resid = pred.replace("fkey", "@F@").replace("key", "a.key").replace("@F@", "a.fkey")
+    sql = (
+        f"SELECT a.key AS ak, b.key AS bk FROM R AS a, R AS b "
+        f"WHERE a.fkey {theta} b.key AND {resid}"
+    )
+    got = sorted((r.ak, r.bk) for r in compile_select(parse(sql), tables).collect())
+    want = sorted(tuple(w) for w in con.execute(sql).fetchall())
+    assert got == want, sql
