@@ -54,6 +54,7 @@ _EMB_OPS = [
     "sim_ivf_topk",
     "sim_ivf_train",
     "dedup_embedding_cosine",
+    "sim_semantic_dedup",
 ]
 
 
