@@ -298,6 +298,54 @@ class ZoneIndex:
         z.index.finalize()
         return z
 
+    def refresh(self, path: str) -> int:
+        """Incremental maintenance under appends — the streaming-ingest
+        tie-in: scan footers ONLY for files not yet mapped (new
+        microbatch output in an append-mode parquet sink), add their
+        zones, and rebuild the in-memory key index (zones are footer
+        pairs — thousands per 100 TB dataset — so the rebuild is
+        microseconds; the saved work is the footer I/O for the files
+        already mapped, which dominates). Files that vanished
+        (compaction rewrote them) are dropped: a deleted file must not
+        be returned to the scan. Returns the number of added files."""
+        import pyarrow.parquet as pq
+
+        p = Path(path)
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+        known = {f for _, _, f in self.zones}
+        current = {str(f) for f in files}
+        self.zones = [z for z in self.zones if z[2] in current]
+        added = 0
+        for f in files:
+            if str(f) in known:
+                continue
+            meta = pq.ParquetFile(f).metadata
+            schema_idx = {
+                meta.schema.column(i).name: i for i in range(meta.num_columns)
+            }
+            ci = schema_idx[self.column]
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins is None or not mins:
+                self.zones.append((-np.inf, np.inf, str(f)))
+            else:
+                self.zones.append(
+                    (_key_num(min(mins)), _key_num(max(maxs)), str(f))
+                )
+            added += 1
+        self.index = type(self.index)()
+        self.index.bulkload(
+            [zmin for zmin, _, _ in self.zones], list(range(len(self.zones)))
+        )
+        self.index.finalize()
+        return added
+
     def files_for_range(self, lo=None, hi=None) -> list[str]:
         # candidate zones: zone_min <= hi; then verify zone_max >= lo.
         # The index narrows by zone minimum in O(log) / O(model) time;

@@ -213,3 +213,42 @@ def test_zone_index_string_keys(spark, tmp_path):
         .count()
     )
     assert got == 6
+
+
+def test_zone_index_refresh_tracks_appends_and_deletes(spark, tmp_path):
+    """Incremental zone maintenance: after an append-mode write adds new
+    files, refresh() maps ONLY the new footers (count returned), pruning
+    reflects the new data immediately, and files removed by a compaction
+    rewrite drop out of the map."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mutable_spark.sources.indexes import ZoneIndex
+
+    path = tmp_path / "zr"
+    spark.range(0, 1000).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(str(path))
+    zi = ZoneIndex.build(str(path), "k", learned=False)
+    n0 = len(zi.zones)
+    assert zi.refresh(str(path)) == 0  # idempotent on no change
+
+    # append a disjoint key range as new files
+    spark.range(5000, 6000).select(F.col("id").alias("k")).repartitionByRange(
+        2, "k"
+    ).write.mode("append").parquet(str(path))
+    added = zi.refresh(str(path))
+    assert added == 2 and len(zi.zones) == n0 + 2
+    # the appended range is served by exactly the new files
+    new_files = set(zi.files_for_range(5000, 5999))
+    assert 0 < len(new_files) <= added
+    # old pruning still exact: full-range read equals a fresh scan
+    assert zi.read_pruned(spark, 0, 6000).count() == 2000
+
+    # a "compaction" removes one old file: refresh drops it
+    victim = sorted(f for _, _, f in zi.zones)[0]
+    os.remove(victim)
+    zi.refresh(str(path))
+    assert victim not in {f for _, _, f in zi.zones}
+    assert len(zi.zones) == n0 + 2 - 1
