@@ -613,3 +613,53 @@ def sim_knn_join(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _KNN_K)
     )
+
+
+_SQL_EXACT_TOPK = f"""
+    WITH q AS (SELECT embedding AS qv, vec_id AS qid FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, {_sql_cos('embedding', 'qv')} AS cos
+    FROM embeddings, q
+    WHERE vec_id <> qid
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH exact AS ({_SQL_EXACT_TOPK}),
+    approx AS ({_SQL_IVF})
+    SELECT 10 AS k, 3 AS nprobe,
+           COUNT(*) AS n_hits,
+           CAST(COUNT(*) AS DOUBLE) / 10 AS recall
+    FROM exact e JOIN approx a ON e.vec_id = a.vec_id
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF probe-and-rerank path against the exact
+    brute-force top-10 — the evaluation every ANN deployment runs before
+    trusting its index (recall/latency is THE ANN tradeoff curve; this
+    is its one measured point at nprobe=3). Composes the two registered
+    query paths verbatim (`sim_cosine_topk`'s exact ranking,
+    `sim_ivf_topk`'s probed ranking), so the recall number is an
+    end-to-end check of the quantizer + probe + rerank stack, not a
+    re-implementation — and because BOTH paths are bit-deterministic
+    (exact scaled-long centroids, total tie orders), recall itself is
+    oracle-checkable, which self-evaluating ANN rarely gets to claim.
+
+    Scale shape: both sides are distributed top-k frames (10 rows each);
+    the intersection join and the final 1-row summary are driver-scale
+    by construction. On the synthetic corpus label-cells are true
+    clusters, so nprobe=3 recall is high; a production run sweeps nprobe
+    by re-running this op."""
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = sim_ivf_topk(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(10).alias("k"),
+        F.lit(3).alias("nprobe"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 10).alias("recall"),
+    )

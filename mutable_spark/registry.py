@@ -200,6 +200,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # 2022 — the dedup family holds simhash + embedding_cosine + classes
     # + the clean-corpus LSH tier in-sample
     "dedup_verbatim_ngrams",
+    # r8 addition: recall@10 of the IVF path vs the exact top-k — the
+    # ANN stack's self-evaluation (both component paths oracle-checked)
+    "sim_ivf_recall",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
