@@ -35,6 +35,30 @@ from mutable_spark.registry import query
 
 _QUALITY_TH = 0.2
 
+
+def quality_expr():
+    """The pipeline quality formula as a column expression — shared by
+    `pipeline_clean_corpus`'s gate and `pipeline_dedup_keep_best`'s keep
+    policy, mirrored bit-for-bit by ``_SQL_QUALITY``."""
+    toks = _tokens()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("long")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?,;:]"), 0)).cast("long")
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    return (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.size(toks) / 100.0)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
+    )
+
+
 _SQL_QUALITY = r"""
     (0.5 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                  t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
@@ -84,22 +108,7 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     unbounded at 100 TB, so no forced broadcast."""
     d = load_tables(spark, sf_dir).documents
     toks = _tokens()
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
-        .cast("long")
-        * F.lit(1.0)
-        / F.size(toks)
-    )
-    punct_ratio = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?,;:]"), 0)).cast("long")
-        * F.lit(1.0)
-        / F.size(toks)
-    )
-    quality = (
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.3) * F.least(F.lit(1.0), F.size(toks) / 100.0)
-        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
-    )
+    quality = quality_expr()
 
     quality_pass = d.filter(quality >= _QUALITY_TH).select(
         "doc_id", "source", "text", F.size(toks).cast("long").alias("n_tok")
@@ -807,3 +816,85 @@ def _register_contam_stats_oracle():
 
 
 _register_contam_stats_oracle()
+
+
+# --------------------------------------------------------------------------
+_SQL_KEEP_BEST = """
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pairs})
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    classes AS (SELECT n AS doc_id, MIN(m) AS class_rep FROM reach GROUP BY n),
+    q AS (SELECT doc_id, {quality} AS qual FROM documents),
+    ranked AS (
+        SELECT c.class_rep, c.doc_id, q.qual,
+               ROW_NUMBER() OVER (PARTITION BY c.class_rep
+                                  ORDER BY q.qual DESC, c.doc_id) AS rn
+        FROM classes c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT class_rep, COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           MAX(CASE WHEN rn = 1 THEN qual END) AS keep_quality
+    FROM ranked GROUP BY class_rep
+"""
+
+
+@query("pipeline_dedup_keep_best", oracle=None)  # assigned below
+def pipeline_dedup_keep_best(spark, sf_dir):
+    """Quality-aware duplicate resolution — the keep POLICY layer on top
+    of duplicate detection: within every near-dup class, keep the
+    HIGHEST-QUALITY member (ties to the smaller doc_id), not the
+    arbitrary minimum id. This is what production curation actually
+    ships: near-dup groups routinely mix a clean original with mangled
+    re-crawls, and keep-min silently prefers whichever was crawled
+    first. Composes three verified pieces — the LSH pair tier, the
+    alternating-star components, and the shared `quality_expr` gate
+    formula — and both engines evaluate the identical double-precision
+    formula over the identical total order (qual DESC, doc_id), so the
+    per-class keep decision is hash-checked end-to-end.
+
+    Scale shape inherits from its parts; the added rank is a window
+    over the classes frame (near-dup members only — a tiny fraction of
+    the corpus), partitioned by class_rep."""
+    import mutable_spark.operators.dedup as D
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    g = D._hashed_shingle_df(d).cache()
+    pairs = (
+        D.minhash_lsh_pairs(g)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    classes = D.connected_components(pairs)
+    q = d.select("doc_id", quality_expr().alias("qual"))
+    w = Window.partitionBy("class_rep").orderBy(F.col("qual").desc(), "doc_id")
+    ranked = classes.join(q, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("class_rep").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("qual"))).alias("keep_quality"),
+    )
+
+
+def _register_keep_best_oracle():
+    from mutable_spark.operators.dedup import _SQL_PAIRS_HASHED
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["pipeline_dedup_keep_best"] = _SQL_KEEP_BEST.format(
+        pairs=_SQL_PAIRS_HASHED, quality=_SQL_QUALITY
+    )
+
+
+_register_keep_best_oracle()

@@ -203,6 +203,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # r8 addition: recall@10 of the IVF path vs the exact top-k — the
     # ANN stack's self-evaluation (both component paths oracle-checked)
     "sim_ivf_recall",
+    # r8 addition: quality-aware duplicate resolution (keep the best
+    # member per near-dup class, not the min id)
+    "pipeline_dedup_keep_best",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
