@@ -159,3 +159,43 @@ def op_join_range(spark, sf_dir):
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_extendedprice").alias("total"))
     )
+
+
+@query(
+    "op_join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_premium_cust
+               FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, COUNT(*) AS n_neg_supp
+               FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS nationkey, n_premium_cust, n_neg_supp
+    FROM c FULL JOIN s ON c.k = s.k
+    """,
+)
+def op_join_full_outer(spark, sf_dir):
+    """Full outer join: per-nation premium-customer counts vs
+    negative-balance-supplier counts, keeping nations that appear on only
+    one side (NULL-padded on the other). At sf0.01 the result has rows of
+    all three shapes — matched, customer-only, supplier-only. Both inputs
+    are post-aggregation frames (≤ |nation| rows), so the full outer is a
+    tiny sort-merge; at 100 TB the aggregation shuffles do the heavy
+    lifting map-side first and the join cost stays O(|nation|). Spark
+    cannot broadcast a full-outer side (both sides may need NULL
+    padding) — the shuffle here is on the already-aggregated frames, not
+    the base tables."""
+    t = load_tables(spark, sf_dir)
+    c = (
+        t.customer.filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_premium_cust"))
+    )
+    s = (
+        t.supplier.filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_neg_supp"))
+    )
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).alias("nationkey"),
+        "n_premium_cust",
+        "n_neg_supp",
+    )

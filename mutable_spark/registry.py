@@ -206,6 +206,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # r8 addition: quality-aware duplicate resolution (keep the best
     # member per near-dup class, not the min id)
     "pipeline_dedup_keep_best",
+    # r8 addition: full outer join — the last extended-join kind the
+    # module lacked (left/semi/anti/asof/range all registered earlier);
+    # all three padding shapes present at sf0.01
+    "op_join_full_outer",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
