@@ -898,3 +898,68 @@ def _register_keep_best_oracle():
 
 
 _register_keep_best_oracle()
+
+
+_TOKEN_BUDGET = 800
+
+
+@query(
+    "pipeline_token_budget_sample",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+               {_SQL_QUALITY} AS qual
+        FROM documents
+    ), o AS (
+        SELECT doc_id, source, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY qual DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tok
+        FROM t
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM o WHERE cum_tok <= {_TOKEN_BUDGET}
+    """,
+)
+def pipeline_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling: fill each source's token budget with its
+    best documents — rank by the shared quality score (ties to the
+    smaller doc_id), keep the quality-ordered prefix whose cumulative
+    token count stays within ``_TOKEN_BUDGET``. The standard way a
+    pretraining mix is actually assembled: per-source token quotas from
+    the mixing weights, filled best-first.
+
+    Scale shape: one shuffle on the source key, then a running-sum
+    window per source — the same layout as ``pipeline_pack_sequences``.
+    Source cardinality is small, so at 100 TB the per-source window
+    skews; the deployment shape is two-level, as in
+    ``pipeline_curriculum_sharded``: split each source's budget across
+    stable-hash shards (budget/n_shards each), run the window per
+    (source, shard), then union — an upper-bound-exact approximation
+    whose error is at most one document per shard. The windowed SUM is
+    CAST to BIGINT in the oracle (DuckDB widens to HUGEINT otherwise —
+    the CORRECTNESS_r07 failure shape). Quality ordering crosses engines
+    bit-for-bit because ``quality_expr``/``_SQL_QUALITY`` are exact
+    mirrors (the `pipeline_dedup_keep_best` contract)."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        quality_expr().alias("qual"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qual").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )

@@ -210,6 +210,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # module lacked (left/semi/anti/asof/range all registered earlier);
     # all three padding shapes present at sf0.01
     "op_join_full_outer",
+    # r8 addition: per-source token-budget sampling (quality-ordered
+    # prefix under a cumulative-token cap — how a pretraining mix's
+    # per-source quotas are actually filled)
+    "pipeline_token_budget_sample",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
