@@ -360,3 +360,45 @@ def events_value_percentiles(spark, sf_dir):
         F.percentile("value", 0.95).alias("p95"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*)                     AS n_events,
+           COUNT(gap_us)                AS n_gaps,
+           MAX(gap_us)                  AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT)  AS sum_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival cadence: LAG over (ts, event_id) gives each
+    event's gap to the previous one; the per-user aggregate keeps the
+    exact-integer pieces (max gap, gap sum, gap count) from which any
+    cadence statistic derives. Single-event users survive with zero gaps
+    and NULL max/sum. All arithmetic is epoch-microsecond BIGINT — the
+    session pins UTC, so Spark's `unix_micros(cast to timestamp)` equals
+    DuckDB's `date_diff('microsecond', ...)` bit-for-bit, and the gap SUM
+    is CAST back from DuckDB's HUGEINT. One shuffle on user_id; the
+    window sort feeds the partial aggregate in the same stage."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    g = e.select("user_id", (mu - prev).alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )

@@ -214,6 +214,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # prefix under a cumulative-token cap — how a pretraining mix's
     # per-source quotas are actually filled)
     "pipeline_token_budget_sample",
+    # r8 addition: per-user inter-arrival cadence (LAG gaps in exact
+    # epoch-µs; max/sum/count pieces every cadence stat derives from)
+    "events_interarrival",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
