@@ -250,3 +250,33 @@ def test_verbatim_ngrams_no_joins(plans):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange") == 2
+
+
+def test_full_outer_join_aggregates_before_join(plans):
+    """op_join_full_outer aggregates each base table BEFORE the (never
+    broadcastable) full outer join, so the sort-merge runs over
+    post-aggregation key frames; both base-table filters reach the scans."""
+    p = plans("op_join_full_outer")
+    assert "FullOuter" in p or "HashAggregate" in p  # AQE may prune a side
+    assert "CartesianProduct" not in p
+    assert "GreaterThan(c_acctbal,9900.0)" in p
+    # partial aggregation upstream of every exchange
+    assert "partial_count" in p
+
+
+def test_token_budget_sample_single_exchange(plans):
+    # one source-key exchange feeding the quality-ordered running sum
+    p = plans("pipeline_token_budget_sample", "simple")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_interarrival_window_feeds_partial_agg(plans):
+    """events_interarrival: one user-key exchange; the LAG window and the
+    partial aggregate share the stage (no second exchange before the
+    final agg's key is already user_id)."""
+    p = plans("events_interarrival", "simple")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+    assert "partial_count" in plans("events_interarrival")
