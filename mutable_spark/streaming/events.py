@@ -350,3 +350,59 @@ def value_sketch_stream(events: DataFrame) -> DataFrame:
         ).alias("q"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def interarrival_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_interarrival``: per-user
+    inter-arrival cadence (gap count / max / sum in exact epoch-µs)
+    maintained incrementally.
+
+    A LAG over event time cannot run inside a streaming aggregation, and
+    a new event can land BETWEEN two already-seen events — splitting one
+    old gap into two — so the twin keeps the user's (ts, event_id) set in
+    state and re-derives the gap aggregates on every update (the
+    re-basing discipline of ``retention_user_days``: the latest emission
+    per user always equals the batch answer over the data seen so far,
+    whatever the arrival order). A production deployment bounds the
+    buffer with a watermark — gaps entirely below the frontier are
+    frozen into running aggregates and their timestamps dropped, keeping
+    only (frozen stats, frontier-adjacent buffer) per user;
+    GroupStateTimeout expires idle users. Both are omitted for the
+    bounded replay.
+
+    State: (ts_us array, eid array), parallel arrays in (ts, event_id)
+    order. Output per update: one row with the user's current
+    (n_events, n_gaps, max_gap_us, sum_gap_us) — the exact columns of
+    the batch twin."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        pairs = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )
+        for pdf in pdfs:
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                pairs.append((int(pd.Timestamp(ts).value // 1000), int(eid)))
+        pairs.sort()
+        state.update(([t for t, _ in pairs], [e for _, e in pairs]))
+        gaps = [b[0] - a[0] for a, b in zip(pairs, pairs[1:])]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(pairs)],
+                "n_gaps": [len(gaps)],
+                "max_gap_us": [max(gaps) if gaps else None],
+                "sum_gap_us": [sum(gaps) if gaps else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, n_gaps long,"
+            " max_gap_us long, sum_gap_us long"
+        ),
+        stateStructType="ts_us array<long>, eid array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

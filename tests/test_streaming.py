@@ -668,3 +668,97 @@ def test_streaming_value_sketch_tracks_exact(spark, tmp_path):
                 / e["n"]
             )
             assert abs(rank - p) <= 0.02, (et, p, v, rank)
+
+
+def test_streaming_interarrival_equals_batch(spark):
+    """Per-user cadence state: the latest emitted (n_events, n_gaps,
+    max_gap_us, sum_gap_us) per user equals the batch
+    events_interarrival exactly."""
+    from mutable_spark.streaming.events import interarrival_user_stats, stream_events
+
+    stream = stream_events(spark, SF_DIR)
+    rows = run_available_now(
+        interarrival_user_stats(stream), "t_interarrival", mode="update"
+    )
+    latest = {}
+    for r in rows:  # memory sink appends per-batch; last write wins
+        latest[r.user_id] = (r.n_events, r.n_gaps, r.max_gap_us, r.sum_gap_us)
+    want = {
+        r.user_id: (r.n_events, r.n_gaps, r.max_gap_us, r.sum_gap_us)
+        for r in registry.QUERIES["events_interarrival"](spark, SF_DIR).collect()
+    }
+    assert latest == want
+    assert len(want) > 0
+
+
+def test_streaming_interarrival_rebases_out_of_order(spark, tmp_path):
+    """Cadence across a stop/restart with the LATER half delivered first:
+    phase 2's earlier events land BETWEEN already-seen ones and split
+    phase 1's gaps, so the state re-base (recompute from the stored
+    (ts, event_id) set) is load-bearing — a fold-forward twin would keep
+    the stale large gaps. The latest emission per user over both phases
+    equals batch."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import interarrival_user_stats
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            interarrival_user_stats(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase2")
+    run_once()
+
+    import pyspark.sql.types as T
+
+    out = spark.read.schema(
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("max_gap_us", T.LongType()),
+            T.StructField("sum_gap_us", T.LongType()),
+        ])
+    ).parquet(str(sink))
+    # phase-2 emissions strictly dominate (every user re-emits with more
+    # events); latest per user = the row with the max n_events
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.n_gaps, r.max_gap_us, r.sum_gap_us)
+    want = {
+        r.user_id: (r.n_events, r.n_gaps, r.max_gap_us, r.sum_gap_us)
+        for r in registry.QUERIES["events_interarrival"](spark, SF_DIR).collect()
+    }
+    assert latest == want
