@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_verbatim_ngrams",
     "sim_semantic_dedup",
     "pipeline_contamination_stats",
+    "pipeline_end_to_end",
 ]
 
 

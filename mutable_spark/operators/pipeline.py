@@ -963,3 +963,142 @@ def pipeline_token_budget_sample(spark, sf_dir):
         .filter(F.col("cum_tok") <= _TOKEN_BUDGET)
         .select("doc_id", "source", "n_tok", "cum_tok")
     )
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=rf"""
+    WITH mixed AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE {_sql_hash52('doc_id')} < {_MIX_SQL_RATE} * 4503599627370496.0
+    ),
+    qualified AS (
+        SELECT doc_id, source, text, {_SQL_QUALITY} AS q
+        FROM mixed
+        WHERE {_SQL_QUALITY} >= {_QUALITY_TH}
+    ),
+    deduped AS (
+        SELECT doc_id, source, text, q FROM (
+            SELECT doc_id, source, text, q,
+                   MIN(doc_id) OVER (PARTITION BY md5({_NORMALIZE_SQL}))
+                       AS keep_id
+            FROM qualified
+        ) WHERE doc_id = keep_id
+    ),
+    clean AS (
+        SELECT doc_id, source, text, q FROM deduped
+        WHERE md5({_NORMALIZE_SQL}) NOT IN (
+            SELECT md5({_NORMALIZE_SQL}) FROM documents
+            WHERE doc_id % {_EVAL_MOD} = 0
+        )
+    ),
+    toks AS (
+        SELECT doc_id, source, q,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM clean
+    ),
+    budgeted AS (
+        SELECT doc_id, source, n_tok FROM (
+            SELECT doc_id, source, n_tok,
+                   CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tok
+            FROM toks
+        ) WHERE cum_tok <= {_TOKEN_BUDGET}
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               {_sql_hash52('doc_id')} % {_PACK_SHARDS} AS shard,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY {_sql_hash52('doc_id')} % {_PACK_SHARDS}
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) - n_tok AS off
+        FROM budgeted
+    )
+    SELECT doc_id, source, shard, n_tok, off,
+           off // {_PACK_CAP} AS begin_seq,
+           off % {_PACK_CAP} AS begin_off,
+           (off + n_tok - 1) // {_PACK_CAP} AS end_seq
+    FROM packed
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The whole curation pipeline as ONE declarative plan: source mixing
+    → quality gate → exact dedup → benchmark decontamination → per-source
+    token budget → sequence packing, each stage the registered operator's
+    exact logic (`mix_kept_frame`, `quality_expr`, the normalized-digest
+    dedup, the broadcast-anti eval blocklist, the quality-ordered budget
+    prefix, the shard/offset layout) composed into a single DataFrame —
+    so Catalyst sees the whole pipeline at once and the full-oracle SQL
+    mirror is the same CTE chain.
+
+    Scale shape — the map-side stages (mix, quality, digest) collapse
+    into the scan; the three genuine shuffles are the stage keys (content
+    digest, source, pack shard), and the eval blocklist broadcasts:
+    exactly the sum of the component operators' costs, nothing extra.
+    The dedup-keep rule here is min-doc_id (the `dedup_exact` contract);
+    swap in `pipeline_dedup_keep_best`'s quality argmax by replacing the
+    window. Decontamination runs BEFORE the budget so contaminated
+    documents never consume a source's token quota."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    digest = F.md5(_normalize(F.col("text")))
+
+    qualified = (
+        mix_kept_frame(d)
+        .withColumn("q", quality_expr())
+        .filter(F.col("q") >= _QUALITY_TH)
+    )
+    deduped = (
+        qualified.withColumn("digest", digest)
+        .withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("digest"))
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(digest.alias("eval_md5"))
+        .distinct()
+    )
+    clean = deduped.join(
+        F.broadcast(evalset), F.col("digest") == F.col("eval_md5"), "left_anti"
+    )
+    toks = clean.select(
+        "doc_id",
+        "source",
+        "q",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = (
+        toks.withColumn("cum_tok", F.sum("n_tok").over(w_budget))
+        .filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tok")
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = budgeted.withColumn(
+        "shard", _hash52(F.col("doc_id")) % _PACK_SHARDS
+    ).withColumn("off", F.sum("n_tok").over(w_pack) - F.col("n_tok"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        "off",
+        F.expr(f"off div {_PACK_CAP}").alias("begin_seq"),
+        (F.col("off") % _PACK_CAP).alias("begin_off"),
+        F.expr(f"(off + n_tok - 1) div {_PACK_CAP}").alias("end_seq"),
+    )

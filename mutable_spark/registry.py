@@ -169,10 +169,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # round-6 addition: the fuzzy (MinHash cross-corpus) decontamination
     # tier — takes op_cube's slot
     "pipeline_decontaminate_fuzzy",
-    # round-6 addition: deterministic source mixing (domain weights) —
-    # takes events_window_tumbling's slot (5x green; events family keeps
-    # sessionize + funnel in-sample)
-    "pipeline_mix_sources",
+    # r8 addition: the whole curation pipeline (mix → quality → dedup →
+    # decontaminate → token budget → pack) as ONE declarative plan with
+    # a full CTE-chain oracle — takes pipeline_mix_sources' slot (green
+    # r6/r7, and its keep-decision map runs VERBATIM inside this op;
+    # budget/pack stages additionally keep their own in-sample gates via
+    # pipeline_pack_sequences)
+    "pipeline_end_to_end",
     # round-7 additions: repetition-quality filtering, PII scrub,
     # stratified sampling, sequence packing, and the batch k-NN join —
     # each takes a 5x-driver-green slot (op_expr_string, op_join_equi,
@@ -218,6 +221,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # epoch-µs; max/sum/count pieces every cadence stat derives from)
     "events_interarrival",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
+    "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
+    #                          inside pipeline_end_to_end (in-sample)
     "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
     "multimodal_frame_sample",  # green r5 + r7; family keeps
     #                             fake_features + resize in-sample

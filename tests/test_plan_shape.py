@@ -280,3 +280,19 @@ def test_interarrival_window_feeds_partial_agg(plans):
     assert p.count("Exchange") == 1
     assert "Window" in p
     assert "partial_count" in plans("events_interarrival")
+
+
+def test_end_to_end_pipeline_plan(plans):
+    """pipeline_end_to_end: the map-side stages (mix, quality, digest)
+    fuse into ONE corpus scan stage; dedup/budget/pack are the three
+    corpus shuffles; the eval blocklist broadcasts into a LeftAnti; no
+    sort-merge join, no cartesian anywhere."""
+    p = plans("pipeline_end_to_end")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    simple = plans("pipeline_end_to_end", "simple")
+    # 3 corpus exchanges (digest, source, shard) + 1 tiny eval-set
+    # distinct + its broadcast exchange
+    assert simple.count("Exchange") == 5
+    assert simple.count("Window") == 3
