@@ -944,9 +944,20 @@ def pipeline_token_budget_sample(spark, sf_dir):
     the CORRECTNESS_r07 failure shape). Quality ordering crosses engines
     bit-for-bit because ``quality_expr``/``_SQL_QUALITY`` are exact
     mirrors (the `pipeline_dedup_keep_best` contract)."""
+    return token_budget_frame(
+        load_tables(spark, sf_dir).documents, _TOKEN_BUDGET
+    )
+
+
+def token_budget_frame(d, budget: int):
+    """The budget-parametrized core of ``pipeline_token_budget_sample``,
+    exposed so its deployment invariants are testable directly: raising
+    the budget only ever ADDS documents (each doc's cum_tok is
+    budget-independent, so the kept set is a prefix family), and
+    membership is invariant to input partitioning/order (the window's
+    (qual DESC, doc_id) order is total)."""
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir).documents
     t = d.select(
         "doc_id",
         "source",
@@ -960,7 +971,7 @@ def pipeline_token_budget_sample(spark, sf_dir):
     )
     return (
         t.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .filter(F.col("cum_tok") <= budget)
         .select("doc_id", "source", "n_tok", "cum_tok")
     )
 

@@ -139,3 +139,24 @@ def test_rarity_score_dictionary_join_broadcasts(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_token_budget_monotone_subset(spark):
+    from mutable_spark.operators.pipeline import token_budget_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    kept_small = {r.doc_id for r in token_budget_frame(d, 400).select("doc_id").collect()}
+    kept_mid = {r.doc_id for r in token_budget_frame(d, 800).select("doc_id").collect()}
+    kept_all = {r.doc_id for r in token_budget_frame(d, 10**12).select("doc_id").collect()}
+    assert kept_small < kept_mid < kept_all
+    assert len(kept_all) == d.count()
+
+
+def test_token_budget_membership_partition_invariant(spark):
+    from mutable_spark.operators.pipeline import _TOKEN_BUDGET, token_budget_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    base = sorted(map(tuple, token_budget_frame(d, _TOKEN_BUDGET).collect()))
+    scrambled = d.repartition(13, F.col("lang")).sortWithinPartitions(F.col("n_chars"))
+    got = sorted(map(tuple, token_budget_frame(scrambled, _TOKEN_BUDGET).collect()))
+    assert got == base
