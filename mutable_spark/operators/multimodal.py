@@ -252,3 +252,87 @@ def multimodal_resize(spark, sf_dir):
         F.length("resized_payload").cast("long").alias("resized_bytes"),
         F.md5("resized_payload").alias("resized_md5"),
     )
+
+
+#: fake-audio geometry: 1 byte = one 8-bit PCM sample, 64-sample windows
+#: (a stand-in "0.64 s at 100 Hz"); the trailing partial window is kept
+_CHUNK_SAMPLES = 64
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    SELECT doc_id, chunk_idx, start_sample, n_samples,
+           md5(chunk_payload) AS chunk_md5 FROM (
+        SELECT doc_id,
+               j AS chunk_idx,
+               CAST(j * {_CHUNK_SAMPLES} AS BIGINT) AS start_sample,
+               CAST(LEAST({_CHUNK_SAMPLES},
+                          strlen(text) - j * {_CHUNK_SAMPLES}) AS BIGINT)
+                   AS n_samples,
+               substr(text, 1 + CAST(j * {_CHUNK_SAMPLES} AS INT),
+                      {_CHUNK_SAMPLES}) AS chunk_payload
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, CAST(ceil(strlen(text) / {_CHUNK_SAMPLES}.0)
+                                          AS BIGINT))) AS j
+              FROM documents)
+    )
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio windowing over fake PCM payloads — the audio verb beside the
+    image (features/resize) and video (frame_sample) passes: each binary
+    payload (1 byte = one 8-bit sample) is cut into fixed 64-sample
+    windows, the trailing partial window kept with its true length — the
+    segmentation step an ASR/audio-tokenizer pipeline runs before
+    feature extraction (swap the byte slicing for soundfile/ffmpeg
+    decode and nothing else changes; the real entry point stays
+    `decode_image`-style stubbed).
+
+    Same division of labor as `multimodal_frame_sample`: Arrow-batched
+    Python does only the codec-shaped walk (emit window payloads), the
+    per-window fingerprint is the JVM md5 on the exploded rows, and the
+    ASCII stand-in payloads make every window reproducible in the DuckDB
+    oracle via substr arithmetic — the Python tier is hash-checked
+    end-to-end. Stateless map: no shuffle at any scale,
+    `arrow.maxRecordsPerBatch` bounds executor memory."""
+    df = _payload_df(spark, sf_dir)
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, lens, chunks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_chunks = -(-len(b) // _CHUNK_SAMPLES)
+                for j in range(n_chunks):
+                    lo = j * _CHUNK_SAMPLES
+                    hi = min(lo + _CHUNK_SAMPLES, len(b))
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    starts.append(lo)
+                    lens.append(hi - lo)
+                    chunks.append(b[lo:hi])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "start_sample": starts,
+                    "n_samples": lens,
+                    "chunk_payload": chunks,
+                }
+            )
+
+    chunks = df.mapInPandas(
+        chunk,
+        schema=(
+            "doc_id long, chunk_idx long, start_sample long,"
+            " n_samples long, chunk_payload binary"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_sample",
+        "n_samples",
+        F.md5("chunk_payload").alias("chunk_md5"),
+    )

@@ -220,6 +220,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # r8 addition: per-user inter-arrival cadence (LAG gaps in exact
     # epoch-µs; max/sum/count pieces every cadence stat derives from)
     "events_interarrival",
+    # r8 addition: the audio verb (fixed-sample windowing incl. trailing
+    # partial) beside image features/resize and video frame_sample —
+    # the multimodal family keeps fake_features + resize in-sample
+    "multimodal_audio_chunks",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
     #                          inside pipeline_end_to_end (in-sample)
