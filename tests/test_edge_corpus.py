@@ -45,6 +45,7 @@ _ASCII_OPS = [
     "multimodal_fake_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_audio_chunks",
 ]
 
 #: every registered op whose only input is the documents table
@@ -69,6 +70,9 @@ _DOC_OPS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_verbatim_ngrams",
+    "pipeline_dedup_keep_best",
+    "pipeline_token_budget_sample",
+    "pipeline_end_to_end",
 ]
 
 
