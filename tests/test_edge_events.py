@@ -71,6 +71,7 @@ _EVENT_OPS = [
     "events_retention",
     "events_windowed_topk",
     "events_value_percentiles",
+    "events_interarrival",
 ]
 
 
