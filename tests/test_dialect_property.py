@@ -261,3 +261,33 @@ def test_random_self_joins_match_duckdb(ptables, pred, theta):
     got = sorted((r.ak, r.bk) for r in compile_select(parse(sql), tables).collect())
     want = sorted(tuple(w) for w in con.execute(sql).fetchall())
     assert got == want, sql
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    okey=arith_expr,
+    desc=st.booleans(),
+    pred=bool_expr,
+    limit=st.integers(min_value=1, max_value=30),
+    offset=st.integers(min_value=0, max_value=10),
+)
+def test_random_order_limit_offset_match_duckdb(
+    ptables, okey, desc, pred, limit, offset
+):
+    """Random ORDER BY expression (+ unique tiebreak so the order is
+    total) with random LIMIT/OFFSET over a random WHERE — the
+    sort+limit→top-k path under fuzz, compared POSITIONALLY against
+    DuckDB (not as sorted sets: the row order itself is the contract)."""
+    tables, con = ptables
+    d = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT key AS k, fkey AS f FROM R WHERE {pred} "
+        f"ORDER BY ({okey}) {d}, key LIMIT {limit} OFFSET {offset}"
+    )
+    got = [(r.k, r.f) for r in compile_select(parse(sql), tables).collect()]
+    want = [tuple(w) for w in con.execute(sql).fetchall()]
+    assert got == want, sql
