@@ -14,8 +14,10 @@ from mutable_spark import registry
 # events_sessionize (both green r1-r5) hand over their slots with family
 # coverage retained (TakeOrderedAndProject pin; retention+funnel).
 # Round 8 rotates in dialect_zoneindex_string (the one query that had
-# never held a driver row) and pipeline_curriculum_sharded, demoting
-# sim_ann_lsh and multimodal_frame_sample (families stay covered).
+# never held a driver row), pipeline_curriculum_sharded, and the
+# composed pipeline_end_to_end, demoting sim_ann_lsh,
+# multimodal_frame_sample, and pipeline_mix_sources (families stay
+# covered; mix's keep-map runs verbatim inside end_to_end).
 NEVER_SAMPLED = [
     "dialect_zoneindex_string",
     "pipeline_curriculum_sharded",
@@ -36,7 +38,7 @@ NEVER_SAMPLED = [
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
     "sim_ivf_train",
-    "pipeline_mix_sources",
+    "pipeline_end_to_end",
     "events_retention",
     "pipeline_clean_corpus",
     "text_repetition_filter",
