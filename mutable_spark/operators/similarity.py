@@ -663,3 +663,74 @@ def sim_ivf_recall(spark, sf_dir):
         "n_hits",
         (F.col("n_hits").cast("double") / 10).alias("recall"),
     )
+
+
+@query(
+    "sim_quantize_embeddings",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS qscale
+        FROM embeddings
+    )
+    SELECT vec_id, qscale,
+           CASE WHEN qscale = 0
+                THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(e,
+                    x -> CAST(floor(x / qscale * 127) AS BIGINT)) END
+               AS codes,
+           CASE WHEN qscale = 0 THEN 0.0
+                ELSE list_max(list_transform(e,
+                    x -> abs(x - CAST(floor(x / qscale * 127) AS BIGINT)
+                                 * qscale / 127.0))) END
+               AS max_abs_err
+    FROM s
+    """,
+)
+def sim_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embedding store — the compression
+    step a 100 TB vector corpus runs before ANN serving (4x smaller than
+    float32; IVF/LSH probing reads codes, the float verify tier rescales).
+    Per vector: symmetric abs-max scale, `floor(x/scale*127)` codes
+    (floor, not round — engines disagree on .5 tie rules, floor is
+    tie-free), and the max absolute reconstruction error as the quality
+    stat. All-zero vectors quantize to zero codes with zero error via an
+    explicit scale=0 guard (under ANSI a bare `/` would kill the job on
+    one corrupt row — the `vec_cosine` contract). Pure map over the
+    scan: zero shuffles at any scale; every float step (widen, divide,
+    scale, floor, reconstruct) is mirrored operation-for-operation by
+    the DuckDB oracle, so the hash check pins bit-exactness."""
+    e = load_tables(spark, sf_dir).embeddings
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.array_max(F.transform("e", F.abs)).alias("qscale"),
+    )
+    codes = F.when(
+        F.col("qscale") == 0.0,
+        F.transform("e", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("qscale") * F.lit(127))
+        )
+    )
+    with_codes = ed.select("vec_id", "e", "qscale", codes.alias("codes"))
+    err = F.when(F.col("qscale") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                "e",
+                "codes",
+                lambda x, c: F.abs(
+                    x - c.cast("double") * F.col("qscale") / F.lit(127.0)
+                ),
+            )
+        )
+    )
+    return with_codes.select(
+        "vec_id", "qscale", "codes", err.alias("max_abs_err")
+    )

@@ -224,6 +224,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # partial) beside image features/resize and video frame_sample —
     # the multimodal family keeps fake_features + resize in-sample
     "multimodal_audio_chunks",
+    # r8 addition: int8 scalar quantization of the embedding store (the
+    # ANN-serving compression step), floor-tie-free, zero-vector total
+    "sim_quantize_embeddings",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
     #                          inside pipeline_end_to_end (in-sample)

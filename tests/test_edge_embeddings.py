@@ -55,6 +55,7 @@ _EMB_OPS = [
     "sim_ivf_train",
     "dedup_embedding_cosine",
     "sim_semantic_dedup",
+    "sim_quantize_embeddings",
 ]
 
 
