@@ -269,7 +269,9 @@ def test_random_self_joins_match_duckdb(ptables, pred, theta):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    okey=arith_expr,
+    # column-anchored (col_arith, not arith_expr): a pure-literal key like
+    # ORDER BY (2) is an ORDINAL in DuckDB but a constant in the dialect
+    okey=col_arith,
     desc=st.booleans(),
     pred=bool_expr,
     limit=st.integers(min_value=1, max_value=30),
