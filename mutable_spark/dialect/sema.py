@@ -130,6 +130,21 @@ def check_stmt(stmt: A.SelectStmt) -> None:
     if stmt.having is not None:
         check_no_udf(stmt.having)
 
+    def _is_vectorial(e: A.Node) -> bool:
+        """Does the expression reference an attribute (per-row varying)?
+        Scalar subqueries are scalar by construction — do NOT descend."""
+        if isinstance(e, A.Designator):
+            return True
+        if isinstance(e, (A.Literal, A.QueryExpr)):
+            return False
+        if isinstance(e, A.Unary):
+            return _is_vectorial(e.operand)
+        if isinstance(e, A.Binary):
+            return _is_vectorial(e.left) or _is_vectorial(e.right)
+        if isinstance(e, A.FnApplication):
+            return any(_is_vectorial(a) for a in e.args)
+        return False
+
     # HAVING makes the query grouped even without GROUP BY (global group)
     grouped = (
         bool(stmt.group_by)
@@ -176,3 +191,13 @@ def check_stmt(stmt: A.SelectStmt) -> None:
             raise SemaError(
                 "HAVING expression must be composed of grouping keys and aggregates"
             )
+    else:
+        # Sema.cpp:1358-1361: without grouping, an ordering expression
+        # must be vectorial — a constant orders nothing (and the dialect
+        # has no ordinal ORDER BY; DuckDB would read `ORDER BY 2` as a
+        # column position, the reference rejects it)
+        for o in stmt.order_by:
+            if not _is_vectorial(o.expr):
+                raise SemaError(
+                    f"Cannot order by {o.expr}, expression must be vectorial"
+                )

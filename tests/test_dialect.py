@@ -244,6 +244,11 @@ def test_unsupported_correlation_rejected(tables):
         ("SELECT COUNT(n_name, n_nationkey) FROM nation", "exactly one argument"),
         # structure
         ("SELECT b.n_name FROM nation AS a", "unknown table"),
+        # ORDER BY constants (Sema.cpp:1358-1361 — without grouping an
+        # ordering expression must be vectorial; there is no ordinal
+        # ORDER BY in the dialect)
+        ("SELECT n_name FROM nation ORDER BY 2", "vectorial"),
+        ("SELECT n_name FROM nation ORDER BY (1 + 2 * 3)", "vectorial"),
     ],
 )
 def test_sema_negative_extended(tables, sql, fragment):
