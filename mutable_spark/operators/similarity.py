@@ -665,6 +665,33 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+def quantize_frame(e):
+    """(vec_id, label, e, qscale, codes) for an embeddings frame — the
+    shared int8 quantization core of ``sim_quantize_embeddings`` and the
+    coarse stage of ``sim_quantized_rerank``. ``e`` is the
+    double-widened vector, ``qscale`` the abs-max scale, ``codes`` the
+    floor(x/scale*127) int8 codes (all-zero for zero vectors)."""
+    ed = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_max(F.transform("e", F.abs)).alias("qscale"),
+    )
+    codes = F.when(
+        F.col("qscale") == 0.0,
+        F.transform("e", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("qscale") * F.lit(127))
+        )
+    )
+    return ed.select("vec_id", "label", "e", "qscale", codes.alias("codes"))
+
+
 @query(
     "sim_quantize_embeddings",
     oracle="""
@@ -702,24 +729,7 @@ def sim_quantize_embeddings(spark, sf_dir):
     scan: zero shuffles at any scale; every float step (widen, divide,
     scale, floor, reconstruct) is mirrored operation-for-operation by
     the DuckDB oracle, so the hash check pins bit-exactness."""
-    e = load_tables(spark, sf_dir).embeddings
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).select(
-        "vec_id",
-        "e",
-        F.array_max(F.transform("e", F.abs)).alias("qscale"),
-    )
-    codes = F.when(
-        F.col("qscale") == 0.0,
-        F.transform("e", lambda x: F.lit(0).cast("long")),
-    ).otherwise(
-        F.transform(
-            "e", lambda x: F.floor(x / F.col("qscale") * F.lit(127))
-        )
-    )
-    with_codes = ed.select("vec_id", "e", "qscale", codes.alias("codes"))
+    with_codes = quantize_frame(load_tables(spark, sf_dir).embeddings)
     err = F.when(F.col("qscale") == 0.0, F.lit(0.0)).otherwise(
         F.array_max(
             F.zip_with(
@@ -733,4 +743,113 @@ def sim_quantize_embeddings(spark, sf_dir):
     )
     return with_codes.select(
         "vec_id", "qscale", "codes", err.alias("max_abs_err")
+    )
+
+
+#: two-stage serving: coarse-rank the whole corpus by quantized dot,
+#: exactly rerank only the top-_RERANK_M shortlist, return top-_RERANK_K
+_RERANK_M, _RERANK_K = 50, 10
+
+
+@query(
+    "sim_quantized_rerank",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS qscale
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, label, e, qscale,
+               CASE WHEN qscale = 0
+                    THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e,
+                        x -> CAST(floor(x / qscale * 127) AS BIGINT)) END
+                   AS codes
+        FROM s
+    ),
+    q AS (SELECT * FROM c WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    coarse AS (
+        SELECT c.vec_id, c.label, c.e,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(c.codes) + 1),
+                       i -> c.codes[i] * q.codes[i])),
+                   (a, x) -> a + x) AS DOUBLE)
+                   * c.qscale * q.qscale / 16129.0 AS approx
+        FROM c, q WHERE c.vec_id <> q.vec_id
+    ),
+    short AS (
+        SELECT vec_id, label, e, approx FROM (
+            SELECT coarse.*, ROW_NUMBER() OVER
+                (ORDER BY approx DESC, vec_id) AS rn
+            FROM coarse
+        ) WHERE rn <= {_RERANK_M}
+    )
+    SELECT short.vec_id, short.label, short.approx,
+           {_sql_cos('short.e', 'q.e')} AS cos
+    FROM short, q
+    ORDER BY cos DESC, short.vec_id
+    LIMIT {_RERANK_K}
+    """,
+)
+def sim_quantized_rerank(spark, sf_dir):
+    """Two-stage ANN serving over the int8 store — the pattern a 100 TB
+    vector corpus actually deploys: the COARSE pass ranks the whole
+    corpus by quantized dot product (exact int64 arithmetic — codes are
+    ≤127, so a 64-dim dot stays under 2^21 — then one double rescale by
+    the two abs-max scales), and only the top-`_RERANK_M` shortlist is
+    reranked with exact float cosine. At serving scale the coarse pass
+    reads ONLY the materialized codes table (4x smaller than float32,
+    `sim_quantize_embeddings` is the builder) and the rerank fetches
+    `_RERANK_M` float rows by id; here both stages read the one small
+    embeddings frame. Both top-k's are Catalyst TakeOrderedAndProject —
+    no global sort — with (score DESC, vec_id) total orders, and the
+    integer coarse scores make the shortlist boundary deterministic
+    across engines. Zero corpus vectors coarse-score 0 and cosine-NULL
+    (sorts last, the `vec_cosine` contract)."""
+    e = load_tables(spark, sf_dir).embeddings
+    c = quantize_frame(e)
+    q = (
+        c.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("qscale").alias("q_qscale"),
+            F.col("codes").alias("q_codes"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            "qe",
+            (
+                idot.cast("double")
+                * F.col("qscale")
+                * F.col("q_qscale")
+                / F.lit(16129.0)
+            ).alias("approx"),
+        )
+    )
+    short = coarse.orderBy(F.col("approx").desc(), "vec_id").limit(_RERANK_M)
+    return (
+        short.select(
+            "vec_id",
+            "label",
+            "approx",
+            vec_cosine(F.col("e"), F.col("qe")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(_RERANK_K)
     )

@@ -227,6 +227,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # r8 addition: int8 scalar quantization of the embedding store (the
     # ANN-serving compression step), floor-tie-free, zero-vector total
     "sim_quantize_embeddings",
+    # r8 addition: two-stage serving over the int8 store — exact-integer
+    # coarse rank, float rerank of the top-50 shortlist (recall@10 = 1.0
+    # pinned vs sim_cosine_topk)
+    "sim_quantized_rerank",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
     #                          inside pipeline_end_to_end (in-sample)

@@ -133,3 +133,21 @@ def test_ivf_train_stable_under_input_scramble(spark):
     finally:
         _TABLE_CACHE[key] = saved
     assert base == scrambled
+
+
+def test_quantized_rerank_full_recall(spark):
+    """The int8 coarse stage's top-50 shortlist captures the entire exact
+    top-10 on the test corpus (recall@10 = 1.0): the quantization error
+    bound (≤ qscale/127 per coordinate) is far below the corpus's
+    neighbor-score gaps at the 50-deep shortlist margin."""
+    from mutable_spark import registry
+
+    registry.load_all()
+    exact = {
+        r.vec_id for r in registry.QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in registry.QUERIES["sim_quantized_rerank"](spark, SF_DIR).collect()
+    }
+    assert exact == quant
