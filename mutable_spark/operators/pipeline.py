@@ -1113,3 +1113,45 @@ def pipeline_end_to_end(spark, sf_dir):
         (F.col("off") % _PACK_CAP).alias("begin_off"),
         F.expr(f"(off + n_tok - 1) div {_PACK_CAP}").alias("end_seq"),
     )
+
+
+#: per-source replication factors for epoch assembly: srcN trains
+#: (N % 3) + 1 epochs' worth of copies — the upweighting counterpart of
+#: `pipeline_mix_sources`' downsampling (curated sources repeat, crawl
+#: does not), deterministic so every run assembles the identical stream
+_OVERSAMPLE_SQL_REPS = "((CAST(substr(source, 4) AS BIGINT) % 3) + 1)"
+
+
+@query(
+    "pipeline_oversample",
+    oracle=f"""
+    SELECT doc_id, source, copy_idx,
+           CAST({_OVERSAMPLE_SQL_REPS} AS BIGINT) AS n_copies
+    FROM (
+        SELECT doc_id, source,
+               unnest(range(0, {_OVERSAMPLE_SQL_REPS})) AS copy_idx
+        FROM documents
+    )
+    """,
+)
+def pipeline_oversample(spark, sf_dir):
+    """Deterministic source upweighting: replicate each document
+    `(N % 3) + 1` times for source srcN (standing in for a real epoch
+    policy — curated sources train for multiple epochs, crawl for one),
+    each copy tagged with its `copy_idx` so downstream shuffling/packing
+    can spread epochs deterministically (copy_idx joins the pack-shard
+    hash input and the copies land in different shards). The in-row
+    explode is the 100 TB shape: zero shuffles, output inherits the scan
+    partitioning, and the replication factor rides the row — no join
+    against a policy table (a real deployment broadcasts one). The
+    mixing counterpart: `pipeline_mix_sources` Bernoulli-downsamples,
+    this replicates; both are stable pure maps, so re-assembly never
+    churns."""
+    d = load_tables(spark, sf_dir).documents
+    reps = (F.substring(F.col("source"), 4, 10).cast("long") % 3 + 1)
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), reps - 1)).alias("copy_idx"),
+        reps.alias("n_copies"),
+    )

@@ -231,6 +231,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # coarse rank, float rerank of the top-50 shortlist (recall@10 = 1.0
     # pinned vs sim_cosine_topk)
     "sim_quantized_rerank",
+    # r8 addition: deterministic source upweighting (epoch replication,
+    # the mixing counterpart of mix_sources' downsampling) — in-row
+    # explode, zero shuffles
+    "pipeline_oversample",
     # ---- demoted past the 50-sample horizon (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
     #                          inside pipeline_end_to_end (in-sample)

@@ -73,6 +73,7 @@ _DOC_OPS = [
     "pipeline_dedup_keep_best",
     "pipeline_token_budget_sample",
     "pipeline_end_to_end",
+    "pipeline_oversample",
 ]
 
 
