@@ -296,3 +296,13 @@ def test_end_to_end_pipeline_plan(plans):
     # distinct + its broadcast exchange
     assert simple.count("Exchange") == 5
     assert simple.count("Window") == 3
+
+
+def test_quantized_rerank_broadcast_topk(plans):
+    """sim_quantized_rerank: the 1-row query broadcasts, both stage
+    top-k's are TakeOrderedAndProject (no global Sort+Exchange), and the
+    only nested-loop is the broadcast query join."""
+    p = plans("sim_quantized_rerank")
+    assert "Broadcast" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
