@@ -60,26 +60,16 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_group_all_aggs",
     "op_order_limit_offset",
     "op_having",
-    # extended joins (left_outer/anti demoted r6: 3x driver-green, family
-    # stays covered in-sample by semi/asof/range)
+    # extended joins: asof stays; full outer (r8, the last join kind the
+    # module lacked) takes op_rollup's slot — rollup is r7 triple-match
+    # and op_grouping_sets (the general form rollup is a prefix of) keeps
+    # the grouping-analytics family in-sample
     "op_join_asof",
-    # set ops / analytics (distinct/count_distinct demoted r6: 3x green
-    # beside op_set_ops; approx_sketches demoted r6: structurally rows-only
-    # — its slot serves a full-oracle op better, accuracy stays pinned in
-    # tests/test_sketches.py)
+    "op_join_full_outer",
     "op_set_ops",
-    # rollup completes the grouping-sets family in-sample (never sampled
-    # r5; op_cube demoted r6 — 3x green, same family)
-    "op_rollup",
-    # round-7 addition: arbitrary GROUPING SETS (the general form rollup
-    # and cube are prefixes of) — takes op_topk_per_group's slot (green
-    # r1-r5; top-k stays pinned via op_order_limit_offset's
-    # TakeOrderedAndProject plan test and the local suite)
     "op_grouping_sets",
-    # MVCC snapshot reads (round-5 gate for versioning.py — the last §1.1
-    # reference surface with no driver row)
+    # MVCC snapshot reads (§1.1 versioning surface)
     "op_mvcc_snapshot",
-    # (op_window_zscore demoted r6 — green r3-r5 beside running_sum)
     # dialect frontend (TPC-H scripts subsume the demoted shape queries)
     "dialect_correlated_subquery",
     "dialect_tpch_q1",
@@ -87,170 +77,101 @@ _SAMPLE_PRIORITY: list[str] = [
     "dialect_tpch_q6",
     "dialect_tpch_q12",
     "dialect_tpch_q14",
-    # learned-index scan pruning + SPN-planned join (round-5 gates for the
-    # previously unit-only surfaces in sources/indexes.py and plans/spn.py)
+    # learned-index scan pruning + SPN estimator gates: the zone index
+    # reached from the DataFrame API and from dialect SQL (CREATE INDEX →
+    # file-zone layout → compiler Filter∘Scan pruning), numeric + string
+    # key types, and the SPN's three driver-checked estimator surfaces
+    # (planned join, string equality via rank dictionaries, and the r8
+    # LIKE-prefix rank-range derivation — each drives a real plan flip)
     "op_zoneindex_scan",
     "dialect_spn_planned_join",
-    # round-6 gates: the zone index reached from dialect SQL (CREATE INDEX
-    # → file-zone layout → compiler Filter∘Scan pruning), and string
-    # predicates estimated by the SPN's rank-dictionary discrete leaves
     "dialect_zoneindex_scan",
     "dialect_spn_string_filter",
-    # round-8 rotation (VERDICT r7 item #2): the string-key zone-index
-    # member — the only registered query that had never held a driver
-    # row — takes sim_ann_lsh's slot (green r1-r5 + r7; the sim family
-    # stays triply covered in-sample by ivf_topk + ivf_train + knn_join)
     "dialect_zoneindex_string",
-    # LLM-pipeline operators (dedup_exact and dedup_minhash_lsh demoted
-    # r7: both green r1-r5, and pipeline_clean_corpus keeps BOTH the
-    # exact-digest stage and the identical LSH tier (minhash_lsh_pairs)
-    # in-sample with a full oracle)
+    "dialect_spn_like_prefix",
+    # dedup family: simhash / blocked embedding-cosine / alternating-star
+    # components / the r8 verbatim-span (exact-substring, Lee et al. 2022)
+    # tier; exact digest + MinHash-LSH stay in-sample inside
+    # pipeline_clean_corpus (both stages run verbatim there)
     "dedup_simhash",
-    # round-5 addition: the last brief-named dedup family member (blocked
-    # embedding-cosine near-dup); takes dedup_ngram_jaccard's slot — that
-    # quadratic baseline is driver-green r1-r4 and its exact-pairs oracle
-    # family stays in-sample via dedup_minhash_lsh
     "dedup_embedding_cosine",
-    # round-5 addition: connected components over the verified near-dup
-    # pairs (the star-cap contract's consumer); takes sim_nearest_pairs'
-    # slot — that quadratic baseline is driver-green r1-r4 and its family
-    # stays in-sample via sim_cosine_topk + sim_ann_lsh
     "dedup_duplicate_classes",
-    # (sim_ann_lsh demoted r8 — see the dialect_zoneindex_string note)
+    "dedup_verbatim_ngrams",
+    # similarity/ANN stack: IVF serve + Lloyd trainer + the r8 additions —
+    # recall@10 self-evaluation, int8 store quantization, and two-stage
+    # quantized rerank; sim_knn_join demoted (r7 triple-match; the exact
+    # broadcast-batch shape stays pinned in tests/test_plan_shape.py) and
+    # SemDeDup joins as the embedding tier's class consumer
     "sim_ivf_topk",
-    # round-6 addition: the distributed k-means quantizer trainer (full
-    # oracle over fixed Lloyd rounds) — takes sim_cosine_topk's slot
-    # (3x green; exact baseline family stays via ann/ivf + local suite)
     "sim_ivf_train",
-    # (multimodal_frame_sample demoted r8 — green r5 + r7, and the
-    # mapInPandas family keeps fake_features + resize in-sample; its slot
-    # goes to pipeline_curriculum_sharded below)
-    # round-6 promotion: the decode+featurize mapInPandas pass gained a
-    # full oracle (stand-in codec arithmetic mirrored in SQL) — back
-    # in-sample as a hash-checked row instead of the old rows-only check
+    "sim_ivf_recall",
+    "sim_quantize_embeddings",
+    "sim_quantized_rerank",
+    "sim_semantic_dedup",
+    # multimodal: the oracle-checked stand-in-codec featurize pass + the
+    # r8 audio windowing verb (resize demoted — r7 triple-match; extract /
+    # frame_sample / resize all hold earlier driver rows)
     "multimodal_fake_features",
-    # round-7 addition: the resize pass (completes the multimodal verb
-    # set: extract / decode+featurize / frame-sample / resize) — takes
-    # events_sessionize's slot (green r1-r5; events family keeps
-    # retention + funnel in-sample, sessionize stays a bench headliner)
-    "multimodal_resize",
-    # round-6 addition: cohort retention (the third classic event shape)
-    # — takes multimodal_extract's slot (green r1-r5; family keeps
-    # frame_sample + fake_features in-sample)
+    "multimodal_audio_chunks",
+    # events: cohort retention + the r8 per-user inter-arrival cadence
+    # (funnel / windowed_topk / value_percentiles / sessionize / tumbling /
+    # sliding / json_extract all hold r1-r7 driver rows)
     "events_retention",
-    # round-7 additions: the windowed-leaderboard composite and the
-    # corpus-frequency (LM-filter stand-in) score — taking the slots of
-    # op_join_range (green r1-r5; semi+asof keep the extended-join family)
-    # and op_window_running_sum (green r3-r5; the window family stays
-    # doubly covered in-sample: windowed_topk's per-bucket rank and
-    # pack_sequences' running sum)
-    "events_windowed_topk",
+    "events_interarrival",
+    # text: the corpus-frequency (LM-filter stand-in) score keeps the text
+    # family in-sample (token_count / quality / langid / fingerprint /
+    # vocab_topk / repetition_filter / pii_scrub all driver-green r1-r7)
     "text_rarity_score",
-    # round-7 late additions: exact interpolated percentiles (the exact
-    # sibling of the approx sketches) and curriculum bucketing (NTILE) —
-    # taking the slots of op_join_semi (green r1-r5; LeftSemi stays
-    # plan-pinned, join family keeps theta/nary/asof + every dialect
-    # join) and dedup_minhash_lsh (see the dedup note above)
-    "events_value_percentiles",
-    "pipeline_curriculum_order",
-    # round-8 addition (VERDICT r7 item #5): the sharded-NTILE curriculum
-    # — the 100 TB shape curriculum_order's docstring promised, now a
-    # registered operator with a full oracle and a no-global-sort plan
-    # pin — takes multimodal_frame_sample's slot (see the note above)
+    # pipeline: the sharded-NTILE curriculum (100 TB shape), the fuzzy
+    # decontamination tier + the r8 graded contamination report, the whole
+    # curation pipeline as ONE plan (mix_sources/decontaminate/
+    # train_test_split run verbatim inside it or hold r6/r7 rows), the r8
+    # token-budget / keep-best / oversample mixing verbs, sequence packing
+    # (the r7 oracle-type-bug fix needs its first triple-match), and the
+    # composed clean-corpus tier
     "pipeline_curriculum_sharded",
-    # round-6 rotation: the five round-5 operators registered past the
-    # 50-sample horizon take the slots of long-green family twins
-    # (json_extract/sliding 3-4x green beside tumbling+sessionize;
-    # left_outer/anti/distinct/count_distinct/zscore listed below)
-    "events_funnel",
-    "text_vocab_topk",
-    "pipeline_train_test_split",
-    "pipeline_decontaminate",
-    # round-6 addition: the fuzzy (MinHash cross-corpus) decontamination
-    # tier — takes op_cube's slot
     "pipeline_decontaminate_fuzzy",
-    # r8 addition: the whole curation pipeline (mix → quality → dedup →
-    # decontaminate → token budget → pack) as ONE declarative plan with
-    # a full CTE-chain oracle — takes pipeline_mix_sources' slot (green
-    # r6/r7, and its keep-decision map runs VERBATIM inside this op;
-    # budget/pack stages additionally keep their own in-sample gates via
-    # pipeline_pack_sequences)
+    "pipeline_contamination_stats",
     "pipeline_end_to_end",
-    # round-7 additions: repetition-quality filtering, PII scrub,
-    # stratified sampling, sequence packing, and the batch k-NN join —
-    # each takes a 5x-driver-green slot (op_expr_string, op_join_equi,
-    # op_agg_global, op_subquery_scalar, dedup_exact; families all stay
-    # covered in-sample, see the demotion notes)
-    "text_repetition_filter",
-    "text_pii_scrub",
-    "pipeline_stratified_sample",
+    "pipeline_token_budget_sample",
+    "pipeline_dedup_keep_best",
+    "pipeline_oversample",
     "pipeline_pack_sequences",
-    "sim_knn_join",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
-    # r8 addition: the LIKE-prefix SPN gate (dialect_spn_planned_join +
-    # dialect_spn_string_filter keep the estimator family in-sample; the
-    # flip itself is pinned in tests/test_index_queries.py)
-    "dialect_spn_like_prefix",
-    # r8 addition: the graded contamination-rate report (the binary
-    # decontaminate pair holds two in-sample slots already)
-    "pipeline_contamination_stats",
-    # r8 addition: SemDeDup — per-cell semantic duplicate classes over
-    # the dedup_embedding_cosine pair tier (both in-sample family gates,
-    # dedup_embedding_cosine + dedup_duplicate_classes, stay green)
-    "sim_semantic_dedup",
-    # r8 addition: the exact-substring (verbatim-span) tier, Lee et al.
-    # 2022 — the dedup family holds simhash + embedding_cosine + classes
-    # + the clean-corpus LSH tier in-sample
-    "dedup_verbatim_ngrams",
-    # r8 addition: recall@10 of the IVF path vs the exact top-k — the
-    # ANN stack's self-evaluation (both component paths oracle-checked)
-    "sim_ivf_recall",
-    # r8 addition: quality-aware duplicate resolution (keep the best
-    # member per near-dup class, not the min id)
-    "pipeline_dedup_keep_best",
-    # r8 addition: full outer join — the last extended-join kind the
-    # module lacked (left/semi/anti/asof/range all registered earlier);
-    # all three padding shapes present at sf0.01
-    "op_join_full_outer",
-    # r8 addition: per-source token-budget sampling (quality-ordered
-    # prefix under a cumulative-token cap — how a pretraining mix's
-    # per-source quotas are actually filled)
-    "pipeline_token_budget_sample",
-    # r8 addition: per-user inter-arrival cadence (LAG gaps in exact
-    # epoch-µs; max/sum/count pieces every cadence stat derives from)
-    "events_interarrival",
-    # r8 addition: the audio verb (fixed-sample windowing incl. trailing
-    # partial) beside image features/resize and video frame_sample —
-    # the multimodal family keeps fake_features + resize in-sample
-    "multimodal_audio_chunks",
-    # r8 addition: int8 scalar quantization of the embedding store (the
-    # ANN-serving compression step), floor-tie-free, zero-vector total
-    "sim_quantize_embeddings",
-    # r8 addition: two-stage serving over the int8 store — exact-integer
-    # coarse rank, float rerank of the top-50 shortlist (recall@10 = 1.0
-    # pinned vs sim_cosine_topk)
-    "sim_quantized_rerank",
-    # r8 addition: deterministic source upweighting (epoch replication,
-    # the mixing counterpart of mix_sources' downsampling) — in-row
-    # explode, zero shuffles
-    "pipeline_oversample",
-    # ---- demoted past the 50-sample horizon (driver-green earlier) ----
-    "pipeline_mix_sources",  # green r6/r7; its map logic runs verbatim
-    #                          inside pipeline_end_to_end (in-sample)
-    "sim_ann_lsh",  # green r1-r5 + r7; see dialect_zoneindex_string note
-    "multimodal_frame_sample",  # green r5 + r7; family keeps
-    #                             fake_features + resize in-sample
-    "op_join_semi",  # green r1-r5; see events_value_percentiles note
+    # r8 rotation (the r7-verdict practice, applied to the r8 additions:
+    # every one of the 13 operators below holds an r7 triple-match driver
+    # row — CORRECTNESS_r07.json — and stays green in the local oracle
+    # suite; their slots went to the 13 r8 operators above, which had
+    # never been driver-sampled)
+    "op_rollup",  # r7 green; op_grouping_sets keeps the family
+    "multimodal_resize",  # r7 green; fake_features + audio_chunks in-sample
+    "events_windowed_topk",  # r7 green; retention + interarrival in-sample
+    "events_value_percentiles",  # r7 green; exact/approx pair pinned in tests
+    "events_funnel",  # r7 green
+    "text_vocab_topk",  # r7 green; rarity_score keeps text in-sample
+    "text_repetition_filter",  # r7 green
+    "text_pii_scrub",  # r7 green; scrub runs verbatim in the streaming twin
+    "pipeline_train_test_split",  # r7 green; split map inside end_to_end
+    "pipeline_decontaminate",  # r7 green; fuzzy + stats + end_to_end in-sample
+    "pipeline_stratified_sample",  # r7 green; token_budget covers sampling
+    "pipeline_curriculum_order",  # r7 green; sharded twin in-sample
+    "sim_knn_join",  # r7 green; broadcast-batch shape plan-pinned
+    # ---- demoted in earlier rounds (driver-green earlier) ----
+    "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
+    #                          verbatim inside pipeline_end_to_end
+    "sim_ann_lsh",  # green r1-r5 + r7; slot went to dialect_zoneindex_string
+    "multimodal_frame_sample",  # green r5 + r7
+    "op_join_semi",  # green r1-r5; LeftSemi stays plan-pinned
     "dedup_minhash_lsh",  # green r1-r5; LSH tier in-sample via clean_corpus
-    "op_join_range",  # green r1-r5; see events_windowed_topk note
-    "op_window_running_sum",  # green r3-r5; see events_windowed_topk note
-    "op_topk_per_group",  # green r1-r5; see op_grouping_sets note
-    "events_sessionize",  # green r1-r5; see multimodal_resize note
+    "op_join_range",  # green r1-r5
+    "op_window_running_sum",  # green r3-r5; pack_sequences keeps windows
+    "op_topk_per_group",  # green r1-r5; top-k plan pinned in tests
+    "events_sessionize",  # green r1-r5; bench headliner
     "op_expr_string",  # green r1-r5; expression family in-sample via
     #                    op_projection_expr + op_expr_isnull_intcast
     "op_join_equi",  # green r1-r5; join family in-sample via
-    #                  theta/nary/semi/asof/range + every dialect_tpch_*
+    #                  theta/nary/asof/full_outer + every dialect_tpch_*
     "op_agg_global",  # green r1-r5; global-agg shape in-sample via
     #                   dialect_tpch_q6 (the deeper dialect path)
     "op_subquery_scalar",  # green r1-r5; dialect_correlated_subquery
@@ -258,25 +179,25 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_exact",  # green r1-r5; exact-digest stage in-sample via
     #                 pipeline_clean_corpus
     "op_join_left_outer",  # green r3-r5; extended-join family in-sample
-    "op_join_anti",  # green r3-r5 (0-row case); semi covers the family
+    "op_join_anti",  # green r3-r5 (0-row case); full_outer covers the family
     "op_distinct",  # green r3-r5 beside op_set_ops
     "op_count_distinct",  # green r3-r5 beside op_set_ops
-    "op_window_zscore",  # green r3-r5 beside op_window_running_sum
+    "op_window_zscore",  # green r3-r5
     "op_approx_sketches",  # rows-only by construction; accuracy pinned in
     #                        tests/test_sketches.py against exact answers
     "events_json_extract",  # green r3-r5; events family in-sample
     "events_window_sliding",  # green r2-r5 beside tumbling
     "dedup_ngram_jaccard",  # quadratic exact baseline; oracle family covered
-    #                         in-sample by dedup_minhash_lsh (green r1-r4)
+    #                         in-sample by pipeline_clean_corpus (green r1-r4)
     "sim_nearest_pairs",  # quadratic exact baseline; family covered
-    #                       in-sample by sim_cosine_topk + sim_ann_lsh
+    #                       in-sample by the IVF/quantized stack
     "op_except",  # family covered in-sample by op_set_ops (green r3/r4)
     "op_union",   # family covered in-sample by op_set_ops (green r3/r4)
-    "sim_cosine_topk",  # green r3-r5; sim family covered by ann/ivf/train
+    "sim_cosine_topk",  # green r3-r5; sim family covered by ivf/quantized
     "events_window_tumbling",  # green r1-r5; events family in-sample
-    "multimodal_extract",  # green r1-r5; family keeps frame_sample + fake_features
-    "op_cube",    # green r3-r5; grouping-sets family covered by op_rollup
-    "op_pivot",   # grouping-analytics family covered in-sample by op_rollup
+    "multimodal_extract",  # green r1-r5; family keeps fake_features + audio
+    "op_cube",    # green r3-r5; grouping-sets family covered in-sample
+    "op_pivot",   # grouping-analytics family covered by op_grouping_sets
     "op_filter_disjunctive",
     "op_cross_product",
     "op_group_expr_alias",

@@ -14,10 +14,12 @@ from mutable_spark import registry
 # events_sessionize (both green r1-r5) hand over their slots with family
 # coverage retained (TakeOrderedAndProject pin; retention+funnel).
 # Round 8 rotates in dialect_zoneindex_string (the one query that had
-# never held a driver row), pipeline_curriculum_sharded, and the
-# composed pipeline_end_to_end, demoting sim_ann_lsh,
-# multimodal_frame_sample, and pipeline_mix_sources (families stay
-# covered; mix's keep-map runs verbatim inside end_to_end).
+# never held a driver row), pipeline_curriculum_sharded, the composed
+# pipeline_end_to_end, and — late r8 — ALL 13 round-8 additions that
+# would otherwise sit past the horizon unsampled; the 13 displaced ops
+# each hold an r7 triple-match driver row (CORRECTNESS_r07.json) and
+# every family keeps an in-sample member (see registry.py's per-slot
+# notes).
 NEVER_SAMPLED = [
     "dialect_zoneindex_string",
     "pipeline_curriculum_sharded",
@@ -30,26 +32,27 @@ NEVER_SAMPLED = [
     "multimodal_fake_features",
     "op_mvcc_snapshot",
     "op_grouping_sets",
-    "op_rollup",
-    "multimodal_resize",
-    "events_funnel",
-    "text_vocab_topk",
-    "pipeline_train_test_split",
-    "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
     "sim_ivf_train",
     "pipeline_end_to_end",
     "events_retention",
     "pipeline_clean_corpus",
-    "text_repetition_filter",
-    "text_pii_scrub",
-    "pipeline_stratified_sample",
     "pipeline_pack_sequences",
-    "sim_knn_join",
-    "events_windowed_topk",
     "text_rarity_score",
-    "events_value_percentiles",
-    "pipeline_curriculum_order",
+    # the 13 round-8 additions (each one's FIRST driver sample)
+    "op_join_full_outer",
+    "dialect_spn_like_prefix",
+    "dedup_verbatim_ngrams",
+    "sim_ivf_recall",
+    "sim_quantize_embeddings",
+    "sim_quantized_rerank",
+    "sim_semantic_dedup",
+    "multimodal_audio_chunks",
+    "events_interarrival",
+    "pipeline_contamination_stats",
+    "pipeline_token_budget_sample",
+    "pipeline_dedup_keep_best",
+    "pipeline_oversample",
 ]
 
 
