@@ -107,12 +107,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # cross-round continuity: rounds ≤5 tracked exactly the first 21 names;
+    # rounds 6-8 added nine heavy operators to the set, so the grand total
+    # is not comparable across rounds — legacy_21_total is.
+    legacy_21 = round(sum(timings[n] for n in HEADLINE[:21] if n in timings), 4)
     print(
         json.dumps(
             {
                 "metric": "total_runtime_headline_queries",
                 "value": total,
                 "unit": "sec",
+                "legacy_21_total": legacy_21,
                 "queries": timings,
                 "sf": sf,
             }
