@@ -56,6 +56,7 @@ HEADLINE = [
     "sim_semantic_dedup",
     "pipeline_contamination_stats",
     "pipeline_end_to_end",
+    "text_lm_surprisal",
 ]
 
 

@@ -536,3 +536,123 @@ def text_rarity_score(spark, sf_dir):
             ).alias("rare_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: the trained-LM quality filter's reference (training) slice
+_LM_TRAIN_LANG = "en"
+
+
+def _bigram_rows(df, keep):
+    """(``*keep``, w1, w2) — one row per adjacent whitespace-token pair of
+    ``text``. Docs with fewer than two tokens have no bigrams and drop
+    out. zip_with over two slices stays a per-row array expression (no
+    join, no window): the explode is the only row-multiplying step."""
+    t = df.select(*keep, _toks().alias("t")).filter(F.size("t") >= 2)
+    bz = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return t.select(*keep, F.explode(bz).alias("b")).select(
+        *keep, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
+@query(
+    "text_lm_surprisal",
+    oracle=rf"""
+    WITH tr AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE lang = '{_LM_TRAIN_LANG}'
+              AND len(string_split_regex(trim(text), '\s+')) >= 2
+    ),
+    bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS b FROM tr),
+    c12 AS (SELECT b[1] AS w1, b[2] AS w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE lang = '{_LM_TRAIN_LANG}')),
+    ad AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS t
+           FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+    ab0 AS (SELECT doc_id, lang, source,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS b FROM ad),
+    ab AS (SELECT doc_id, lang, source, b[1] AS w1, b[2] AS w2 FROM ab0),
+    costed AS (
+        SELECT doc_id, lang, source,
+               CAST(length(bin((COALESCE(c1.c1, 0) + v.v)
+                               // (COALESCE(c12.c12, 0) + 1))) - 1 AS BIGINT) AS cost
+        FROM ab CROSS JOIN v
+        LEFT JOIN c12 ON ab.w1 = c12.w1 AND ab.w2 = c12.w2
+        LEFT JOIN c1 ON ab.w1 = c1.w1
+    )
+    SELECT doc_id, lang, source, COUNT(*) AS n_bigrams,
+           CAST(SUM(cost) AS BIGINT) AS total_bits,
+           CAST(SUM(cost) AS BIGINT) / COUNT(*) AS bits_per_token
+    FROM costed GROUP BY 1, 2, 3
+    """,
+)
+def text_lm_surprisal(spark, sf_dir):
+    """Trained-LM quality scoring — the real CCNet-shape filter that
+    ``text_rarity_score`` stood in for: train a Laplace-smoothed bigram
+    model on a reference slice (here the ``lang = 'en'`` documents; CCNet
+    trains on target-language Wikipedia), then score EVERY document by
+    its per-token surprisal under that model. Low scores are fluent
+    in-domain text; the high tail is gibberish, OCR noise, and
+    out-of-domain content — the cut a pretraining quality filter makes.
+
+    Cross-engine exactness without a single float log: the per-bigram
+    cost is the *whole-bit surprisal*
+    ``floor(log2((c(w1) + V) / (c(w1,w2) + 1)))`` — the Laplace NLL
+    rounded down to whole bits — computed as ``length(bin(q)) - 1`` of
+    the exact integer quotient ``(c1 + V) div (c12 + 1)``. Both engines
+    evaluate only integer division and a binary-string length (Spark
+    ``bin``/DuckDB ``bin`` are both unpadded), so the driver value-hash
+    matches bit-for-bit; the one double division (total_bits/n_bigrams)
+    is a single IEEE op on exact integers. The quotient is always ≥ 1
+    (c12 ≤ c1 and V ≥ 1), so ``bin`` never sees 0. Unseen prefixes cost
+    ``floor(log2(V))`` — the uniform-over-vocabulary fallback.
+
+    Scale shape (100 TB): the model is two partial-agg groupBys over the
+    training slice's exploded bigrams (map-side combine; the shuffle
+    carries one row per distinct bigram, not the token stream). Scoring
+    joins the corpus bigram stream to the c12/c1 count tables: the
+    dictionary-join shape of ``text_rarity_score``, with the same skew
+    rationale — stopword-pair keys are heavy hitters, the aggregated
+    count frames are vocabulary-bounded, and the broadcast-vs-shuffle
+    decision is left to AQE, which sees their true runtime size. The
+    1-row V frame is an explicit crossJoin (broadcast by construction).
+    A 100 TB deployment prunes c12 to counts ≥ 2 before the join (tail
+    bigrams cost within 1 bit of the unseen fallback) — the same
+    min-count prune the rarity filter documents."""
+    d = load_tables(spark, sf_dir).documents
+    train = d.filter(F.col("lang") == _LM_TRAIN_LANG)
+    c12 = _bigram_rows(train, []).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    # prefix occurrences roll up from the bigram counts (sum, not a second
+    # pass over the token stream): c1(w) = Σ_v c12(w, v)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = train.select(F.explode(_toks()).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    ab = _bigram_rows(d, ["doc_id", "lang", "source"])
+    cost = (
+        F.length(F.bin(F.expr("(coalesce(c1, 0) + v) div (coalesce(c12, 0) + 1)")))
+        - 1
+    ).cast("long")
+    return (
+        ab.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(v)
+        .withColumn("cost", cost)
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost").alias("total_bits"),
+        )
+        .withColumn(
+            "bits_per_token",
+            F.col("total_bits").cast("double") / F.col("n_bigrams"),
+        )
+    )

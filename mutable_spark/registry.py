@@ -118,10 +118,12 @@ _SAMPLE_PRIORITY: list[str] = [
     # sliding / json_extract all hold r1-r7 driver rows)
     "events_retention",
     "events_interarrival",
-    # text: the corpus-frequency (LM-filter stand-in) score keeps the text
-    # family in-sample (token_count / quality / langid / fingerprint /
-    # vocab_topk / repetition_filter / pii_scrub all driver-green r1-r7)
-    "text_rarity_score",
+    # text: the trained bigram-LM surprisal filter (late r8 — the real
+    # CCNet-shape filter) takes the slot of its own stand-in,
+    # text_rarity_score (r7 triple-match); token_count / quality / langid
+    # / fingerprint / vocab_topk / repetition_filter / pii_scrub are all
+    # driver-green r1-r7
+    "text_lm_surprisal",
     # pipeline: the sharded-NTILE curriculum (100 TB shape), the fuzzy
     # decontamination tier + the r8 graded contamination report, the whole
     # curation pipeline as ONE plan (mix_sources/decontaminate/
@@ -145,6 +147,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # suite; their slots went to the 13 r8 operators above, which had
     # never been driver-sampled)
     "op_rollup",  # r7 green; op_grouping_sets keeps the family
+    "text_rarity_score",  # r7 green; its slot went to the trained-LM
+    #                       filter it stood in for (text_lm_surprisal)
     "multimodal_resize",  # r7 green; fake_features + audio_chunks in-sample
     "events_windowed_topk",  # r7 green; retention + interarrival in-sample
     "events_value_percentiles",  # r7 green; exact/approx pair pinned in tests

@@ -58,6 +58,7 @@ _DOC_OPS = [
     "text_repetition_filter",
     "text_pii_scrub",
     "text_rarity_score",
+    "text_lm_surprisal",
     "pipeline_train_test_split",
     "pipeline_mix_sources",
     "pipeline_stratified_sample",

@@ -306,3 +306,18 @@ def test_quantized_rerank_broadcast_topk(plans):
     assert "Broadcast" in p
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lm_surprisal_model_aggregates_partial(plans):
+    """text_lm_surprisal: the bigram model is built with map-side partial
+    aggregation (two HashAggregate levels around each model shuffle), the
+    1-row vocabulary frame broadcasts into a nested-loop (by
+    construction, the only one), and the count-table joins never
+    degenerate into a cartesian."""
+    p = plans("text_lm_surprisal")
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row V crossJoin
+    assert "CartesianProduct" not in p
+    simple = plans("text_lm_surprisal", "simple")
+    # exactly one nested-loop: the broadcast V frame
+    assert simple.count("NestedLoopJoin") == 1

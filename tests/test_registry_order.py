@@ -38,7 +38,7 @@ NEVER_SAMPLED = [
     "events_retention",
     "pipeline_clean_corpus",
     "pipeline_pack_sequences",
-    "text_rarity_score",
+    "text_lm_surprisal",
     # the 13 round-8 additions (each one's FIRST driver sample)
     "op_join_full_outer",
     "dialect_spn_like_prefix",
