@@ -402,3 +402,81 @@ def events_interarrival(spark, sf_dir):
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("sum_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+#: attribution lookback: a purchase converts the latest same-user click
+#: at most this far back
+_ATTRIB_WINDOW = "24 HOURS"
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+                 ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.cts DESC, c.click_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+             AND c.cts <= p.pts
+             AND c.cts >= p.pts - INTERVAL 24 HOUR)
+    SELECT purchase_id, user_id, click_id,
+           date_diff('microsecond', cts, pts) AS gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution — the canonical event-correlation join: each
+    purchase is attributed to the LATEST click by the same user within
+    the 24-hour lookback (ties broken by click_id, so the winner is
+    deterministic in both engines). Emits one row per attributed
+    purchase with the exact epoch-µs click→purchase gap (same
+    `unix_micros`/`date_diff` parity as ``events_interarrival``).
+
+    This is the batch twin of the one Structured Streaming capability the
+    module had not yet exercised: the *watermarked stream-stream interval
+    join* (`streaming.events.attribution_stream`), where the range
+    predicate is exactly what lets Spark bound both join states — clicks
+    older than the lookback + watermark are evicted, so state is
+    O(click rate × lookback), not O(history).
+
+    Scale shape: both sides shuffle once on user_id (the join key); the
+    interval predicate prunes inside each user's partition, and the
+    rank-1 window repartitions only the *matched* pairs by purchase_id —
+    bounded by clicks-per-user-day, not by history. A celebrity-user key
+    would skew the join; AQE skew-split handles it (same contract as
+    every user-keyed shuffle in this module)."""
+    e = load_tables(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(f"INTERVAL {_ATTRIB_WINDOW}")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (
+                F.unix_micros(F.col("pts").cast("timestamp"))
+                - F.unix_micros(F.col("cts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )

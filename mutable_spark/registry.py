@@ -113,11 +113,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # frame_sample / resize all hold earlier driver rows)
     "multimodal_fake_features",
     "multimodal_audio_chunks",
-    # events: cohort retention + the r8 per-user inter-arrival cadence
-    # (funnel / windowed_topk / value_percentiles / sessionize / tumbling /
-    # sliding / json_extract all hold r1-r7 driver rows)
-    "events_retention",
+    # events: the r8 per-user inter-arrival cadence + the late-r8
+    # last-touch attribution join (batch twin of the watermarked
+    # stream-stream interval join) — events_retention hands over its slot
+    # (green r6/r7; funnel / windowed_topk / value_percentiles /
+    # sessionize / tumbling / sliding / json_extract all hold r1-r7 rows)
     "events_interarrival",
+    "events_attribution",
     # text: the trained bigram-LM surprisal filter (late r8 — the real
     # CCNet-shape filter) takes the slot of its own stand-in,
     # text_rarity_score (r7 triple-match); token_count / quality / langid
@@ -149,6 +151,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_rollup",  # r7 green; op_grouping_sets keeps the family
     "text_rarity_score",  # r7 green; its slot went to the trained-LM
     #                       filter it stood in for (text_lm_surprisal)
+    "events_retention",  # green r6/r7; slot went to events_attribution
     "multimodal_resize",  # r7 green; fake_features + audio_chunks in-sample
     "events_windowed_topk",  # r7 green; retention + interarrival in-sample
     "events_value_percentiles",  # r7 green; exact/approx pair pinned in tests

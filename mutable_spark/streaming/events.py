@@ -406,3 +406,53 @@ def interarrival_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream interval join — the twin of the batch
+    ``events_attribution`` (`operators/events.py`), and the one
+    Structured Streaming capability the module had not yet exercised:
+    joining two live streams with a time-range predicate so Spark can
+    BOUND both join states. Clicks hold a 25-hour watermark (the 24-hour
+    attribution lookback + the purchase side's 1-hour delay tolerance):
+    once the click watermark passes, no future purchase can reach back to
+    it and its state row is evicted — state is O(click rate × lookback),
+    not O(history). The rank-1 "latest click wins" step chains a second
+    stateful operator (a streaming aggregation keyed on the purchase and
+    its event time) after the join; grouping on the watermarked ``pts``
+    instant itself keeps exactly one event-time column, which is what
+    makes the chained pair legal in append mode."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "25 hours")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    return (
+        j.groupBy("purchase_id", "user_id", "pts")
+        .agg(F.max(F.struct("cts", "click_id")).alias("best"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("best.click_id").alias("click_id"),
+            (F.unix_micros("pts") - F.unix_micros("best.cts")).alias("gap_us"),
+        )
+    )

@@ -321,3 +321,14 @@ def test_lm_surprisal_model_aggregates_partial(plans):
     simple = plans("text_lm_surprisal", "simple")
     # exactly one nested-loop: the broadcast V frame
     assert simple.count("NestedLoopJoin") == 1
+
+
+def test_attribution_filters_pushed_no_cartesian(plans):
+    """events_attribution: both event_type filters reach the parquet scan,
+    the user join never degenerates into a cartesian (the equi-key rides
+    the hash join; the interval bounds post-filter), and the rank-1
+    window runs over the matched pairs only."""
+    p = plans("events_attribution")
+    assert "PushedFilters" in p and "event_type" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

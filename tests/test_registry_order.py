@@ -35,7 +35,7 @@ NEVER_SAMPLED = [
     "pipeline_decontaminate_fuzzy",
     "sim_ivf_train",
     "pipeline_end_to_end",
-    "events_retention",
+    "events_attribution",
     "pipeline_clean_corpus",
     "pipeline_pack_sequences",
     "text_lm_surprisal",

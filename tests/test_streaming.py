@@ -762,3 +762,71 @@ def test_streaming_interarrival_rebases_out_of_order(spark, tmp_path):
         for r in registry.QUERIES["events_interarrival"](spark, SF_DIR).collect()
     }
     assert latest == want
+
+
+def test_streaming_attribution_equals_batch(spark, tmp_path):
+    """Stream-stream interval join + chained rank-1 aggregation: the
+    watermarked attribution twin equals the registered batch
+    events_attribution exactly across a TWO-delivery replay (state rows
+    for pending purchases and lookback clicks must survive the batch
+    boundary). Sentinel purchase/click events with unmatchable user ids
+    push both sides' watermarks past every real event so append mode
+    flushes all held groups; they join nothing, so the output is purely
+    the real attribution rows."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import attribution_stream
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+    far = hi + datetime.timedelta(days=5)
+    sentinels = spark.createDataFrame(
+        [
+            (10**9, far, -1, "purchase", 0.0, "{}"),
+            (10**9 + 1, far, -2, "click", 0.0, "{}"),
+        ],
+        ev.schema,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            attribution_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once("t_attr_p1")
+    deliver(ev.filter(F.col("ts") >= F.lit(split)).unionByName(sentinels), "phase2")
+    run_once("t_attr_p2")
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry.QUERIES["events_attribution"](spark, SF_DIR).collect()
+    )
+    assert got == want
