@@ -336,3 +336,157 @@ def multimodal_audio_chunks(spark, sf_dir):
         "n_samples",
         F.md5("chunk_payload").alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+#: perceptual-hash geometry: 64 cells → 64 bits, stored as 4×16-bit chunks
+#: (same ANSI-safe chunking as dedup_simhash — bit 63 of a packed long
+#: would overflow signed arithmetic)
+_PHASH_CELLS = 64
+_PHASH_CHUNKS = 4
+
+
+def fake_phash(payload: bytes) -> tuple[int, int, int, int]:
+    """Average-hash (aHash) of a fake-decoded image: split the payload
+    into 64 cells, bit i = 1 iff cell i's mean byte exceeds the global
+    mean. The comparison is the exact integer cross-multiplication
+    ``cell_sum * n > total_sum * cell_len`` — no divisions, so the
+    DuckDB oracle reproduces every bit. A real pipeline swaps this for
+    pHash/aHash over decoded 8×8 luma (`decode_image`); the geometry,
+    chunking, and downstream near-dup machinery stay identical."""
+    n = len(payload)
+    if n == 0:
+        return (0, 0, 0, 0)
+    tot = sum(payload)
+    chunks = [0, 0, 0, 0]
+    for i in range(_PHASH_CELLS):
+        lo, hi = i * n // _PHASH_CELLS, (i + 1) * n // _PHASH_CELLS
+        cell = payload[lo:hi]
+        if sum(cell) * n > tot * len(cell):
+            chunks[i // 16] |= 1 << (i % 16)
+    return tuple(chunks)
+
+
+def _phash_chunk_sql(k: int) -> str:
+    """DuckDB expression for 16-bit chunk k of the aHash over `text`."""
+    cell_sum = (
+        f"CASE WHEN (i+1)*n//{_PHASH_CELLS} > i*n//{_PHASH_CELLS} THEN "
+        f"list_sum(list_transform(range(1 + i*n//{_PHASH_CELLS}, "
+        f"1 + (i+1)*n//{_PHASH_CELLS}), j -> ascii(substr(text, j, 1)))) "
+        f"ELSE 0 END"
+    )
+    bit = (
+        f"CASE WHEN n = 0 THEN 0 "
+        f"WHEN ({cell_sum}) * n > tot * ((i+1)*n//{_PHASH_CELLS} - i*n//{_PHASH_CELLS}) "
+        f"THEN 1 ELSE 0 END"
+    )
+    return (
+        f"CAST(list_sum(list_transform(range({16 * k}, {16 * (k + 1)}), i -> "
+        f"({bit}) * (1 << (i - {16 * k})))) AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           {_phash_chunk_sql(0)} AS c0,
+           {_phash_chunk_sql(1)} AS c1,
+           {_phash_chunk_sql(2)} AS c2,
+           {_phash_chunk_sql(3)} AS c3
+    FROM (
+        SELECT doc_id, text, strlen(text) AS n,
+               CASE WHEN strlen(text) = 0 THEN 0
+                    ELSE list_sum(list_transform(range(1, strlen(text) + 1),
+                                                 i -> ascii(substr(text, i, 1))))
+               END AS tot
+        FROM documents
+    )
+    """,
+)
+def multimodal_phash(spark, sf_dir):
+    """Perceptual-hash signature extraction — the image-dedup primitive
+    (LAION-scale corpora dedup on pHash/aHash before any embedding
+    pass): each payload fake-decodes to a 64-bit average hash, emitted
+    as 4×16-bit chunks ready for the pigeonhole near-dup tier
+    (`phash_pairs`, the `dedup_simhash` machinery pointed at image
+    signatures). The Python tier runs the codec-shaped byte work in
+    Arrow batches (`mapInPandas`, the module contract); every bit is
+    exact integer arithmetic, so the DuckDB oracle reproduces the full
+    signature — the Python hash tier itself is hash-checked.
+
+    At 100 TB: stateless map over the payload scan, no shuffle; the
+    signature table (doc_id + 4 smallint-range longs) is the only thing
+    downstream dedup ever shuffles — the payloads are read once."""
+    df = _payload_df(spark, sf_dir)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = pdf["payload"].map(lambda b: fake_phash(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "c0": hs.map(lambda t: t[0]).astype("int64"),
+                    "c1": hs.map(lambda t: t[1]).astype("int64"),
+                    "c2": hs.map(lambda t: t[2]).astype("int64"),
+                    "c3": hs.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        hash_batch,
+        schema="doc_id long, n_bytes long, c0 long, c1 long, c2 long, c3 long",
+    )
+
+
+def phash_pairs(sig, max_ham: int = 3):
+    """Near-duplicate image pairs from a `multimodal_phash` signature
+    frame: pigeonhole banding on the 4 chunks (a pair within Hamming
+    distance ≤ 3 of 64 bits leaves at least one 16-bit chunk untouched —
+    a theorem, so candidate recall is EXACT, same contract as
+    ``dedup_simhash``), then the exact Hamming distance computed in-row
+    from the carried chunks — signatures are 4 small ints, so bucket
+    members carry their whole signature and the verify needs NO join
+    back. One shuffle to the (band, value) buckets, one candidate
+    distinct; emitted pairs are exact.
+
+    ``max_ham`` must stay < the chunk count (4) for the pigeonhole
+    guarantee — asserted."""
+    assert max_ham < _PHASH_CHUNKS, "pigeonhole guarantee needs max_ham < chunks"
+    member = F.struct("doc_id", "c0", "c1", "c2", "c3")
+    bands = F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("band", "bval")
+    buckets = sig.select(member.alias("m"), bands)
+    grouped = (
+        buckets.groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    mk = lambda a, b: F.struct(a.alias("a"), b.alias("b"))  # noqa: E731
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(ms, lambda y, j: F.when(j > i, mk(x, y))),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    cand = grouped.select(F.explode(pair_structs).alias("p")).select(
+        "p.a", "p.b"
+    ).distinct()
+    ham = sum(
+        F.bit_count(F.col(f"a.c{k}").bitwiseXOR(F.col(f"b.c{k}")))
+        for k in range(_PHASH_CHUNKS)
+    )
+    return (
+        cand.withColumn("ham", ham.cast("long"))
+        .filter(F.col("ham") <= max_ham)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "ham",
+        )
+    )

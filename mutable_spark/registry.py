@@ -108,10 +108,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_quantize_embeddings",
     "sim_quantized_rerank",
     "sim_semantic_dedup",
-    # multimodal: the oracle-checked stand-in-codec featurize pass + the
-    # r8 audio windowing verb (resize demoted — r7 triple-match; extract /
-    # frame_sample / resize all hold earlier driver rows)
-    "multimodal_fake_features",
+    # multimodal: the late-r8 perceptual-hash signature op (the image
+    # dedup primitive; its pigeonhole pair tier is pinned vs brute force
+    # in tests/test_phash.py) + the r8 audio windowing verb —
+    # fake_features hands over its slot (green r6/r7; the identical
+    # mapInPandas codec tier is what phash exercises) and extract /
+    # frame_sample / resize all hold earlier driver rows
+    "multimodal_phash",
     "multimodal_audio_chunks",
     # events: the r8 per-user inter-arrival cadence + the late-r8
     # last-touch attribution join (batch twin of the watermarked
@@ -152,6 +155,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_rarity_score",  # r7 green; its slot went to the trained-LM
     #                       filter it stood in for (text_lm_surprisal)
     "events_retention",  # green r6/r7; slot went to events_attribution
+    "multimodal_fake_features",  # green r6/r7; slot went to multimodal_phash
     "multimodal_resize",  # r7 green; fake_features + audio_chunks in-sample
     "events_windowed_topk",  # r7 green; retention + interarrival in-sample
     "events_value_percentiles",  # r7 green; exact/approx pair pinned in tests

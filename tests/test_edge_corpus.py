@@ -46,6 +46,7 @@ _ASCII_OPS = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_audio_chunks",
+    "multimodal_phash",
 ]
 
 #: every registered op whose only input is the documents table

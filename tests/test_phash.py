@@ -1,0 +1,83 @@
+"""Perceptual-hash image dedup (`multimodal_phash` + `phash_pairs`):
+the pigeonhole pair tier must find EXACTLY the pairs brute force finds
+(candidate recall at ham ≤ 3 is a theorem, and the in-row Hamming
+verify is exact), on a constructed corpus where near-dups exist — the
+generator's text corpus has none within the threshold (verified: the
+closest pair sits at hamming 9), so the tier's behavior is pinned
+here on images built to collide."""
+
+from __future__ import annotations
+
+import random
+from itertools import combinations
+
+import pytest
+
+from mutable_spark.operators.multimodal import (
+    _PHASH_CELLS,
+    fake_phash,
+    phash_pairs,
+)
+
+
+def _corpus():
+    """120 fake images: 30 random bases + 2 perturbed variants each + 30
+    unrelated. Perturbations flip a handful of bytes hard (0 ↔ 255), so
+    variants land within a few hash bits of their base."""
+    rng = random.Random(42)
+    docs = []
+    did = 0
+    for _ in range(30):
+        base = bytes(rng.randrange(256) for _ in range(512))
+        docs.append((did, base))
+        did += 1
+        for _ in range(2):
+            b = bytearray(base)
+            for _ in range(3):
+                i = rng.randrange(len(b))
+                b[i] = 255 if b[i] < 128 else 0
+            docs.append((did, bytes(b)))
+            did += 1
+    for _ in range(30):
+        docs.append((did, bytes(rng.randrange(256) for _ in range(512))))
+        did += 1
+    return docs
+
+
+def _brute_pairs(docs, max_ham):
+    sigs = {d: fake_phash(b) for d, b in docs}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+
+    return sorted(
+        (a, b, ham(a, b))
+        for a, b in combinations(sorted(sigs), 2)
+        if ham(a, b) <= max_ham
+    )
+
+
+def test_phash_pairs_equal_brute_force(spark):
+    docs = _corpus()
+    want = _brute_pairs(docs, 3)
+    assert len(want) >= 10, "constructed corpus must actually contain near-dups"
+    sig = spark.createDataFrame(
+        [(d,) + fake_phash(b) for d, b in docs],
+        "doc_id long, c0 long, c1 long, c2 long, c3 long",
+    )
+    got = sorted(tuple(r) for r in phash_pairs(sig, max_ham=3).collect())
+    assert got == want
+
+
+def test_phash_pairs_rejects_unguaranteed_threshold(spark):
+    sig = spark.createDataFrame(
+        [(0, 0, 0, 0, 0)], "doc_id long, c0 long, c1 long, c2 long, c3 long"
+    )
+    with pytest.raises(AssertionError):
+        phash_pairs(sig, max_ham=4)
+
+
+def test_phash_empty_payload_is_zero_signature():
+    assert fake_phash(b"") == (0, 0, 0, 0)
+    # constant payload: no cell mean ever exceeds the global mean
+    assert fake_phash(b"\x7f" * _PHASH_CELLS) == (0, 0, 0, 0)

@@ -29,7 +29,7 @@ NEVER_SAMPLED = [
     "dialect_spn_planned_join",
     "dialect_zoneindex_scan",
     "dialect_spn_string_filter",
-    "multimodal_fake_features",
+    "multimodal_phash",
     "op_mvcc_snapshot",
     "op_grouping_sets",
     "pipeline_decontaminate_fuzzy",
