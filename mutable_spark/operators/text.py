@@ -626,6 +626,14 @@ def text_lm_surprisal(spark, sf_dir):
     bigrams cost within 1 bit of the unseen fallback) — the same
     min-count prune the rarity filter documents."""
     d = load_tables(spark, sf_dir).documents
+    return lm_score_frame(d, *lm_train_model(d))
+
+
+def lm_train_model(d):
+    """(c12, c1, v) — the Laplace-smoothed bigram model trained on the
+    reference slice of ``d``. Split out from the registered query so the
+    pretrained model can be applied elsewhere (the foreachBatch
+    score-at-ingest twin, `streaming.documents.lm_score_batch`)."""
     train = d.filter(F.col("lang") == _LM_TRAIN_LANG)
     c12 = _bigram_rows(train, []).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
@@ -636,6 +644,13 @@ def text_lm_surprisal(spark, sf_dir):
     v = train.select(F.explode(_toks()).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    return c12, c1, v
+
+
+def lm_score_frame(d, c12, c1, v):
+    """Score every document of ``d`` (≥ 2 tokens) against a trained
+    (c12, c1, v) bigram model — the apply half of ``text_lm_surprisal``,
+    exact whole-bit arithmetic throughout."""
     ab = _bigram_rows(d, ["doc_id", "lang", "source"])
     cost = (
         F.length(F.bin(F.expr("(coalesce(c1, 0) + v) div (coalesce(c12, 0) + 1)")))

@@ -176,3 +176,32 @@ def contamination_matched_stream(docs: DataFrame, eval_hashes: DataFrame) -> Dat
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def lm_score_ingest(docs: DataFrame, c12, c1, v, sink: str, ckpt: str):
+    """Quality-score-at-ingest: apply a PRETRAINED bigram surprisal model
+    (`operators.text.lm_train_model`, trained offline on the reference
+    slice — exactly how a CCNet-style filter deploys: the model is a
+    static artifact, the corpus streams past it) to every arriving
+    micro-batch, appending scores to ``sink``.
+
+    Shape: foreachBatch, not a streaming aggregation — one input row IS
+    one whole document, so each micro-batch scores completely inside the
+    batch (`lm_score_frame`'s per-doc groupBy never needs cross-batch
+    state), which is what makes the per-doc aggregate legal without
+    watermarks and the output exactly-once under the sink's commit log.
+    The model count-tables are ordinary static frames; Spark plans the
+    stream-static joins per batch (broadcast under AQE, same as the
+    registered batch query)."""
+    from mutable_spark.operators.text import lm_score_frame
+
+    return (
+        docs.writeStream.foreachBatch(
+            lambda b, _id: lm_score_frame(b, c12, c1, v)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

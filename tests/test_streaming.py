@@ -830,3 +830,50 @@ def test_streaming_attribution_equals_batch(spark, tmp_path):
         for r in registry.QUERIES["events_attribution"](spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_streaming_lm_score_equals_batch(spark, tmp_path):
+    """Score-at-ingest with a pretrained surprisal model: stream the
+    corpus in TWO deliveries through lm_score_ingest (foreachBatch,
+    per-doc scoring completes inside each batch); the union of appended
+    scores equals the registered batch text_lm_surprisal exactly —
+    the model is a static artifact, so per-doc scores are independent
+    of how the corpus is batched."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.text import lm_train_model
+    from mutable_spark.streaming.documents import lm_score_ingest
+
+    d = load_tables(spark, SF_DIR).documents
+    model = lm_train_model(d)
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = lm_score_ingest(
+            stream, *model, sink=str(tmp_path / "out"), ckpt=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    deliver(d.filter(F.col("doc_id") <= mid), "phase1")
+    run_once()
+    deliver(d.filter(F.col("doc_id") > mid), "phase2")
+    run_once()
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry.QUERIES["text_lm_surprisal"](spark, SF_DIR).collect()
+    )
+    assert got == want
