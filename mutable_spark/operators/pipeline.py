@@ -556,12 +556,19 @@ def pipeline_pack_sequences(spark, sf_dir):
     return pack_sequences_frame(load_tables(spark, sf_dir).documents)
 
 
-def pack_sequences_frame(d, carry: tuple[str, ...] = ()):
+def pack_sequences_frame(d, carry: tuple[str, ...] = (), epoch: int | None = None):
     """The packing layout as a frame transform — the core of
     ``pipeline_pack_sequences``, exposed so the layout's invariance to
     input partitioning/order is testable on a scrambled frame. ``carry``
     names extra document columns to thread through the layout (the shard
-    writer carries ``text``), avoiding a join back to the corpus."""
+    writer carries ``text``), avoiding a join back to the corpus.
+
+    ``epoch`` switches the within-shard order from doc_id to the seeded
+    hash ``_hash52(doc_id || ':' || epoch)`` (doc_id tie-break) — epoch
+    reshuffling: every epoch sees the corpus in a fresh deterministic
+    order, with ZERO extra data movement (the shard key, and therefore
+    the one shuffle, is epoch-independent; only the in-shard sort order
+    changes)."""
     from pyspark.sql import Window
 
     t = d.select(
@@ -570,9 +577,14 @@ def pack_sequences_frame(d, carry: tuple[str, ...] = ()):
         (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
         *carry,
     )
+    if epoch is None:
+        order = [F.col("doc_id")]
+    else:
+        okey = _hash52(F.concat(F.col("doc_id").cast("string"), F.lit(f":{epoch}")))
+        order = [okey, F.col("doc_id")]
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     o = t.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
@@ -1154,4 +1166,50 @@ def pipeline_oversample(spark, sf_dir):
         "source",
         F.explode(F.sequence(F.lit(0), reps - 1)).alias("copy_idx"),
         reps.alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: the epoch whose reshuffled layout the registered query emits
+_EPOCH = 1
+
+
+@query(
+    "pipeline_epoch_order",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               {_sql_hash52('doc_id')} % {_PACK_SHARDS} AS shard,
+               {_sql_hash52(f"CAST(doc_id AS VARCHAR) || ':{_EPOCH}'")} AS okey
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tok AS off
+        FROM t
+    )
+    SELECT doc_id, shard, n_tok, off,
+           off // {_PACK_CAP} AS begin_seq,
+           off % {_PACK_CAP} AS begin_off,
+           (off + n_tok - 1) // {_PACK_CAP} AS end_seq
+    FROM o
+    """,
+)
+def pipeline_epoch_order(spark, sf_dir):
+    """Epoch reshuffling for sequence packing: the ``pipeline_pack_
+    sequences`` layout under a seeded within-shard order — every training
+    epoch sees the corpus in a fresh deterministic order (epoch e orders
+    shard members by the portable hash of ``doc_id || ':' || e``), which
+    is how pretraining runs decorrelate batch composition across epochs
+    WITHOUT moving data: the shard assignment (and so the single
+    shard-key shuffle and the output file set) is epoch-independent;
+    only the in-shard sort changes. Resumable and coordination-free for
+    the same reason the base layout is — the layout is a pure function
+    of (data, epoch). Same exact-integer arithmetic; the registered
+    query emits epoch 1."""
+    return pack_sequences_frame(
+        load_tables(spark, sf_dir).documents, epoch=_EPOCH
     )

@@ -168,6 +168,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_stratified_sample",  # r7 green; token_budget covers sampling
     "pipeline_curriculum_order",  # r7 green; sharded twin in-sample
     "sim_knn_join",  # r7 green; broadcast-batch shape plan-pinned
+    # late r8, past the horizon (oracle-green locally; rotation candidate
+    # for r9): epoch reshuffling for sequence packing — the pack layout
+    # under a seeded within-shard order, zero extra data movement
+    "pipeline_epoch_order",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

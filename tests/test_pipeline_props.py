@@ -160,3 +160,39 @@ def test_token_budget_membership_partition_invariant(spark):
     scrambled = d.repartition(13, F.col("lang")).sortWithinPartitions(F.col("n_chars"))
     got = sorted(map(tuple, token_budget_frame(scrambled, _TOKEN_BUDGET).collect()))
     assert got == base
+
+
+def test_epoch_orders_differ_but_preserve_shards(spark):
+    """Epoch reshuffling: epochs 1 and 2 produce DIFFERENT within-shard
+    orders (off assignments differ for some docs) while the
+    epoch-independent pieces are identical — every doc keeps its shard
+    and n_tok, and each shard's total token count (= max off + its
+    doc's n_tok, but simplest: sum n_tok) is unchanged."""
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import pack_sequences_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    e1 = {r.doc_id: r for r in pack_sequences_frame(d, epoch=1).collect()}
+    e2 = {r.doc_id: r for r in pack_sequences_frame(d, epoch=2).collect()}
+    assert set(e1) == set(e2)
+    assert all(e1[k].shard == e2[k].shard and e1[k].n_tok == e2[k].n_tok for k in e1)
+    assert any(e1[k].off != e2[k].off for k in e1), "epochs must reshuffle"
+    # per-shard token mass identical
+    import collections
+
+    t1, t2 = collections.Counter(), collections.Counter()
+    for k in e1:
+        t1[e1[k].shard] += e1[k].n_tok
+        t2[e2[k].shard] += e2[k].n_tok
+    assert t1 == t2
+
+
+def test_epoch_layout_invariant_to_partitioning(spark):
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import pack_sequences_frame
+
+    d = load_tables(spark, SF_DIR).documents
+    base = sorted(map(tuple, pack_sequences_frame(d, epoch=3).collect()))
+    scrambled = d.repartition(7)
+    got = sorted(map(tuple, pack_sequences_frame(scrambled, epoch=3).collect()))
+    assert got == base
