@@ -996,6 +996,28 @@ def dedup_simhash(spark, sf_dir):
 #: keeps every scale factor exercised.
 _SPAN_K = 20
 
+def verbatim_gram_rows(d, keep: tuple[str, ...] = ()):
+    """(doc_id, ``*keep``, h) — one row per distinct ``_SPAN_K``-token
+    rolling-gram hash per document; the shared gram tier behind
+    ``dedup_verbatim_ngrams`` and ``pipeline_source_overlap``. Grams
+    chain the portable token hashes with k-1 zip_withs over aligned
+    array views (the `_hashed_shingle_df` construction generalized from
+    3 to k), all JVM-side; the explode is the only row-multiplier."""
+    toks = _tokens()
+    t = d.select("doc_id", *keep, toks.alias("t")).filter(F.size("t") >= _SPAN_K)
+    t = t.select("doc_id", *keep, F.transform(F.col("t"), _token_hash).alias("th"))
+    m = F.greatest(F.size("th") - _SPAN_K + 1, F.lit(0))
+    acc = F.slice(F.col("th"), 1, m)
+    for j in range(1, _SPAN_K):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("th"), 1 + j, m),
+            lambda a, b: (a * 131 + b) % _PH,
+        )
+    g = t.select("doc_id", *keep, F.array_distinct(acc).alias("grams"))
+    return g.select("doc_id", *keep, F.explode("grams").alias("h"))
+
+
 _SQL_VERBATIM = rf"""
     WITH th AS (
         SELECT doc_id,
@@ -1042,20 +1064,7 @@ def dedup_verbatim_ngrams(spark, sf_dir):
     contract; a 100 TB run feeds the star spanning set to components
     instead). The oracle mirrors the identical arithmetic, so the span
     evidence is hash-checked bit-for-bit."""
-    d = load_tables(spark, sf_dir).documents
-    toks = _tokens()
-    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= _SPAN_K)
-    t = t.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
-    m = F.greatest(F.size("th") - _SPAN_K + 1, F.lit(0))
-    acc = F.slice(F.col("th"), 1, m)
-    for j in range(1, _SPAN_K):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("th"), 1 + j, m),
-            lambda a, b: (a * 131 + b) % _PH,
-        )
-    g = t.select("doc_id", F.array_distinct(acc).alias("grams"))
-    e = g.select("doc_id", F.explode("grams").alias("h"))
+    e = verbatim_gram_rows(load_tables(spark, sf_dir).documents)
     grouped = (
         e.groupBy("h")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id"))).alias("ms"))

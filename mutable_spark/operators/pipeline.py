@@ -1213,3 +1213,90 @@ def pipeline_epoch_order(spark, sf_dir):
     return pack_sequences_frame(
         load_tables(spark, sf_dir).documents, epoch=_EPOCH
     )
+
+
+# --------------------------------------------------------------------------
+# source-overlap matrix constants — the dedup tier's gram geometry, reused
+from mutable_spark.operators.dedup import _PH as _OVERLAP_PH  # noqa: E402
+from mutable_spark.operators.dedup import _SPAN_K as _OVERLAP_K  # noqa: E402
+
+
+@query(
+    "pipeline_source_overlap",
+    oracle=rf"""
+    WITH th AS (
+        SELECT doc_id, source,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                   t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(th) - {_OVERLAP_K} + 2),
+                   i -> list_reduce(list_slice(th, i, i + {_OVERLAP_K} - 1),
+                                    (a, b) -> (a * 131 + b) % {_OVERLAP_PH}))) AS grams
+        FROM th WHERE len(th) >= {_OVERLAP_K}
+    ),
+    e AS (SELECT doc_id, source, unnest(grams) AS h FROM g),
+    p AS (
+        SELECT DISTINCT a.h, a.source AS source_a, b.source AS source_b
+        FROM e a JOIN e b ON a.h = b.h
+         AND (a.source < b.source
+              OR (a.source = b.source AND a.doc_id < b.doc_id))
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_shared_grams
+    FROM p GROUP BY 1, 2
+    """,
+)
+def pipeline_source_overlap(spark, sf_dir):
+    """Source-pair verbatim-overlap matrix — which sources copy from
+    which: for every pair of sources, the number of DISTINCT
+    ``_SPAN_K``-token spans appearing in both (diagonal entries count
+    spans shared by two different documents of the same source —
+    intra-source duplication mass). This is the corpus-level view the
+    doc-level `dedup_verbatim_ngrams` rolls up to, and the input a mix
+    designer actually reads: heavy off-diagonal cells mean double
+    counting between sources (the same content upweighted twice by
+    `pipeline_mix_sources` quotas), and direct the dedup/mix order.
+
+    Scale shape: the shared gram tier (`dedup.verbatim_gram_rows`) feeds
+    ONE groupBy per gram; each gram's source membership expands to
+    source pairs IN-ROW — the "bucket" here is the per-gram source list,
+    bounded by the NUMBER OF SOURCES (a structural constant, ~tens even
+    at 100 TB), so the expansion needs no star cap and the output is at
+    most |sources|² rows. No self-join anywhere; the oracle's self-join
+    formulation is the same set, computed the quadratic way DuckDB
+    prefers at test scale."""
+    import mutable_spark.operators.dedup as D
+
+    e = D.verbatim_gram_rows(
+        load_tables(spark, sf_dir).documents, keep=("source",)
+    )
+    # per (gram, source): number of distinct docs (e is distinct per doc)
+    per_src = e.groupBy("h", "source").agg(F.count(F.lit(1)).alias("nd"))
+    grouped = per_src.groupBy("h").agg(
+        F.array_sort(F.collect_list(F.struct("source", "nd"))).alias("ms")
+    )
+    ms = F.col("ms")
+    mk = lambda a, b: F.struct(  # noqa: E731
+        a["source"].alias("source_a"), b["source"].alias("source_b")
+    )
+    cross = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(ms, lambda y, j: F.when(j > i, mk(x, y))),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    diag = F.filter(
+        F.transform(ms, lambda x: F.when(x["nd"] >= 2, mk(x, x))),
+        lambda p: p.isNotNull(),
+    )
+    pairs = grouped.select(F.explode(F.concat(cross, diag)).alias("p"))
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

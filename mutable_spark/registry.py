@@ -172,6 +172,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # for r9): epoch reshuffling for sequence packing — the pack layout
     # under a seeded within-shard order, zero extra data movement
     "pipeline_epoch_order",
+    # late r8, past the horizon: the source-pair verbatim-overlap matrix
+    # (mix-design input; per-gram source sets expand in-row — bounded by
+    # the source count — so there is no self-join anywhere)
+    "pipeline_source_overlap",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

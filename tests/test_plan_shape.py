@@ -332,3 +332,12 @@ def test_attribution_filters_pushed_no_cartesian(plans):
     assert "PushedFilters" in p and "event_type" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_source_overlap_has_no_joins(plans):
+    """pipeline_source_overlap: the whole matrix computes as a groupBy
+    chain — per-gram source sets expand IN-ROW (bounded by the source
+    count), so the plan contains no join operator of any kind."""
+    p = plans("pipeline_source_overlap")
+    assert "Join" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
