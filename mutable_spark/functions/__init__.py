@@ -51,6 +51,43 @@ def dsum_expr(col: Column) -> Column:
     return F.sum(col).cast("double")
 
 
+# --- split-accumulator exact decimal sums --------------------------------
+# Spark's decimal SUM buffer (precision 28 after the +10 promotion) exceeds
+# the compact-long threshold (18), so every row update runs BigDecimal
+# arithmetic — measured ~17-35% of TPC-H Q1's total wall time at sf0.1.
+# The split-accumulator formulation keeps exactness with pure LONG
+# aggregates inside whole-stage codegen: scale the (2-decimal-grid) input
+# to an integer, split it into whole units (div 10^s) and the sub-unit
+# remainder (% 10^s), and SUM the two parts separately. Bounds at 100 TB
+# (~6e11 TPC-H rows): the hi sum carries ≤ max_whole_units·rows (Q1's
+# charge: ~3.7e4 · 6e11 ≈ 2e16) and the lo sum < 10^s·rows (≤ 6e17 for
+# s=6) — both far inside int64, where the naive single-long accumulator
+# for the charge product overflows at roughly sf 40. Non-negative inputs
+# only (div/% on negatives differ across engines); TPC-H money columns
+# qualify. The double recombination (hi + lo/10^s) is mirrored
+# expression-for-expression by the SQL twins, so both engines perform the
+# IDENTICAL IEEE operation sequence on identical exact integers.
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal-grid DOUBLE column (LONG).
+    round() only snaps off representation error (≤1e-9 on the testdata,
+    asserted in tests), never a real digit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def split_sum(name: str, s: int) -> Column:
+    """Order-independent exact SUM of integer column ``name`` (in 10^-s
+    units), surfaced as DOUBLE via split accumulators (see module note).
+    Takes a column NAME so the integer `div` stays an exact SQL
+    expression (Column `/` is float division)."""
+    k = 10**s
+    hi = F.sum(F.expr(f"`{name}` div {k}"))
+    lo = F.sum(F.col(name) % F.lit(k))
+    return hi.cast("double") + lo.cast("double") / F.lit(float(k))
+
+
 # SQL-side twins for oracle strings (DuckDB dialect).
 def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -58,6 +95,20 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr}))"
+
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr})*100) AS BIGINT)"
+
+
+def sql_split_sum(expr: str, s: int) -> str:
+    # CAST each SUM to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, whose
+    # hash family can never match int64 (the r7 pack_sequences lesson).
+    k = 10**s
+    return (
+        f"(CAST(CAST(SUM(({expr}) // {k}) AS BIGINT) AS DOUBLE)"
+        f" + CAST(CAST(SUM(({expr}) % {k}) AS BIGINT) AS DOUBLE) / {float(k)})"
+    )
 
 
 # --- vector math over array<float/double> columns ------------------------

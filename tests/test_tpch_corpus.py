@@ -76,3 +76,23 @@ def test_tpch_sema_stage(spark, schema_stmts, name):
             run()
     else:
         run()
+
+
+def test_lineitem_money_columns_on_two_decimal_grid():
+    """`functions.cents` (the split-accumulator input scaler) is lossless
+    only if every money/rate value sits on the 2-decimal grid — i.e.
+    x*100 is within representation error (≪0.5) of an integer. Checked
+    in DuckDB over the full sf0.01 table so the q1 rewrite's premise is
+    pinned, not assumed."""
+    import duckdb
+
+    con = duckdb.connect()
+    dev = con.sql(
+        "SELECT greatest("
+        " max(abs(l_quantity*100 - round(l_quantity*100))),"
+        " max(abs(l_extendedprice*100 - round(l_extendedprice*100))),"
+        " max(abs(l_discount*100 - round(l_discount*100))),"
+        " max(abs(l_tax*100 - round(l_tax*100))))"
+        " FROM '/root/testdata/sf0.01/lineitem.parquet'"
+    ).fetchone()[0]
+    assert dev < 1e-6, dev
