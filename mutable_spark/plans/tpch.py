@@ -63,6 +63,13 @@ _SQL_CHARGE = (
 )
 
 
+def _dp_c():
+    """discounted price as an exact integer in 1e-4 currency units —
+    the split-accumulator input (`functions.split_sum`; see the q1
+    docstring for the measured decimal→long rationale)."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
 #: q1's scaled-integer per-row terms (cents; disc_price in 1e-4, charge in
 #: 1e-6 units) — DuckDB twins of the projections tpch_q1 builds
 _SQL_Q = sql_cents("l_quantity")
@@ -142,7 +149,7 @@ def tpch_q1(spark, sf_dir):
     "tpch_q3",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           {sql_split_sum(_SQL_DP_C, 4)} AS revenue,
            o_orderdate,
            o_orderpriority
     FROM customer
@@ -173,8 +180,9 @@ def tpch_q3(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("dp_c", _dp_c())
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(split_sum("dp_c", 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -183,9 +191,8 @@ def tpch_q3(spark, sf_dir):
 
 @query(
     "tpch_q6",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    oracle=f"""
+    SELECT {sql_split_sum(f"({_SQL_P} * {_SQL_D})", 4)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -205,11 +212,9 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_discount") >= 0.04)
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24.0)
-    ).agg(
-        F.sum(_price("l_extendedprice") * _rate("l_discount"))
-        .cast("double")
-        .alias("revenue")
-    )
+    ).withColumn(
+        "pd_c", cents("l_extendedprice") * cents("l_discount")
+    ).agg(split_sum("pd_c", 4).alias("revenue"))
 
 
 @query(
@@ -250,10 +255,8 @@ def tpch_q12(spark, sf_dir):
 @query(
     "tpch_q14",
     oracle=f"""
-    SELECT 100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN {_SQL_DISC_PRICE}
-                              ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
-                  / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    SELECT 100.00 * {sql_split_sum(f"(CASE WHEN p_type LIKE 'PROMO%' THEN {_SQL_DP_C} ELSE 0 END)", 4)}
+                  / {sql_split_sum(_SQL_DP_C, 4)} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -265,20 +268,24 @@ def tpch_q14(spark, sf_dir):
     filtered lineitem scan; the promo CASE keeps exact-decimal branches so
     both engines agree bitwise before the final double division."""
     t = load_tables(spark, sf_dir)
-    promo = F.when(
-        F.col("p_type").like("PROMO%"), _disc_price()
-    ).otherwise(F.lit(0).cast("decimal(17,4)"))
     return (
         t.lineitem.filter(
             (F.col("l_shipdate") >= TS("1996-09-01 00:00:00"))
             & (F.col("l_shipdate") < TS("1996-10-01 00:00:00"))
         )
         .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("dp_c", _dp_c())
+        .withColumn(
+            "promo_c",
+            F.when(F.col("p_type").like("PROMO%"), F.col("dp_c")).otherwise(
+                F.lit(0)
+            ),
+        )
         .agg(
             (
                 F.lit(100.00)
-                * F.sum(promo).cast("double")
-                / F.sum(_disc_price()).cast("double")
+                * split_sum("promo_c", 4)
+                / split_sum("dp_c", 4)
             ).alias("promo_revenue")
         )
     )
@@ -288,7 +295,7 @@ def tpch_q14(spark, sf_dir):
     "tpch_q5",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+           {sql_split_sum(_SQL_DP_C, 4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -329,8 +336,9 @@ def tpch_q5(spark, sf_dir):
             F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
+        .withColumn("dp_c", _dp_c())
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(split_sum("dp_c", 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -339,7 +347,7 @@ def tpch_q5(spark, sf_dir):
     "tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           {sql_split_sum(_SQL_DP_C, 4)} AS revenue,
            c_acctbal, n_name, c_mktsegment
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -369,8 +377,9 @@ def tpch_q10(spark, sf_dir):
         )
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("dp_c", _dp_c())
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(split_sum("dp_c", 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
