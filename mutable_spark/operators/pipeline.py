@@ -1300,3 +1300,99 @@ def pipeline_source_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+#: temperature mixing: α = 0.5 (weights ∝ sqrt(n)); keep budget = half the
+#: corpus; 2^20 = the exact power-of-two weight quantization
+_TEMP_QSCALE = 1 << 20
+
+
+@query(
+    "pipeline_mix_temperature",
+    oracle=rf"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * {_TEMP_QSCALE})
+                    AS BIGINT) AS q
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(n) AS BIGINT) // 2 AS n_tgt
+        FROM s
+    ),
+    r AS (
+        SELECT s.source, s.n,
+               LEAST(1.0, CAST(t.n_tgt AS DOUBLE) * CAST(s.q AS DOUBLE)
+                          / CAST(t.sq AS DOUBLE) / CAST(s.n AS DOUBLE)) AS rate
+        FROM s CROSS JOIN tot t
+    )
+    SELECT r.source,
+           MIN(r.n) AS n_total,
+           MIN(r.rate) AS rate,
+           COUNT(*) AS n_kept,
+           MIN(d.doc_id) AS min_id,
+           MAX(d.doc_id) AS max_id
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {_sql_hash52('d.doc_id')} < r.rate * 4503599627370496.0
+    GROUP BY r.source
+    """,
+)
+def pipeline_mix_temperature(spark, sf_dir):
+    """Temperature-balanced source mixing (α = 0.5): sampling weights
+    ∝ sqrt(n_source) — the multilingual/multi-domain upsampling rule
+    (mBERT/XLM-R's p_i ∝ n_i^α) that keeps large sources from drowning
+    small ones without the hard per-source cap of
+    ``pipeline_stratified_sample``. A keep budget of half the corpus is
+    redistributed: source i keeps
+    ``min(1, budget·q_i / (Σq · n_i))`` of its docs, so small sources
+    keep (nearly) everything and large ones are downsampled toward the
+    sqrt profile. Membership is the module's stable-hash decision, so
+    the sample is deterministic and partition-invariant.
+
+    Bit-exact across engines WITHOUT the usual pow() hazard: α = 0.5
+    makes the weight a sqrt — one of the IEEE-754 CORRECTLY-ROUNDED
+    operations — and each weight is then floor-quantized to an exact
+    integer at a power-of-two scale (exact double op), so the weight
+    total Σq is an order-independent integer sum; the per-source rate is
+    a fixed sequence of single IEEE ops on exact integers, mirrored
+    operation-for-operation by the oracle. (A general α needs pow(),
+    which is NOT correctly rounded and can differ between libm and the
+    JVM in the last ulp — that is why the registered temperature is the
+    sqrt one.)
+
+    Scale shape: one partial-agg groupBy for the strata, a 1-row totals
+    frame, and a broadcast join back onto the scan — the corpus itself
+    never shuffles before the summary (same contract as mix_sources /
+    stratified_sample)."""
+    d = load_tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = s.withColumn(
+        "q",
+        F.floor(F.sqrt(F.col("n").cast("double")) * _TEMP_QSCALE).cast("long"),
+    )
+    tot = s.agg(
+        F.sum("q").alias("sq"),
+        F.expr("sum(n) div 2").alias("n_tgt"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("n_tgt").cast("double")
+        * F.col("q").cast("double")
+        / F.col("sq").cast("double")
+        / F.col("n").cast("double"),
+    )
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "source", "n", rate.alias("rate")
+    )
+    kept = d.join(F.broadcast(r), "source").filter(
+        _hash52(F.col("doc_id")) < F.col("rate") * F.lit(_HASH52_DOMAIN)
+    )
+    return kept.groupBy("source").agg(
+        F.min("n").alias("n_total"),
+        F.min("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -176,6 +176,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # (mix-design input; per-gram source sets expand in-row — bounded by
     # the source count — so there is no self-join anywhere)
     "pipeline_source_overlap",
+    # late r8, past the horizon: temperature-balanced mixing (α=0.5 —
+    # sqrt weights are IEEE-correctly-rounded, so the one temperature
+    # with no cross-engine pow() hazard)
+    "pipeline_mix_temperature",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

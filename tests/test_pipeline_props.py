@@ -196,3 +196,16 @@ def test_epoch_layout_invariant_to_partitioning(spark):
     scrambled = d.repartition(7)
     got = sorted(map(tuple, pack_sequences_frame(scrambled, epoch=3).collect()))
     assert got == base
+
+
+def test_temperature_rates_inverse_to_size(spark):
+    """α=0.5 mixing: a strictly smaller source never gets a lower keep
+    rate (rate ∝ 1/sqrt(n) until the 1.0 clamp), and every rate is in
+    (0, 1]."""
+    rows = registry.QUERIES["pipeline_mix_temperature"](spark, SF_DIR).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r.n_total)
+    for a, b in zip(by_n, by_n[1:]):
+        if a.n_total < b.n_total:
+            assert a.rate >= b.rate, (a, b)
+    assert all(0 < r.rate <= 1.0 for r in rows)

@@ -341,3 +341,12 @@ def test_source_overlap_has_no_joins(plans):
     p = plans("pipeline_source_overlap")
     assert "Join" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_mix_temperature_broadcasts_rates(plans):
+    """pipeline_mix_temperature: the per-source rate frame broadcasts
+    back onto the scan (corpus never shuffles before the summary) and
+    the only nested-loop is the 1-row totals crossJoin."""
+    p = plans("pipeline_mix_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
