@@ -1396,3 +1396,68 @@ def pipeline_mix_temperature(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket
+        FROM t
+    ),
+    g AS (SELECT CAST(MAX(n_tok) AS BIGINT) AS gmax FROM t)
+    SELECT b.bucket,
+           COUNT(*) AS n_docs,
+           MIN(b.n_tok) AS min_tok,
+           MAX(b.n_tok) AS max_tok,
+           CAST(SUM(b.n_tok) AS BIGINT) AS sum_tok,
+           COUNT(*) * MAX(b.n_tok) - CAST(SUM(b.n_tok) AS BIGINT)
+               AS pad_waste_bucketed,
+           COUNT(*) * MIN(g.gmax) - CAST(SUM(b.n_tok) AS BIGINT)
+               AS pad_waste_naive
+    FROM b CROSS JOIN g
+    GROUP BY b.bucket
+    """,
+)
+def pipeline_length_buckets(spark, sf_dir):
+    """Length-bucketed batching accounting — the fairseq/HF-style
+    efficiency report: documents bucket by floor(log2(token count))
+    (computed as ``length(bin(n))-1``, the same exact binary-string
+    ilog2 as the LM surprisal costs — no float logs), and each bucket
+    reports its padding waste when batches pad to the BUCKET max versus
+    the naive pad-to-global-max — the number a batching design reads to
+    pick bucket boundaries. Every column is an exact integer, including
+    both waste totals (count·max − sum).
+
+    Scale shape: one partial-agg groupBy on the bucket key (a handful of
+    groups); the 1-row global-max frame broadcasts via crossJoin. The
+    doubling bucket widths mean a bounded bucket count at any corpus
+    size (2^63 tokens → 63 buckets)."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", F.size(toks).cast("long").alias("n_tok"))
+    b = t.select(
+        "doc_id",
+        "n_tok",
+        (F.length(F.bin(F.col("n_tok"))) - 1).cast("long").alias("bucket"),
+    )
+    g = t.agg(F.max("n_tok").alias("gmax"))
+    cnt = F.count(F.lit(1))
+    return (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("bucket")
+        .agg(
+            cnt.alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+            (cnt * F.max("n_tok") - F.sum("n_tok")).alias("pad_waste_bucketed"),
+            (cnt * F.min("gmax") - F.sum("n_tok")).alias("pad_waste_naive"),
+        )
+    )

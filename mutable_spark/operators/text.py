@@ -671,3 +671,80 @@ def lm_score_frame(d, c12, c1, v):
             F.col("total_bits").cast("double") / F.col("n_bigrams"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: RAG chunking geometry: 32-token windows, 16-token stride. Real
+#: deployments use ~512/256; sized down so every test SF actually
+#: exercises multi-chunk docs and the overlap (median testdata doc = 56
+#: tokens → 3 overlapping chunks)
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 16
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+               len(string_split_regex(trim(text), '\s+')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n, t,
+               unnest(range(0, (CASE WHEN n > {_CHUNK_TOKENS}
+                                THEN (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                                     // {_CHUNK_STRIDE}
+                                ELSE 0 END) + 1)) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS begin_tok,
+           CAST(len(list_slice(t, chunk_idx*{_CHUNK_STRIDE} + 1,
+                    chunk_idx*{_CHUNK_STRIDE}
+                    + LEAST({_CHUNK_TOKENS}, n - chunk_idx*{_CHUNK_STRIDE})))
+                AS BIGINT) AS n_tok_chunk,
+           md5(array_to_string(list_slice(t, chunk_idx*{_CHUNK_STRIDE} + 1,
+                    chunk_idx*{_CHUNK_STRIDE}
+                    + LEAST({_CHUNK_TOKENS}, n - chunk_idx*{_CHUNK_STRIDE})), ' '))
+               AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking — the RAG/embedding preprocessing
+    verb: every document becomes overlapping ``_CHUNK_TOKENS``-token
+    windows at ``_CHUNK_STRIDE`` stride (the final window starts at the
+    first stride position whose window reaches the document end, so the
+    tail is covered exactly once — the standard convention). Emits one
+    row per (doc, chunk) with its token position, length, and the md5 of
+    the space-joined chunk text — the id a downstream embedding job or
+    chunk-level dedup keys on (md5 is the portable content hash both
+    engines compute identically; chunk-level dedup is then
+    ``dedup_exact`` on this frame).
+
+    Scale shape: a pure per-row expression pipeline — sequence →
+    explode is the only row multiplier (fan-out = chunks per doc,
+    bounded by doc length / stride), zero shuffles, output inherits the
+    scan partitioning. The window slice stays an array view; the only
+    string materialized per chunk is the md5 input."""
+    d = load_tables(spark, sf_dir).documents
+    C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
+    toks = _toks()
+    t = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    imax = F.when(
+        F.col("n") > C, F.expr(f"(n - {C} + {S} - 1) div {S}")
+    ).otherwise(F.lit(0))
+    rows = t.select(
+        "doc_id", "t", "n", F.explode(F.sequence(F.lit(0), imax)).alias("chunk_idx")
+    )
+    begin = F.col("chunk_idx") * S
+    chunk = F.slice(F.col("t"), begin + 1, F.least(F.lit(C), F.col("n") - begin))
+    return rows.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        begin.cast("long").alias("begin_tok"),
+        F.size(chunk).cast("long").alias("n_tok_chunk"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

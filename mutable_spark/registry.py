@@ -180,6 +180,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # sqrt weights are IEEE-correctly-rounded, so the one temperature
     # with no cross-engine pow() hazard)
     "pipeline_mix_temperature",
+    # late r8, past the horizon: RAG sliding-window chunking and the
+    # length-bucketed-batching padding-waste report
+    "text_chunk_sliding",
+    "pipeline_length_buckets",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

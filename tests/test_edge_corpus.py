@@ -60,6 +60,8 @@ _DOC_OPS = [
     "text_pii_scrub",
     "text_rarity_score",
     "text_lm_surprisal",
+    "text_chunk_sliding",
+    "pipeline_length_buckets",
     "pipeline_train_test_split",
     "pipeline_mix_sources",
     "pipeline_stratified_sample",
