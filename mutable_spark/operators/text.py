@@ -729,7 +729,14 @@ def text_chunk_sliding(spark, sf_dir):
     bounded by doc length / stride), zero shuffles, output inherits the
     scan partitioning. The window slice stays an array view; the only
     string materialized per chunk is the md5 input."""
-    d = load_tables(spark, sf_dir).documents
+    return chunk_frame(load_tables(spark, sf_dir).documents)
+
+
+def chunk_frame(d):
+    """The chunking as a frame transform — shared verbatim by the batch
+    operator and the streaming ingest twin
+    (`streaming/documents.py::chunk_stream`); stateless, so it applies
+    identically to a bounded scan and to arriving micro-batches."""
     C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
     toks = _toks()
     t = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))

@@ -205,3 +205,15 @@ def lm_score_ingest(docs: DataFrame, c12, c1, v, sink: str, ckpt: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def chunk_stream(docs: DataFrame) -> DataFrame:
+    """Chunk-at-ingest: the sliding-window chunking
+    (`operators.text.chunk_frame` — shared verbatim with the registered
+    batch op) applied per micro-batch. Stateless (sequence→explode is a
+    per-row map), so chunks append straight to the staging sink and the
+    downstream embedding job consumes chunk rows as they land instead of
+    waiting for a corpus-wide batch pass."""
+    from mutable_spark.operators.text import chunk_frame
+
+    return chunk_frame(docs)

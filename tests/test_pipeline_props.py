@@ -209,3 +209,30 @@ def test_temperature_rates_inverse_to_size(spark):
         if a.n_total < b.n_total:
             assert a.rate >= b.rate, (a, b)
     assert all(0 < r.rate <= 1.0 for r in rows)
+
+
+def test_chunks_cover_every_token_and_respect_geometry(spark):
+    """Sliding chunks: for every doc, chunk 0 starts at token 0, chunks
+    advance by exactly the stride, every chunk is full-size except
+    possibly the last, the last chunk reaches the document end, and
+    every token position is covered by at least one chunk."""
+    from mutable_spark.operators.text import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    rows = registry.QUERIES["text_chunk_sliding"](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    multi = 0
+    for doc, cs in by_doc.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        assert cs[0].begin_tok == 0
+        n = cs[-1].begin_tok + cs[-1].n_tok_chunk  # doc length
+        for c in cs:
+            assert c.begin_tok == c.chunk_idx * _CHUNK_STRIDE
+            assert c.n_tok_chunk == min(_CHUNK_TOKENS, n - c.begin_tok)
+        # coverage: consecutive chunk windows overlap or touch
+        for a, b in zip(cs, cs[1:]):
+            assert b.begin_tok <= a.begin_tok + a.n_tok_chunk
+        multi += len(cs) > 1
+    assert multi > 0, "fixture must exercise multi-chunk docs"

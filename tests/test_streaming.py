@@ -877,3 +877,15 @@ def test_streaming_lm_score_equals_batch(spark, tmp_path):
         for r in registry.QUERIES["text_lm_surprisal"](spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_streaming_chunking_equals_batch(spark):
+    """Chunk-at-ingest: the stateless streaming chunking map equals the
+    registered batch text_chunk_sliding row-for-row (append mode — no
+    state)."""
+    from mutable_spark.streaming.documents import chunk_stream, stream_documents
+
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(chunk_stream(stream), "t_chunks", mode="append")
+    want = registry.QUERIES["text_chunk_sliding"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
