@@ -480,3 +480,45 @@ def events_attribution(spark, sf_dir):
             ).alias("gap_us"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM g WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """Event-type transition matrix — the first-order sequence model
+    behind next-event prediction and funnel design: for every ordered
+    pair of event types, how many times a user's stream moved from one
+    to the other (LAG over the same deterministic (ts, event_id) order
+    as ``events_interarrival``), and how many distinct users exhibit the
+    transition. Row probabilities (n / row total) are a downstream
+    division — the registered result keeps the exact integer counts.
+
+    Scale shape: one shuffle on user_id for the LAG window, then a
+    partial-agg groupBy on the (|types|² ≤ tiny) transition key; the
+    COUNT(DISTINCT user_id) expands to Spark's two-phase distinct over
+    the already-aggregated pair stream."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return g.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

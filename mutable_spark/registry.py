@@ -184,6 +184,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # length-bucketed-batching padding-waste report
     "text_chunk_sliding",
     "pipeline_length_buckets",
+    # late r8, past the horizon: first-order event-type transition matrix
+    "events_markov_transitions",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end
