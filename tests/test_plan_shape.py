@@ -350,3 +350,30 @@ def test_mix_temperature_broadcasts_rates(plans):
     p = plans("pipeline_mix_temperature")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_chunk_sliding_no_shuffles(plans):
+    """text_chunk_sliding: pure per-row pipeline — Generate (the
+    sequence explode) is the only row multiplier; no Exchange, no join,
+    no aggregate anywhere."""
+    simple = plans("text_chunk_sliding", "simple")
+    assert "Exchange" not in simple
+    assert "Join" not in simple
+    assert "Generate" in simple
+
+
+def test_length_buckets_broadcasts_global_max(plans):
+    """pipeline_length_buckets: the 1-row global-max frame broadcasts
+    (nested-loop by construction); the bucket aggregate is partial."""
+    p = plans("pipeline_length_buckets")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_markov_transitions_window_then_partial_agg(plans):
+    """events_markov_transitions: one user-key window exchange feeding a
+    partial-agg'd transition groupBy; no joins."""
+    simple = plans("events_markov_transitions", "simple")
+    assert "Join" not in simple
+    assert "Window" in simple
