@@ -490,3 +490,19 @@ def phash_pairs(sig, max_ham: int = 3):
             "ham",
         )
     )
+
+
+def phash_duplicate_classes(sig, max_ham: int = 3):
+    """(doc_id, class_rep) — duplicate classes over the perceptual-hash
+    near-dup graph: `phash_pairs` edges fed to the shared alternating
+    large-star/small-star components (`dedup.connected_components`,
+    O(log n) rounds on any graph shape). Completes the image-dedup
+    composition exactly the way the text tier composes
+    (`dedup_duplicate_classes` = minhash pairs → components); a real
+    pipeline then keeps one representative per class — or the
+    best-scoring member, as `pipeline_dedup_keep_best` does for text."""
+    from mutable_spark.operators.dedup import connected_components
+
+    return connected_components(
+        phash_pairs(sig, max_ham=max_ham).select("doc_a", "doc_b")
+    )

@@ -81,3 +81,36 @@ def test_phash_empty_payload_is_zero_signature():
     assert fake_phash(b"") == (0, 0, 0, 0)
     # constant payload: no cell mean ever exceeds the global mean
     assert fake_phash(b"\x7f" * _PHASH_CELLS) == (0, 0, 0, 0)
+
+
+def test_phash_classes_equal_union_find(spark):
+    """phash pairs → alternating-star components equals a driver-side
+    union-find over the brute-force pair set on the constructed corpus
+    (every variant lands in its base's class)."""
+    from mutable_spark.operators.multimodal import phash_duplicate_classes
+
+    docs = _corpus()
+    want_pairs = _brute_pairs(docs, 3)
+    parent = {d: d for d, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in want_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(
+        (d, find(d)) for d, _ in docs if find(d) != d or any(
+            find(o) == d for o, _ in docs if o != d
+        )
+    )
+    sig = spark.createDataFrame(
+        [(d,) + fake_phash(b) for d, b in docs],
+        "doc_id long, c0 long, c1 long, c2 long, c3 long",
+    )
+    got = sorted(tuple(r) for r in phash_duplicate_classes(sig).collect())
+    assert got == want
