@@ -602,7 +602,7 @@ def pack_sequences_frame(d, carry: tuple[str, ...] = (), epoch: int | None = Non
     )
 
 
-def write_packed_shards(d, path: str):
+def write_packed_shards(d, path: str, epoch: int | None = None):
     """Materialize the packing layout (`pack_sequences_frame`) as the
     training-data writer would: one parquet directory per shard
     (`partitionBy`), documents in doc_id order, and exactly ONE file per
@@ -617,16 +617,29 @@ def write_packed_shards(d, path: str):
     `_PACK_SHARDS` sizes files (~1-4 GB of tokens each at 100 TB).
     Rewriting the same input produces identical row streams per shard —
     the layout is a pure function of the data, so a writer restart never
-    reshuffles sequence boundaries. The explicit (shard, doc_id) sort
+    reshuffles sequence boundaries. The explicit (shard, order) sort
     makes the dynamic-partition writer's own partition-column sort a
-    no-op and pins in-file row order."""
-    (
-        pack_sequences_frame(d, carry=("text",))
-        .sortWithinPartitions("shard", "doc_id")
-        .write.partitionBy("shard")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    no-op and pins in-file row order.
+
+    ``epoch`` writes the epoch-reshuffled layout
+    (`pack_sequences_frame(epoch=...)`): in-file rows follow the seeded
+    epoch order (recomputed for the sort — the same pure hash the
+    layout's window used), so each epoch's shard files stream in their
+    own deterministic order while the shard membership, file set, and
+    the single shuffle stay identical across epochs."""
+    layout = pack_sequences_frame(d, carry=("text",), epoch=epoch)
+    if epoch is None:
+        order = ["shard", "doc_id"]
+    else:
+        layout = layout.withColumn(
+            "_okey",
+            _hash52(F.concat(F.col("doc_id").cast("string"), F.lit(f":{epoch}"))),
+        )
+        order = ["shard", "_okey", "doc_id"]
+    out = layout.sortWithinPartitions(*order)
+    if epoch is not None:
+        out = out.drop("_okey")
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)
 
 
 # --------------------------------------------------------------------------

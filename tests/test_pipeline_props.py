@@ -236,3 +236,40 @@ def test_chunks_cover_every_token_and_respect_geometry(spark):
             assert b.begin_tok <= a.begin_tok + a.n_tok_chunk
         multi += len(cs) > 1
     assert multi > 0, "fixture must exercise multi-chunk docs"
+
+
+def test_write_packed_shards_epoch_order(spark, tmp_path):
+    """Epoch-reshuffled shard writing: same shard directories and row
+    sets as the base layout, but in-file rows follow the seeded epoch
+    order (non-identical to doc_id order somewhere), and a rewrite of
+    the same epoch reproduces the byte-identical row stream."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mutable_spark.operators.pipeline import write_packed_shards
+
+    d = load_tables(spark, SF_DIR).documents
+    p1 = str(tmp_path / "e1")
+    write_packed_shards(d, p1, epoch=1)
+
+    shard_dirs = sorted(glob.glob(os.path.join(p1, "shard=*")))
+    assert len(shard_dirs) > 1
+    reordered = 0
+    for sd in shard_dirs:
+        files = glob.glob(os.path.join(sd, "*.parquet"))
+        assert len(files) == 1, sd
+        ids = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        assert sorted(ids) == sorted(set(ids))  # same membership, no dupes
+        reordered += ids != sorted(ids)
+    assert reordered > 0, "epoch order must differ from doc_id order somewhere"
+
+    # restart determinism: same epoch → identical per-shard row streams
+    p2 = str(tmp_path / "e1b")
+    write_packed_shards(d, p2, epoch=1)
+    for sd in shard_dirs:
+        rel = os.path.basename(sd)
+        a = pq.read_table(glob.glob(os.path.join(p1, rel, "*.parquet"))[0])
+        b = pq.read_table(glob.glob(os.path.join(p2, rel, "*.parquet"))[0])
+        assert a.equals(b), rel
