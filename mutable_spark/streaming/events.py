@@ -456,3 +456,56 @@ def attribution_stream(events: DataFrame) -> DataFrame:
             (F.unix_micros("pts") - F.unix_micros("best.cts")).alias("gap_us"),
         )
     )
+
+
+def markov_transitions_user(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_markov_transitions``:
+    per-user transition counts maintained incrementally. A late event
+    can land BETWEEN two already-seen events — replacing one observed
+    transition with two — so the twin keeps the user's
+    (ts, event_id, type) buffer in state and re-derives the user's full
+    transition vector on every update (the re-basing discipline of
+    ``interarrival_user_stats``; the same watermark-freeze note applies
+    for bounding the buffer in production). Each update emits the
+    user's CURRENT per-(prev, next) counts; the corpus matrix is the
+    per-user latest emissions summed — pinned equal to the batch
+    operator across an out-of-order two-delivery replay."""
+    import collections
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        rows = (
+            list(zip(state.get[0], state.get[1], state.get[2]))
+            if state.exists
+            else []
+        )
+        for pdf in pdfs:
+            for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), str(et)))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        state.update((
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+        ))
+        counts = collections.Counter(
+            (a[2], b[2]) for a, b in zip(rows, rows[1:])
+        )
+        pairs = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "prev_type": [p for p, _ in pairs],
+                "next_type": [n for _, n in pairs],
+                "n": [counts[p] for p in pairs],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, prev_type string, next_type string, n long",
+        stateStructType="ts_us array<long>, eid array<long>, et array<string>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

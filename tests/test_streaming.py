@@ -889,3 +889,69 @@ def test_streaming_chunking_equals_batch(spark):
     got = run_available_now(chunk_stream(stream), "t_chunks", mode="append")
     want = registry.QUERIES["text_chunk_sliding"](spark, SF_DIR).collect()
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_markov_transitions_equals_batch(spark, tmp_path):
+    """Incremental transition matrix: deliver the events OUT OF ORDER in
+    two halves (odd event_ids then even — so late arrivals split
+    already-observed transitions), keep each user's LATEST per-pair
+    emission, sum across users, and require exact equality with the
+    batch events_markov_transitions counts."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import markov_transitions_user
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    sink = tmp_path / "out"
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            markov_transitions_user(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(str(sink))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("event_id") % 2 == 1), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("event_id") % 2 == 0), "phase2")
+    run_once()
+
+    # a user's latest emission REPLACES its whole transition vector (a
+    # late insert can remove a pair), so reduce to each user's max-bid
+    # rows; batch ids keep increasing across the checkpointed restart
+    rows = spark.read.parquet(str(sink)).collect()
+    max_bid = {}
+    for r in rows:
+        max_bid[r.user_id] = max(max_bid.get(r.user_id, -1), r.bid)
+    import collections
+
+    matrix = collections.Counter()
+    for r in rows:
+        if r.bid == max_bid[r.user_id]:
+            matrix[(r.prev_type, r.next_type)] += r.n
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in registry.QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
+    }
+    assert dict(matrix) == want
