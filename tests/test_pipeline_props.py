@@ -273,3 +273,34 @@ def test_write_packed_shards_epoch_order(spark, tmp_path):
         a = pq.read_table(glob.glob(os.path.join(p1, rel, "*.parquet"))[0])
         b = pq.read_table(glob.glob(os.path.join(p2, rel, "*.parquet"))[0])
         assert a.equals(b), rel
+
+
+def test_chunk_geometry_property_random_lengths():
+    """Hypothesis over arbitrary document lengths (pure-Python replica of
+    the chunk index rule): chunk starts advance by the stride, windows
+    are full except possibly the last, the tail is covered exactly once
+    (last start is the FIRST stride position whose window reaches the
+    end), and the union of windows is exactly [0, n)."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from mutable_spark.operators.text import _CHUNK_STRIDE as S
+    from mutable_spark.operators.text import _CHUNK_TOKENS as C
+
+    @given(st.integers(min_value=1, max_value=5000))
+    def check(n):
+        imax = (n - C + S - 1) // S if n > C else 0
+        starts = [i * S for i in range(imax + 1)]
+        lens = [min(C, n - b) for b in starts]
+        assert starts[0] == 0
+        assert all(l == C for l in lens[:-1])
+        assert starts[-1] + lens[-1] == n
+        if imax > 0:
+            # minimality: the previous start's window does NOT reach the end
+            assert starts[-2] + C < n
+        covered = set()
+        for b, l in zip(starts, lens):
+            covered.update(range(b, b + l))
+        assert covered == set(range(n))
+
+    check()
