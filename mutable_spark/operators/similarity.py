@@ -853,3 +853,74 @@ def sim_quantized_rerank(spark, sf_dir):
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(_RERANK_K)
     )
+
+
+# --------------------------------------------------------------------------
+#: hard-negative mining: same query batch rule as the k-NN join, 5
+#: negatives per query
+_HN_K = 5
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel,
+               e.vec_id AS neg_id, e.label AS neg_label,
+               {_sql_cos('e.embedding', 'q.qv')} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC,
+                                           e.vec_id) AS rank
+        FROM embeddings e, q
+        WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, qlabel, neg_id, neg_label, cos, rank
+    FROM scored WHERE rank <= {_HN_K}
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining — the contrastive-retrieval training verb
+    (DPR/SimCSE-style): for each query vector, the ``_HN_K`` most
+    cosine-similar vectors whose LABEL differs (similar but wrong class
+    — the negatives that actually move a contrastive loss; random
+    negatives are trivially separable). Same broadcast-batch shape as
+    ``sim_knn_join`` — ONE corpus scan scores every (query, candidate)
+    pair, the label-mismatch predicate filters map-side, and a
+    per-query row_number keeps the top ``_HN_K`` under the
+    deterministic (cos DESC, vec_id) total order, so the oracle matches
+    bit-for-bit.
+
+    At serving scale the candidate stream comes from the IVF probe
+    (`sim_ivf_topk`) instead of the full scan — mine negatives from the
+    top probed cells, then exclude same-label rows; the mining predicate
+    and rank stage are unchanged. The exact full-scan form here is the
+    correctness baseline for that pipeline, exactly as ``sim_knn_join``
+    is for batch k-NN."""
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+    )

@@ -186,6 +186,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_length_buckets",
     # late r8, past the horizon: first-order event-type transition matrix
     "events_markov_transitions",
+    # late r8, past the horizon: contrastive hard-negative mining (the
+    # broadcast-batch k-NN shape with a label-mismatch predicate)
+    "sim_hard_negatives",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

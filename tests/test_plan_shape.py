@@ -377,3 +377,13 @@ def test_markov_transitions_window_then_partial_agg(plans):
     simple = plans("events_markov_transitions", "simple")
     assert "Join" not in simple
     assert "Window" in simple
+
+
+def test_hard_negatives_broadcast_batch(plans):
+    """sim_hard_negatives: the query batch broadcasts (the only
+    nested-loop), one corpus scan, per-query rank window — no
+    sort-merge join, no cartesian."""
+    p = plans("sim_hard_negatives")
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
