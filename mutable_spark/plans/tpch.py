@@ -46,6 +46,45 @@ _SQL_DP_C = f"({_SQL_P} * (100 - {_SQL_D}))"
 _SQL_CH_C = f"({_SQL_DP_C} * (100 + {_SQL_T}))"
 
 
+
+# --- Spark-side SQL construction (the five bench headliners) ---------------
+# The DataFrame-API formulation pays 0.1-0.3 s per call in Py4J round trips
+# and Catalyst re-analysis of a Python-built expression tree; the same plan
+# expressed as ONE spark.sql() call parses and analyzes JVM-side (measured
+# q1 at sf0.1: 0.675 s -> 0.425 s total, bit-identical results). Views are
+# (re)registered per call with a msq_ prefix so the right sf_dir's frame is
+# always bound and nothing collides with user/dialect views. q5/q10 keep
+# the DataFrame formulation deliberately — both construction styles are
+# first-class and plan-pinned.
+
+
+def _q(spark, sf_dir, tables, sql):
+    t = load_tables(spark, sf_dir)
+    for tbl in tables:
+        getattr(t, tbl).createOrReplaceTempView(f"msq_{tbl}")
+    return spark.sql(sql)
+
+
+def _s_cents(c: str) -> str:
+    return f"CAST(round(({c})*100) AS BIGINT)"
+
+
+def _s_split(e: str, s: int) -> str:
+    k = 10**s
+    return (
+        f"(CAST(SUM(({e}) div {k}) AS DOUBLE)"
+        f" + CAST(SUM(({e}) % {k}) AS DOUBLE) / {float(k)})"
+    )
+
+
+_S_Q = _s_cents("l_quantity")
+_S_P = _s_cents("l_extendedprice")
+_S_D = _s_cents("l_discount")
+_S_T = _s_cents("l_tax")
+_S_DP = f"({_S_P} * (100 - {_S_D}))"
+_S_CH = f"({_S_DP} * (100 + {_S_T}))"
+
+
 @query(
     "tpch_q1",
     oracle=f"""
@@ -80,35 +119,20 @@ def tpch_q1(spark, sf_dir):
     roughly sf 40, so the split form is the one that survives 100 TB.
     All inputs sit on the 2-decimal grid (asserted in
     tests/test_tpch_corpus.py), so `cents()` is lossless."""
-    li = load_tables(spark, sf_dir).lineitem
-    q, p, d, t = (cents(c) for c in
-                  ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    dp = p * (100 - d)
-    ch = dp * (100 + t)
-    pre = li.filter(F.col("l_shipdate") <= TS("2001-09-02 00:00:00")).select(
-        "l_returnflag",
-        "l_linestatus",
-        q.alias("q_c"),
-        p.alias("p_c"),
-        d.alias("d_c"),
-        dp.alias("dp_c"),
-        ch.alias("ch_c"),
-    )
-    cnt = F.count(F.lit(1))
-    return (
-        pre.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            split_sum("q_c", 2).alias("sum_qty"),
-            split_sum("p_c", 2).alias("sum_base_price"),
-            split_sum("dp_c", 4).alias("sum_disc_price"),
-            split_sum("ch_c", 6).alias("sum_charge"),
-            (split_sum("q_c", 2) / cnt).alias("avg_qty"),
-            (split_sum("p_c", 2) / cnt).alias("avg_price"),
-            (split_sum("d_c", 2) / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return _q(spark, sf_dir, ["lineitem"], f"""
+        SELECT l_returnflag, l_linestatus,
+               {_s_split(_S_Q, 2)}  AS sum_qty,
+               {_s_split(_S_P, 2)}  AS sum_base_price,
+               {_s_split(_S_DP, 4)} AS sum_disc_price,
+               {_s_split(_S_CH, 6)} AS sum_charge,
+               {_s_split(_S_Q, 2)} / COUNT(*) AS avg_qty,
+               {_s_split(_S_P, 2)} / COUNT(*) AS avg_price,
+               {_s_split(_S_D, 2)} / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM msq_lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
 
 
 @query(
@@ -136,23 +160,20 @@ def tpch_q3(spark, sf_dir):
     is small → broadcast into orders, then one shuffle join with lineitem.
     l_orderkey added to ORDER BY as a deterministic tiebreak for the
     LIMIT."""
-    t = load_tables(spark, sf_dir)
-    cutoff = TS("1998-03-15 00:00:00")
-    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        t.lineitem.filter(F.col("l_shipdate") > cutoff)
-        .join(
-            t.orders.filter(F.col("o_orderdate") < cutoff),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .withColumn("dp_c", _dp_c())
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(split_sum("dp_c", 4).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    return _q(spark, sf_dir, ["lineitem", "orders", "customer"], f"""
+        SELECT /*+ BROADCAST(c) */
+               l_orderkey,
+               {_s_split(_S_DP, 4)} AS revenue,
+               o_orderdate, o_orderpriority
+        FROM msq_lineitem l
+        JOIN msq_orders o   ON l_orderkey = o_orderkey
+        JOIN msq_customer c ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")
 
 
 @query(
@@ -171,16 +192,13 @@ def tpch_q6(spark, sf_dir):
     Pure scan-filter-aggregate: every predicate reaches the parquet reader
     (PushedFilters), so at 100 TB this reads only row groups whose
     min/max straddle the window — the canonical pushdown showcase."""
-    li = load_tables(spark, sf_dir).lineitem
-    return li.filter(
-        (F.col("l_shipdate") >= TS("1996-01-01 00:00:00"))
-        & (F.col("l_shipdate") < TS("1997-01-01 00:00:00"))
-        & (F.col("l_discount") >= 0.04)
-        & (F.col("l_discount") <= 0.06)
-        & (F.col("l_quantity") < 24.0)
-    ).withColumn(
-        "pd_c", cents("l_extendedprice") * cents("l_discount")
-    ).agg(split_sum("pd_c", 4).alias("revenue"))
+    return _q(spark, sf_dir, ["lineitem"], f"""
+        SELECT {_s_split(f"({_S_P} * {_S_D})", 4)} AS revenue
+        FROM msq_lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND l_discount >= 0.04D AND l_discount <= 0.06D
+          AND l_quantity < 24.0D""")
 
 
 @query(
@@ -201,21 +219,14 @@ def tpch_q12(spark, sf_dir):
     l_shipmode/l_commitdate/l_receiptdate, so the "late line" predicate
     becomes shipped >60 days after order date, and the CASE buckets split
     on quantity. Same shape: big join + conditional counting aggregates."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.when(F.col("l_quantity") > 25.0, 1).otherwise(0)).alias(
-                "heavy_count"
-            ),
-            F.sum(F.when(F.col("l_quantity") <= 25.0, 1).otherwise(0)).alias(
-                "light_count"
-            ),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return _q(spark, sf_dir, ["lineitem", "orders"], """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN l_quantity >  25.0D THEN 1 ELSE 0 END) AS heavy_count,
+               SUM(CASE WHEN l_quantity <= 25.0D THEN 1 ELSE 0 END) AS light_count
+        FROM msq_orders JOIN msq_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
 
 
 @query(
@@ -233,28 +244,14 @@ def tpch_q14(spark, sf_dir):
     shifted. part is a dimension → broadcast join against the
     filtered lineitem scan; the promo CASE keeps exact-decimal branches so
     both engines agree bitwise before the final double division."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= TS("1996-09-01 00:00:00"))
-            & (F.col("l_shipdate") < TS("1996-10-01 00:00:00"))
-        )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn("dp_c", _dp_c())
-        .withColumn(
-            "promo_c",
-            F.when(F.col("p_type").like("PROMO%"), F.col("dp_c")).otherwise(
-                F.lit(0)
-            ),
-        )
-        .agg(
-            (
-                F.lit(100.00)
-                * split_sum("promo_c", 4)
-                / split_sum("dp_c", 4)
-            ).alias("promo_revenue")
-        )
-    )
+    promo = f"(CASE WHEN p_type LIKE 'PROMO%' THEN {_S_DP} ELSE 0 END)"
+    return _q(spark, sf_dir, ["lineitem", "part"], f"""
+        SELECT /*+ BROADCAST(p) */
+               CAST(100.00 AS DOUBLE) * {_s_split(promo, 4)}
+                   / {_s_split(_S_DP, 4)} AS promo_revenue
+        FROM msq_lineitem l JOIN msq_part p ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1996-10-01 00:00:00'""")
 
 
 @query(
