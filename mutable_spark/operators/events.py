@@ -522,3 +522,100 @@ def events_markov_transitions(spark, sf_dir):
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_idx
+        FROM flagged
+    ), st AS (
+        SELECT DISTINCT user_id, session_idx, event_type FROM numbered
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM st a JOIN st b
+      ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_cooccurrence(spark, sf_dir):
+    """Session-level event-type co-occurrence — the association-mining
+    primitive ("users who do X in a session also do Y") behind basket
+    analysis and feature co-activation reports: for every unordered pair
+    of event types, in how many sessions (and for how many distinct
+    users) both types occur.
+
+    Shape: the ``events_sessionize`` lag→flag→cumulative-sum tier
+    assigns session ids, each session collapses to its sorted DISTINCT
+    type set (collect_set — co-occurrence is set-membership, not
+    counts), and pairs expand IN-ROW over that array. No star cap is
+    needed here, unlike the doc-id bucket tiers: the per-row expansion
+    is bounded by |event-type vocabulary|² — a constant (~dozens), not
+    a data-driven class size — so a degenerate million-event session
+    still expands to the same tiny pair set.
+
+    Shuffles: ONE on user_id for the window; the session groupBy reuses
+    it (hash(user_id) satisfies the (user_id, session_idx) clustering),
+    and the final pair count is a partial agg on a tiny key. The oracle
+    self-joins the distinct (session, type) frame instead — the
+    quadratic formulation the in-row expansion replaces."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull() | (F.col("ts") > lag_ts + F.expr("INTERVAL 10 MINUTE")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_idx"),
+    )
+    sess = numbered.groupBy("user_id", "session_idx").agg(
+        F.array_sort(F.collect_set("event_type")).alias("es")
+    )
+    es = F.col("es")
+    pairs = F.flatten(
+        F.transform(
+            es,
+            lambda a, i: F.transform(
+                F.slice(es, i + F.lit(2), F.size(es)),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        sess.select("user_id", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -186,6 +186,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_length_buckets",
     # late r8, past the horizon: first-order event-type transition matrix
     "events_markov_transitions",
+    # late r8, past the horizon: session-level event-type co-occurrence
+    # (association-mining support counts; in-row pair expansion bounded
+    # by the type vocabulary, so no star cap)
+    "events_cooccurrence",
     # late r8, past the horizon: contrastive hard-negative mining (the
     # broadcast-batch k-NN shape with a label-mismatch predicate)
     "sim_hard_negatives",

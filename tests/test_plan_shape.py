@@ -379,6 +379,18 @@ def test_markov_transitions_window_then_partial_agg(plans):
     assert "Window" in simple
 
 
+def test_cooccurrence_two_exchanges_no_join(plans):
+    """events_cooccurrence: the in-row pair expansion replaces the
+    oracle's quadratic self-join — exactly TWO exchanges (the user-key
+    window shuffle, which the session collect_set groupBy reuses since
+    hash(user_id) satisfies the (user_id, session_idx) clustering, and
+    the tiny pair-key agg), and no join operator anywhere."""
+    simple = plans("events_cooccurrence", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "Window" in simple
+
+
 def test_hard_negatives_broadcast_batch(plans):
     """sim_hard_negatives: the query batch broadcasts (the only
     nested-loop), one corpus scan, per-query rank window — no
