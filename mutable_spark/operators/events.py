@@ -524,6 +524,22 @@ def events_markov_transitions(spark, sf_dir):
     )
 
 
+def type_pair_structs(es):
+    """All i<j (type_a, type_b) structs over a sorted distinct-type
+    array column — the in-row pair expansion shared verbatim by
+    ``events_cooccurrence`` and its streaming twin
+    (`streaming.events.cooccurrence_pairs`)."""
+    return F.flatten(
+        F.transform(
+            es,
+            lambda a, i: F.transform(
+                F.slice(es, i + F.lit(2), F.size(es)),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+
+
 @query(
     "events_cooccurrence",
     oracle="""
@@ -601,18 +617,8 @@ def events_cooccurrence(spark, sf_dir):
     sess = numbered.groupBy("user_id", "session_idx").agg(
         F.array_sort(F.collect_set("event_type")).alias("es")
     )
-    es = F.col("es")
-    pairs = F.flatten(
-        F.transform(
-            es,
-            lambda a, i: F.transform(
-                F.slice(es, i + F.lit(2), F.size(es)),
-                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
-            ),
-        )
-    )
     return (
-        sess.select("user_id", F.explode(pairs).alias("p"))
+        sess.select("user_id", F.explode(type_pair_structs(F.col("es"))).alias("p"))
         .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),

@@ -98,6 +98,32 @@ def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 h
     )
 
 
+def cooccurrence_pairs(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of `events_cooccurrence`'s session tier: the native
+    session_window merges each user's gap-bounded session, collect_set
+    collapses it to its sorted distinct type set, and the pair expansion
+    is the SAME in-row transform as the batch op
+    (`operators.events.type_pair_structs`, shared verbatim). Structured
+    Streaming allows one stateful aggregation per query and the global
+    support count is not time-windowed, so the twin emits the finalized
+    per-session pair rows and leaves the (type_a, type_b) rollup to the
+    consumer — the identical lambda split as the fuzzy-dedup compaction
+    tier; stream-emitted pairs == batch pairs is pinned in
+    tests/test_streaming.py."""
+    from mutable_spark.operators.events import type_pair_structs
+
+    sess = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("es"))
+    )
+    return sess.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.explode(type_pair_structs(F.col("es"))).alias("p"),
+    ).select("user_id", "session_start", "p.type_a", "p.type_b")
+
+
 def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of `events_window_sliding`: 1-hour hopping windows
     every 30 minutes — each event enters exactly two open windows; the

@@ -38,6 +38,32 @@ def test_streaming_sessionize_counts(spark):
     assert got_key == want_key
 
 
+def test_streaming_cooccurrence_rollup_equals_batch(spark):
+    """The streaming session tier emits finalized per-session pair rows;
+    rolling them up (the consumer's side of the documented lambda split)
+    must reproduce the batch events_cooccurrence support counts exactly."""
+    from collections import Counter, defaultdict
+
+    from mutable_spark.streaming.events import cooccurrence_pairs
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(cooccurrence_pairs(stream), "t_coocc")
+    n_sessions: Counter = Counter()
+    users: dict = defaultdict(set)
+    for r in got:
+        key = (r.type_a, r.type_b)
+        n_sessions[key] += 1
+        users[key].add(r.user_id)
+    rolled = sorted(
+        (a, b, n, len(users[(a, b)])) for (a, b), n in n_sessions.items()
+    )
+    want = sorted(
+        (r.type_a, r.type_b, r.n_sessions, r.n_users)
+        for r in registry.QUERIES["events_cooccurrence"](spark, SF_DIR).collect()
+    )
+    assert rolled == want
+
+
 def test_stateful_running_totals(spark):
     import pyspark.sql.functions as F
     from mutable_spark.streaming.events import run_available_now, running_user_totals
