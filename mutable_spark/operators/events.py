@@ -625,3 +625,51 @@ def events_cooccurrence(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3,
+           COUNT(*) AS n_paths,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM g WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Second-order path mining — the 3-step extension of
+    ``events_markov_transitions``: for every ordered triple of event
+    types, how many times some user's stream ran exactly that
+    three-event path (consecutive under the deterministic
+    (ts, event_id) order), and how many distinct users exhibit it. The
+    top triples are the "golden paths" a product funnel is designed
+    around; second-order counts also feed a trigram sequence model the
+    first-order matrix can't express.
+
+    Scale shape: one user_id shuffle for the LEAD window (both leads
+    share the single window sort — one exchange, one sort, two frame
+    reads), then a partial-agg groupBy on the (|types|³ ≤ tiny) path
+    key. COUNT(DISTINCT user_id) is Spark's two-phase distinct over the
+    already-aggregated triple stream, exactly as the transition
+    matrix argues."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return g.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

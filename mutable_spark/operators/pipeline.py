@@ -1474,3 +1474,42 @@ def pipeline_length_buckets(spark, sf_dir):
             (cnt * F.min("gmax") - F.sum("n_tok")).alias("pad_waste_naive"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_dedup_stats",
+    oracle=f"""
+    WITH c AS (
+        SELECT md5({_NORMALIZE_SQL}) AS g, COUNT(*) AS class_size
+        FROM documents GROUP BY md5({_NORMALIZE_SQL})
+    )
+    SELECT class_size, COUNT(*) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY class_size
+    """,
+)
+def pipeline_dedup_stats(spark, sf_dir):
+    """Duplication profile of the corpus — the diagnostic a mix designer
+    reads BEFORE committing to a dedup pass: the histogram of exact
+    duplicate-class sizes (how many classes of 1, of 2, …), with the
+    document count each size bucket accounts for. The dedup yield is a
+    downstream read-off: survivors = Σ n_classes, removed = Σ n_docs −
+    survivors; a heavy tail here is what justifies paying for the fuzzy
+    tiers (`dedup_minhash_lsh`) on top of the exact one.
+
+    Scale shape: the exact-dedup digest groupBy (one shuffle of 32-byte
+    keys with map-side partials — `dedup_exact`'s scale argument,
+    verbatim), then a second partial-agg groupBy on the class-size key,
+    whose cardinality is bounded by the largest duplicate class — tiny
+    at any corpus size. Nothing else moves."""
+    d = load_tables(spark, sf_dir).documents
+    classes = (
+        d.select(F.md5(_normalize(F.col("text"))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        (F.col("class_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

@@ -755,3 +755,150 @@ def chunk_frame(d):
         F.size(chunk).cast("long").alias("n_tok_chunk"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_bpe_pairs",
+    oracle=r"""
+    WITH w AS (
+        SELECT tok AS w, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), p AS (
+        SELECT w.w, w.freq, substring(w.w, CAST(i AS INTEGER), 2) AS pair
+        FROM w, unnest(generate_series(1, CAST(length(w.w) AS BIGINT) - 1))
+                 AS r(i)
+        WHERE length(w.w) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS total_count,
+           COUNT(DISTINCT w) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY total_count DESC, pair
+    LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """Distributed BPE tokenizer training, first merge iteration (Sennrich
+    et al. 2016): pre-tokenize into whitespace words, count word
+    frequencies, then count adjacent character pairs weighted by word
+    frequency — the top pair is the first merge a BPE trainer would
+    learn. Subsequent iterations replay the same plan over the merged
+    symbol stream; the registered op is the one-iteration primitive
+    (counts are exact integers, so the oracle matches bit-for-bit).
+
+    Scale shape: the word-frequency groupBy is the whole trick — pair
+    expansion runs over DISTINCT words (a vocabulary, ~10M rows at web
+    scale), never over the raw token stream, so the per-word transform
+    fan-out is bounded by word length and the corpus size only enters
+    through the already-aggregated freq. Two partial-agg shuffles
+    (word counts, pair counts) and a top-k finish
+    (TakeOrderedAndProject) — no global sort, no joins."""
+    d = load_tables(spark, sf_dir).documents
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("total_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("total_count").desc(), "pair")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+#: tf-idf keyterms kept per document
+_TFIDF_TOPK = 3
+#: fixed-point scale of the quantized inverse document frequency
+_TFIDF_SCALE = 1_000_000
+
+
+@query(
+    "text_tfidf_terms",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok AS term, tf, df, score_q, rnk FROM (
+        SELECT tf.doc_id, tf.tok,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(dfreq.df AS BIGINT) AS df,
+               CAST(tf.tf * ((n.n_docs * {_TFIDF_SCALE}) // dfreq.df)
+                    AS BIGINT) AS score_q,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ((n.n_docs * {_TFIDF_SCALE}) // dfreq.df)
+                                DESC,
+                            tf.tok) AS rnk
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ) WHERE rnk <= {_TFIDF_TOPK}
+    """,
+)
+def text_tfidf_terms(spark, sf_dir):
+    """Per-document keyterm extraction: the top-`_TFIDF_TOPK` terms of
+    every document by a tf-idf score. The idf is quantized to exact
+    integers — ``(N * 1e6) div df`` instead of ``log(N/df)`` — the same
+    monotone-in-1/df ranking family with zero cross-engine libm hazard
+    (the repo rule: oracle-sensitive scores stay in integer arithmetic;
+    see ``text_rarity_score`` for the same trade). tf is the raw
+    within-doc count; ties break on the term itself, so the ranking is
+    a total order and the oracle matches bit-for-bit.
+
+    Scale shape: tf is one (doc, token) partial-agg groupBy; df is a
+    second groupBy over the ALREADY-distinct (doc, token) frame (so the
+    "the"-row stream never re-shuffles raw occurrences); the df
+    dictionary joins back by token — the classic broadcast dictionary
+    join left to AQE exactly as ``text_rarity_score`` argues. N arrives
+    as a broadcast single-row cross join. The rank window partitions by
+    doc_id over each doc's distinct terms (bounded by doc vocabulary),
+    never a global sort."""
+    d = load_tables(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_q",
+            F.expr(f"tf * ((n_docs * {_TFIDF_SCALE}) div df)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            "score_q",
+            "rnk",
+        )
+    )

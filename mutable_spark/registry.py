@@ -193,6 +193,15 @@ _SAMPLE_PRIORITY: list[str] = [
     # late r8, past the horizon: contrastive hard-negative mining (the
     # broadcast-batch k-NN shape with a label-mismatch predicate)
     "sim_hard_negatives",
+    # r9, past the horizon (oracle-green locally; rotation candidates once
+    # the r8 sample holds its first driver rows): distributed BPE merge-pair
+    # counting, per-doc tf-idf keyterms, second-order event paths, the
+    # duplicate-class-size histogram, and the zero-exchange bucketed join
+    "text_bpe_pairs",
+    "text_tfidf_terms",
+    "events_path_trigrams",
+    "pipeline_dedup_stats",
+    "op_join_bucketed",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end
@@ -282,5 +291,6 @@ def load_all() -> None:
     import mutable_spark.operators.pipeline  # noqa: F401
     import mutable_spark.plans.index_queries  # noqa: F401
     import mutable_spark.versioning  # noqa: F401
+    import mutable_spark.sources.bucketing  # noqa: F401
 
     _reorder_by_priority()

@@ -399,3 +399,73 @@ def test_hard_negatives_broadcast_batch(plans):
     assert "Broadcast" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_pairs_aggregates_over_vocab_not_stream(plans):
+    """text_bpe_pairs: the pair expansion hangs off the ALREADY-AGGREGATED
+    word-frequency frame (two partial-agg exchanges: word counts, pair
+    counts), the finish is a distributed top-k, and there are no joins —
+    the corpus size only enters through `freq`."""
+    simple = plans("text_bpe_pairs", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in simple
+    p = plans("text_bpe_pairs")
+    assert "HashAggregate" in p  # partial+final pairs
+
+
+def test_tfidf_terms_dictionary_join_and_bounded_window(plans):
+    """text_tfidf_terms: df joins back to tf by token (AQE decides the
+    broadcast — dictionary-join rationale as text_rarity_score), N
+    arrives as an explicit broadcast single-row cross join, and the rank
+    window partitions by doc_id — never a global sort."""
+    p = plans("text_tfidf_terms")
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row N frame
+    assert "CartesianProduct" not in p
+    simple = plans("text_tfidf_terms", "simple")
+    assert "Sort [score_q" not in simple.replace("#", " ")  # no global sort
+    assert "Window" in simple
+
+
+def test_path_trigrams_one_window_sort_two_leads(plans):
+    """events_path_trigrams: both LEADs share one user-key window
+    exchange+sort; the path groupBy partial-aggs; no joins."""
+    simple = plans("events_path_trigrams", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange hashpartitioning") == 2  # window + agg
+    assert simple.count("Window") == 1
+
+
+def test_dedup_stats_two_partial_agg_exchanges(plans):
+    """pipeline_dedup_stats: digest groupBy then class-size groupBy, both
+    with map-side partials; nothing else moves."""
+    simple = plans("pipeline_dedup_stats", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange") == 2
+    p = plans("pipeline_dedup_stats")
+    assert p.count("HashAggregate") >= 4  # partial+final × 2
+
+
+def test_bucketed_join_zero_exchanges(spark):
+    """op_join_bucketed: the WHOLE plan — scan, join, per-order agg —
+    runs with ZERO Exchange operators: bucketed storage carries the
+    partitioning, and the groupBy key equals the bucket key. (Broadcast
+    disabled so the small test tables can't sidestep the claim.)"""
+    from tests.conftest import SF_DIR
+
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = with_conf.get("spark.sql.adaptive.enabled")
+    # build the frame FIRST: the query fn's load_tables() re-applies the
+    # session RUNTIME_CONFS, which would clobber the overrides below;
+    # planning happens lazily at explain time, after the overrides
+    df = registry.QUERIES["op_join_bucketed"](spark, SF_DIR)
+    try:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with_conf.set("spark.sql.adaptive.enabled", "false")
+        simple = explain(df, "simple")
+        assert "Exchange" not in simple
+        assert "SortMergeJoin" in simple
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        with_conf.set("spark.sql.adaptive.enabled", old_aqe)
