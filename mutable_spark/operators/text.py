@@ -796,6 +796,25 @@ def text_bpe_pairs(spark, sf_dir):
     (word counts, pair counts) and a top-k finish
     (TakeOrderedAndProject) — no global sort, no joins."""
     d = load_tables(spark, sf_dir).documents
+    return bpe_pair_counts_frame(d).orderBy(
+        F.col("total_count").desc(), "pair"
+    ).limit(50)
+
+
+def bpe_word_pairs(w):
+    """Adjacent character pairs of one word column — the in-row expansion
+    shared by the batch vocabulary path and the streaming ingest twin
+    (`streaming/documents.py::bpe_pairs_stream`)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: w.substr(i, F.lit(2)),
+    )
+
+
+def bpe_pair_counts_frame(d):
+    """Full (pair, total_count, n_words) frame — ``text_bpe_pairs``
+    without the top-k finish, exposed so the stream==batch test can
+    compare the COMPLETE count map, not just the registered top-50."""
     words = (
         d.select(F.explode(_toks()).alias("w"))
         .groupBy("w")
@@ -805,21 +824,11 @@ def text_bpe_pairs(spark, sf_dir):
     pairs = words.select(
         "w",
         "freq",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
-            )
-        ).alias("pair"),
+        F.explode(bpe_word_pairs(F.col("w"))).alias("pair"),
     )
-    return (
-        pairs.groupBy("pair")
-        .agg(
-            F.sum("freq").alias("total_count"),
-            F.countDistinct("w").alias("n_words"),
-        )
-        .orderBy(F.col("total_count").desc(), "pair")
-        .limit(50)
+    return pairs.groupBy("pair").agg(
+        F.sum("freq").alias("total_count"),
+        F.countDistinct("w").alias("n_words"),
     )
 
 

@@ -217,3 +217,36 @@ def chunk_stream(docs: DataFrame) -> DataFrame:
     from mutable_spark.operators.text import chunk_frame
 
     return chunk_frame(docs)
+
+
+def bpe_pairs_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``text_bpe_pairs``'s count map: tokenizer-merge
+    statistics maintained AT INGEST. Each arriving document expands to
+    its adjacent character pairs in-row (stateless — `bpe_word_pairs`
+    shared verbatim with the batch op), and one stateful aggregation
+    keeps the running total per pair. Per-occurrence counting over the
+    stream equals the batch path's frequency-weighted counting over the
+    vocabulary exactly (Σ_words freq·pairs_in_word ≡ per-occurrence
+    sum), so the count map matches the batch frame bit-for-bit at any
+    prefix of the stream.
+
+    The batch-side finishes stay batch-side by design: the top-50 rank
+    is a read-time sort over the tiny pair map, and n_words (distinct
+    words per pair) would need unbounded per-pair word sets in state —
+    the same lambda split as the fuzzy-dedup tiers. State here is one
+    long per distinct pair (≤ alphabet², trivially bounded)."""
+    from mutable_spark.operators.text import _toks, bpe_word_pairs
+
+    pairs = docs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.filter(_toks(), lambda w: F.length(w) >= 2),
+                    bpe_word_pairs,
+                )
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("total_count")
+    )

@@ -981,3 +981,23 @@ def test_streaming_markov_transitions_equals_batch(spark, tmp_path):
         for r in registry.QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
     }
     assert dict(matrix) == want
+
+
+def test_streaming_bpe_pairs_equals_batch(spark):
+    """Tokenizer-merge statistics at ingest: the streaming per-occurrence
+    pair counts replayed over the bounded documents equal the batch
+    vocabulary-weighted count map (the full map, not just the registered
+    top-50) — Σ_words freq·pairs_in_word ≡ per-occurrence sum."""
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.text import bpe_pair_counts_frame
+    from mutable_spark.streaming.documents import bpe_pairs_stream, stream_documents
+
+    stream = stream_documents(spark, SF_DIR)
+    assert stream.isStreaming
+    got = run_available_now(bpe_pairs_stream(stream), "t_bpe_pairs")
+    want = (
+        bpe_pair_counts_frame(load_tables(spark, SF_DIR).documents)
+        .select("pair", "total_count")
+        .collect()
+    )
+    assert _rows(got) == _rows(want)
