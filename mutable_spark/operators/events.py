@@ -673,3 +673,62 @@ def events_path_trigrams(spark, sf_dir):
         F.count(F.lit(1)).alias("n_paths"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH w1 AS (
+        SELECT event_type, value,
+               quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+        FROM events
+    ), w2 AS (
+        SELECT event_type, value, med, abs(value - med) AS dev,
+               quantile_cont(abs(value - med), 0.5)
+                   OVER (PARTITION BY event_type) AS mad
+        FROM w1
+    )
+    SELECT event_type, COUNT(*) AS n, MIN(med) AS med, MIN(mad) AS mad,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM w2 GROUP BY event_type
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection per event type: median / median-absolute-
+    deviation (the estimator that survives the very outliers it hunts —
+    mean/stddev, `op_window_zscore`'s basis, are dragged by them) and
+    the count of values beyond 3·MAD. Both medians are the same
+    (n-1)·p interpolation both engines implement identically
+    (`events_value_percentiles`), and the outlier comparison runs on
+    bit-identical doubles, so the oracle matches exactly.
+
+    Scale shape: ONE shuffle — the med window, the dev projection, the
+    mad window, and the final groupBy all share the event_type hash
+    partitioning, so Catalyst plans a single exchange feeding two
+    window sorts and the aggregate. Exact medians buffer each group's
+    values: right for bounded group cardinality (event types), while
+    unbounded cardinality takes `op_approx_sketches`' percentile_approx
+    — the same right-tool note as `events_value_percentiles`."""
+    e = load_tables(spark, sf_dir).events
+    wt = Window.partitionBy("event_type")
+    w1 = e.select(
+        "event_type",
+        "value",
+        F.percentile("value", 0.5).over(wt).alias("med"),
+    )
+    w2 = w1.select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    ).withColumn("mad", F.percentile(F.col("dev"), 0.5).over(wt))
+    return w2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )

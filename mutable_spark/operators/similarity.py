@@ -924,3 +924,64 @@ def sim_hard_negatives(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _HN_K)
     )
+
+
+# --------------------------------------------------------------------------
+#: systematic-sample modulus for the pair histogram (the diagnostic's
+#: cost knob: pairs grow with (n/MOD)²)
+_HIST_MOD = 10
+#: histogram bucket width = 1/_HIST_BUCKETS of cosine range
+_HIST_BUCKETS = 20
+
+
+@query(
+    "sim_pair_histogram",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {_HIST_MOD} = 0
+    )
+    SELECT CAST(floor({_sql_cos('a.embedding', 'b.embedding')}
+                      * {_HIST_BUCKETS}) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs,
+           MIN({_sql_cos('a.embedding', 'b.embedding')}) AS cos_lo,
+           MAX({_sql_cos('a.embedding', 'b.embedding')}) AS cos_hi
+    FROM s a, s b
+    WHERE a.vec_id < b.vec_id
+    GROUP BY bucket
+    """,
+)
+def sim_pair_histogram(spark, sf_dir):
+    """Embedding-space health check: the distribution of pairwise cosine
+    similarity over a deterministic systematic sample (vec_id ≡ 0 mod
+    `_HIST_MOD`), bucketed into `_HIST_BUCKETS` fixed-width bins. The
+    shape diagnoses collapse (mass near 1.0 — an encoder that maps
+    everything together), poor normalization, and whether a near-dup
+    threshold (`dedup_embedding_cosine`) sits in a trough or a mode of
+    the actual distribution — read BEFORE picking thresholds.
+
+    Exactness: the cosine fold is the shared left-to-right JVM
+    expression (`vec_cosine`), bit-identical across engines, so floor
+    bucketing and MIN/MAX (order-independent) match exactly.
+
+    Scale shape: quadratic ON THE SAMPLE only — `_HIST_MOD` is the cost
+    knob ((n/MOD)² pairs; at 100 TB the mod rises so the sample stays
+    ~10⁴-10⁵ vectors and the pair count ~10⁸-10¹⁰/2·MOD², still one
+    broadcast-joinable frame). The sampled side is tiny, so Spark
+    broadcasts one copy and the pair expansion never shuffles the full
+    embedding table; the histogram groupBy is a partial agg on ≤
+    2·_HIST_BUCKETS keys."""
+    e = load_tables(spark, sf_dir).embeddings
+    s = e.filter(F.col("vec_id") % _HIST_MOD == 0).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        vec_cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos") * _HIST_BUCKETS).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cos").alias("cos_lo"),
+        F.max("cos").alias("cos_hi"),
+    )

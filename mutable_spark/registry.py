@@ -202,6 +202,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_path_trigrams",
     "pipeline_dedup_stats",
     "op_join_bucketed",
+    "events_anomaly_mad",
+    "sim_pair_histogram",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

@@ -469,3 +469,25 @@ def test_bucketed_join_zero_exchanges(spark):
     finally:
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         with_conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_anomaly_mad_single_exchange_shared_partitioning(plans):
+    """events_anomaly_mad: the med window, the mad window, and the final
+    groupBy all share hash(event_type) — ONE exchange in the whole
+    plan, two window sorts, no joins."""
+    simple = plans("events_anomaly_mad", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert simple.count("Window") == 2
+
+
+def test_pair_histogram_broadcast_sample_partial_agg(plans):
+    """sim_pair_histogram: the sampled side broadcasts (the a<b pair
+    expansion is a broadcast nested loop over the tiny sample, never a
+    shuffle of the embedding table), and the histogram groupBy partial-
+    aggs before its single exchange."""
+    p = plans("sim_pair_histogram")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()
