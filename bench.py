@@ -57,6 +57,14 @@ HEADLINE = [
     "pipeline_contamination_stats",
     "pipeline_end_to_end",
     "text_lm_surprisal",
+    # late-r8/r9 heavies previously untracked (measured ≥ ~1 s at sf0.1 —
+    # everything cheaper stays out to keep the bench tight)
+    "pipeline_source_overlap",
+    "multimodal_phash",
+    "sim_hard_negatives",
+    "text_tfidf_terms",
+    "events_cooccurrence",
+    "sim_pair_histogram",
 ]
 
 
