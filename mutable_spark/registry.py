@@ -204,6 +204,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_join_bucketed",
     "events_anomaly_mad",
     "sim_pair_histogram",
+    "source_partitioned_scan",
+    "source_orc_roundtrip",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end
@@ -294,5 +296,7 @@ def load_all() -> None:
     import mutable_spark.plans.index_queries  # noqa: F401
     import mutable_spark.versioning  # noqa: F401
     import mutable_spark.sources.bucketing  # noqa: F401
+    import mutable_spark.sources.partitioning  # noqa: F401
+    import mutable_spark.sources.orc  # noqa: F401
 
     _reorder_by_priority()

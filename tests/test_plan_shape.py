@@ -491,3 +491,25 @@ def test_pair_histogram_broadcast_sample_partial_agg(plans):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "partial" in p.lower()
+
+
+def test_partitioned_scan_prunes_at_planning_time(plans):
+    """source_partitioned_scan: the 7-day window resolves against the
+    hive-style date dirs — PartitionFilters carry the range, and the
+    selected partition count is the window, not the table."""
+    p = plans("source_partitioned_scan")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "d#" in pf[0].replace("d #", "d#")
+    assert "(d" in pf[0]  # the range predicate reached the partition filter
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(plans):
+    """source_orc_roundtrip: the ORC reader gets the same pushdown +
+    pruning surface as parquet — the n_chars predicate reaches the
+    scan and only the four referenced columns are read."""
+    p = plans("source_orc_roundtrip")
+    assert "Scan orc" in p or "Format: ORC" in p or "orc" in p.lower()
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "n_chars" in pushed[0]
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs and "doc_id" not in rs[0]  # unreferenced column pruned
