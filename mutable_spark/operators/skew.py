@@ -88,3 +88,61 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
     return bs.join(ss, on=[key, SALT], how=how).drop(SALT)
+
+
+# --------------------------------------------------------------------------
+# Registry op: the explicit two-phase salted aggregation as a driver-gated
+# query (this module was test-only until r9). event_type is the honest
+# hot-key case — a handful of values carrying EVERY row, the shape where
+# one reducer per key straggles at 100 TB no matter what AQE does
+# (skew-split helps joins, not a 5-key aggregation).
+
+from mutable_spark.catalog import load_tables  # noqa: E402
+from mutable_spark.registry import query  # noqa: E402
+
+
+@query(
+    "op_agg_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(user_id) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(user_id) AS min_user
+    FROM events GROUP BY event_type
+    """,
+)
+def op_agg_salted(spark, sf_dir):
+    """Salted two-phase aggregation over a hot-keyed stream: phase 1
+    groups by (event_type, salt) so each of the ~5 hot keys spreads
+    across 16 reducers; phase 2 re-combines the ≤ 16 algebraic partials
+    per key. Results are bit-identical to the plain groupBy (the salt
+    only moves work — decimal partial sums re-combine exactly, COUNT
+    and MIN are associative), which is exactly what the driver checks
+    against the unsalted oracle.
+
+    Scale note: this is the explicit guard for aggregation-key skew —
+    AQE's skew handling splits JOIN partitions but cannot parallelize
+    one aggregation key; with ~5 event types, an unsalted plan caps
+    aggregation parallelism at 5 tasks regardless of cluster size,
+    while the salted plan uses 5×16. The extra shuffle moves ≤
+    keys×salts×aggs rows — nothing at any scale."""
+    e = load_tables(spark, sf_dir).events.select(
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", "user_id"),
+            "sum_v": ("sum", "v"),
+            "min_user": ("min", "user_id"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("min_user").alias("min_user"),
+    )

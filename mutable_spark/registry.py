@@ -206,6 +206,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_pair_histogram",
     "source_partitioned_scan",
     "source_orc_roundtrip",
+    "op_agg_salted",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end
@@ -295,6 +296,7 @@ def load_all() -> None:
     import mutable_spark.operators.pipeline  # noqa: F401
     import mutable_spark.plans.index_queries  # noqa: F401
     import mutable_spark.versioning  # noqa: F401
+    import mutable_spark.operators.skew  # noqa: F401
     import mutable_spark.sources.bucketing  # noqa: F401
     import mutable_spark.sources.partitioning  # noqa: F401
     import mutable_spark.sources.orc  # noqa: F401

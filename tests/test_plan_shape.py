@@ -513,3 +513,15 @@ def test_orc_scan_pushes_filters_and_prunes_columns(plans):
     assert pushed and "n_chars" in pushed[0]
     rs = [l for l in p.splitlines() if "ReadSchema" in l]
     assert rs and "doc_id" not in rs[0]  # unreferenced column pruned
+
+
+def test_salted_agg_two_phase(plans):
+    """op_agg_salted: two aggregation phases around two exchanges — the
+    first keyed by (event_type, salt) so hot keys spread, the second
+    re-combining ≤ n_salts partials per key; no joins."""
+    simple = plans("op_agg_salted", "simple")
+    assert "Join" not in simple
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "__salt" in simple
+    p = plans("op_agg_salted")
+    assert p.count("HashAggregate") >= 4
