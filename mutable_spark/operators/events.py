@@ -732,3 +732,123 @@ def events_anomaly_mad(spark, sf_dir):
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+#: PageRank fixed-point scale, damping (85/100), rounds (finite oracle —
+#: a production job loops the same plan to convergence, as sim_ivf_train)
+_PR_SCALE = 1_000_000_000_000
+_PR_WQ = 1_000_000
+_PR_ITERS = 2
+
+
+def _sql_pagerank() -> str:
+    """DuckDB twin of ``events_pagerank``: identical fixed-round power
+    iteration in identical scaled-integer arithmetic (every SUM cast to
+    BIGINT — DuckDB widens to HUGEINT otherwise, the r7 lesson)."""
+    S, Q, D = _PR_SCALE, _PR_WQ, 85
+    base = f"(({100 - D} * {S} // 100))"
+    it = """
+    c{i} AS (
+        SELECT ed.v AS t,
+               CAST(SUM((r{p}.rq * ed.wq) // {Q}) AS BIGINT) AS contrib
+        FROM ed JOIN r{p} ON ed.u = r{p}.t
+        GROUP BY ed.v
+    ),
+    r{i} AS (
+        SELECT nodes.t,
+               CAST(({base} // n.n)
+                    + ({D} * COALESCE(c{i}.contrib, 0)) // 100 AS BIGINT) AS rq
+        FROM nodes CROSS JOIN n LEFT JOIN c{i} ON nodes.t = c{i}.t
+    )"""
+    its = ",".join(
+        it.format(i=i, p=i - 1, Q=Q, base=base, D=D)
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH g AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    edw AS (
+        SELECT prev_type AS u, event_type AS v, COUNT(*) AS w
+        FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edw GROUP BY u),
+    ed AS (
+        SELECT edw.u, edw.v,
+               CAST((edw.w * {Q}) // outw.wu AS BIGINT) AS wq
+        FROM edw JOIN outw USING (u)
+    ),
+    nodes AS (SELECT DISTINCT t FROM
+              (SELECT u AS t FROM edw UNION SELECT v AS t FROM edw)),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT t, CAST({S} // n.n AS BIGINT) AS rq FROM nodes CROSS JOIN n),
+    {its}
+    SELECT t AS event_type, rq AS rank_q FROM r{_PR_ITERS}
+    """
+
+
+@query("events_pagerank", oracle=_sql_pagerank())
+def events_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph — the iterative
+    graph algorithm as a declarative fixed-round plan, with a full
+    value-hash oracle. Every step is scaled-integer arithmetic
+    engineered order-independent (the ``sim_ivf_train`` discipline
+    applied to power iteration): edge weights quantize once to
+    per-source millionths (``wq = w·1e6 div Σw`` — which also bounds
+    ``rq·wq ≤ 1e18`` at ANY corpus scale, no overflow), contributions
+    sum exact integers, and the damping mix is pure integer div — so
+    Spark and DuckDB agree bit-for-bit after any number of rounds.
+
+    Scale shape: per round, ONE join of the edge list against the rank
+    vector + one partial-agg groupBy on the destination. Here the graph
+    is |types|² and everything broadcasts; on a web-scale graph the
+    edge list is the big side (shuffled on u, re-used every round from
+    cache/bucketed storage) and the rank vector is the broadcast side —
+    the classic iterate-over-static-edges shape. Rounds are a Python
+    loop emitting ONE unrolled Catalyst plan: no driver-side data, no
+    RDDs, lineage bounded by the fixed round count."""
+    S, Q, D = _PR_SCALE, _PR_WQ, 85
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        F.col("event_type").alias("v"),
+        F.lag("event_type").over(w).alias("u"),
+    ).filter(F.col("u").isNotNull())
+    edw = g.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    outw = edw.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    ed = edw.join(outw, "u").select(
+        "u", "v", F.expr(f"CAST((w * {Q}) div wu AS BIGINT)").alias("wq")
+    )
+    nodes = (
+        edw.select(F.col("u").alias("t"))
+        .union(edw.select(F.col("v").alias("t")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "t", F.expr(f"CAST({S} div n AS BIGINT)").alias("rq")
+    )
+    base = f"(({100 - D} * {S} div 100))"
+    for _ in range(_PR_ITERS):
+        c = (
+            ed.join(r, ed["u"] == r["t"])
+            .select("v", F.expr(f"(rq * wq) div {Q}").alias("part"))
+            .groupBy("v")
+            .agg(F.sum("part").cast("long").alias("contrib"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(c, nodes["t"] == c["v"], "left")
+            .select(
+                "t",
+                F.expr(
+                    f"CAST(({base} div n) + ({D} * COALESCE(contrib, 0)) div 100"
+                    " AS BIGINT)"
+                ).alias("rq"),
+            )
+        )
+    return r.select(F.col("t").alias("event_type"), F.col("rq").alias("rank_q"))

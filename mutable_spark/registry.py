@@ -207,6 +207,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "source_partitioned_scan",
     "source_orc_roundtrip",
     "op_agg_salted",
+    "events_pagerank",
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end

@@ -525,3 +525,12 @@ def test_salted_agg_two_phase(plans):
     assert "__salt" in simple
     p = plans("op_agg_salted")
     assert p.count("HashAggregate") >= 4
+
+
+def test_pagerank_broadcast_rank_vector_no_cartesian(plans):
+    """events_pagerank: each unrolled round joins the edge list against
+    the (broadcast-small) rank vector — no cartesian, no sort-merge of
+    the edge list, partial aggs on the destination key."""
+    p = plans("events_pagerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
