@@ -32,7 +32,11 @@ def _ensure_orc(spark: SparkSession, sf_dir: str) -> str:
     key = (id(spark), sf_dir)
     if key in _ORC_READY:
         return _ORC_READY[key]
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # content-identity key (mtime+size): regenerated testdata must never
+    # silently reuse a stale staged copy
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    sfx = hashlib.md5(ident.encode()).hexdigest()[:8]
     path = f"/tmp/mutable_spark_orc_docs_{sfx}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_tables(spark, sf_dir).documents.write.mode("overwrite").orc(path)

@@ -54,7 +54,11 @@ def _ensure_date_partitioned(spark: SparkSession, sf_dir: str) -> str:
     key = (id(spark), sf_dir)
     if key in _PART_READY:
         return _PART_READY[key]
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key the staged copy by source content identity (mtime+size), not just
+    # the path — regenerated testdata must never silently reuse stale copies
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    sfx = hashlib.md5(ident.encode()).hexdigest()[:8]
     path = f"/tmp/mutable_spark_part_events_{sfx}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e = load_tables(spark, sf_dir).events

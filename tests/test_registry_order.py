@@ -13,46 +13,59 @@ from mutable_spark import registry
 # Round 7 rotates in its seven new ops; op_topk_per_group and
 # events_sessionize (both green r1-r5) hand over their slots with family
 # coverage retained (TakeOrderedAndProject pin; retention+funnel).
-# Round 8 rotates in dialect_zoneindex_string (the one query that had
-# never held a driver row), pipeline_curriculum_sharded, the composed
-# pipeline_end_to_end, and — late r8 — ALL 13 round-8 additions that
-# would otherwise sit past the horizon unsampled; the 13 displaced ops
-# each hold an r7 triple-match driver row (CORRECTNESS_r07.json) and
-# every family keeps an in-sample member (see registry.py's per-slot
-# notes).
+# Round 8 rotated in dialect_zoneindex_string and the 13 round-8
+# additions. Round 9 applies the same policy at full width: NO r6/r8
+# driver artifacts exist, so everything rotated in last round stays,
+# and ALL remaining never-sampled names (late-r8 past-horizon ops +
+# the eleven r9 additions) take the 19 slots of names holding r7
+# triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
+    # never-driver-sampled as of round 9 (no r6/r8 driver artifacts were
+    # ever produced, so the r8 in-sample additions still await their first
+    # rows — they all stay), plus every late-r8/r9 registration:
     "dialect_zoneindex_string",
-    "pipeline_curriculum_sharded",
-    "op_join_asof",
-    "op_set_ops",
-    "op_zoneindex_scan",
-    "dialect_spn_planned_join",
-    "dialect_zoneindex_scan",
-    "dialect_spn_string_filter",
-    "multimodal_phash",
-    "op_mvcc_snapshot",
-    "op_grouping_sets",
-    "pipeline_decontaminate_fuzzy",
-    "sim_ivf_train",
-    "pipeline_end_to_end",
-    "events_attribution",
-    "pipeline_clean_corpus",
-    "pipeline_pack_sequences",
-    "text_lm_surprisal",
-    # the 13 round-8 additions (each one's FIRST driver sample)
-    "op_join_full_outer",
     "dialect_spn_like_prefix",
+    "op_join_full_outer",
+    "op_grouping_sets",
     "dedup_verbatim_ngrams",
     "sim_ivf_recall",
     "sim_quantize_embeddings",
     "sim_quantized_rerank",
     "sim_semantic_dedup",
+    "sim_hard_negatives",
+    "multimodal_phash",
     "multimodal_audio_chunks",
     "events_interarrival",
+    "events_attribution",
+    "events_markov_transitions",
+    "events_cooccurrence",
+    "text_lm_surprisal",
+    "text_chunk_sliding",
+    "pipeline_curriculum_sharded",
+    "pipeline_decontaminate_fuzzy",
     "pipeline_contamination_stats",
+    "pipeline_end_to_end",
     "pipeline_token_budget_sample",
     "pipeline_dedup_keep_best",
     "pipeline_oversample",
+    "pipeline_pack_sequences",
+    "pipeline_epoch_order",
+    "pipeline_source_overlap",
+    "pipeline_mix_temperature",
+    "pipeline_length_buckets",
+    "pipeline_clean_corpus",
+    # the eleven round-9 additions (each one's FIRST driver sample)
+    "text_bpe_pairs",
+    "text_tfidf_terms",
+    "events_path_trigrams",
+    "pipeline_dedup_stats",
+    "op_join_bucketed",
+    "events_anomaly_mad",
+    "sim_pair_histogram",
+    "source_partitioned_scan",
+    "source_orc_roundtrip",
+    "op_agg_salted",
+    "events_pagerank",
 ]
 
 
