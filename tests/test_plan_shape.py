@@ -534,3 +534,35 @@ def test_pagerank_broadcast_rank_vector_no_cartesian(plans):
     p = plans("events_pagerank")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_salted_join_shuffled_hash_no_broadcast(plans):
+    """op_join_salted: the dimension side must NOT auto-broadcast (that
+    would skip the salted placement this op gates) — the SHUFFLE_HASH
+    hint pins a ShuffledHashJoin on the (key, salt) pair, and the salt
+    column is present in the join keys."""
+    p = plans("op_join_salted", "simple")
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p
+    assert "__salt" in p
+
+
+def test_boilerplate_grams_partial_aggs_dictionary_join(plans):
+    """text_boilerplate_grams: the gram document-frequency dictionary is
+    a partial-agg groupBy; the stream joins back to it (AQE decides
+    broadcast at runtime), and the per-doc rollup is partial-agg'd too.
+    No cartesian anywhere."""
+    p = plans("text_boilerplate_grams")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final × (dfreq, per-doc)
+
+
+def test_window_time_range_single_exchange(plans):
+    """op_window_time_range: ONE shuffle (hashpartitioning on user_id)
+    feeding a sorted window — the range frame is a streaming two-pointer
+    pass, not a self-join."""
+    p = plans("op_window_time_range", "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "RANGE BETWEEN" in p or "specifiedwindowframe" in p.lower() or "Window" in p
