@@ -115,12 +115,23 @@ CASES: dict[str, str] = {
         "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
         "(ORDER BY n100000, id) rk FROM {D})"
     ),
-    # equi_join_pk_fk.yml
+    # equi_join_pk_fk.yml — two Spark configurations per the reference's
+    # own multi-configuration format (it measures Interpreter vs WasmV8):
+    # Catalyst's default pick (sort-merge under AQE) and a SHUFFLE_HASH
+    # hint (skips both sorts; the right choice when neither side needs
+    # sorted output and partitions fit in memory)
     "equi_join_pk_fk": (
+        "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.id = S.fid"
+    ),
+    "equi_join_pk_fk_shj": (
         "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.id = S.fid"
     ),
     # equi_join_n2m.yml
     "equi_join_n2m": (
+        "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.n2m = S.n2m "
+        "AND R.id < S.id"
+    ),
+    "equi_join_n2m_shj": (
         "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.n2m = S.n2m "
         "AND R.id < S.id"
     ),
@@ -156,16 +167,20 @@ def spark_df(spark, name: str, dist, rel):
         )
     if name == "order_by_i32":
         return dist.orderBy("n100000", "id").select("id")
-    if name == "equi_join_pk_fk":
+    if name.startswith("equi_join_pk_fk"):
         right = rel.select(F.col("fid"))
+        if name.endswith("_shj"):
+            right = right.hint("shuffle_hash")
         return rel.select("id").join(
             right, F.col("id") == F.col("fid")
         ).agg(F.count(F.lit(1)))
-    if name == "equi_join_n2m":
+    if name.startswith("equi_join_n2m"):
         left = rel.select("id", "n2m")
         right = rel.select(
             F.col("id").alias("id2"), F.col("n2m").alias("k2")
         )
+        if name.endswith("_shj"):
+            right = right.hint("shuffle_hash")
         return left.join(
             right,
             (F.col("n2m") == F.col("k2")) & (F.col("id") < F.col("id2")),

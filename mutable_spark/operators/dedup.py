@@ -1079,3 +1079,41 @@ def dedup_verbatim_ngrams(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@query(
+    "dedup_threshold_histogram",
+    oracle=rf"""
+    SELECT LEAST(9, CAST(floor(jac * 10) AS BIGINT)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ({_SQL_PAIRS_HASHED})
+    GROUP BY 1
+    """,
+)
+def dedup_threshold_histogram(spark, sf_dir):
+    """Jaccard threshold-sensitivity curve over the near-dup tier: how
+    many verified duplicate pairs fall in each Jaccard decile ≥ the LSH
+    floor — THE diagnostic that sets the dedup knob (pipeline_dedup_stats
+    answers "how big are the classes", sim_pair_histogram "how does the
+    embedding space look"; this answers "what does moving the Jaccard
+    threshold from 0.5 to 0.8 cost"). Bucket b counts pairs with
+    jac ∈ [b/10, (b+1)/10) (b=9 also takes jac=1.0 via LEAST).
+
+    Visibility floor, stated per the no-silent-caps rule: the histogram
+    is over pairs the ≥0.5 LSH tier surfaces — mass below 0.5 is
+    invisible BY DESIGN (that is the tier's recall contract, miss ≈1e-8
+    at 0.5), so the curve reads "cost of raising the threshold", never
+    "shape below the floor". The bucket expression reuses the verify
+    tier's exact double jac (one IEEE divide mirrored by the oracle), so
+    decile edges land identically in both engines.
+
+    Scale shape: everything up to `minhash_lsh_pairs` is the shared LSH
+    tier (its shuffles and caps documented at `dedup_minhash_lsh`); the
+    histogram adds one partial-agg groupBy on a ≤10-value key."""
+    d = load_tables(spark, sf_dir).documents
+    g = _hashed_shingle_df(d).cache()
+    pairs = minhash_lsh_pairs(g)
+    bucket = F.least(F.lit(9), F.floor(F.col("jac") * 10)).cast("long")
+    return pairs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
