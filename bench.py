@@ -65,6 +65,11 @@ HEADLINE = [
     "text_tfidf_terms",
     "events_cooccurrence",
     "sim_pair_histogram",
+    # late-r9 additions over the ≥ ~1 s bar (boilerplate 2.2 s, threshold
+    # histogram 2.8 s at sf0.1; salted join / time-range window stay out
+    # at 0.4 / 0.8 s)
+    "text_boilerplate_grams",
+    "dedup_threshold_histogram",
 ]
 
 

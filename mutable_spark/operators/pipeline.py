@@ -312,7 +312,14 @@ def pipeline_decontaminate_fuzzy(spark, sf_dir):
     d = load_tables(spark, sf_dir).documents
     is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
     contaminated = fuzzy_contaminated_ids(d, is_eval)
-    kept = d.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    # broadcast the contamination list (bounded by the eval side — the
+    # same in-scan LEFT ANTI shape `pipeline_decontaminate` uses for its
+    # digest blocklist): without the hint Catalyst's static plan sort-
+    # merge-antis the FULL corpus on doc_id — a corpus-wide shuffle that
+    # the broadcast keeps map-side at any scale
+    kept = d.filter(~is_eval).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
     )
