@@ -42,7 +42,9 @@ import sys
 import time
 from pathlib import Path
 
-N_TUPLES = 10_000_000
+#: reference gen.py NUM_TUPLES; env-overridable so the smoke test
+#: (tests/test_bench_ops.py) can exercise every case on a tiny table
+N_TUPLES = int(os.environ.get("SPARK_GRAFT_OPSBENCH_N", 10_000_000))
 SFS = (0.25, 0.5, 1.0)
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -54,7 +56,7 @@ def gen_data(root: Path) -> None:
     import pyarrow.parquet as pq
 
     root.mkdir(parents=True, exist_ok=True)
-    marker = root / ".complete"
+    marker = root / ".complete_v2"  # v2: adds Selectivity_d
     if marker.exists():
         return
     rng = np.random.default_rng(0x5EED)
@@ -66,6 +68,21 @@ def gen_data(root: Path) -> None:
         pa.table(cols),
         root / "Distinct_i32.parquet",
         row_group_size=512 * 1024,
+    )
+    # phys-cost-models/filter: d uniform, d_sorted = the ordered twin
+    # (row-group min/max stats make the `d_sorted <= x` scan prunable in
+    # BOTH engines — the zone-map effect the reference's '-ordered' yml
+    # variants isolate), payload = the GROUP BY consumer
+    d = rng.random(N_TUPLES)
+    sel = pa.table(
+        {
+            "d": d,
+            "d_sorted": np.sort(d),
+            "payload": rng.integers(0, 100, N_TUPLES, dtype=np.int32),
+        }
+    )
+    pq.write_table(
+        sel, root / "Selectivity_d.parquet", row_group_size=512 * 1024
     )
     rel = pa.table(
         {
@@ -115,6 +132,11 @@ CASES: dict[str, str] = {
         "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
         "(ORDER BY n100000, id) rk FROM {D})"
     ),
+    # order_by_i32_multiple.yml case 4
+    "order_by_i32_multi4": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n10000, n1000, n100, n10) rk FROM {D})"
+    ),
     # equi_join_pk_fk.yml — two Spark configurations per the reference's
     # own multi-configuration format (it measures Interpreter vs WasmV8):
     # Catalyst's default pick (sort-merge under AQE) and a SHUFFLE_HASH
@@ -136,6 +158,34 @@ CASES: dict[str, str] = {
         "AND R.id < S.id"
     ),
 }
+
+
+#: phys-cost-models/filter (`branch_vs_pred-w_hashing-{un,}ordered.yml`):
+#: selectivity is the x-axis (always at full size), the GROUP BY payload
+#: consumer keeps the filter's output alive, and the '-ordered' variant
+#: runs the same predicate on the SORTED column where row-group pruning
+#: applies in both engines.
+SELECTIVITIES = (0.01, 0.1, 0.5, 0.9)
+
+
+def filter_case(sel_tbl, col: str, x: float):
+    from pyspark.sql import functions as F
+
+    g = (
+        sel_tbl.filter(F.col(col) <= x)
+        .groupBy("payload")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"), F.sum("c").alias("n_rows")
+    )
+
+
+FILTER_SQL = (
+    "SELECT COUNT(*) AS n_groups, SUM(c) AS n_rows FROM ("
+    "SELECT payload, COUNT(*) AS c FROM {S} WHERE {col} <= {x} "
+    "GROUP BY payload)"
+)
 
 
 def spark_df(spark, name: str, dist, rel):
@@ -167,6 +217,8 @@ def spark_df(spark, name: str, dist, rel):
         )
     if name == "order_by_i32":
         return dist.orderBy("n100000", "id").select("id")
+    if name == "order_by_i32_multi4":
+        return dist.orderBy("n10000", "n1000", "n100", "n10").select("id")
     if name.startswith("equi_join_pk_fk"):
         right = rel.select(F.col("fid"))
         if name.endswith("_shj"):
@@ -236,7 +288,7 @@ def main() -> None:
             # join "ran" in 29 ms on the reused object vs ~3 s fresh).
             def run() -> None:
                 df = spark_df(spark, name, dist, rel)
-                if name == "order_by_i32":
+                if name.startswith("order_by"):
                     # full-result case: execute the sorted plan through
                     # the noop sink (collecting 10M rows would time Py4J
                     # transfer, which the reference's PrintOperator-to-
@@ -249,7 +301,7 @@ def main() -> None:
             # both engines must agree on the scalar result before any
             # timing is trusted (order_by is full-result, checked by the
             # count cases sharing its input)
-            if name != "order_by_i32":
+            if not name.startswith("order_by"):
                 got = [
                     tuple(r) for r in spark_df(spark, name, dist, rel).collect()
                 ]
@@ -269,6 +321,40 @@ def main() -> None:
             }
             print(
                 f"# {name} sf={sf}: spark {spark_s:.3f}s "
+                f"duckdb {duck_s:.3f}s",
+                file=sys.stderr,
+            )
+
+    # phys-cost-models/filter sweep: full size, selectivity as the x-axis
+    sel_full = spark.read.parquet(str(root / "Selectivity_d.parquet"))
+    con.execute(
+        f"CREATE VIEW sel_full AS SELECT * FROM "
+        f"read_parquet('{root}/Selectivity_d.parquet')"
+    )
+    for col in ("d", "d_sorted"):
+        name = f"filter_{'ordered' if col == 'd_sorted' else 'unordered'}"
+        results[name] = {}
+        for x in SELECTIVITIES:
+            sql = FILTER_SQL.format(S="sel_full", col=col, x=x)
+
+            def frun() -> None:
+                filter_case(sel_full, col, x).collect()
+
+            got = [tuple(r) for r in filter_case(sel_full, col, x).collect()]
+            want = con.execute(sql).fetchall()
+            assert got == want, (name, x, got, want)
+            spark_s = min(_timed(frun) for _ in range(REPS))
+            con.execute(sql).fetchall()  # warm
+            duck_s = min(
+                _timed(lambda: con.execute(sql).fetchall())
+                for _ in range(REPS)
+            )
+            results[name][str(x)] = {
+                "spark_s": round(spark_s, 4),
+                "duckdb_s": round(duck_s, 4),
+            }
+            print(
+                f"# {name} sel={x}: spark {spark_s:.3f}s "
                 f"duckdb {duck_s:.3f}s",
                 file=sys.stderr,
             )

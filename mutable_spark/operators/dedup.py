@@ -996,14 +996,14 @@ def dedup_simhash(spark, sf_dir):
 #: keeps every scale factor exercised.
 _SPAN_K = 20
 
-def verbatim_gram_rows(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
-    """(doc_id, ``*keep``, h) — one row per distinct ``k``-token
-    rolling-gram hash per document; the shared gram tier behind
-    ``dedup_verbatim_ngrams``, ``pipeline_source_overlap`` and (at k=5)
-    ``text_boilerplate_grams``. Grams chain the portable token hashes
-    with k-1 zip_withs over aligned array views (the
-    `_hashed_shingle_df` construction generalized from 3 to k), all
-    JVM-side; the explode is the only row-multiplier."""
+def verbatim_gram_arrays(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
+    """(doc_id, ``*keep``, grams) — per document, the DISTINCT ``k``-token
+    rolling-gram hashes as an array (no explode). Grams chain the
+    portable token hashes with k-1 zip_withs over aligned array views
+    (the `_hashed_shingle_df` construction generalized from 3 to k), all
+    JVM-side. The array form is what the STATELESS consumers want (the
+    streaming boilerplate scrub does in-row set membership on it); batch
+    consumers explode via `verbatim_gram_rows`."""
     toks = _tokens()
     t = d.select("doc_id", *keep, toks.alias("t")).filter(F.size("t") >= k)
     t = t.select("doc_id", *keep, F.transform(F.col("t"), _token_hash).alias("th"))
@@ -1015,7 +1015,16 @@ def verbatim_gram_rows(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
             F.slice(F.col("th"), 1 + j, m),
             lambda a, b: (a * 131 + b) % _PH,
         )
-    g = t.select("doc_id", *keep, F.array_distinct(acc).alias("grams"))
+    return t.select("doc_id", *keep, F.array_distinct(acc).alias("grams"))
+
+
+def verbatim_gram_rows(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
+    """(doc_id, ``*keep``, h) — one row per distinct ``k``-token
+    rolling-gram hash per document; the shared gram tier behind
+    ``dedup_verbatim_ngrams``, ``pipeline_source_overlap`` and (at k=5)
+    ``text_boilerplate_grams``. The explode over `verbatim_gram_arrays`
+    is the only row-multiplier."""
+    g = verbatim_gram_arrays(d, keep, k)
     return g.select("doc_id", *keep, F.explode("grams").alias("h"))
 
 

@@ -991,3 +991,58 @@ def text_boilerplate_grams(spark, sf_dir):
         "n_boiler",
         F.expr("(n_boiler * 10000) div n_grams").alias("boiler_bp"),
     )
+
+
+#: hard cap on the boilerplate dictionary carried into the stateless
+#: in-row membership form (streaming twin): boilerplate is by definition
+#: few distinct strings — a df-thresholded hot head. Past the cap the
+#: right design is a static-table semi join + periodic re-aggregation in
+#: the compaction layer, not a bigger literal.
+_BOILER_CAP = 65536
+
+
+def boilerplate_dictionary(d):
+    """(h) — the corpus's boilerplate-gram dictionary: every ``_BP_K``-gram
+    hash present in ≥ ``_BP_MIN_DF`` documents. Batch-side builder (one
+    partial-agg groupBy over the shared gram tier); the streaming scrub
+    consumes its collected hot head."""
+    import mutable_spark.operators.dedup as D
+
+    e = D.verbatim_gram_rows(d, k=_BP_K)
+    return (
+        e.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DF)
+        .select("h")
+    )
+
+
+def boilerplate_stats_frame(docs, boiler: list[int]):
+    """Stateless per-document boilerplate accounting against a FIXED
+    dictionary: the in-row formulation of ``text_boilerplate_grams``
+    (same n_grams / n_boiler / boiler_bp, computed as set membership over
+    the doc's distinct-gram array instead of the dictionary join — no
+    shuffle, no state, so it runs per micro-batch at ingest). ``boiler``
+    is the collected hot head, capped at ``_BOILER_CAP`` (see the cap
+    comment: boilerplate dictionaries are small by construction)."""
+    import mutable_spark.operators.dedup as D
+
+    if len(boiler) > _BOILER_CAP:
+        raise ValueError(
+            f"boilerplate dictionary {len(boiler)} exceeds {_BOILER_CAP}; "
+            "use the batch join form / compaction-layer semi join"
+        )
+    g = D.verbatim_gram_arrays(docs, k=_BP_K)
+    lit = F.array(*[F.lit(int(h)) for h in sorted(boiler)])
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_intersect("grams", lit)).alias("n_boiler"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.expr(
+            "cast((cast(n_boiler as bigint) * 10000) div n_grams as bigint)"
+        ).alias("boiler_bp"),
+    )

@@ -250,3 +250,19 @@ def bpe_pairs_stream(docs: DataFrame) -> DataFrame:
     return pairs.groupBy("pair").agg(
         F.count(F.lit(1)).cast("long").alias("total_count")
     )
+
+
+def boilerplate_scrub_stream(docs: DataFrame, boiler: list[int]) -> DataFrame:
+    """Streaming twin of ``text_boilerplate_grams``: per arriving
+    document, boilerplate accounting against a FIXED hot-gram dictionary
+    (built batch-side by `operators.text.boilerplate_dictionary` — in
+    production, refreshed by the compaction job the fuzzy tiers already
+    run). The shared builder computes membership IN-ROW over the doc's
+    distinct-gram array, so the twin is a stateless map: no shuffle, no
+    state store, and a template-heavy document is flagged the moment it
+    arrives rather than at the next batch sweep. The dictionary cap and
+    the past-the-cap design (static-table semi join in the compaction
+    layer) are documented at `text._BOILER_CAP`."""
+    from mutable_spark.operators.text import boilerplate_stats_frame
+
+    return boilerplate_stats_frame(docs, boiler)

@@ -1001,3 +1001,25 @@ def test_streaming_bpe_pairs_equals_batch(spark):
         .collect()
     )
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_boilerplate_scrub_equals_batch(spark):
+    """Boilerplate-at-ingest: the stateless in-row membership map against
+    the batch-built dictionary equals the registered batch
+    text_boilerplate_grams (join formulation) row-for-row."""
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.text import boilerplate_dictionary
+    from mutable_spark.streaming.documents import (
+        boilerplate_scrub_stream,
+        stream_documents,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    boiler = [r.h for r in boilerplate_dictionary(d).collect()]
+    assert boiler, "testdata must contain some cross-document grams"
+    stream = stream_documents(spark, SF_DIR)
+    got = run_available_now(
+        boilerplate_scrub_stream(stream, boiler), "t_boiler", mode="append"
+    )
+    want = registry.QUERIES["text_boilerplate_grams"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
