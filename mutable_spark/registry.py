@@ -223,6 +223,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
+    # late-r9 additions (registered after the r9 rotation froze; never
+    # driver-sampled yet — rotation candidates for r10, all green in the
+    # local oracle suite):
+    "text_boilerplate_grams",
+    "op_window_time_range",
+    "op_join_salted",
+    "dedup_threshold_histogram",
 ]
 
 
