@@ -985,3 +985,111 @@ def sim_pair_histogram(spark, sf_dir):
         F.min("cos").alias("cos_lo"),
         F.max("cos").alias("cos_hi"),
     )
+
+
+#: covariance quantization grid: embeddings live in (-1, 1), so
+#: |x_q| < 2^20, |x_q·y_q| < 2^40, and the decimal-summed second moments
+#: are exact at ANY corpus size; the BIGINT output cast is valid to
+#: ~2^23 vectors (sums < 2^63) — past that the output column itself
+#: would stay DECIMAL (noted below).
+_COV_QSCALE = 1 << 20
+
+
+@query(
+    "sim_embedding_covariance",
+    oracle=rf"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_QSCALE}.0)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, CAST(r.range AS BIGINT) AS i, q[r.range + 1] AS x
+        FROM q CROSS JOIN range(64) r
+    ),
+    m AS (
+        SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM e GROUP BY i
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS BIGINT) AS sxy_q,
+           MIN(ma.sx) AS sx_i,
+           MIN(mb.sx) AS sx_j
+    FROM e a
+    JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    JOIN m ma ON ma.i = a.i
+    JOIN m mb ON mb.i = b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def sim_embedding_covariance(spark, sf_dir):
+    """Exact quantized moment matrix of the embedding corpus — the input
+    to whitening / PCA, the standard preprocessing before semantic dedup
+    and ANN indexing (decorrelated dimensions make cosine thresholds and
+    quantizer cells meaningful). Emits, per dimension pair i ≤ j, the
+    raw sufficient statistics (n, Σx_i·x_j, Σx_i, Σx_j) on the
+    ``_COV_QSCALE`` integer grid: covariance/correlation derive
+    downstream as (n·sxy − sx_i·sx_j)/n², and raw sums — unlike a
+    per-partition covariance — combine exactly across any partitioning.
+
+    Spark shape: quantize in-row, then TWO chained posexplodes (codegen
+    Generate, d² rows per vector) filtered to the upper triangle feed
+    ONE partial-agg groupBy on the (i, j) key — 2,080 keys at d=64, so
+    the map-side combine reduces each task's output to the key count and
+    the shuffle is communication-optimal (this is just "covariance is a
+    sum of outer products" distributed the only right way). Per-dim
+    first moments reuse the first explode and broadcast-join back onto
+    the 2,080-row result. Products are summed in DECIMAL(38,0) — exact
+    at any corpus size; the BIGINT output cast holds to ~8M vectors and
+    would simply stay DECIMAL past that (see `_COV_QSCALE` note).
+
+    At 100 TB: identical plan — the explode is map-local, the shuffle
+    carries ≤ tasks × d² partial rows, and d×d fits anywhere. Reference
+    analogy: mutable's aggregation microbenchmarks
+    (`benchmark/operators/group_by_aggregates.yml`) measure exactly this
+    partial-agg width scaling."""
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _COV_QSCALE).cast("long"),
+        ).alias("q"),
+    )
+    ex = q.select("vec_id", F.posexplode("q").alias("i", "x"))
+    m = ex.groupBy("i").agg(F.sum("x").alias("sx"))
+    # chained generates, NOT a vec_id self-join: the second posexplode
+    # multiplies rows map-locally (no shuffle of the exploded frame), so
+    # the only exchange in the moment pass is the 2,080-key partial agg
+    pairs = q.select(F.posexplode("q").alias("i", "x"), F.col("q")).select(
+        "i", "x", F.posexplode("q").alias("j", "y")
+    )
+    second = (
+        pairs.filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sxy_q"),
+        )
+    )
+    return (
+        second.join(F.broadcast(m.select(F.col("i"), F.col("sx").alias("sx_i"))), "i")
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            "sxy_q",
+            "sx_i",
+            "sx_j",
+        )
+    )

@@ -230,6 +230,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_window_time_range",
     "op_join_salted",
     "dedup_threshold_histogram",
+    "sim_embedding_covariance",
 ]
 
 

@@ -566,3 +566,15 @@ def test_window_time_range_single_exchange(plans):
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "RANGE BETWEEN" in p or "specifiedwindowframe" in p.lower() or "Window" in p
+
+
+def test_embedding_covariance_chained_generates_partial_agg(plans):
+    """sim_embedding_covariance: the d² pair expansion is two chained
+    Generates (map-local), never a vec_id self-join — the moment pass's
+    only exchange is the 2,080-key partial agg; the first-moment
+    join-backs broadcast."""
+    p = plans("sim_embedding_covariance")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Generate") >= 2
+    assert "BroadcastHashJoin" in p
