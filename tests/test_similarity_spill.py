@@ -151,3 +151,33 @@ def test_quantized_rerank_full_recall(spark):
         for r in registry.QUERIES["sim_quantized_rerank"](spark, SF_DIR).collect()
     }
     assert exact == quant
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the late-r9 aggregation-heavy ops: decimal moment sums over a
+        # 2,080-key agg, the decile histogram over the LSH tier, and the
+        # gram document-frequency dictionary — each must survive the
+        # sort-based aggregation fallback (the 100 TB memory-pressure
+        # path) bit-identically
+        "sim_embedding_covariance",
+        "dedup_threshold_histogram",
+        "text_boilerplate_grams",
+    ],
+)
+def test_r9_aggs_match_oracle_with_objecthash_fallback(spark, duck, name):
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, "1")
+    try:
+        ok, msg = compare(name, spark, duck, SF_DIR)
+        assert ok, f"with objectHashAggregate fallbackThreshold=1: {msg}"
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
