@@ -852,3 +852,83 @@ def events_pagerank(spark, sf_dir):
             )
         )
     return r.select(F.col("t").alias("event_type"), F.col("rq").alias("rank_q"))
+
+
+@query(
+    "events_session_text",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq_text
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_session_text(spark, sf_dir):
+    """Behavioral-sequence export: each session (the `events_sessionize`
+    10-minute-gap rule) rendered as a space-joined event-type string in
+    exact time order — the events→documents bridge that turns a clickstream
+    into training text for a behavioral/sequence model (the per-session
+    twin of what `events_path_trigrams` mines statistically). The emitted
+    corpus feeds the text tier directly: token counting, dedup and packing
+    treat `seq_text` exactly like `documents.text`.
+
+    Determinism: events within a session are ordered by the total key
+    (ts, event_id) before joining, mirrored by the oracle's ordered
+    string_agg, so the string is bit-identical cross-engine.
+
+    Scale shape: ONE shuffle on user_id; the same sorted window the
+    sessionizer uses assigns session_idx, and the per-session collect is
+    bounded by session length (minutes of activity), never a user's
+    history. A session here is the natural training "document" — the
+    state the streaming twin maintains with session_window + watermark."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull() | (F.col("ts") > lag_ts + F.expr("INTERVAL 10 MINUTE")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("seq_text"),
+    )

@@ -231,6 +231,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_join_salted",
     "dedup_threshold_histogram",
     "sim_embedding_covariance",
+    "events_session_text",
 ]
 
 
