@@ -1520,3 +1520,94 @@ def pipeline_dedup_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_classes"),
         (F.col("class_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "pipeline_split_leakage_safe",
+    oracle=None,  # assigned below (needs dedup._SQL_PAIRS_HASHED)
+)
+def pipeline_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/test split: the stable-hash decision of
+    ``pipeline_train_test_split`` applied to the DUPLICATE CLASS, not the
+    document — near-duplicates (the verified ≥0.5-Jaccard classes) land
+    on the SAME side by construction, so a reworded copy of a training
+    document can never sit in the test set inflating eval scores. This
+    is the split LLM pipelines actually need (doc-keyed splits leak
+    through near-dups; Lee et al. 2022 measure the effect) and the
+    reason the components tier exists beyond dedup reporting.
+
+    Shape: verified pairs → large-star/small-star components (shared
+    tier, O(log n) rounds) → LEFT join of the corpus onto the class map
+    (singletons are their own class: coalesce(class_rep, doc_id)) → the
+    hash-of-class split decision — a broadcast-sized class map against
+    one corpus scan; the split itself stays a pure map. Registered
+    result: per-split document and class counts + id range (membership
+    pins structurally; tests/test_pipeline_props.py pins that no pair
+    straddles).
+
+    Oracle: the classes recursive CTE shared with
+    ``dedup_duplicate_classes`` + the identical md5-prefix arithmetic."""
+    d = load_tables(spark, sf_dir).documents
+    import mutable_spark.operators.dedup as D
+
+    g = D._hashed_shingle_df(d).cache()
+    pairs = D.minhash_lsh_pairs(g).select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+    classes = D.connected_components(pairs)  # (doc_id, class_rep)
+    withc = d.select("doc_id").join(
+        F.broadcast(classes), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("class_rep"), F.col("doc_id")).alias("class_rep"),
+    )
+    h = _hash52(F.col("class_rep"))
+    split = F.when(h < F.lit(_TRAIN_FRAC * _HASH52_DOMAIN), "train").otherwise(
+        "test"
+    )
+    return withc.select(split.alias("split"), "doc_id", "class_rep").groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("class_rep").alias("n_classes"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _register_leakage_safe_oracle():
+    from mutable_spark.operators.dedup import _SQL_PAIRS_HASHED
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["pipeline_split_leakage_safe"] = rf"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_SQL_PAIRS_HASHED})
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    classes AS (SELECT n AS doc_id, MIN(m) AS class_rep FROM reach GROUP BY n),
+    withc AS (
+        SELECT d.doc_id, COALESCE(c.class_rep, d.doc_id) AS class_rep
+        FROM documents d LEFT JOIN classes c ON d.doc_id = c.doc_id
+    )
+    SELECT CASE WHEN {_sql_hash52('class_rep')}
+                     < {_TRAIN_FRAC} * 4503599627370496.0
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT class_rep) AS BIGINT) AS n_classes,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM withc
+    GROUP BY 1
+    """
+
+
+_register_leakage_safe_oracle()

@@ -232,6 +232,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_threshold_histogram",
     "sim_embedding_covariance",
     "events_session_text",
+    "pipeline_split_leakage_safe",
 ]
 
 

@@ -304,3 +304,44 @@ def test_chunk_geometry_property_random_lengths():
         assert covered == set(range(n))
 
     check()
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """pipeline_split_leakage_safe's structural invariant, checked
+    directly: every verified near-dup pair has both ends on the same
+    side of the split (the doc-keyed split does NOT have this property —
+    also asserted, so the test would catch a silent regression to
+    doc-keyed hashing only if the corpus actually exercises it)."""
+    import mutable_spark.operators.dedup as D
+    import mutable_spark.operators.pipeline as P
+    import pyspark.sql.functions as F
+    from mutable_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    d = load_tables(spark, SF_DIR).documents
+    g = D._hashed_shingle_df(d).cache()
+    pairs = D.minhash_lsh_pairs(g).select("doc_a", "doc_b")
+    classes = D.connected_components(pairs.localCheckpoint(eager=True))
+    withc = (
+        d.select("doc_id")
+        .join(F.broadcast(classes), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("class_rep", "doc_id").alias("class_rep"),
+        )
+    )
+    h = P._hash52(F.col("class_rep"))
+    split = F.when(
+        h < F.lit(P._TRAIN_FRAC * P._HASH52_DOMAIN), "train"
+    ).otherwise("test")
+    side = withc.select("doc_id", split.alias("split"))
+    joined = (
+        pairs.join(side.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(side.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("split", "split_b")
+    )
+    n_pairs = joined.count()
+    assert n_pairs > 0, "corpus must exercise the invariant"
+    straddle = joined.filter(F.col("split_a") != F.col("split_b")).count()
+    assert straddle == 0
