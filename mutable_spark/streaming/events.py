@@ -535,3 +535,36 @@ def markov_transitions_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def session_text(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of `events_session_text`: the native session_window
+    merges each user's gap-bounded session in the state store; when the
+    watermark closes the session, its events render to the SAME
+    space-joined event-type string as the batch op (identical
+    sort-by-(ts, event_id) + transform + array_join expression), so the
+    behavioral training corpus is emitted incrementally — a finished
+    session becomes a training document the moment it can no longer
+    change. State per open session is its (ts, event_id, event_type)
+    triples, bounded by the gap rule, and append mode guarantees each
+    session text is emitted exactly once."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+        .select("user_id", "session_start", "n_events", "seq_text")
+    )

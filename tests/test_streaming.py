@@ -1023,3 +1023,18 @@ def test_streaming_boilerplate_scrub_equals_batch(spark):
     )
     want = registry.QUERIES["text_boilerplate_grams"](spark, SF_DIR).collect()
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_session_text_equals_batch(spark):
+    """Session-text-at-ingest: the watermark-closed session strings equal
+    the batch events_session_text corpus — same (user, start, n_events,
+    seq_text) multiset (session_window merges by the same 10-min gap as
+    the batch lag/cumsum rule)."""
+    from mutable_spark.streaming.events import session_text, stream_events
+
+    stream = stream_events(spark, SF_DIR)
+    got = run_available_now(session_text(stream), "t_sess_text")
+    want = registry.QUERIES["events_session_text"](spark, SF_DIR).collect()
+    got_key = sorted((r.user_id, r.n_events, r.seq_text) for r in got)
+    want_key = sorted((r.user_id, r.n_events, r.seq_text) for r in want)
+    assert got_key == want_key
