@@ -1038,3 +1038,77 @@ def test_streaming_session_text_equals_batch(spark):
     got_key = sorted((r.user_id, r.n_events, r.seq_text) for r in got)
     want_key = sorted((r.user_id, r.n_events, r.seq_text) for r in want)
     assert got_key == want_key
+
+
+def test_streaming_session_text_state_survives_restart(spark, tmp_path):
+    """Session-text across a stop/restart: deliver the first half of the
+    event stream, stop, deliver the rest plus a far-future sentinel, and
+    restart on the SAME checkpoint. Sessions that straddle the split must
+    MERGE in the recovered session_window state (their halves arrive in
+    different runs), and every finished session's string must appear
+    exactly once — the union of both runs' append output equals the batch
+    events_session_text corpus."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import session_text
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+    sentinel = spark.createDataFrame(
+        [(10**9, hi + datetime.timedelta(hours=10), -1, "sentinel", 0.0, "{}")],
+        ev.schema,
+    )
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            session_text(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") >= F.lit(split)).unionByName(sentinel), "phase2")
+    run_once()
+
+    got = (
+        spark.read.schema(
+            T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.TimestampType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("seq_text", T.StringType()),
+            ])
+        )
+        .parquet(str(sink))
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    want = registry.QUERIES["events_session_text"](spark, SF_DIR).collect()
+    got_key = sorted((r.user_id, r.n_events, r.seq_text) for r in got)
+    want_key = sorted((r.user_id, r.n_events, r.seq_text) for r in want)
+    assert got_key == want_key
