@@ -66,10 +66,12 @@ HEADLINE = [
     "events_cooccurrence",
     "sim_pair_histogram",
     # late-r9 additions over the ≥ ~1 s bar (boilerplate 2.2 s, threshold
-    # histogram 2.8 s at sf0.1; salted join / time-range window stay out
-    # at 0.4 / 0.8 s)
+    # histogram 2.8 s, leakage-safe split 4.6 s at sf0.1; salted join /
+    # time-range window / covariance / session text stay out at
+    # 0.4/0.8/0.8/1.0 s)
     "text_boilerplate_grams",
     "dedup_threshold_histogram",
+    "pipeline_split_leakage_safe",
 ]
 
 
