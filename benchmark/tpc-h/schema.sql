@@ -36,3 +36,18 @@ CREATE TABLE Part (
     p_size INT(4) NOT NULL,
     p_retailprice DECIMAL(10,2) NOT NULL
 );
+CREATE TABLE Supplier (
+    s_suppkey INT(8) NOT NULL,
+    s_name CHAR(25) NOT NULL,
+    s_nationkey INT(4) NOT NULL,
+    s_acctbal DECIMAL(10,2) NOT NULL
+);
+CREATE TABLE Nation (
+    n_nationkey INT(4) NOT NULL,
+    n_name CHAR(25) NOT NULL,
+    n_regionkey INT(4) NOT NULL
+);
+CREATE TABLE Region (
+    r_regionkey INT(4) NOT NULL,
+    r_name CHAR(25) NOT NULL
+);

@@ -55,7 +55,15 @@ from mutable_spark.dialect.engine import Engine
 from mutable_spark.registry import query
 
 _BENCH_DIR = Path(__file__).resolve().parents[2] / "benchmark" / "tpc-h"
-_TABLES = ("Lineitem", "Orders", "Customer", "Part")
+_TABLES = (
+    "Lineitem",
+    "Orders",
+    "Customer",
+    "Part",
+    "Supplier",
+    "Nation",
+    "Region",
+)
 
 
 def _split_statements(text: str) -> list[str]:
@@ -275,3 +283,92 @@ def dialect_tpch_q12(spark, sf_dir):
 def dialect_tpch_q14(spark, sf_dir):
     """TPC-H Q14 benchmark script through the dialect frontend."""
     return run_script(spark, sf_dir, "q14")
+
+
+#: q5 needs l_suppkey, which the shared _L block omits
+_L5 = """
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_extendedprice AS DECIMAL(10,2)) AS l_extendedprice,
+           CAST(l_discount AS DECIMAL(10,2)) AS l_discount
+    FROM lineitem
+"""
+
+
+@query(
+    "dialect_tpch_q5",
+    oracle=f"""
+    WITH L AS ({_L5})
+    SELECT n_name,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM customer, orders, L, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def dialect_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 through the dialect frontend — the 6-way snowflake join
+    (the canonical join-order stress case the reference's plan
+    enumerators exist for; its benchmark set stops at q14, so this
+    script is our transcription of the public TPC-H text into the
+    dialect, exercising CNF placement across six comma-FROM relations
+    including the c_nationkey = s_nationkey same-nation residual).
+    Result decimals canonicalized to DOUBLE as in `dialect_tpch_q1`."""
+    df = run_script(spark, sf_dir, "q5")
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+@query(
+    "dialect_tpch_q10",
+    oracle=f"""
+    WITH L AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(10,2)) AS l_extendedprice,
+               CAST(l_discount AS DECIMAL(10,2)) AS l_discount
+        FROM lineitem
+    )
+    SELECT c_custkey, c_name,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE) AS c_acctbal,
+           n_name, c_mktsegment
+    FROM customer, orders, L, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND c_nationkey = n_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def dialect_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item top-20) through the dialect frontend:
+    filter-heavy 4-way join, wide group key, ORDER BY + LIMIT compiled
+    to the distributed top-k. Same public-text transcription note as
+    `dialect_tpch_q5`; decimals canonicalized to DOUBLE."""
+    df = run_script(spark, sf_dir, "q10")
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )

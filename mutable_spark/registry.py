@@ -233,6 +233,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_embedding_covariance",
     "events_session_text",
     "pipeline_split_leakage_safe",
+    "dialect_tpch_q5",
+    "dialect_tpch_q10",
 ]
 
 
