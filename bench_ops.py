@@ -56,9 +56,14 @@ def gen_data(root: Path) -> None:
     import pyarrow.parquet as pq
 
     root.mkdir(parents=True, exist_ok=True)
-    marker = root / ".complete_v2"  # v2: adds Selectivity_d
+    # The marker encodes N_TUPLES so a prior run with a small
+    # SPARK_GRAFT_OPSBENCH_N can never silently feed tiny parquet to a
+    # later full-size benchmark (ADVICE r9): size mismatch → regenerate.
+    marker = root / f".complete_v2_{N_TUPLES}"
     if marker.exists():
         return
+    for stale in root.glob(".complete_v2*"):
+        stale.unlink()
     rng = np.random.default_rng(0x5EED)
     ident = np.arange(N_TUPLES, dtype=np.int32)
     cols: dict[str, "np.ndarray"] = {"id": ident}

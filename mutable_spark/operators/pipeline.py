@@ -1539,8 +1539,14 @@ def pipeline_split_leakage_safe(spark, sf_dir):
     Shape: verified pairs → large-star/small-star components (shared
     tier, O(log n) rounds) → LEFT join of the corpus onto the class map
     (singletons are their own class: coalesce(class_rep, doc_id)) → the
-    hash-of-class split decision — a broadcast-sized class map against
-    one corpus scan; the split itself stays a pure map. Registered
+    hash-of-class split decision; the split itself stays a pure map.
+    The class-map join is deliberately UNHINTED: at 100 TB, near-dup
+    class membership is typically tens of percent of the corpus (Lee et
+    al. 2022) — billions of (doc_id, class_rep) rows, a driver OOM if
+    force-broadcast. AQE still broadcasts when the map measures small at
+    runtime; when it doesn't, the honest cost is one hash exchange of
+    the corpus doc_ids against the class map (r9 verdict item #5).
+    Registered
     result: per-split document and class counts + id range (membership
     pins structurally; tests/test_pipeline_props.py pins that no pair
     straddles).
@@ -1555,9 +1561,7 @@ def pipeline_split_leakage_safe(spark, sf_dir):
         eager=True
     )
     classes = D.connected_components(pairs)  # (doc_id, class_rep)
-    withc = d.select("doc_id").join(
-        F.broadcast(classes), "doc_id", "left"
-    ).select(
+    withc = d.select("doc_id").join(classes, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("class_rep"), F.col("doc_id")).alias("class_rep"),
     )

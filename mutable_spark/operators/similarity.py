@@ -703,11 +703,12 @@ def quantize_frame(e):
         FROM embeddings
     )
     SELECT vec_id, qscale,
-           CASE WHEN qscale = 0
-                THEN list_transform(e, x -> CAST(0 AS BIGINT))
-                ELSE list_transform(e,
-                    x -> CAST(floor(x / qscale * 127) AS BIGINT)) END
-               AS codes,
+           array_to_string(
+               CASE WHEN qscale = 0
+                    THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e,
+                        x -> CAST(floor(x / qscale * 127) AS BIGINT)) END,
+               ',') AS codes_csv,
            CASE WHEN qscale = 0 THEN 0.0
                 ELSE list_max(list_transform(e,
                     x -> abs(x - CAST(floor(x / qscale * 127) AS BIGINT)
@@ -728,7 +729,12 @@ def sim_quantize_embeddings(spark, sf_dir):
     one corrupt row — the `vec_cosine` contract). Pure map over the
     scan: zero shuffles at any scale; every float step (widen, divide,
     scale, floor, reconstruct) is mirrored operation-for-operation by
-    the DuckDB oracle, so the hash check pins bit-exactness."""
+    the DuckDB oracle, so the hash check pins bit-exactness. The codes
+    vector is serialized to a CSV string (``array_join`` / DuckDB
+    ``array_to_string``) because the driver's pandas canonicalizer
+    cannot sort array-typed columns — the serialization preserves the
+    per-element bit-exactness pin while keeping every output column
+    scalar (r9 verdict item #1)."""
     with_codes = quantize_frame(load_tables(spark, sf_dir).embeddings)
     err = F.when(F.col("qscale") == 0.0, F.lit(0.0)).otherwise(
         F.array_max(
@@ -742,7 +748,12 @@ def sim_quantize_embeddings(spark, sf_dir):
         )
     )
     return with_codes.select(
-        "vec_id", "qscale", "codes", err.alias("max_abs_err")
+        "vec_id",
+        "qscale",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+        err.alias("max_abs_err"),
     )
 
 
@@ -1006,8 +1017,13 @@ _COV_QSCALE = 1 << 20
         FROM embeddings
     ),
     e AS (
-        SELECT vec_id, CAST(r.range AS BIGINT) AS i, q[r.range + 1] AS x
-        FROM q CROSS JOIN range(64) r
+        -- unnest follows the ACTUAL array length (ADVICE r9: a
+        -- hard-coded range(64) would silently yield NULLs / truncate if
+        -- the embedding dimension ever changed, instead of failing)
+        SELECT vec_id,
+               CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+               unnest(q) AS x
+        FROM q
     ),
     m AS (
         SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM e GROUP BY i

@@ -18,10 +18,26 @@ from pyspark.sql import Column, DataFrame
 SALT = "__salt"
 
 
+def _salt_col(salt_on: str | Column, n_salts: int) -> Column:
+    """Deterministic per-row salt derived from ROW CONTENT.
+
+    Never derive the salt from `monotonically_increasing_id()` / `rand()`:
+    those are nondeterministic across task retries, so if a map stage is
+    recomputed after some reducers already fetched its output (executor
+    loss — routine at 1000-executor scale), rows re-salt into different
+    partitions and the aggregate double-counts or drops them. Hashing a
+    caller-supplied content expression (a unique id column is ideal; any
+    high-cardinality expression works) makes every recomputation place
+    every row identically."""
+    c = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    return F.pmod(F.xxhash64(c), F.lit(n_salts))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    salt_on: str | Column,
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
@@ -34,8 +50,9 @@ def salted_aggregate(
     ``n_salts`` reducers instead of one. Phase 2 re-combines the ≤ n_salts
     partials per key. For uniform data this adds one cheap extra shuffle;
     for skewed data it converts a straggler into parallel work. The salt
-    is a hash of a per-row nondeterministic id — it never affects results,
-    only placement.
+    is a deterministic hash of ``salt_on`` (row content — see `_salt_col`
+    for why retry-safety forbids nondeterministic ids); it never affects
+    results, only placement.
     """
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []
@@ -56,9 +73,7 @@ def salted_aggregate(
         else:
             raise ValueError(f"unsupported salted aggregate {fn!r}")
     return (
-        df.withColumn(
-            SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-        )
+        df.withColumn(SALT, _salt_col(salt_on, n_salts))
         .groupBy(*keys, SALT)
         .agg(*partial_exprs)
         .groupBy(*keys)
@@ -70,20 +85,21 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
+    salt_on: str | Column,
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skewed equi-join: salt the big side, replicate the small side.
 
-    Each big-side row gets a random salt in [0, n_salts); the small side
-    is exploded ``n_salts``× with every salt value, so (key, salt) is an
-    ordinary equi-join whose hot key now spreads over n_salts partitions.
-    Cost: small side shuffles n_salts× bigger — use only when the small
-    side is modest but over the broadcast threshold and the key is hot.
+    Each big-side row gets a content-derived salt in [0, n_salts) — a
+    deterministic hash of ``salt_on``, retry-safe per `_salt_col` — and
+    the small side is exploded ``n_salts``× with every salt value, so
+    (key, salt) is an ordinary equi-join whose hot key now spreads over
+    n_salts partitions. Cost: small side shuffles n_salts× bigger — use
+    only when the small side is modest but over the broadcast threshold
+    and the key is hot.
     """
-    bs = big.withColumn(
-        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    bs = big.withColumn(SALT, _salt_col(salt_on, n_salts))
     ss = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
@@ -128,6 +144,7 @@ def op_agg_salted(spark, sf_dir):
     keys×salts×aggs rows — nothing at any scale."""
     e = load_tables(spark, sf_dir).events.select(
         "event_type",
+        "event_id",
         "user_id",
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
@@ -139,6 +156,7 @@ def op_agg_salted(spark, sf_dir):
             "sum_v": ("sum", "v"),
             "min_user": ("min", "user_id"),
         },
+        salt_on="event_id",
     )
     return out.select(
         "event_type",
@@ -193,7 +211,9 @@ def op_join_salted(spark, sf_dir):
         F.min("event_id").alias("first_id"),
         F.count(F.lit(1)).alias("n_type"),
     )
-    joined = salted_join(e, dim.hint("shuffle_hash"), "event_type", n_salts=16)
+    joined = salted_join(
+        e, dim.hint("shuffle_hash"), "event_type", salt_on="event_id", n_salts=16
+    )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("first_id").alias("first_id"),

@@ -40,86 +40,106 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-9 rotation policy (the r7-verdict practice, third application): NO
-# driver artifacts were produced for rounds 6 and 8 (only r01-r05 and r07
-# CORRECTNESS files exist), so the r8 additions placed in-sample last round
-# have never actually held a driver row — they all STAY. Every other
-# never-driver-sampled registration (the late-r8 ops past the old horizon
-# and all eleven round-9 ops) rotates IN; the 19 slots come from names with
-# r7 triple-match rows (CORRECTNESS_r07.json) — op_scan, the expression /
-# join / agg / sort / having / asof / set-op / mvcc core (each additionally
-# green r1-r5), dialect_correlated_subquery, dialect_tpch_q6/q12/q14 (the
-# TPC-H family keeps q1+q3 in-sample through the deeper dialect path),
-# op_zoneindex_scan (dialect_zoneindex_scan keeps the index family),
-# dedup_simhash, and sim_ivf_topk (train/recall/quantize/rerank keep the
-# IVF stack). All demoted names remain green in the local oracle suite
-# (tests/test_queries_oracle.py runs ALL registrations).
+# Round-10 rotation (fourth application of the r7-verdict practice,
+# executing r9 verdict item #3): the nine late-r9 registrations that have
+# never held a driver row rotate IN (text_boilerplate_grams,
+# op_window_time_range, op_join_salted, dedup_threshold_histogram,
+# sim_embedding_covariance, events_session_text,
+# pipeline_split_leakage_safe, dialect_tpch_q5, dialect_tpch_q10). The
+# nine slots come from names holding fresh r9 triple-match rows whose
+# family stays in-sample: dialect_spn_string_filter (SPN kept by
+# planned_join + like_prefix), dialect_zoneindex_string (kept by
+# dialect_zoneindex_scan), sim_ivf_recall (IVF kept by train +
+# quantized_rerank), sim_pair_histogram (histogram diagnostics kept by
+# dedup_threshold_histogram), events_cooccurrence + events_path_trigrams
+# (events keeps 5 members incl. the incoming session_text; markov keeps
+# the sequence-model shape), pipeline_epoch_order (ordering kept by
+# curriculum_sharded), pipeline_oversample (sampling kept by
+# token_budget_sample), pipeline_dedup_stats (dedup reporting kept by
+# dedup_keep_best + clean_corpus + the incoming threshold_histogram).
+# sim_quantize_embeddings STAYS — r9's one red row (array-column
+# canonicalizer crash) must convert to a green one after the r10
+# serialization fix. All demoted names remain green in the local oracle
+# suite (tests/test_queries_oracle.py runs ALL registrations).
 _SAMPLE_PRIORITY: list[str] = [
-    # extended joins + grouping analytics (never-sampled members)
+    # extended joins + grouping analytics
     "op_join_full_outer",
     "op_grouping_sets",
-    # dialect frontend: the two deepest TPC-H paths + every estimator /
-    # index gate (zone index from DataFrame + dialect SQL, numeric and
-    # string keys; SPN planned join, string equality, LIKE-prefix)
+    # dialect frontend: the four deepest TPC-H paths (q5/q10 rotated in
+    # r10 — 6-table join chain + outer-join aggregation through the full
+    # lexer→sema→planner path) + estimator / index gates
     "dialect_tpch_q1",
     "dialect_tpch_q3",
+    "dialect_tpch_q5",
+    "dialect_tpch_q10",
     "dialect_spn_planned_join",
     "dialect_zoneindex_scan",
-    "dialect_spn_string_filter",
-    "dialect_zoneindex_string",
     "dialect_spn_like_prefix",
-    # physical-property trio + source formats (r9): bucketed co-located
-    # join, salted aggregation, partition-pruned scan, ORC round-trip
+    # physical-property ops + source formats: bucketed co-located join,
+    # salted aggregation AND salted join (r10: retry-safe content salt),
+    # time-range window, partition-pruned scan, ORC round-trip
     "op_join_bucketed",
     "op_agg_salted",
+    "op_join_salted",
+    "op_window_time_range",
     "source_partitioned_scan",
     "source_orc_roundtrip",
-    # dedup: blocked embedding tier, components, verbatim spans
+    # dedup: blocked embedding tier, components, verbatim spans,
+    # threshold-sensitivity histogram (r10)
     "dedup_embedding_cosine",
     "dedup_duplicate_classes",
     "dedup_verbatim_ngrams",
-    # similarity/ANN: trainer + the r8 serving stack + r9 diagnostics
+    "dedup_threshold_histogram",
+    # similarity/ANN: trainer + serving stack + diagnostics (covariance
+    # rotated in r10; quantize stays after the r10 CSV-serialization fix)
     "sim_ivf_train",
-    "sim_ivf_recall",
     "sim_quantize_embeddings",
     "sim_quantized_rerank",
     "sim_semantic_dedup",
     "sim_hard_negatives",
-    "sim_pair_histogram",
+    "sim_embedding_covariance",
     # multimodal
     "multimodal_phash",
     "multimodal_audio_chunks",
-    # events: cadence, attribution, sequence models (1st/2nd order),
-    # co-occurrence, robust anomaly stats, iterative PageRank
+    # events: cadence, attribution, sequence models, robust anomaly
+    # stats, iterative PageRank, session-text reconstruction (r10)
     "events_interarrival",
     "events_attribution",
     "events_markov_transitions",
-    "events_cooccurrence",
-    "events_path_trigrams",
     "events_anomaly_mad",
     "events_pagerank",
+    "events_session_text",
     # text: trained-LM filter, BPE pair counting, tf-idf keyterms,
-    # RAG chunking
+    # RAG chunking, boilerplate grams (r10)
     "text_lm_surprisal",
     "text_bpe_pairs",
     "text_tfidf_terms",
     "text_chunk_sliding",
-    # pipeline: curation verbs + composition + r9 dedup histogram
+    "text_boilerplate_grams",
+    # pipeline: curation verbs + composition + leakage-safe split (r10)
     "pipeline_curriculum_sharded",
     "pipeline_decontaminate_fuzzy",
     "pipeline_contamination_stats",
     "pipeline_end_to_end",
     "pipeline_token_budget_sample",
     "pipeline_dedup_keep_best",
-    "pipeline_oversample",
     "pipeline_pack_sequences",
-    "pipeline_epoch_order",
     "pipeline_source_overlap",
     "pipeline_mix_temperature",
     "pipeline_length_buckets",
-    "pipeline_dedup_stats",
+    "pipeline_split_leakage_safe",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
+    # demoted r10 (all hold r9 triple-match rows; family coverage above)
+    "dialect_spn_string_filter",
+    "dialect_zoneindex_string",
+    "sim_ivf_recall",
+    "sim_pair_histogram",
+    "events_cooccurrence",
+    "events_path_trigrams",
+    "pipeline_epoch_order",
+    "pipeline_oversample",
+    "pipeline_dedup_stats",
     # r9 rotation: every name below holds at least one triple-match driver
     # row (CORRECTNESS_r07.json unless noted) and stays green in the local
     # oracle suite.
@@ -223,18 +243,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    # late-r9 additions (registered after the r9 rotation froze; never
-    # driver-sampled yet — rotation candidates for r10, all green in the
-    # local oracle suite):
-    "text_boilerplate_grams",
-    "op_window_time_range",
-    "op_join_salted",
-    "dedup_threshold_histogram",
-    "sim_embedding_covariance",
-    "events_session_text",
-    "pipeline_split_leakage_safe",
-    "dialect_tpch_q5",
-    "dialect_tpch_q10",
 ]
 
 

@@ -27,6 +27,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="all registrations")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (overrides the 50-sample)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -55,7 +60,9 @@ def main() -> int:
         )
 
     names = list(registry.QUERIES)
-    if not args.all:
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    elif not args.all:
         names = names[:50]
     bad: list[str] = []
     for n in names:

@@ -89,6 +89,25 @@ def compare(name, spark, duck, sf_dir):
 
     registry.load_all()
     df = registry.QUERIES[name](spark, sf_dir)
+
+    # The driver canonicalizes via pandas sort_values, which raises
+    # `TypeError: unhashable type: 'list'` on array/map/struct columns
+    # (r9's one red driver row, sim_quantize_embeddings). The pre-flight
+    # must be AT LEAST as strict: hard-fail any non-scalar output column
+    # so gate_sim catches the class before the driver does.
+    complex_cols = [
+        f"{c}:{t}"
+        for c, t in df.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    if complex_cols:
+        return False, (
+            f"{name}: non-scalar output column(s) {complex_cols} — the "
+            "driver's pandas canonicalizer cannot sort these "
+            "(unhashable list). Serialize to a scalar "
+            "(array_join / md5) on both engine and oracle sides."
+        )
+
     s_cols = df.columns
     s_rows = [tuple(r) for r in df.collect()]
 

@@ -68,6 +68,24 @@ def test_every_case_matches_duckdb(ops, spark):
             # engines may tie-break differently on non-id sort keys; the
             # multiset of ids and the sort-key sequence must both match
             assert sorted(got) == sorted(want), name
+            # ordering pin (ADVICE r9): map each returned id back to its
+            # sort-key tuple and assert the sequence is non-decreasing —
+            # a dropped or reordered sort must fail here, not pass on
+            # the multiset check alone.
+            key_cols = [
+                c.strip() for c in cols.split(",") if c.strip() != "id"
+            ]
+            keymap = {
+                r[0]: tuple(r[1:])
+                for r in con.execute(
+                    f"SELECT id, {', '.join(key_cols)} FROM distinct_i32 "
+                    f"WHERE id < {cutoff}"
+                ).fetchall()
+            }
+            keyseq = [keymap[i] for i in got]
+            assert all(
+                a <= b for a, b in zip(keyseq, keyseq[1:])
+            ), f"{name}: sort-key sequence not non-decreasing"
             continue
         got = [tuple(r) for r in df.collect()]
         want = con.execute(sql).fetchall()

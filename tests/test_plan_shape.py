@@ -578,3 +578,18 @@ def test_embedding_covariance_chained_generates_partial_agg(plans):
     assert "CartesianProduct" not in p
     assert p.count("Generate") >= 2
     assert "BroadcastHashJoin" in p
+
+
+def test_leakage_safe_split_no_mandatory_broadcast(spark):
+    """pipeline_split_leakage_safe (r10, verdict #5): the class-map join
+    must carry NO broadcast hint — at 100 TB the near-dup class map is
+    tens of percent of the corpus (billions of rows), so a forced
+    F.broadcast() is a driver OOM, not an optimization. AQE may still
+    choose broadcast at runtime when the map measures small; what we pin
+    is that the LOGICAL plan contains no mandatory hint."""
+    df = registry.QUERIES["pipeline_split_leakage_safe"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "broadcast" not in logical.lower().replace(
+        "broadcastable", ""
+    ), "class-map join must stay unhinted (AQE decides)"

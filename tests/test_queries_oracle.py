@@ -54,3 +54,26 @@ def test_harness_flags_hugeint_family_mismatch():
     assert not _type_mismatches(
         [("v", "array<bigint>")], ["v"], ["BIGINT[]"]
     )
+
+
+def test_harness_rejects_array_output_columns(spark, duck):
+    """The r9 red-row shape: the DRIVER canonicalizes via pandas
+    sort_values, which crashes on array-typed columns (unhashable list),
+    while this harness used to normalize lists to tuples — i.e. the
+    pre-flight was LAXER than the driver and reported 50/50 where the
+    driver errored (sim_quantize_embeddings). compare() must now
+    hard-fail any non-scalar output schema BEFORE collecting."""
+    import pyspark.sql.functions as F
+
+    name = "__test_array_out"
+    registry.QUERIES[name] = lambda sp, sf: sp.range(3).select(
+        "id", F.array(F.lit(1), F.lit(2)).alias("codes")
+    )
+    registry.ORACLES[name] = "SELECT 1"
+    try:
+        ok, msg = compare(name, spark, duck, SF_DIR)
+    finally:
+        del registry.QUERIES[name]
+        del registry.ORACLES[name]
+    assert not ok
+    assert "non-scalar" in msg and "codes" in msg

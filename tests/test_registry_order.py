@@ -20,52 +20,22 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # never-driver-sampled as of round 9 (no r6/r8 driver artifacts were
-    # ever produced, so the r8 in-sample additions still await their first
-    # rows — they all stay), plus every late-r8/r9 registration:
-    "dialect_zoneindex_string",
-    "dialect_spn_like_prefix",
-    "op_join_full_outer",
-    "op_grouping_sets",
-    "dedup_verbatim_ngrams",
-    "sim_ivf_recall",
+    # Round 10: CORRECTNESS_r09 gave driver rows to the whole prior
+    # 50-sample (49 triple-match + the quantize canonicalizer error), so
+    # "never sampled" is now exactly the nine late-r9 registrations —
+    # they all rotate IN this round (r9 verdict item #3) — plus
+    # sim_quantize_embeddings, which STAYS in-sample until its r10
+    # CSV-serialization fix converts the red row to a green one.
+    "text_boilerplate_grams",
+    "op_window_time_range",
+    "op_join_salted",
+    "dedup_threshold_histogram",
+    "sim_embedding_covariance",
+    "events_session_text",
+    "pipeline_split_leakage_safe",
+    "dialect_tpch_q5",
+    "dialect_tpch_q10",
     "sim_quantize_embeddings",
-    "sim_quantized_rerank",
-    "sim_semantic_dedup",
-    "sim_hard_negatives",
-    "multimodal_phash",
-    "multimodal_audio_chunks",
-    "events_interarrival",
-    "events_attribution",
-    "events_markov_transitions",
-    "events_cooccurrence",
-    "text_lm_surprisal",
-    "text_chunk_sliding",
-    "pipeline_curriculum_sharded",
-    "pipeline_decontaminate_fuzzy",
-    "pipeline_contamination_stats",
-    "pipeline_end_to_end",
-    "pipeline_token_budget_sample",
-    "pipeline_dedup_keep_best",
-    "pipeline_oversample",
-    "pipeline_pack_sequences",
-    "pipeline_epoch_order",
-    "pipeline_source_overlap",
-    "pipeline_mix_temperature",
-    "pipeline_length_buckets",
-    "pipeline_clean_corpus",
-    # the eleven round-9 additions (each one's FIRST driver sample)
-    "text_bpe_pairs",
-    "text_tfidf_terms",
-    "events_path_trigrams",
-    "pipeline_dedup_stats",
-    "op_join_bucketed",
-    "events_anomaly_mad",
-    "sim_pair_histogram",
-    "source_partitioned_scan",
-    "source_orc_roundtrip",
-    "op_agg_salted",
-    "events_pagerank",
 ]
 
 

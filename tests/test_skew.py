@@ -30,6 +30,7 @@ def test_salted_aggregate_equals_plain(spark):
             "mx": ("max", "l_quantity"),
             "sq": ("sum", "l_quantity"),
         },
+        salt_on="l_orderkey",
         n_salts=8,
     ).collect()
     p = {r.l_returnflag: (r.cnt, r.mn, r.mx, float(r.sq)) for r in plain}
@@ -48,8 +49,34 @@ def test_salted_join_equals_plain(spark):
     )
     salted = sorted(
         (r.o_orderkey, r.c_name)
-        for r in salted_join(orders, cust, "k", n_salts=8)
+        for r in salted_join(orders, cust, "k", salt_on="o_orderkey", n_salts=8)
         .select("o_orderkey", "c_name")
         .collect()
     )
     assert plain == salted
+
+
+def test_salt_is_content_deterministic(spark):
+    """Retry-safety pin: the salt must be a pure function of row content,
+    so a recomputed map task places every row identically (ADVICE r9 —
+    monotonically_increasing_id() re-salts rows across task retries).
+    Same rows under different physical layouts must get identical salts."""
+    from mutable_spark.operators.skew import _salt_col
+
+    li = load_tables(spark, SF_DIR).lineitem.select(
+        "l_orderkey", "l_linenumber"
+    )
+    a = {
+        (r.l_orderkey, r.l_linenumber): r.s
+        for r in li.repartition(4).withColumn(
+            "s", _salt_col(F.concat_ws("|", "l_orderkey", "l_linenumber"), 8)
+        ).collect()
+    }
+    b = {
+        (r.l_orderkey, r.l_linenumber): r.s
+        for r in li.repartition(17, "l_linenumber").withColumn(
+            "s", _salt_col(F.concat_ws("|", "l_orderkey", "l_linenumber"), 8)
+        ).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(8))
