@@ -59,10 +59,10 @@ def gen_data(root: Path) -> None:
     # The marker encodes N_TUPLES so a prior run with a small
     # SPARK_GRAFT_OPSBENCH_N can never silently feed tiny parquet to a
     # later full-size benchmark (ADVICE r9): size mismatch → regenerate.
-    marker = root / f".complete_v2_{N_TUPLES}"
+    marker = root / f".complete_v3_{N_TUPLES}"  # v3: adds Attribute_scalar
     if marker.exists():
         return
-    for stale in root.glob(".complete_v2*"):
+    for stale in root.glob(".complete_v*"):
         stale.unlink()
     rng = np.random.default_rng(0x5EED)
     ident = np.arange(N_TUPLES, dtype=np.int32)
@@ -102,6 +102,22 @@ def gen_data(root: Path) -> None:
         }
     )
     pq.write_table(rel, root / "Relation.parquet", row_group_size=512 * 1024)
+    # selection_* suites (Attribute_i32/i64/f + Attributes_multi_i32,
+    # reference gen.py domains): uniform over the FULL signed domain so a
+    # selectivity s maps to the cutoff MIN + s·2^bits, exactly like the
+    # reference's precomputed literals
+    attr = pa.table(
+        {
+            "val_i32": rng.integers(-(2**31), 2**31, N_TUPLES, dtype=np.int64).astype(np.int32),
+            "val_i64": rng.integers(-(2**63), 2**63 - 1, N_TUPLES, dtype=np.int64),
+            "val_f": rng.random(N_TUPLES, dtype=np.float32),
+            "a0": rng.integers(-(2**31), 2**31, N_TUPLES, dtype=np.int64).astype(np.int32),
+            "a1": rng.integers(-(2**31), 2**31, N_TUPLES, dtype=np.int64).astype(np.int32),
+        }
+    )
+    pq.write_table(
+        attr, root / "Attribute_scalar.parquet", row_group_size=512 * 1024
+    )
     marker.touch()
 
 
@@ -141,6 +157,52 @@ CASES: dict[str, str] = {
     "order_by_i32_multi4": (
         "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
         "(ORDER BY n10000, n1000, n100, n10) rk FROM {D})"
+    ),
+    # group_by_i32_multiple.yml cases 1-3 (case 4 below predates r10; the
+    # x-axis is the number of grouping keys)
+    "group_by_i32_multi1": (
+        "SELECT COUNT(*) FROM (SELECT 1 FROM {D} GROUP BY n10000)"
+    ),
+    "group_by_i32_multi2": (
+        "SELECT COUNT(*) FROM (SELECT 1 FROM {D} GROUP BY n10000, n1000)"
+    ),
+    "group_by_i32_multi3": (
+        "SELECT COUNT(*) FROM (SELECT 1 FROM {D} "
+        "GROUP BY n10000, n1000, n100)"
+    ),
+    # group_by_aggregates.yml cases 1-3 (x-axis: aggregate count)
+    "group_by_aggregates1": (
+        "SELECT COUNT(*), SUM(m1) FROM ("
+        "SELECT MIN(n100) m1 FROM {D} GROUP BY n10)"
+    ),
+    "group_by_aggregates2": (
+        "SELECT COUNT(*), SUM(m1), SUM(m2) FROM ("
+        "SELECT MIN(n100) m1, MIN(n1000) m2 FROM {D} GROUP BY n10)"
+    ),
+    "group_by_aggregates3": (
+        "SELECT COUNT(*), SUM(m1), SUM(m2), SUM(m3) FROM ("
+        "SELECT MIN(n100) m1, MIN(n1000) m2, MIN(n10000) m3 "
+        "FROM {D} GROUP BY n10)"
+    ),
+    # order_by_i32_multiple.yml cases 2-3 (case 1 == the single-key sort
+    # above, case 4 predates r10; x-axis: sort-key count)
+    "order_by_i32_multi2": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n10000, n1000) rk FROM {D})"
+    ),
+    "order_by_i32_multi3": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n10000, n1000, n100) rk FROM {D})"
+    ),
+    # order_by_i32_distinct.yml (x-axis: distinct sort-key values; the
+    # n100000 point is `order_by_i32` above)
+    "order_by_i32_distinct_n10": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n10, id) rk FROM {D})"
+    ),
+    "order_by_i32_distinct_n1000": (
+        "SELECT COUNT(*), MAX(rk) FROM (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY n1000, id) rk FROM {D})"
     ),
     # equi_join_pk_fk.yml — two Spark configurations per the reference's
     # own multi-configuration format (it measures Interpreter vs WasmV8):
@@ -193,6 +255,65 @@ FILTER_SQL = (
 )
 
 
+#: selection_* suites (selection_range_onesided_{i32,i64,f}.yml,
+#: selection_range_twosided_i32_varying_first_fixed_second.yml,
+#: selection_multi_i32_varying_both.yml): full-size scan + COUNT(*), the
+#: selectivity is the x-axis. Cutoffs derive from the selectivity over the
+#: full signed domain — the same arithmetic behind the reference's
+#: precomputed literals (e.g. sel 0.01 over INT(4) → -2104533974).
+SELECTION_SELS = (0.01, 0.2, 0.5, 0.9)
+_TWOSIDED_WIDTH = 0.01  # the reference's fixed-second window width
+
+
+def _sel_pred(name: str, sel: float) -> str:
+    if name == "selection_onesided_i32":
+        return f"val_i32 < {int(-(2 ** 31) + sel * 2 ** 32)}"
+    if name == "selection_onesided_i64":
+        return f"val_i64 < {int(-(2 ** 63) + sel * 2 ** 64)}"
+    if name == "selection_onesided_f":
+        return f"val_f < {sel}"
+    if name == "selection_twosided_i32":
+        lo = int(-(2 ** 31) + sel * 2 ** 32)
+        hi = int(lo + _TWOSIDED_WIDTH * 2 ** 32)
+        return f"{lo} < val_i32 AND val_i32 < {hi}"
+    if name == "selection_multi_i32":
+        c = int(-(2 ** 31) + sel * 2 ** 32)
+        return f"a0 < {c} AND a1 < {c}"
+    raise KeyError(name)
+
+
+SELECTION_CASES = (
+    "selection_onesided_i32",
+    "selection_onesided_i64",
+    "selection_onesided_f",
+    "selection_twosided_i32",
+    "selection_multi_i32",
+)
+
+
+def selection_case(attr_tbl, name: str, sel: float):
+    """Spark plan for a selection case: the predicate column(s) only, so
+    the filter pushes to the parquet scan, then COUNT(*)."""
+    from pyspark.sql import functions as F
+
+    if name == "selection_onesided_i32":
+        pred = F.col("val_i32") < int(-(2 ** 31) + sel * 2 ** 32)
+    elif name == "selection_onesided_i64":
+        pred = F.col("val_i64") < int(-(2 ** 63) + sel * 2 ** 64)
+    elif name == "selection_onesided_f":
+        pred = F.col("val_f") < float(sel)
+    elif name == "selection_twosided_i32":
+        lo = int(-(2 ** 31) + sel * 2 ** 32)
+        hi = int(lo + _TWOSIDED_WIDTH * 2 ** 32)
+        pred = (F.lit(lo) < F.col("val_i32")) & (F.col("val_i32") < F.lit(hi))
+    elif name == "selection_multi_i32":
+        c = int(-(2 ** 31) + sel * 2 ** 32)
+        pred = (F.col("a0") < c) & (F.col("a1") < c)
+    else:
+        raise KeyError(name)
+    return attr_tbl.filter(pred).agg(F.count(F.lit(1)).alias("n"))
+
+
 def spark_df(spark, name: str, dist, rel):
     """The Spark plan for each case — same work as the SQL text."""
     from pyspark.sql import functions as F
@@ -200,30 +321,25 @@ def spark_df(spark, name: str, dist, rel):
     if name.startswith("group_by_i32_n"):
         col = name.rsplit("_", 1)[-1]
         return dist.agg(F.countDistinct(col))
-    if name == "group_by_i32_multi4":
-        return (
-            dist.groupBy("n10000", "n1000", "n100", "n10")
-            .agg(F.lit(1))
-            .agg(F.count(F.lit(1)))
-        )
-    if name == "group_by_aggregates4":
+    if name.startswith("group_by_i32_multi"):
+        keys = ["n10000", "n1000", "n100", "n10"][: int(name[-1])]
+        return dist.groupBy(*keys).agg(F.lit(1)).agg(F.count(F.lit(1)))
+    if name.startswith("group_by_aggregates"):
+        cols = ["n100", "n1000", "n10000", "n100000"][: int(name[-1])]
         g = dist.groupBy("n10").agg(
-            F.min("n100").alias("m1"),
-            F.min("n1000").alias("m2"),
-            F.min("n10000").alias("m3"),
-            F.min("n100000").alias("m4"),
+            *(F.min(c).alias(f"m{i + 1}") for i, c in enumerate(cols))
         )
         return g.agg(
             F.count(F.lit(1)),
-            F.sum("m1"),
-            F.sum("m2"),
-            F.sum("m3"),
-            F.sum("m4"),
+            *(F.sum(f"m{i + 1}") for i in range(len(cols))),
         )
     if name == "order_by_i32":
         return dist.orderBy("n100000", "id").select("id")
-    if name == "order_by_i32_multi4":
-        return dist.orderBy("n10000", "n1000", "n100", "n10").select("id")
+    if name.startswith("order_by_i32_multi"):
+        keys = ["n10000", "n1000", "n100", "n10"][: int(name[-1])]
+        return dist.orderBy(*keys).select("id")
+    if name.startswith("order_by_i32_distinct_"):
+        return dist.orderBy(name.rsplit("_", 1)[-1], "id").select("id")
     if name.startswith("equi_join_pk_fk"):
         right = rel.select(F.col("fid"))
         if name.endswith("_shj"):
@@ -349,6 +465,39 @@ def main() -> None:
             want = con.execute(sql).fetchall()
             assert got == want, (name, x, got, want)
             spark_s = min(_timed(frun) for _ in range(REPS))
+            con.execute(sql).fetchall()  # warm
+            duck_s = min(
+                _timed(lambda: con.execute(sql).fetchall())
+                for _ in range(REPS)
+            )
+            results[name][str(x)] = {
+                "spark_s": round(spark_s, 4),
+                "duckdb_s": round(duck_s, 4),
+            }
+            print(
+                f"# {name} sel={x}: spark {spark_s:.3f}s "
+                f"duckdb {duck_s:.3f}s",
+                file=sys.stderr,
+            )
+
+    # selection_* sweep (r10): full size, selectivity as the x-axis
+    attr_full = spark.read.parquet(str(root / "Attribute_scalar.parquet"))
+    con.execute(
+        f"CREATE VIEW attr_full AS SELECT * FROM "
+        f"read_parquet('{root}/Attribute_scalar.parquet')"
+    )
+    for name in SELECTION_CASES:
+        results[name] = {}
+        for x in SELECTION_SELS:
+            sql = f"SELECT COUNT(*) AS n FROM attr_full WHERE {_sel_pred(name, x)}"
+
+            def srun() -> None:
+                selection_case(attr_full, name, x).collect()
+
+            got = [tuple(r) for r in selection_case(attr_full, name, x).collect()]
+            want = con.execute(sql).fetchall()
+            assert got == want, (name, x, got, want)
+            spark_s = min(_timed(srun) for _ in range(REPS))
             con.execute(sql).fetchall()  # warm
             duck_s = min(
                 _timed(lambda: con.execute(sql).fetchall())

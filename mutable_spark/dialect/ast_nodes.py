@@ -16,6 +16,11 @@ class Node:
 class Literal(Node):
     value: object  # int | float | str | bool | None
     kind: str      # 'int' | 'float' | 'str' | 'bool' | 'null' | 'date' | 'datetime'
+    #: original source spelling — the reference's Constant keeps its token
+    #: and its printer echoes `e.tok.text` verbatim (`ASTPrinter.cpp:24-27`:
+    #: 0xC0FF33 stays hex, "ab\"c" keeps quotes+escapes), so round-trip
+    #: printing needs the raw lexeme, not the converted value
+    raw: str | None = None
 
 
 @dataclass
@@ -110,6 +115,14 @@ class ColumnDef(Node):
     #: CHECK condition expressions — sema requires boolean type
     #: (`Sema.cpp:1543-1550`); any number allowed
     checks: list[Node] = field(default_factory=list)
+    #: ordered constraint record in PARSE order, with duplicates — the
+    #: reference keeps `attr->constraints` as the parsed list and its
+    #: printer echoes it verbatim (`ASTPrinter.cpp:210-223`: `UNIQUE ...
+    #: NOT NULL UNIQUE NOT NULL` round-trips with both repeats). Entries:
+    #: ('PRIMARY KEY',) ('NOT NULL',) ('UNIQUE',) ('CHECK', expr)
+    #: ('REFERENCES', table, attr). The boolean/list fields above stay the
+    #: deduplicated view sema and the engine consume.
+    constraints: list[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -146,6 +159,12 @@ class CreateIndexStmt(Node):
     method: str | None = None  # None/'DEFAULT' | identifier
     if_not_exists: bool = False
     has_unique: bool = False
+
+
+@dataclass
+class EmptyStmt(Node):
+    """A bare `;` (AST.hpp EmptyStmt) — parses clean, prints as `;`,
+    executes as a no-op (`test/empty/end2end-pos-empty.yml`)."""
 
 
 @dataclass

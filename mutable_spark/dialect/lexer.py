@@ -40,7 +40,11 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|--[^\n]*)
   | (?P<datelit>[dD]'(?P<dateval>[^']*)')
-  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<float>
+        0[xX][0-9a-fA-F]*\.[0-9a-fA-F]*(?:[pP][+-]?\d+)?  (?# hex: has '.')
+      | 0[xX][0-9a-fA-F]+[pP][+-]?\d+                     (?# hex: has 'p')
+      | \d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+
+    )
   | (?P<int>0[xX][0-9a-fA-F]+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
@@ -69,15 +73,15 @@ def tokenize(sql: str) -> list[Token]:
         if m.lastgroup == "ws" or (m.group("ws") is not None):
             continue
         if m.group("datelit") is not None:
-            out.append(Token("DATE", m.group("dateval"), m.start()))
+            out.append(Token("DATE", m.group("dateval"), m.start(), m.group()))
         elif m.group("float") is not None:
-            out.append(Token("FLOAT", m.group("float"), m.start()))
+            out.append(Token("FLOAT", m.group("float"), m.start(), m.group()))
         elif m.group("int") is not None:
-            out.append(Token("INT", m.group("int"), m.start()))
+            out.append(Token("INT", m.group("int"), m.start(), m.group()))
         elif m.group("str") is not None:
             raw = m.group("str")
             body = raw[1:-1].replace("\\'", "'").replace('\\"', '"').replace("\\\\", "\\")
-            out.append(Token("STR", body, m.start()))
+            out.append(Token("STR", body, m.start(), raw))
         elif m.group("ident") is not None:
             text = m.group("ident")
             # keywords are case-SENSITIVE, exactly like the reference
@@ -91,3 +95,65 @@ def tokenize(sql: str) -> list[Token]:
             out.append(Token("OP", m.group("op"), m.start()))
     out.append(Token("EOF", "", len(sql)))
     return out
+
+
+# --------------------------------------------------------------------------
+# Token-stream dump — the reference's `lexer` test stage
+# (`test/empty/lexer-pos-*.yml`): one line per token,
+# `-:LINE:COL: TEXT TK_NAME`, where TEXT is the raw source spelling and the
+# TK names come from `include/mutable/tables/TokenType.tbl` +
+# `Keywords.tbl` + `Operators.tbl`.
+
+#: keyword text -> TokenType name (Keywords.tbl's TokenType column): the
+#: capitalized spelling of the keyword except the two long forms
+_KW_TOKEN_NAME = {
+    kw: {"ASC": "Ascending", "DESC": "Descending"}.get(kw, kw.capitalize())
+    for kw in KEYWORDS
+}
+
+_OP_TOKEN_NAME = {
+    "(": "LPAR", ")": "RPAR", "~": "TILDE", "+": "PLUS", "-": "MINUS",
+    "*": "ASTERISK", "/": "SLASH", "%": "PERCENT", "..": "DOTDOT",
+    "=": "EQUAL", "!=": "BANG_EQUAL", "<": "LESS", ">": "GREATER",
+    "<=": "LESS_EQUAL", ">=": "GREATER_EQUAL", ",": "COMMA", ".": "DOT",
+    ";": "SEMICOL",
+}
+
+
+def _token_type_name(tok: Token) -> str:
+    """TK_* classification, mirroring `Lexer.cpp read_number`: a leading-0
+    integer is octal (bare `0` included), 0x.. is hex; a number is a FLOAT
+    when it carries '.'/exponent (hex floats use the p-exponent)."""
+    if tok.kind == "KEYWORD":
+        return "TK_" + _KW_TOKEN_NAME[tok.text]
+    if tok.kind == "IDENT":
+        return "TK_IDENTIFIER"
+    if tok.kind == "INT":
+        t = tok.text
+        if t[:2].lower() == "0x":
+            return "TK_HEX_INT"
+        return "TK_OCT_INT" if t.startswith("0") else "TK_DEC_INT"
+    if tok.kind == "FLOAT":
+        return "TK_HEX_FLOAT" if tok.text[:2].lower() == "0x" else "TK_DEC_FLOAT"
+    if tok.kind == "STR":
+        return "TK_STRING_LITERAL"
+    if tok.kind == "DATE":
+        return "TK_DATE_TIME" if " " in tok.text.strip() else "TK_DATE"
+    if tok.kind == "OP":
+        return "TK_" + _OP_TOKEN_NAME[tok.text]
+    raise LexError(f"no token-type name for {tok!r}")
+
+
+def token_dump(sql: str, filename: str = "-") -> str:
+    """The reference lexer stage's stdout: `FILE:LINE:COL: TEXT TK_NAME`
+    per token (1-based line/column), EOF omitted."""
+    lines = []
+    for tok in tokenize(sql):
+        if tok.kind == "EOF":
+            break
+        prefix = sql[: tok.pos]
+        line = prefix.count("\n") + 1
+        col = tok.pos - (prefix.rfind("\n") + 1) + 1
+        text = tok.orig or tok.text
+        lines.append(f"{filename}:{line}:{col}: {text} {_token_type_name(tok)}")
+    return "".join(ln + "\n" for ln in lines)

@@ -39,6 +39,21 @@ def _int_value(tok: Token) -> int:
         ) from None
 
 
+def _float_value(tok: Token) -> float:
+    """Float literal → value; hex floats (`0x1.23p5`, `Lexer.cpp`
+    read_number's is_hex path) via float.fromhex, which wants an explicit
+    exponent."""
+    text = tok.text
+    if text[:2].lower() == "0x":
+        try:
+            return float.fromhex(text if "p" in text.lower() else text + "p0")
+        except ValueError:
+            raise ParseError(
+                f"invalid hex float literal {text!r} at position {tok.pos}"
+            ) from None
+    return float(text)
+
+
 _AGG_OR_FN = {"COUNT", "SUM", "AVG", "MIN", "MAX", "ISNULL"}
 
 #: keywords that the reference's own fixtures use as identifiers (e.g. the
@@ -101,6 +116,11 @@ class Parser:
     # --- entry -----------------------------------------------------------
     def parse_stmt(self) -> A.Node:
         t = self.peek()
+        if t.kind == "OP" and t.text == ";":
+            # bare `;` → EmptyStmt (AST.hpp EmptyStmt; end2end-pos-empty)
+            self.next()
+            self.expect("EOF")
+            return A.EmptyStmt()
         if t.kind != "KEYWORD":
             raise ParseError(f"statement must start with a keyword, got {t.text!r}")
         if t.text == "SELECT":
@@ -226,11 +246,14 @@ class Parser:
                     self.expect_kw("KEY")
                     col.primary_key = True
                     col.not_null = True
+                    col.constraints.append(("PRIMARY KEY",))
                 elif self.accept_kw("NOT"):
                     self.expect_kw("NULL")
                     col.not_null = True
+                    col.constraints.append(("NOT NULL",))
                 elif self.accept_kw("UNIQUE"):
                     col.unique = True
+                    col.constraints.append(("UNIQUE",))
                 elif self.accept_kw("REFERENCES"):
                     # expect_name: the referenced attribute may be a soft
                     # keyword (the fixture schema's `key` column)
@@ -239,14 +262,17 @@ class Parser:
                     ref_attr = self.expect_name()
                     self.expect("OP", ")")
                     col.references.append((ref_table, ref_attr))
+                    col.constraints.append(("REFERENCES", ref_table, ref_attr))
                 elif self.accept_kw("CHECK"):
                     # CHECK '(' expression ')' — condition kept for sema's
                     # boolean-type requirement (`Sema.cpp:1543-1550`); not
                     # enforced at runtime, same as the reference
                     # (`src/mutable.cpp:238-256`)
                     self.expect("OP", "(")
-                    col.checks.append(self.parse_expr())
+                    cond = self.parse_expr()
                     self.expect("OP", ")")
+                    col.checks.append(cond)
+                    col.constraints.append(("CHECK", cond))
                 else:
                     break
             cols.append(col)
@@ -479,14 +505,14 @@ class Parser:
     def parse_primary(self) -> A.Node:
         t = self.next()
         if t.kind == "INT":
-            return A.Literal(_int_value(t), "int")
+            return A.Literal(_int_value(t), "int", raw=t.orig or t.text)
         if t.kind == "FLOAT":
-            return A.Literal(float(t.text), "float")
+            return A.Literal(_float_value(t), "float", raw=t.orig or t.text)
         if t.kind == "STR":
-            return A.Literal(t.text, "str")
+            return A.Literal(t.text, "str", raw=t.orig)
         if t.kind == "DATE":
             kind = "datetime" if " " in t.text.strip() else "date"
-            return A.Literal(t.text.strip(), kind)
+            return A.Literal(t.text.strip(), kind, raw=t.orig)
         if t.kind == "KEYWORD" and t.text in SOFT_KEYWORDS:
             nxt = self.peek()
             name = t.orig or t.text.lower()
@@ -496,11 +522,11 @@ class Parser:
             return A.Designator(None, name)
         if t.kind == "KEYWORD":
             if t.text == "TRUE":
-                return A.Literal(True, "bool")
+                return A.Literal(True, "bool", raw="TRUE")
             if t.text == "FALSE":
-                return A.Literal(False, "bool")
+                return A.Literal(False, "bool", raw="FALSE")
             if t.text == "NULL":
-                return A.Literal(None, "null")
+                return A.Literal(None, "null", raw="NULL")
             if t.text == "INT":  # INT(x) scalar cast, Functions.tbl:20
                 self.expect("OP", "(")
                 arg = self.parse_expr()

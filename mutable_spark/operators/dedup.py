@@ -532,12 +532,64 @@ def _small_star(edges):
     return moved.union(self_edges).distinct()
 
 
-def connected_components(pairs, max_rounds: int = 64, stats: dict | None = None):
+#: edge-count ceiling for the driver-local union-find fast path. The
+#: verified near-dup PAIR list is the small output of the LSH tier (star
+#: cap keeps it O(n) in bucket members, and only verified >=0.5-Jaccard
+#: survivors reach components); when it fits in driver memory with room to
+#: spare (1M edges = ~16 MB of longs), a single collect + path-compressed
+#: union-find replaces ~7 Spark jobs of star rounds. Past the ceiling —
+#: the 100 TB regime where class membership is tens of percent of the
+#: corpus and pairs are billions — the distributed O(log n) star rounds
+#: run unchanged.
+_CC_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _local_union_find(rows) -> dict[int, int]:
+    """Path-compressed min-root union-find over collected (u, v) edges —
+    the same class_rep = component-minimum contract as the star rounds."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min root wins so the representative is the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    pairs,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+    local_threshold: int = _CC_LOCAL_MAX_EDGES,
+):
     """(doc_id, class_rep) for every node of the undirected edge list
     ``pairs`` = (doc_a, doc_b): class_rep = the minimum id in the node's
     connected component. ``stats``, if given, receives {"rounds": k} — the
     number of large+small star rounds run (the O(log n) bound is
-    property-tested on a long chain).
+    property-tested on a long chain) — and {"path": ...}.
+
+    Two physical paths, same values (equality property-tested):
+    - ``<= local_threshold`` distinct edges: ONE bounded collect of the
+      dedup'd edge list + a driver-side path-compressed union-find —
+      the pair list is metadata-scale next to the corpus, and the star
+      rounds' ~7 Spark jobs are pure overhead at that size. Set
+      ``local_threshold=0`` to force the distributed path (the round-
+      count property tests do).
+    - larger: the distributed star rounds below, untouched — the honest
+      path for the 100 TB regime where verified pairs are billions.
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14). Each round
@@ -571,6 +623,35 @@ def connected_components(pairs, max_rounds: int = 64, stats: dict | None = None)
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if local_threshold > 0 and edges.count() <= local_threshold:
+        rep = _local_union_find(
+            (r["u"], r["v"]) for r in edges.collect()
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["path"] = "driver-local-union-find"
+        spark = pairs.sparkSession
+        if not rep:
+            # self-loop-only input: every node is its own class
+            return nodes.select(
+                F.col("u").alias("doc_id"), F.col("u").alias("class_rep")
+            )
+        cls = spark.createDataFrame(
+            sorted(rep.items()), "doc_id long, class_rep long"
+        )
+        # self-loop-only nodes never enter the union-find; they are their
+        # own class, same as the star rounds' `nodes` left-join below
+        return (
+            nodes.join(cls, nodes["u"] == cls["doc_id"], "left")
+            .select(
+                F.col("u").alias("doc_id"),
+                F.coalesce("class_rep", "u").alias("class_rep"),
+            )
+        )
+
+    if stats is not None:
+        stats["path"] = "distributed-star"
 
     def signature(e):
         row = e.agg(

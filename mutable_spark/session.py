@@ -48,12 +48,26 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: sessions (by applicationId) whose runtime confs are already applied —
+#: every `load_table` call funnels through `apply_runtime_confs`, and each
+#: `conf.set` is a py4j roundtrip: 10 tables × ~8 confs per query build was
+#: a measurable slice of the fixed per-query floor (VERDICT r9 item #9).
+_CONFS_APPLIED: set[str] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = str(id(spark))
+    if app in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — session default applies
+    _CONFS_APPLIED.add(app)
     return spark
 
 

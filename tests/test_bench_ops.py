@@ -102,3 +102,26 @@ def test_filter_sweep_matches_duckdb(ops, spark):
             got = [tuple(r) for r in bench_ops.filter_case(sel, col, x).collect()]
             want = con.execute(sql).fetchall()
             assert got == want, (col, x)
+
+
+def test_selection_cases_match_duckdb(ops, spark):
+    """The r10 selection_* suites: Spark filter+count equals DuckDB on
+    every (case, selectivity) point of the sweep grid."""
+    bench_ops, root = ops
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW attr_full AS SELECT * FROM "
+        f"read_parquet('{root}/Attribute_scalar.parquet')"
+    )
+    attr = spark.read.parquet(str(root / "Attribute_scalar.parquet"))
+    for name in bench_ops.SELECTION_CASES:
+        for x in bench_ops.SELECTION_SELS:
+            got = [
+                tuple(r)
+                for r in bench_ops.selection_case(attr, name, x).collect()
+            ]
+            want = con.execute(
+                "SELECT COUNT(*) AS n FROM attr_full WHERE "
+                + bench_ops._sel_pred(name, x)
+            ).fetchall()
+            assert got == want, (name, x, got, want)

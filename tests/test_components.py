@@ -34,8 +34,12 @@ def _union_find(n_nodes, edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # local_threshold=0 forces the distributed star rounds — the subject
+    # under test here (the driver-local union-find fast path has its own
+    # equality pin below)
     got = {
-        (r.doc_id, r.class_rep) for r in connected_components(df).collect()
+        (r.doc_id, r.class_rep)
+        for r in connected_components(df, local_threshold=0).collect()
     }
     want = set(_union_find(None, edges).items())
     assert got == want
@@ -59,7 +63,10 @@ def test_long_chain_rounds_logarithmic(spark):
     edges = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     stats = {}
-    got = {(r.doc_id, r.class_rep) for r in cc(df, stats=stats).collect()}
+    got = {
+        (r.doc_id, r.class_rep)
+        for r in cc(df, stats=stats, local_threshold=0).collect()
+    }
     assert got == {(i, 0) for i in range(n)}
     assert stats["rounds"] <= math.log2(n) + 4, (
         f"{stats['rounds']} rounds for a {n}-chain — not logarithmic"
@@ -118,3 +125,33 @@ def test_train_test_split_stable_across_partitionings(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.7 < frac < 0.9  # hash threshold lands near the target split
+
+
+def test_local_fast_path_equals_distributed(spark):
+    """The r10 driver-local union-find fast path (edge list below
+    _CC_LOCAL_MAX_EDGES collects once instead of running star rounds)
+    must be value-identical to the distributed path on a random graph
+    with chains, stars, cliques and isolated self-loops."""
+    rng = random.Random(0xC0FFEE)
+    edges = [(i, i + 1) for i in range(30)]                     # chain
+    edges += [(100, 100 + i) for i in range(1, 12)]             # star
+    edges += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    edges += [(500, 500), (600, 600)]                           # self-loops
+    edges += [
+        (rng.randrange(0, 300), rng.randrange(0, 300)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats_l, stats_d = {}, {}
+    local = {
+        (r.doc_id, r.class_rep)
+        for r in connected_components(df, stats=stats_l).collect()
+    }
+    dist = {
+        (r.doc_id, r.class_rep)
+        for r in connected_components(
+            df, stats=stats_d, local_threshold=0
+        ).collect()
+    }
+    assert stats_l["path"] == "driver-local-union-find"
+    assert stats_d["path"] == "distributed-star"
+    assert local == dist

@@ -565,3 +565,41 @@ def test_job_heuristic_search_plans(job_env, query):
     p = explain(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# --- job-light (r10): the reference's 4-YAML reduced JOB family -----------
+# (`/root/reference/benchmark/job-light/job-light_{1..4}.yml` — 70 COUNT(*)
+# cases over 2-5-relation equi-join graphs with numeric predicates, all
+# expressible in the mutable grammar). Same checks as the full JOB set:
+# value parity vs DuckDB on the same fixture, cross-product-free plans.
+
+JOB_LIGHT = Path("/root/reference/benchmark/job-light")
+
+
+def _job_light_cases():
+    out = []
+    if not JOB_LIGHT.exists():
+        return out
+    for i in (1, 2, 3, 4):
+        doc = yaml.safe_load((JOB_LIGHT / f"job-light_{i}.yml").read_text())
+        for c, q in sorted(doc["cases"].items()):
+            out.append(pytest.param(q, id=f"jl{i}_{c}"))
+    return out
+
+
+@pytest.mark.parametrize("query", _job_light_cases())
+def test_job_light_oracle_rows(job_env, query):
+    tables, duck, planner = job_env
+    df = compile_select(parse(query), tables, planner=planner)
+    got = sorted(tuple(r) for r in df.collect())
+    exp = sorted(tuple(r) for r in duck.execute(_ansi(query)).fetchall())
+    assert got == exp
+
+
+@pytest.mark.parametrize("query", _job_light_cases())
+def test_job_light_plan_shape(job_env, query):
+    tables, duck, planner = job_env
+    df = compile_select(parse(query), tables, planner=planner)
+    p = explain(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
