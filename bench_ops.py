@@ -215,6 +215,17 @@ CASES: dict[str, str] = {
     "equi_join_pk_fk_shj": (
         "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.id = S.fid"
     ),
+    # phys-cost-models/hash-based-group-join/hbgj_vs_shj_hbg.yml: the
+    # group-join shape (aggregate the join result BY the join key). The
+    # reference fuses this into one HashBasedGroupJoin physical operator;
+    # Spark's exchange-placement rule gives the same fusion (the agg
+    # reuses the join's hash partitioning — no third exchange;
+    # plan-pinned via op_group_join in tests/test_plan_shape.py)
+    "group_join_pk_fk": (
+        "SELECT COUNT(*), SUM(c), MIN(m) FROM ("
+        "SELECT R.id, COUNT(*) c, MIN(S.n2m) m FROM {R} R, {R} S "
+        "WHERE R.id = S.fid GROUP BY R.id)"
+    ),
     # equi_join_n2m.yml
     "equi_join_n2m": (
         "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.n2m = S.n2m "
@@ -340,6 +351,15 @@ def spark_df(spark, name: str, dist, rel):
         return dist.orderBy(*keys).select("id")
     if name.startswith("order_by_i32_distinct_"):
         return dist.orderBy(name.rsplit("_", 1)[-1], "id").select("id")
+    if name == "group_join_pk_fk":
+        left = rel.select("id")
+        right = rel.select(F.col("fid"), F.col("n2m"))
+        g = (
+            left.join(right, F.col("id") == F.col("fid"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("c"), F.min("n2m").alias("m"))
+        )
+        return g.agg(F.count(F.lit(1)), F.sum("c"), F.min("m"))
     if name.startswith("equi_join_pk_fk"):
         right = rel.select(F.col("fid"))
         if name.endswith("_shj"):

@@ -505,3 +505,52 @@ def op_subquery_scalar(spark, sf_dir):
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "op_group_join",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent,
+           MIN(o_orderdate) AS first_order
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def op_group_join(spark, sf_dir):
+    """Group-join: aggregate the join result BY THE JOIN KEY — the shape
+    the reference fuses into one physical HashBasedGroupJoin operator
+    (`src/backend/WasmOperator.cpp` HashBasedGroupJoin;
+    `benchmark/phys-cost-models/hash-based-group-join/hbgj_vs_shj_hbg.yml`
+    measures it against SimpleHashJoin + separate grouping). SURVEY §2.1
+    delegates the fusion to Catalyst, and this op makes that delegation a
+    measured, driver-gated claim instead of a design note: the join
+    shuffles both sides on the key, and because the grouping key IS the
+    join key, the aggregation REUSES the join's hash partitioning — no
+    third exchange exists in the plan (pinned in
+    tests/test_plan_shape.py: exactly 2 Exchanges). That partitioning
+    reuse is precisely what the reference's fusion buys; Spark gets it
+    from the exchange-placement rule rather than a fused operator.
+
+    The SHUFFLE_HASH hint pins the shuffled plan: at test SF customer
+    would auto-broadcast, and a broadcast join provides no partitioning
+    for the aggregation to reuse — the hinted plan is the honest 100 TB
+    shape (neither side of customer⋈orders broadcasts there).
+
+    Exactness: COUNT/MIN are order-free; the spend sum folds in
+    DECIMAL(18,2) and casts to double once — bit-identical to the oracle
+    at any parallelism."""
+    t = load_tables(spark, sf_dir)
+    joined = t.customer.select("c_custkey").hint("shuffle_hash").join(
+        t.orders.select("o_custkey", "o_totalprice", "o_orderdate"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spent"),
+        F.min("o_orderdate").alias("first_order"),
+    )

@@ -243,6 +243,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
+    # late-r10 additions (registered after the r10 rotation; rotation
+    # candidates for r11):
+    "op_group_join",  # HashBasedGroupJoin delegation made measurable
 ]
 
 

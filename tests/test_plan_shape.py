@@ -593,3 +593,17 @@ def test_leakage_safe_split_no_mandatory_broadcast(spark):
     assert "broadcast" not in logical.lower().replace(
         "broadcastable", ""
     ), "class-map join must stay unhinted (AQE decides)"
+
+
+def test_group_join_reuses_join_partitioning(plans):
+    """op_group_join (r10): the grouping key IS the join key, so the
+    aggregation must REUSE the shuffled join's hash partitioning — the
+    Spark expression of the reference's fused HashBasedGroupJoin.
+    Exactly 2 Exchanges (one per join input), partial+final HashAggregate
+    directly over the join, no third exchange."""
+    p = plans("op_group_join", "formatted")
+    assert "ShuffledHashJoin" in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert p.count("HashAggregate") >= 2
