@@ -1046,3 +1046,111 @@ def boilerplate_stats_frame(docs, boiler: list[int]):
             "cast((cast(n_boiler as bigint) * 10000) div n_grams as bigint)"
         ).alias("boiler_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (r10): the serving-side counterpart of the tf-idf
+# keyterm extractor — score the corpus against a fixed query term set and
+# return the top-k. Robertson & Spärck Jones BM25 with k1 = 6/5, b = 3/4
+# expressed as EXACT integer arithmetic (the repo's standing libm rule:
+# JVM and DuckDB disagree in ulps on log/pow, so scores quantize through
+# integer division instead):
+#
+#   idf_q(t)  = (N * 1000) div df(t)                  (the tfidf op's idf)
+#   frac_q(t) = (22 * tf * total * 1000)
+#               div (10 * tf * total + 3 * total + 9 * dl * N)
+#             = 1000 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+#               both sides multiplied by 10*total (avgdl = total/N stays
+#               a ratio — never rounded)
+#   score_q   = Σ_t idf_q(t) * frac_q(t)
+#
+# int64 bounds: 22*tf*total*1000 needs tf*total < 4e14 — fine to ~1e12
+# corpus tokens; past that the two products move to DECIMAL(38,0) with
+# the same div pipeline (the sim_embedding_covariance precedent).
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_rank",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS dl,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = 'scan')) AS BIGINT) AS tf2
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        FROM d
+    )
+    SELECT doc_id,
+           dl,
+           CAST((CASE WHEN tf0 = 0 THEN 0 ELSE ((s.n * 1000) // df0) * ((22 * tf0 * s.total * 1000) // (10 * tf0 * s.total + 3 * s.total + 9 * dl * s.n)) END) + (CASE WHEN tf1 = 0 THEN 0 ELSE ((s.n * 1000) // df1) * ((22 * tf1 * s.total * 1000) // (10 * tf1 * s.total + 3 * s.total + 9 * dl * s.n)) END) + (CASE WHEN tf2 = 0 THEN 0 ELSE ((s.n * 1000) // df2) * ((22 * tf2 * s.total * 1000) // (10 * tf2 * s.total + 3 * s.total + 9 * dl * s.n)) END) AS BIGINT) AS score_q
+    FROM d, s
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY score_q DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_rank(spark, sf_dir):
+    """BM25 top-k retrieval over the corpus for a fixed query term set —
+    the lexical-retrieval primitive of a RAG / hard-negative-mining
+    pipeline (its dense twin is `sim_cosine_topk`). Scoring is the exact
+    integer BM25 quantization in the module comment: per-term tf comes
+    from an IN-ROW array filter (no explode, no (doc, token) blow-up),
+    the corpus statistics (N, Σdl, per-term df) are ONE global partial
+    aggregate producing a single row that broadcasts back, and the
+    finish is a distributed top-k (TakeOrderedAndProject — no global
+    sort). Zero data shuffles at any corpus size: the only exchanges
+    carry the 1-row stats frame and the per-partition top-k heads.
+    Ties break on doc_id, so the LIMIT frontier is deterministic and
+    the DuckDB oracle pins every value bit-for-bit."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            # single-arg lambda via a factory: F.filter dispatches on the
+            # lambda's arity, so a `t=t` default would make it (x, idx)
+            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = F.when(F.col(f"tf{i}") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"(n * 1000) div df{i}")
+            * F.expr(
+                f"(22 * tf{i} * total * 1000) div "
+                f"(10 * tf{i} * total + 3 * total + 9 * dl * n)"
+            )
+        )
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", "dl", score.cast("long").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

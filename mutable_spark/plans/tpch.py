@@ -347,3 +347,100 @@ def tpch_q10(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (`benchmark/tpc-h/queries` family;
+    the reference's grammar has no EXISTS so its own corpus stops at
+    q1/q3/q6/q12/q14 — this is the additive Spark-native continuation),
+    adapted to the testdata schema: no l_commitdate/l_receiptdate, so the
+    "late line" witness becomes shipped >30 days after the order date
+    (the q12 adaptation, reused). Shape: a quarter-filtered orders scan
+    SEMI-joined against lineitem — Spark plans the correlated EXISTS as a
+    LeftSemi hash join, so each order is emitted at most once no matter
+    how many late lines witness it, then a 5-key partial-agg rollup.
+    Scale: the orders date filter pushes to the scan; the semi join
+    shuffles only (orderkey, orderdate) pairs and lineitem's
+    (l_orderkey, l_shipdate) projection — the narrowest possible columns
+    at 100 TB."""
+    return _q(spark, sf_dir, ["orders", "lineitem"], """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM msq_orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM msq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""")
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH cand AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_nationkey < 10
+    ),
+    s AS (
+        SELECT CAST(SUM(bal) AS DECIMAL(38,2)) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cand WHERE bal > 0.00
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM cand, s
+    WHERE bal * s.n > s.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cand.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity (additive — EXISTS/subqueries
+    are outside the reference grammar), adapted: country code becomes
+    c_nationkey (<10 as the candidate set; no c_phone in the testdata)
+    and "has no orders" becomes "no orders since 2000-06" (every testdata
+    customer has at least one order, so the literal anti-join is empty —
+    the inactivity window keeps the anti-join shape AND a non-trivial
+    result). Exactness: the above-average test cross-multiplies instead
+    of dividing — bal·n > Σbal in DECIMAL — so no engine ever rounds a
+    threshold. Shape: one tiny stats aggregate broadcast back, an ANTI
+    hash join against the date-filtered orders projection, and a ≤10-key
+    rollup; the anti join's probe side carries only (custkey) pairs at
+    any scale."""
+    return _q(spark, sf_dir, ["customer", "orders"], """
+        WITH cand AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+            FROM msq_customer WHERE c_nationkey < 10
+        ),
+        s AS (
+            SELECT CAST(SUM(bal) AS DECIMAL(38,2)) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cand WHERE bal > 0.00
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        FROM cand, s
+        WHERE bal * s.n > s.total
+          AND NOT EXISTS (SELECT 1 FROM msq_orders o
+                          WHERE o.o_custkey = cand.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        GROUP BY c_nationkey""")

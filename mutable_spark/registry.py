@@ -246,6 +246,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # late-r10 additions (registered after the r10 rotation; rotation
     # candidates for r11):
     "op_group_join",  # HashBasedGroupJoin delegation made measurable
+    "text_bm25_rank",  # integer-BM25 lexical retrieval top-k
+    "tpch_q4",  # EXISTS → LeftSemi (additive; outside reference grammar)
+    "tpch_q22",  # NOT EXISTS → LeftAnti + cross-multiplied threshold
 ]
 
 

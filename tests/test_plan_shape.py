@@ -607,3 +607,33 @@ def test_group_join_reuses_join_partitioning(plans):
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
     assert p.count("HashAggregate") >= 2
+
+
+def test_bm25_rank_topk_no_data_shuffle(plans):
+    """text_bm25_rank (r10): in-row tf (no explode), ONE global stats
+    aggregate broadcast back as a single row (the BroadcastNestedLoopJoin
+    is the 1-row-broadcast pattern, not a data cartesian), and a
+    distributed top-k finish. The corpus itself never hash-exchanges."""
+    p = plans("text_bm25_rank")
+    assert "TakeOrderedAndProject" in p
+    assert "Generate" not in p  # no explode — tf is an in-row array fold
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_q4_semi_join_shape(plans):
+    """tpch_q4 (r10): the correlated EXISTS plans as a LeftSemi join —
+    each order emitted at most once — with the quarter filter pushed to
+    the orders scan."""
+    p = plans("tpch_q4")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "PushedFilters:" in p
+
+
+def test_q22_anti_join_no_division(plans):
+    """tpch_q22 (r10): NOT EXISTS plans as a LeftAnti join; the
+    above-average threshold cross-multiplies in decimal (no division
+    node feeding the comparison)."""
+    p = plans("tpch_q22")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
