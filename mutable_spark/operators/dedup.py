@@ -1207,3 +1207,100 @@ def dedup_threshold_histogram(spark, sf_dir):
     return pairs.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment dedup (r10): ASYMMETRIC overlap — |A∩B| / min(|A|,|B|).
+# Jaccard (the MinHash tier) cannot see a small document quoted whole
+# inside a large one (a 30-shingle doc inside a 600-shingle doc has
+# Jaccard ≈ 0.05 but containment 1.0), and the tier's size-ratio prune
+# removes exactly those pairs on purpose. Quote/subset detection needs
+# its own candidate path: a shingle INVERTED INDEX with a document-
+# frequency cap — the standard "stop shingle" prune (Broder '97 family).
+
+#: shingles occurring in more than this many docs are dropped from the
+#: index — boilerplate shingles are what make posting self-joins
+#: quadratic, and a shingle shared by 20+ docs identifies nothing.
+#: Visibility floor (documented, like the LSH tier's star cap): overlap
+#: composed ONLY of >cap shingles is invisible.
+_CONT_DF_CAP = 20
+#: emit pairs whose containment (either direction) reaches this
+_CONT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH g AS ({_SQL_HASHED_SHINGLES}),
+    post AS (
+        SELECT doc_id, len(shh) AS n, unnest(shh) AS sh FROM g
+    ),
+    kept AS (
+        SELECT sh FROM post GROUP BY sh HAVING COUNT(*) <= {_CONT_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               MIN(a.n) AS n_a, MIN(b.n) AS n_b
+        FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE a.sh IN (SELECT sh FROM kept)
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, n_a, n_b,
+           CAST(inter AS DOUBLE) / LEAST(n_a, n_b) AS containment
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / LEAST(n_a, n_b) >= {_CONT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup pairs: documents whose smaller side's shingle
+    set is ≥80% inside the larger's — the quote/subset relation Jaccard
+    dedup is blind to (see module comment). Pipeline: the SHARED hashed
+    shingle tier → posting list (doc, shingle) with the per-doc size
+    carried on the row (no sizes join-back) → document-frequency cap at
+    {_CONT_DF_CAP} (drops boilerplate shingles; the prune that keeps the
+    self-join linear-ish — fan-out per shingle is ≤ cap², and a shingle
+    in 20+ docs identifies nothing) → equi-self-join on the shingle
+    hash → per-pair partial-agg count → containment as ONE double
+    division of two exact ints (IEEE-identical in both engines).
+
+    Scale shape: 3 shuffles (df partial agg, posting self-join key
+    exchange, pair partial agg); the index rows are 24 bytes; the df cap
+    bounds the join fan-out independent of corpus size. At 100 TB the
+    cap is the knob — raise it and pay Σ df² over kept shingles,
+    exactly the documented trade. Visibility floor: overlap made only
+    of >cap shingles is not seen (mirrored by the oracle, which applies
+    the identical cap)."""
+    d = load_tables(spark, sf_dir).documents
+    g = _hashed_shingle_df(d)
+    post = g.select(
+        "doc_id", F.size("shh").alias("n"), F.explode("shh").alias("sh")
+    )
+    kept = (
+        post.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("sh")
+    )
+    p = post.join(kept, "sh")
+    a = p.select(
+        F.col("sh"), F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    b = p.select(
+        F.col("sh").alias("sh_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return pairs.withColumn("containment", cont).filter(
+        F.col("containment") >= _CONT_THRESHOLD
+    )

@@ -249,6 +249,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_bm25_rank",  # integer-BM25 lexical retrieval top-k
     "tpch_q4",  # EXISTS → LeftSemi (additive; outside reference grammar)
     "tpch_q22",  # NOT EXISTS → LeftAnti + cross-multiplied threshold
+    "dedup_containment",  # asymmetric overlap via df-capped inverted index
 ]
 
 

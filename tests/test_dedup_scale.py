@@ -156,3 +156,50 @@ def test_fuzzy_decontaminate_degenerate_bounded(spark):
     train = {i for i in range(n) if i % 25 != 0}
     assert contaminated == train  # every train doc is a verbatim eval dup
     assert elapsed < 120, f"degenerate corpus took {elapsed:.0f}s — cap not effective?"
+
+
+def test_containment_finds_quote_jaccard_misses(spark, tmp_path):
+    """The reason dedup_containment exists: a small document quoted WHOLE
+    inside a much larger one has near-zero Jaccard (and the MinHash
+    tier's size-ratio prune drops the pair outright) but containment
+    1.0. Plant exactly that shape and assert the containment op reports
+    it while the Jaccard pair tier does not."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark import registry
+    from mutable_spark.operators.dedup import (
+        _hashed_shingle_df,
+        minhash_lsh_pairs,
+    )
+
+    registry.load_all()
+    quote = " ".join(f"tok{i}" for i in range(20))
+    big = quote + " " + " ".join(f"filler{i}" for i in range(300))
+    docs = [
+        (1, quote, "en", "s", len(quote)),
+        (2, big, "en", "s", len(big)),
+        (3, "completely different text about nothing at all", "en", "s", 46),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # load_tables reads every table name: link the rest from the testdata
+    import os
+
+    from tests.conftest import SF_DIR
+
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    got = registry.QUERIES["dedup_containment"](spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert got[0].containment == 1.0
+    # the Jaccard tier must NOT see this pair (size-ratio prune + threshold)
+    jac_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_hashed_shingle_df(df)).collect()
+    ]
+    assert (1, 2) not in jac_pairs

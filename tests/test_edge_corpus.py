@@ -78,6 +78,13 @@ _DOC_OPS = [
     "pipeline_token_budget_sample",
     "pipeline_end_to_end",
     "pipeline_oversample",
+    # r9/r10 text additions (bm25: empty docs must fall out of the
+    # score filter, never divide by zero under ANSI)
+    "text_bpe_pairs",
+    "text_tfidf_terms",
+    "text_boilerplate_grams",
+    "text_bm25_rank",
+    "pipeline_dedup_stats",
 ]
 
 

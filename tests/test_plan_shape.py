@@ -637,3 +637,15 @@ def test_q22_anti_join_no_division(plans):
     p = plans("tpch_q22")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_containment_df_cap_before_self_join(plans):
+    """dedup_containment (r10): the document-frequency cap must filter
+    the posting list BEFORE the shingle self-join (the prune that bounds
+    fan-out at cap² per shingle), and the pair rollup is a partial agg.
+    No cartesian anywhere; sizes ride the posting rows (no join-back to
+    a sizes frame)."""
+    p = plans("dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # df cap agg + pair agg, partial+final
