@@ -72,9 +72,10 @@ HEADLINE = [
     "text_boilerplate_grams",
     "dedup_threshold_histogram",
     "pipeline_split_leakage_safe",
-    # r10 addition over the bar (3.3 s at sf0.1; text_bm25_rank and
-    # op_group_join stay out at 0.6 s each)
+    # r10 additions over the bar (containment 3.3 s, PQ trainer 1.8 s at
+    # sf0.1; text_bm25_rank and op_group_join stay out at 0.6 s each)
     "dedup_containment",
+    "sim_pq_train",
 ]
 
 

@@ -1109,3 +1109,168 @@ def sim_embedding_covariance(spark, sf_dir):
             "sx_j",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (r10): the third member of the ANN compression
+# stack — IVF partitions the corpus (sim_ivf_train), int8 scalar
+# quantization shrinks vectors 4x (sim_quantize_embeddings), PQ shrinks
+# them a further 8x by quantizing each of M subspaces against its own
+# tiny codebook (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011). M=8 subspaces x 8 dims, k=8 codes per
+# subspace -> a 64-dim float32 vector becomes 8 x 3 bits of code.
+
+_PQ_M, _PQ_SUBK = 8, 8  # subspaces x codes-per-subspace
+_PQ_SUBDIM = _DIM // _PQ_M
+
+
+def _sql_pq_train() -> str:
+    """DuckDB twin of ``sim_pq_train``: sim_ivf_train's fixed-round Lloyd
+    CTE chain with every stage additionally keyed by the subspace — the
+    identical exact arithmetic, so the full (vec_id, code, error) output
+    value-hashes across engines."""
+    S = int(_DOT_SCALE)
+    dist = "SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * %d) AS BIGINT))" % S
+    mean = (
+        "CAST(SUM(CAST(floor(e.x * %d) AS BIGINT)) AS DOUBLE)"
+        " / (COUNT(*) * CAST(%d AS DOUBLE))" % (S, S)
+    )
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, d, CAST((d - 1) // {_PQ_SUBDIM} AS INT) AS s,
+               CAST(embedding[d] AS DOUBLE) AS x
+        FROM embeddings, range(1, {_DIM} + 1) t(d)
+    ),
+    init AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_SUBK})
+    ),
+    c0 AS (SELECT e.s, i.cluster, e.d, e.x AS c
+           FROM init i JOIN ex e USING (vec_id)),
+    p1 AS (
+        SELECT e.vec_id, e.s, c.cluster, {dist} AS dist
+        FROM ex e JOIN c0 c ON c.s = e.s AND c.d = e.d
+        GROUP BY e.vec_id, e.s, c.cluster
+    ),
+    a1 AS (
+        SELECT vec_id, s, cluster FROM (
+            SELECT vec_id, s, cluster,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, cluster) AS rn
+            FROM p1
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a.s, a.cluster, e.d, {mean} AS c
+        FROM a1 a JOIN ex e ON e.vec_id = a.vec_id AND e.s = a.s
+        GROUP BY a.s, a.cluster, e.d
+    ),
+    p2 AS (
+        SELECT e.vec_id, e.s, c.cluster, {dist} AS dist
+        FROM ex e JOIN c1 c ON c.s = e.s AND c.d = e.d
+        GROUP BY e.vec_id, e.s, c.cluster
+    ),
+    a2 AS (
+        SELECT vec_id, s, cluster, dist FROM (
+            SELECT vec_id, s, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, cluster) AS rn
+            FROM p2
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(cluster AS VARCHAR), ',' ORDER BY s) AS code_csv,
+           CAST(SUM(dist) AS BIGINT) AS err_q
+    FROM a2
+    GROUP BY vec_id
+    """
+
+
+@query("sim_pq_train", oracle=_sql_pq_train())
+def sim_pq_train(spark, sf_dir):
+    """Product-quantization training + encoding: per subspace, the SAME
+    bit-deterministic 2-round Lloyd iteration as `sim_ivf_train` (scaled
+    integer distances, argmin on a (dist, cluster) total order, exact
+    scaled-long centroid means — see that docstring for why every step
+    survives any partial-agg order), run over M={_PQ_M} subspaces at
+    once by adding the subspace to every grouping key. Emits the
+    serving artifact: each vector's PQ code (the per-subspace argmin
+    codes, CSV-serialized — the r9 lesson: array outputs crash the
+    driver canonicalizer) and its exact quantized reconstruction error
+    Σ_s min-dist — the compression-quality stat read before committing a
+    codebook.
+
+    Scale shape: identical to the IVF trainer — one posexplode (codegen)
+    of the vector scan, centroids are an (M·k·subdim)-row broadcast,
+    each round two keyed partial-agg shuffles, plus the final per-vector
+    rollup; N only flows through linear scans. The M subspaces train in
+    the SAME jobs (subspace is a grouping key, not a loop) — M× more
+    parallelism at zero extra passes, which is the PQ trainer's whole
+    distributed-systems advantage over looping sim_ivf_train M times."""
+    S = int(_DOT_SCALE)
+    e = load_tables(spark, sf_dir).embeddings
+    ex = (
+        e.select("vec_id", F.posexplode("embedding").alias("d0", "xr"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.expr(f"cast(d0 div {_PQ_SUBDIM} as int)").alias("s"),
+            F.col("xr").cast("double").alias("x"),
+        )
+    )
+    from pyspark.sql import Window
+
+    init = (
+        e.orderBy("vec_id")
+        .limit(_PQ_SUBK)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+    )
+    cent = init.join(ex, "vec_id").select(
+        "s", "cluster", "d", F.col("x").alias("c")
+    )
+    assign = None
+    for it in range(_KM_ITERS):
+        term = F.floor(
+            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(S)
+        ).cast("long")
+        pair = (
+            ex.join(F.broadcast(cent), ["s", "d"])
+            .groupBy("vec_id", "s", "cluster")
+            .agg(F.sum(term).alias("dist"))
+        )
+        assign = (
+            pair.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(
+                "vec_id", "s", F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+        if it == _KM_ITERS - 1:
+            break
+        cent = (
+            assign.join(ex, ["vec_id", "s"])
+            .groupBy("s", "cluster", "d")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * F.lit(S)).cast("long")).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(S)))
+                ).alias("c")
+            )
+        )
+    return assign.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cluster"))),
+                lambda r: r["cluster"].cast("string"),
+            ),
+            ",",
+        ).alias("code_csv"),
+        F.sum("dist").alias("err_q"),
+    )

@@ -250,6 +250,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q4",  # EXISTS → LeftSemi (additive; outside reference grammar)
     "tpch_q22",  # NOT EXISTS → LeftAnti + cross-multiplied threshold
     "dedup_containment",  # asymmetric overlap via df-capped inverted index
+    "sim_pq_train",  # product-quantization trainer + encoder, full oracle
 ]
 
 

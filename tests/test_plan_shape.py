@@ -649,3 +649,14 @@ def test_containment_df_cap_before_self_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 4  # df cap agg + pair agg, partial+final
+
+
+def test_pq_train_broadcast_centroids_no_cartesian(plans):
+    """sim_pq_train (r10): the per-round distance pass joins the
+    posexploded scan against BROADCAST centroids (M·k·subdim rows) —
+    never a shuffle of the vector side against centroids, never a
+    cartesian; all aggregations are partial-agg'd."""
+    p = plans("sim_pq_train")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 6
