@@ -374,3 +374,60 @@ def op_window_time_range(spark, sf_dir):
         .cast("double")
         .alias("v_1h"),
     )
+
+
+@query(
+    "op_window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           CAST(rank() OVER wt AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+           percent_rank() OVER wt AS prnk,
+           cume_dist() OVER wt AS cd,
+           CAST(row_number() OVER wo AS BIGINT) AS rn,
+           lag(o_orderkey) OVER wo AS prev_key,
+           lead(o_orderkey) OVER wo AS next_key,
+           first_value(o_orderkey) OVER wo AS first_key
+    FROM orders
+    WINDOW wt AS (PARTITION BY o_orderpriority
+                  ORDER BY month(o_orderdate)),
+           wo AS (PARTITION BY o_orderpriority
+                  ORDER BY month(o_orderdate), o_orderkey)
+    """,
+)
+def op_window_rank_family(spark, sf_dir):
+    """The complete ranking/navigation window-function surface in one
+    driver-gated query (SURVEY §2.6 — absent in the reference, additive):
+    rank / dense_rank / percent_rank / cume_dist over a TIED ordering
+    (month of order date — ties are the whole point: rank skips, dense
+    doesn't, percent_rank/cume_dist are peer-group functions and stay
+    deterministic under ties because they depend only on key values),
+    plus row_number / lag / lead / first_value over the TOTAL order with
+    the key tiebreak (navigation functions are only deterministic on a
+    total order — putting them on the tied window would be a
+    nondeterminism bug, which is exactly what this split documents).
+    percent_rank's (rank−1)/(n−1) is one double division of exact ints —
+    IEEE-identical in both engines.
+
+    Scale: one hash exchange on o_orderpriority; both windows share it
+    (same partition key), so Spark plans a single sort covering the
+    two frames."""
+    t = load_tables(spark, sf_dir).orders
+    mth = F.month("o_orderdate").cast("long")
+    wt = Window.partitionBy("o_orderpriority").orderBy(mth)
+    wo = Window.partitionBy("o_orderpriority").orderBy(mth, "o_orderkey")
+    return t.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        mth.alias("mth"),
+        F.rank().over(wt).cast("long").alias("rnk"),
+        F.dense_rank().over(wt).cast("long").alias("drnk"),
+        F.percent_rank().over(wt).alias("prnk"),
+        F.cume_dist().over(wt).alias("cd"),
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.lag("o_orderkey").over(wo).alias("prev_key"),
+        F.lead("o_orderkey").over(wo).alias("next_key"),
+        F.first_value("o_orderkey").over(wo).alias("first_key"),
+    )

@@ -932,3 +932,117 @@ def events_session_text(spark, sf_dir):
             " ",
         ).alias("seq_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Change-point detection (r10): one-sided CUSUM over hourly event-rate
+# series — the ops-monitoring primitive for "did this event type's rate
+# shift, and when" (Page 1954). The sequential recurrence
+# S_i = max(0, S_{i-1} + dev_i) is NOT a window function, but its closed
+# form IS: S_i = prefix_i - min(0, min_{j<i} prefix_j) — a running sum
+# minus a lagged running minimum, two frames over the same sort. All
+# arithmetic is integer (counts x 1000 vs an integer-quantized mean), so
+# both engines agree exactly.
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    m AS (
+        SELECT event_type,
+               (CAST(SUM(cnt) AS BIGINT) * 1000) // COUNT(*) AS mean_q,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM buckets GROUP BY event_type
+    ),
+    dev AS (
+        SELECT b.event_type, b.h, b.cnt,
+               b.cnt * 1000 - m.mean_q AS dev_q, m.n_buckets
+        FROM buckets b JOIN m USING (event_type)
+    ),
+    pre AS (
+        SELECT event_type, h, cnt, n_buckets,
+               CAST(SUM(dev_q) OVER (PARTITION BY event_type ORDER BY h)
+                    AS BIGINT) AS prefix
+        FROM dev
+    ),
+    cus AS (
+        SELECT event_type, h, cnt, n_buckets, prefix,
+               prefix - LEAST(CAST(0 AS BIGINT), COALESCE(
+                   CAST(MIN(prefix) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT),
+                   CAST(0 AS BIGINT))) AS cusum_q
+        FROM pre
+    )
+    SELECT event_type,
+           MIN(n_buckets) AS n_buckets,
+           MAX(cusum_q) AS peak_cusum_q,
+           MIN(CASE WHEN cusum_q = mx THEN h END) AS peak_hour
+    FROM (SELECT *, MAX(cusum_q) OVER (PARTITION BY event_type) AS mx
+          FROM cus)
+    GROUP BY event_type
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """Per-event-type change-point scan: hourly counts → integer
+    deviations from the type's quantized mean rate → one-sided CUSUM via
+    the closed form in the module comment (running sum minus the lagged
+    running minimum — two window frames over ONE sort, no recurrence,
+    no iteration). Emits each type's peak CUSUM and the hour it peaked —
+    "the strongest sustained upward rate shift and when it ended".
+
+    Exactness: counts are integers, the mean is integer-quantized
+    ((Σcnt·1000) div n), deviations/prefixes/minima stay BIGINT — the
+    one engine hazard is DuckDB widening windowed SUM(BIGINT) to
+    HUGEINT, pinned back with CASTs (the r7 lesson). The peak hour
+    ties-break to the EARLIEST peaking bucket via min-over-argmax, a
+    total order in both engines.
+
+    Scale shape: the heavy work is the (type, hour) partial-agg count —
+    events never sort. The windows run over the BUCKET series (per type:
+    #hours rows, ~10⁴/year — KBs of state no matter how many trillion
+    raw events fed them), so the per-type window partition is bounded by
+    calendar time, not corpus size. One count shuffle + one tiny window
+    exchange."""
+    e = load_tables(spark, sf_dir).events
+    buckets = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = buckets.groupBy("event_type").agg(
+        F.expr("(sum(cnt) * 1000) div count(*)").alias("mean_q"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    dev = buckets.join(m, "event_type").select(
+        "event_type",
+        "h",
+        "n_buckets",
+        (F.col("cnt") * 1000 - F.col("mean_q")).alias("dev_q"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pre = dev.withColumn(
+        "prefix", F.sum("dev_q").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    lagged_min = F.min("prefix").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cus = pre.withColumn(
+        "cusum_q",
+        F.col("prefix")
+        - F.least(F.lit(0).cast("long"), F.coalesce(lagged_min, F.lit(0).cast("long"))),
+    )
+    mx = cus.withColumn(
+        "mx", F.max("cusum_q").over(Window.partitionBy("event_type"))
+    )
+    return mx.groupBy("event_type").agg(
+        F.min("n_buckets").alias("n_buckets"),
+        F.max("cusum_q").alias("peak_cusum_q"),
+        F.min(F.when(F.col("cusum_q") == F.col("mx"), F.col("h"))).alias(
+            "peak_hour"
+        ),
+    )

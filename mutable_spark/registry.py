@@ -251,6 +251,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q22",  # NOT EXISTS → LeftAnti + cross-multiplied threshold
     "dedup_containment",  # asymmetric overlap via df-capped inverted index
     "sim_pq_train",  # product-quantization trainer + encoder, full oracle
+    "events_changepoint_cusum",  # CUSUM via window closed form
+    "op_window_rank_family",  # full ranking/navigation window surface
 ]
 
 

@@ -568,3 +568,67 @@ def session_text(
         )
         .select("user_id", "session_start", "n_events", "seq_text")
     )
+
+
+def cusum_monitor(events: DataFrame, mean_q_by_type: dict[str, int]) -> DataFrame:
+    """Streaming twin of the batch ``events_changepoint_cusum``: an online
+    one-sided CUSUM rate monitor per event type. The textbook streaming
+    form monitors against a FIXED reference rate (Page's μ₀ — here the
+    integer-quantized mean the caller trains batch-side; the batch op's
+    self-computed mean is the same quantity, so on a bounded replay the
+    final emission equals the batch op exactly — pinned in
+    tests/test_streaming.py).
+
+    State per type: the (hour → count) bucket series as two aligned
+    arrays. That state is CALENDAR-bounded (~10⁴ entries/year — the same
+    argument as the batch op's window: buckets, never events), which is
+    why recomputing the closed form per micro-batch is O(hours), not
+    O(events). Each micro-batch emits the type's current peak CUSUM and
+    the earliest hour it peaked."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        et = key[0]
+        if state.exists:
+            hours, cnts = state.get
+            acc = dict(zip(hours, cnts))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            hh = pdf["ts"].dt.floor("h").astype("int64") // 1000  # ns → µs
+            for h, c in hh.value_counts().items():
+                acc[int(h)] = acc.get(int(h), 0) + int(c)
+        hours = sorted(acc)
+        cnts = [acc[h] for h in hours]
+        state.update((hours, cnts))
+        m = int(mean_q_by_type[et])
+        prefix = 0
+        run_min_prev = 0  # min(0, min prefix_{j<i}) — 0 for the first row
+        best, best_h = None, None
+        for h, c in zip(hours, cnts):
+            prefix += c * 1000 - m
+            cus = prefix - run_min_prev
+            if best is None or cus > best:  # strict '>' keeps the EARLIEST peak
+                best, best_h = cus, h
+            run_min_prev = min(run_min_prev, prefix)
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_buckets": [len(hours)],
+                "peak_cusum_q": [best],
+                "peak_hour_us": [best_h],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_buckets long, peak_cusum_q long, "
+            "peak_hour_us long"
+        ),
+        stateStructType="hours array<long>, cnts array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -660,3 +660,17 @@ def test_pq_train_broadcast_centroids_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 6
+
+
+def test_cusum_windows_over_buckets_not_events(plans):
+    """events_changepoint_cusum (r10): the window sort must run over the
+    (type, hour) BUCKET series, downstream of the count aggregation —
+    never over raw events. Plan order pinned: the partial-agg count
+    appears below the window sort."""
+    p = plans("events_changepoint_cusum", "simple")
+    assert "Window" in p
+    # plans print root-first: the deepest node is LAST. The (type, hour)
+    # count HashAggregate must sit BELOW every Window (later in the text)
+    assert p.rindex("HashAggregate") > p.rindex("Window"), p
+    assert "date_trunc" in p[p.rindex("HashAggregate"):] or "date_trunc" in p
+    assert "CartesianProduct" not in p

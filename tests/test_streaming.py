@@ -1112,3 +1112,60 @@ def test_streaming_session_text_state_survives_restart(spark, tmp_path):
     got_key = sorted((r.user_id, r.n_events, r.seq_text) for r in got)
     want_key = sorted((r.user_id, r.n_events, r.seq_text) for r in want)
     assert got_key == want_key
+
+
+def test_streaming_cusum_equals_batch(spark):
+    """cusum_monitor with the batch-trained reference mean must land
+    exactly on the registered batch op's output after the bounded
+    replay (the batch op's self-computed mean IS the reference the
+    stream monitors against)."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark import registry
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import (
+        cusum_monitor,
+        run_available_now,
+        stream_events,
+    )
+
+    registry.load_all()
+    e = load_tables(spark, SF_DIR).events
+    means = {
+        r["event_type"]: r["m"]
+        for r in e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("(sum(cnt) * 1000) div count(*)").alias("m"))
+        .collect()
+    }
+    rows = run_available_now(
+        cusum_monitor(stream_events(spark, SF_DIR), means),
+        "t_cusum",
+        mode="update",
+    )
+    # update mode re-emits per micro-batch; the final state per type is
+    # the row with the largest bucket count (monotone across batches)
+    final = {}
+    for r in rows:
+        if (
+            r.event_type not in final
+            or r.n_buckets >= final[r.event_type].n_buckets
+        ):
+            final[r.event_type] = r
+    want = {
+        r.event_type: r
+        for r in registry.QUERIES["events_changepoint_cusum"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(final) == set(want)
+    for et, w in want.items():
+        g = final[et]
+        assert g.n_buckets == w.n_buckets, et
+        assert g.peak_cusum_q == w.peak_cusum_q, et
+        # batch emits TIMESTAMP_NTZ; the stream keeps long micros
+        import calendar
+
+        want_us = calendar.timegm(w.peak_hour.timetuple()) * 1_000_000
+        assert g.peak_hour_us == want_us, (et, g.peak_hour_us, want_us)
