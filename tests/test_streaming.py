@@ -1169,3 +1169,88 @@ def test_streaming_cusum_equals_batch(spark):
 
         want_us = calendar.timegm(w.peak_hour.timetuple()) * 1_000_000
         assert g.peak_hour_us == want_us, (et, g.peak_hour_us, want_us)
+
+
+def test_streaming_cusum_state_survives_restart(spark, tmp_path):
+    """CUSUM monitor state across a checkpointed stop/restart: deliver the
+    first half of the timeline, stop, deliver the rest. The split lands
+    mid-hour, so phase-2 events must MERGE into phase-1's partial hour
+    buckets from the restored state store — final peaks equal the batch
+    op exactly."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import cusum_monitor
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    means = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("(sum(cnt) * 1000) div count(*)").alias("m"))
+        .collect()
+    }
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    # nudge the split off the hour boundary so a bucket genuinely straddles
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            cusum_monitor(stream, means)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase2")
+    run_once()
+
+    import pyspark.sql.types as T
+
+    out = spark.read.schema(
+        T.StructType([
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_buckets", T.LongType()),
+            T.StructField("peak_cusum_q", T.LongType()),
+            T.StructField("peak_hour_us", T.LongType()),
+        ])
+    ).parquet(str(sink))
+    last = {}
+    for r in out.collect():
+        if r.event_type not in last or r.n_buckets >= last[r.event_type].n_buckets:
+            last[r.event_type] = r
+    want = {
+        r.event_type: r
+        for r in registry.QUERIES["events_changepoint_cusum"](
+            spark, SF_DIR
+        ).collect()
+    }
+    import calendar
+
+    assert set(last) == set(want)
+    for et, w in want.items():
+        g = last[et]
+        assert (g.n_buckets, g.peak_cusum_q) == (w.n_buckets, w.peak_cusum_q), et
+        assert g.peak_hour_us == calendar.timegm(w.peak_hour.timetuple()) * 1_000_000
