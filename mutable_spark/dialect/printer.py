@@ -163,9 +163,24 @@ def print_stmt(s: A.Node) -> str:
             out += "\nWHERE " + print_expr(s.where)
         return out + ";"
     if isinstance(s, A.ImportDSVStmt):
+        # non-default reader options are printed so the canonical form
+        # round-trips the statement's semantics (ASTPrinter.cpp:349-364
+        # prints the delimiter/header tokens it parsed; our AST stores
+        # resolved option values, so "differs from default" is the
+        # equivalent presence test)
         out = f'IMPORT INTO {s.table} DSV "{s.path}"'
         if s.rows is not None:
             out += f" ROWS {s.rows}"
+        if s.delimiter != ",":
+            out += f' DELIMITER "{s.delimiter}"'
+        if s.escape != "\\":
+            out += f' ESCAPE "{s.escape}"'
+        if s.quote != '"':
+            out += f' QUOTE "{s.quote}"'
+        if s.has_header:
+            out += " HAS HEADER"
+        if s.skip_header:
+            out += " SKIP HEADER"
         return out + ";"
     if isinstance(s, A.CreateIndexStmt):
         out = "CREATE " + ("UNIQUE " if s.has_unique else "") + "INDEX "

@@ -140,3 +140,53 @@ def test_end2end_stage(name, empty_eng):
         assert got == ""
     else:
         assert got == expected, f"{name}: {got!r} != {expected!r}"
+
+
+@pytest.mark.parametrize("name", PARSE_POS)
+def test_parser_print_is_canonical_fixpoint(name):
+    """print∘parse must be a FIXPOINT: re-parsing the canonical rendering
+    and printing again yields the identical text (the reference property
+    that makes `mutable --parse` output stable under round-trips)."""
+    doc = _load(name)
+    once = print_stmt(parse(doc["query"]))
+    twice = print_stmt(parse(once))
+    assert once == twice
+
+
+def _all_reference_statements():
+    """Every parseable statement across the reference's OTHER corpora
+    (test/ours and test/ddl queries + the tpc-h/ddl schema scripts) — the
+    fixpoint property should hold on the full dialect surface, not just
+    the 31 empty-corpus shapes."""
+    stmts: list[str] = []
+    for corpus in ("ours", "ddl"):
+        root = Path(f"/root/reference/test/{corpus}")
+        if not root.exists():
+            continue
+        for y in sorted(root.glob("*.yml")):
+            doc = yaml.safe_load(y.read_text())
+            q = doc.get("query")
+            if not isinstance(q, str):
+                continue
+            for stmt in q.split(";"):
+                stmt = stmt.strip()
+                if not stmt:
+                    continue
+                try:
+                    parse(stmt)
+                except Exception:
+                    continue  # san cases / unsupported forms
+                stmts.append(stmt)
+    return stmts
+
+
+def test_print_parse_fixpoint_over_all_corpora():
+    stmts = _all_reference_statements()
+    assert len(stmts) > 100  # the corpora are not silently missing
+    bad = []
+    for stmt in stmts:
+        once = print_stmt(parse(stmt))
+        twice = print_stmt(parse(once))
+        if once != twice:
+            bad.append((stmt[:80], once[:120], twice[:120]))
+    assert not bad, bad[:5]
