@@ -1046,3 +1046,79 @@ def events_changepoint_cusum(spark, sf_dir):
             "peak_hour"
         ),
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS BIGINT) AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type, user_id % 2
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           a.sx / a.n - b.sx / b.n AS mean_diff,
+           (a.sx / a.n - b.sx / b.n)
+           / sqrt( (a.sxx / a.n - (a.sx / a.n) * (a.sx / a.n)) / a.n
+                 + (b.sxx / b.n - (b.sx / b.n) * (b.sx / b.n)) / b.n )
+               AS welch_t
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-sample A/B comparison per event type (variant = user_id
+    parity — the stable hash-split every experimentation platform uses):
+    per-arm counts, the mean difference, and the Welch t statistic.
+
+    Exactness without quantizing the statistic: the SUFFICIENT SUMS
+    (Σx, Σx²) fold in DECIMAL — exact under any partial-agg order — and
+    the t statistic is then ONE fixed scalar expression tree over those
+    exact inputs. Every node (+, −, ×, /, sqrt) is an IEEE-754
+    correctly-rounded operation, so identical inputs give bit-identical
+    outputs in both engines with no reassociation anywhere (same
+    argument as the cosine folds; `sqrt` is exactly rounded by the
+    standard — it is log/pow that are not).
+
+    Scale: one partial-agg shuffle on (event_type, variant) — ~10 keys;
+    the self-join runs on the 10-row aggregate frame. Events never move
+    twice. The variance term uses the population form (Σx²/n − mean²) on
+    both sides — the algebra is mirrored, not re-derived."""
+    e = load_tables(spark, sf_dir).events
+    v = F.col("value").cast("decimal(18,2)")
+    s = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.join(b, F.col("event_type") == F.col("et_b"))
+    ma = F.col("sx_a") / F.col("n_a")
+    mb = F.col("sx_b") / F.col("n_b")
+    va = (F.col("sxx_a") / F.col("n_a") - ma * ma) / F.col("n_a")
+    vb = (F.col("sxx_b") / F.col("n_b") - mb * mb) / F.col("n_b")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (ma - mb).alias("mean_diff"),
+        ((ma - mb) / F.sqrt(va + vb)).alias("welch_t"),
+    )

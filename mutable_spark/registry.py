@@ -253,6 +253,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_pq_train",  # product-quantization trainer + encoder, full oracle
     "events_changepoint_cusum",  # CUSUM via window closed form
     "op_window_rank_family",  # full ranking/navigation window surface
+    "events_ab_test",  # Welch t over exact sufficient sums
 ]
 
 
