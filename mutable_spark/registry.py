@@ -254,6 +254,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_changepoint_cusum",  # CUSUM via window closed form
     "op_window_rank_family",  # full ranking/navigation window surface
     "events_ab_test",  # Welch t over exact sufficient sums
+    "sim_pq_recall",  # ADC serving evaluation vs exact integer L2
 ]
 
 
