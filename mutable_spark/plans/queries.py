@@ -554,3 +554,91 @@ def op_group_join(spark, sf_dir):
         .alias("total_spent"),
         F.min("o_orderdate").alias("first_order"),
     )
+
+
+@query(
+    "op_merge_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(1.00 AS DECIMAL(18,2)) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS k,
+               CAST(CAST(99.99 AS DECIMAL(18,2)) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(o.o_orderkey, d.k) AS o_orderkey,
+               CASE WHEN d.k IS NULL THEN 'keep'
+                    WHEN o.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS action,
+               CASE WHEN d.k IS NULL THEN o.o_totalprice
+                    ELSE d.new_price END AS price
+        FROM orders o FULL OUTER JOIN delta d ON o.o_orderkey = d.k
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM merged GROUP BY action
+    """,
+)
+def op_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) semantics as one declarative plan — the
+    lakehouse verb the reference's INSERT/UPDATE/DELETE surface stops
+    short of (its UPDATE is parsed-unimplemented, `Sema.cpp:1884`; our
+    dialect executes it copy-on-write, and this op completes the family):
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, unmatched
+    target rows kept. The delta is derived deterministically from the
+    table itself (every 10th key updated +1.00, every 100th key
+    re-keyed high as an insert), so the op needs no extra testdata and
+    the oracle rebuilds the identical delta.
+
+    The merge IS a FULL OUTER equi-join plus per-row CASE arbitration —
+    exactly how Delta/Iceberg execute MERGE on Spark underneath (minus
+    their file-level pruning, which is storage-format work, not plan
+    work). Summary output (per-action counts + DECIMAL-exact totals)
+    keeps the result driver-hashable while pinning every branch of the
+    arbitration.
+
+    Scale: one shuffle per side on the merge key; AQE handles the
+    skew; the arbitration is a pure map. Copy-on-write semantics at
+    100 TB mean the anti-join-rewrite pattern of `versioning.py` —
+    this op pins the MERGE arbitration itself."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", "o_totalprice")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (dec("o_totalprice") + F.lit(1.00).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("new_price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("k"),
+                F.lit(99.99).cast("decimal(18,2)").cast("double").alias("new_price"),
+            )
+        )
+    )
+    merged = o.join(delta, o.o_orderkey == delta.k, "full_outer").select(
+        F.coalesce(o.o_orderkey, F.col("k")).alias("o_orderkey"),
+        F.when(F.col("k").isNull(), "keep")
+        .when(o.o_orderkey.isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("k").isNull(), F.col("o_totalprice"))
+        .otherwise(F.col("new_price"))
+        .alias("price"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

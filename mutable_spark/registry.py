@@ -255,6 +255,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_window_rank_family",  # full ranking/navigation window surface
     "events_ab_test",  # Welch t over exact sufficient sums
     "sim_pq_recall",  # ADC serving evaluation vs exact integer L2
+    "op_merge_upsert",  # MERGE INTO arbitration as full-outer + CASE
 ]
 
 
