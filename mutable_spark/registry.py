@@ -256,6 +256,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_ab_test",  # Welch t over exact sufficient sums
     "sim_pq_recall",  # ADC serving evaluation vs exact integer L2
     "op_merge_upsert",  # MERGE INTO arbitration as full-outer + CASE
+    "text_quality_centroid",  # Rocchio trained quality gate, full oracle
 ]
 
 
