@@ -1273,9 +1273,13 @@ def dedup_containment(spark, sf_dir):
     the identical cap)."""
     d = load_tables(spark, sf_dir).documents
     g = _hashed_shingle_df(d)
+    # cache the posting list: THREE consumers (the df-cap aggregate and
+    # both sides of the self-join) would otherwise each recompute the
+    # tokenize→shingle→explode pipeline — measured 4 parquet scans in
+    # the uncached plan. One materialization, three readers.
     post = g.select(
         "doc_id", F.size("shh").alias("n"), F.explode("shh").alias("sh")
-    )
+    ).cache()
     kept = (
         post.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

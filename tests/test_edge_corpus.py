@@ -85,6 +85,7 @@ _DOC_OPS = [
     "text_boilerplate_grams",
     "text_bm25_rank",
     "pipeline_dedup_stats",
+    "dedup_containment",
 ]
 
 
