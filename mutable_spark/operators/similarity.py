@@ -1234,7 +1234,13 @@ def _pq_fit(e):
     ``sim_pq_train`` (encoding) and ``sim_pq_recall`` (ADC serving):
     ex = the (vec_id, d, s, x) posexploded scan, cent = the
     round-1-refined per-subspace codebooks, assign = the final
-    (vec_id, s, cluster, dist) code assignment."""
+    (vec_id, s, cluster, dist) code assignment.
+
+    ``ex`` is CACHED: the training rounds + init + the consumers read
+    it 5-10× (measured 10 parquet scans in the uncached trainer plan);
+    one materialization of (vec_id, d, s, x) rows serves them all —
+    the same one-pass-then-iterate discipline any distributed Lloyd
+    implementation runs with."""
     S = int(_DOT_SCALE)
     ex = (
         e.select("vec_id", F.posexplode("embedding").alias("d0", "xr"))
@@ -1244,7 +1250,7 @@ def _pq_fit(e):
             F.expr(f"cast(d0 div {_PQ_SUBDIM} as int)").alias("s"),
             F.col("xr").cast("double").alias("x"),
         )
-    )
+    ).cache()
     from pyspark.sql import Window
 
     init = (
