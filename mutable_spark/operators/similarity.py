@@ -491,9 +491,15 @@ def sim_ivf_train(spark, sf_dir):
     `sim_ann_lsh` docstring measurements)."""
     S = int(_DOT_SCALE)
     e = load_tables(spark, sf_dir).embeddings
+    # cached: every Lloyd consumer (init join, per-round distance and
+    # update joins, final rollup) re-ran the scan + posexplode otherwise
+    # — measured 18 parquet scans in the uncached plan (the r10
+    # one-pass-then-iterate fix, same as `_pq_fit`)
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "xr")
-    ).select("vec_id", (F.col("d") + 1).alias("d"), F.col("xr").cast("double").alias("x"))
+    ).select(
+        "vec_id", (F.col("d") + 1).alias("d"), F.col("xr").cast("double").alias("x")
+    ).cache()
 
     from pyspark.sql import Window
 
