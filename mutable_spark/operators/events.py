@@ -820,14 +820,18 @@ def events_pagerank(spark, sf_dir):
     ).filter(F.col("u").isNotNull())
     edw = g.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
     outw = edw.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    # the static side of power iteration is CACHED (r10): every unrolled
+    # round consumed ed/nodes by re-deriving them from the events scan +
+    # window otherwise — 32 parquet scans in the uncached plan for what
+    # the docstring already called "re-used every round from cache"
     ed = edw.join(outw, "u").select(
         "u", "v", F.expr(f"CAST((w * {Q}) div wu AS BIGINT)").alias("wq")
-    )
+    ).cache()
     nodes = (
         edw.select(F.col("u").alias("t"))
         .union(edw.select(F.col("v").alias("t")))
         .distinct()
-    )
+    ).cache()
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "t", F.expr(f"CAST({S} div n AS BIGINT)").alias("rq")
