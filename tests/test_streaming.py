@@ -1254,3 +1254,92 @@ def test_streaming_cusum_state_survives_restart(spark, tmp_path):
         g = last[et]
         assert (g.n_buckets, g.peak_cusum_q) == (w.n_buckets, w.peak_cusum_q), et
         assert g.peak_hour_us == calendar.timegm(w.peak_hour.timetuple()) * 1_000_000
+
+
+def test_streaming_upsert_equals_batch_merge(spark, tmp_path):
+    """CDC upsert at ingest == batch MERGE: deliver the base snapshot
+    (seq 0), checkpoint-stop, deliver the delta (seq 1), and the state
+    store's final per-key rows must equal op_merge_upsert's arbitration
+    (update rows take the delta price, keeps stay, inserts appear)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.cdc import upsert_stream
+
+    o = load_tables(spark, SF_DIR).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base = o.withColumn("seq", F.lit(0).cast("long"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    delta = (
+        o.filter(F.col("k") % 10 == 0)
+        .select(
+            "k",
+            (dec("price") + F.lit(1.00).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price"),
+        )
+        .unionAll(
+            o.filter(F.col("k") % 100 == 0).select(
+                (F.col("k") + 1000000000).alias("k"),
+                F.lit(99.99).cast("decimal(18,2)").cast("double").alias("price"),
+            )
+        )
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            upsert_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(base, "phase1")
+    run_once()
+    deliver(delta, "phase2")
+    run_once()
+
+    out = spark.read.schema(schema).parquet(str(sink))
+    got = {}
+    for r in out.collect():
+        if r.k not in got or r.seq >= got[r.k][0]:
+            got[r.k] = (r.seq, r.price)
+    got_prices = {k: p for k, (s, p) in got.items()}
+
+    # expected: the batch MERGE arbitration, reconstructed directly
+    merged = o.join(
+        delta.select(F.col("k").alias("dk"), F.col("price").alias("dp")),
+        o.k == F.col("dk"),
+        "full_outer",
+    ).select(
+        F.coalesce(o.k, F.col("dk")).alias("k"),
+        F.coalesce(F.col("dp"), F.col("price")).alias("price"),
+    )
+    want = {r.k: r.price for r in merged.collect()}
+    assert got_prices == want
