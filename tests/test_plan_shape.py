@@ -674,3 +674,14 @@ def test_cusum_windows_over_buckets_not_events(plans):
     assert p.rindex("HashAggregate") > p.rindex("Window"), p
     assert "date_trunc" in p[p.rindex("HashAggregate"):] or "date_trunc" in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_recall_broadcast_adc_table_no_cartesian(plans):
+    """sim_pq_recall (r10): the ADC distance table (M·k rows) and the
+    query sub-vectors broadcast; the code-assignment join and both
+    top-10s never produce a cartesian, and both rankings finish as
+    distributed top-k."""
+    p = plans("sim_pq_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
