@@ -72,6 +72,11 @@ _EVENT_OPS = [
     "events_windowed_topk",
     "events_value_percentiles",
     "events_interarrival",
+    # r10 additions: CUSUM (single-bucket types, ties at the hour edge)
+    # and the Welch t (an arm with a single row exercises the variance-0
+    # path — the statistic divides by sqrt(0+var_b), never 0/0 here)
+    "events_changepoint_cusum",
+    "events_ab_test",
 ]
 
 
