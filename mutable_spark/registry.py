@@ -40,31 +40,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-10 rotation (fourth application of the r7-verdict practice,
-# executing r9 verdict item #3): the nine late-r9 registrations that have
-# never held a driver row rotate IN (text_boilerplate_grams,
-# op_window_time_range, op_join_salted, dedup_threshold_histogram,
-# sim_embedding_covariance, events_session_text,
-# pipeline_split_leakage_safe, dialect_tpch_q5, dialect_tpch_q10). The
-# nine slots come from names holding fresh r9 triple-match rows whose
-# family stays in-sample: dialect_spn_string_filter (SPN kept by
-# planned_join + like_prefix), dialect_zoneindex_string (kept by
-# dialect_zoneindex_scan), sim_ivf_recall (IVF kept by train +
-# quantized_rerank), sim_pair_histogram (histogram diagnostics kept by
-# dedup_threshold_histogram), events_cooccurrence + events_path_trigrams
-# (events keeps 5 members incl. the incoming session_text; markov keeps
-# the sequence-model shape), pipeline_epoch_order (ordering kept by
-# curriculum_sharded), pipeline_oversample (sampling kept by
-# token_budget_sample), pipeline_dedup_stats (dedup reporting kept by
-# dedup_keep_best + clean_corpus + the incoming threshold_histogram).
-# sim_quantize_embeddings STAYS — r9's one red row (array-column
-# canonicalizer crash) must convert to a green one after the r10
-# serialization fix. All demoted names remain green in the local oracle
-# suite (tests/test_queries_oracle.py runs ALL registrations).
+# Round-11 rotation (fifth application of the r7-verdict practice,
+# executing r10 verdict item #1): the twelve late-r10 registrations that
+# have never held a driver row rotate IN (op_group_join, text_bm25_rank,
+# tpch_q4, tpch_q22, dedup_containment, sim_pq_train, sim_pq_recall,
+# events_changepoint_cusum, op_window_rank_family, events_ab_test,
+# op_merge_upsert, text_quality_centroid). The twelve slots come from
+# names holding MULTIPLE triple-match rows (r9 AND r10 at minimum) whose
+# family stays in-sample: dialect_spn_like_prefix (SPN kept by
+# planned_join), op_join_bucketed (co-located physical joins kept by the
+# salted pair + the incoming group-join's partitioning-reuse pin),
+# dedup_verbatim_ngrams (dedup kept by embedding_cosine +
+# duplicate_classes + threshold_histogram + incoming containment),
+# sim_semantic_dedup + sim_hard_negatives (sim kept by the IVF/quantize/
+# rerank/covariance stack + incoming PQ pair), events_markov_transitions
+# + events_anomaly_mad (events keeps 6 members incl. the incoming
+# CUSUM + A/B test), text_bpe_pairs + text_chunk_sliding (text keeps 5
+# incl. incoming BM25 + Rocchio), pipeline_token_budget_sample +
+# pipeline_length_buckets + pipeline_mix_temperature (pipeline keeps 9;
+# sampling/mixing shapes also run verbatim inside pipeline_end_to_end).
+# All demoted names remain green in the local oracle suite
+# (tests/test_queries_oracle.py runs ALL registrations).
 _SAMPLE_PRIORITY: list[str] = [
-    # extended joins + grouping analytics
+    # extended joins + grouping analytics + r10 physical/DML additions:
+    # fused group-join (partitioning-reuse pin), full ranking/navigation
+    # window family, MERGE INTO upsert arbitration
     "op_join_full_outer",
     "op_grouping_sets",
+    "op_group_join",
+    "op_window_rank_family",
+    "op_merge_upsert",
     # dialect frontend: the four deepest TPC-H paths (q5/q10 rotated in
     # r10 — 6-table join chain + outer-join aggregation through the full
     # lexer→sema→planner path) + estimator / index gates
@@ -74,63 +79,75 @@ _SAMPLE_PRIORITY: list[str] = [
     "dialect_tpch_q10",
     "dialect_spn_planned_join",
     "dialect_zoneindex_scan",
-    "dialect_spn_like_prefix",
-    # physical-property ops + source formats: bucketed co-located join,
-    # salted aggregation AND salted join (r10: retry-safe content salt),
-    # time-range window, partition-pruned scan, ORC round-trip
-    "op_join_bucketed",
+    # TPC-H DataFrame builders: semi/anti-join parity (r10)
+    "tpch_q4",
+    "tpch_q22",
+    # physical-property ops + source formats: salted aggregation AND
+    # salted join (retry-safe content salt), time-range window,
+    # partition-pruned scan, ORC round-trip
     "op_agg_salted",
     "op_join_salted",
     "op_window_time_range",
     "source_partitioned_scan",
     "source_orc_roundtrip",
-    # dedup: blocked embedding tier, components, verbatim spans,
-    # threshold-sensitivity histogram (r10)
+    # dedup: blocked embedding tier, components, threshold-sensitivity
+    # histogram, asymmetric containment via df-capped inverted index (r10)
     "dedup_embedding_cosine",
     "dedup_duplicate_classes",
-    "dedup_verbatim_ngrams",
     "dedup_threshold_histogram",
-    # similarity/ANN: trainer + serving stack + diagnostics (covariance
-    # rotated in r10; quantize stays after the r10 CSV-serialization fix)
+    "dedup_containment",
+    # similarity/ANN: trainer + serving stack + diagnostics + the PQ
+    # trainer/ADC-serving pair (r10)
     "sim_ivf_train",
     "sim_quantize_embeddings",
     "sim_quantized_rerank",
-    "sim_semantic_dedup",
-    "sim_hard_negatives",
     "sim_embedding_covariance",
+    "sim_pq_train",
+    "sim_pq_recall",
     # multimodal
     "multimodal_phash",
     "multimodal_audio_chunks",
-    # events: cadence, attribution, sequence models, robust anomaly
-    # stats, iterative PageRank, session-text reconstruction (r10)
+    # events: cadence, attribution, iterative PageRank, session-text
+    # reconstruction, CUSUM change-point + Welch A/B test (r10)
     "events_interarrival",
     "events_attribution",
-    "events_markov_transitions",
-    "events_anomaly_mad",
     "events_pagerank",
     "events_session_text",
-    # text: trained-LM filter, BPE pair counting, tf-idf keyterms,
-    # RAG chunking, boilerplate grams (r10)
+    "events_changepoint_cusum",
+    "events_ab_test",
+    # text: trained-LM filter, tf-idf keyterms, boilerplate grams,
+    # integer BM25 retrieval + Rocchio quality gate (r10)
     "text_lm_surprisal",
-    "text_bpe_pairs",
     "text_tfidf_terms",
-    "text_chunk_sliding",
     "text_boilerplate_grams",
-    # pipeline: curation verbs + composition + leakage-safe split (r10)
+    "text_bm25_rank",
+    "text_quality_centroid",
+    # pipeline: curation verbs + composition + leakage-safe split
     "pipeline_curriculum_sharded",
     "pipeline_decontaminate_fuzzy",
     "pipeline_contamination_stats",
     "pipeline_end_to_end",
-    "pipeline_token_budget_sample",
     "pipeline_dedup_keep_best",
     "pipeline_pack_sequences",
     "pipeline_source_overlap",
-    "pipeline_mix_temperature",
-    "pipeline_length_buckets",
     "pipeline_split_leakage_safe",
     "pipeline_clean_corpus",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
-    # demoted r10 (all hold r9 triple-match rows; family coverage above)
+    # demoted r11 (all hold r9 AND r10 triple-match rows; family
+    # coverage rationale in the rotation note above)
+    "dialect_spn_like_prefix",
+    "op_join_bucketed",
+    "dedup_verbatim_ngrams",
+    "sim_semantic_dedup",
+    "sim_hard_negatives",
+    "events_markov_transitions",
+    "events_anomaly_mad",
+    "text_bpe_pairs",
+    "text_chunk_sliding",
+    "pipeline_token_budget_sample",
+    "pipeline_length_buckets",
+    "pipeline_mix_temperature",
+    # demoted r10 (all hold r9 triple-match rows)
     "dialect_spn_string_filter",
     "dialect_zoneindex_string",
     "sim_ivf_recall",
@@ -243,20 +260,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    # late-r10 additions (registered after the r10 rotation; rotation
-    # candidates for r11):
-    "op_group_join",  # HashBasedGroupJoin delegation made measurable
-    "text_bm25_rank",  # integer-BM25 lexical retrieval top-k
-    "tpch_q4",  # EXISTS → LeftSemi (additive; outside reference grammar)
-    "tpch_q22",  # NOT EXISTS → LeftAnti + cross-multiplied threshold
-    "dedup_containment",  # asymmetric overlap via df-capped inverted index
-    "sim_pq_train",  # product-quantization trainer + encoder, full oracle
-    "events_changepoint_cusum",  # CUSUM via window closed form
-    "op_window_rank_family",  # full ranking/navigation window surface
-    "events_ab_test",  # Welch t over exact sufficient sums
-    "sim_pq_recall",  # ADC serving evaluation vs exact integer L2
-    "op_merge_upsert",  # MERGE INTO arbitration as full-outer + CASE
-    "text_quality_centroid",  # Rocchio trained quality gate, full oracle
 ]
 
 

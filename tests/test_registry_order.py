@@ -20,22 +20,23 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # Round 10: CORRECTNESS_r09 gave driver rows to the whole prior
-    # 50-sample (49 triple-match + the quantize canonicalizer error), so
-    # "never sampled" is now exactly the nine late-r9 registrations —
-    # they all rotate IN this round (r9 verdict item #3) — plus
-    # sim_quantize_embeddings, which STAYS in-sample until its r10
-    # CSV-serialization fix converts the red row to a green one.
-    "text_boilerplate_grams",
-    "op_window_time_range",
-    "op_join_salted",
-    "dedup_threshold_histogram",
-    "sim_embedding_covariance",
-    "events_session_text",
-    "pipeline_split_leakage_safe",
-    "dialect_tpch_q5",
-    "dialect_tpch_q10",
-    "sim_quantize_embeddings",
+    # Round 11: CORRECTNESS_r10 was a 50/50 clean sweep, so "never
+    # sampled" is now exactly the twelve late-r10 registrations — they
+    # all rotate IN this round (r10 verdict item #1), displacing twelve
+    # names that hold BOTH r9 and r10 triple-match rows (family-coverage
+    # rationale in registry.py's rotation note).
+    "op_group_join",
+    "op_window_rank_family",
+    "op_merge_upsert",
+    "tpch_q4",
+    "tpch_q22",
+    "dedup_containment",
+    "sim_pq_train",
+    "sim_pq_recall",
+    "events_changepoint_cusum",
+    "events_ab_test",
+    "text_bm25_rank",
+    "text_quality_centroid",
 ]
 
 
