@@ -99,6 +99,11 @@ class SelectStmt(Node):
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # raw token spellings — the reference ASTPrinter echoes c.limit.text
+    # verbatim (ASTPrinter.cpp:139), so `LIMIT 0x10` must round-trip as
+    # `LIMIT 0x10`, not `LIMIT 16`
+    limit_raw: str | None = None
+    offset_raw: str | None = None
 
 
 @dataclass

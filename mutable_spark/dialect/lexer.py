@@ -132,6 +132,11 @@ def _token_type_name(tok: Token) -> str:
         t = tok.text
         if t[:2].lower() == "0x":
             return "TK_HEX_INT"
+        if t.startswith("0") and any(ch in "89" for ch in t):
+            # Lexer.cpp read_number: a 0-prefixed (octal) integer that
+            # contains decimal-only digits leaves `is != has` -> TK_ERROR
+            # ('08'/'09' are invalid numbers, not octal literals)
+            return "TK_ERROR"
         return "TK_OCT_INT" if t.startswith("0") else "TK_DEC_INT"
     if tok.kind == "FLOAT":
         return "TK_HEX_FLOAT" if tok.text[:2].lower() == "0x" else "TK_DEC_FLOAT"

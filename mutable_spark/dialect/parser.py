@@ -193,9 +193,11 @@ class Parser:
                 if not self.accept("OP", ","):
                     break
         if self.accept_kw("LIMIT"):
-            s.limit = _int_value(self.expect("INT"))
+            t = self.expect("INT")
+            s.limit, s.limit_raw = _int_value(t), (t.orig or t.text)
             if self.accept_kw("OFFSET"):
-                s.offset = _int_value(self.expect("INT"))
+                t = self.expect("INT")
+                s.offset, s.offset_raw = _int_value(t), (t.orig or t.text)
         return s
 
     def parse_table_ref(self) -> A.TableRef:

@@ -93,9 +93,12 @@ def _select_body(s: A.SelectStmt) -> str:
             )
         )
     if s.limit is not None:
-        lim = f"LIMIT {s.limit}"
+        # echo the raw token spelling (ASTPrinter.cpp:139 prints
+        # c.limit.text): `LIMIT 0x10` must not normalize to `LIMIT 16`
+        lim = f"LIMIT {s.limit_raw if s.limit_raw is not None else s.limit}"
         if s.offset is not None:
-            lim += f" OFFSET {s.offset}"
+            off = s.offset_raw if s.offset_raw is not None else s.offset
+            lim += f" OFFSET {off}"
         lines.append(lim)
     return "\n".join(lines)
 

@@ -10,6 +10,7 @@ plans we'd ship.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -48,26 +49,30 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-#: sessions (by applicationId) whose runtime confs are already applied —
-#: every `load_table` call funnels through `apply_runtime_confs`, and each
+#: SparkSession objects whose runtime confs are already applied — every
+#: `load_table` call funnels through `apply_runtime_confs`, and each
 #: `conf.set` is a py4j roundtrip: 10 tables × ~8 confs per query build was
 #: a measurable slice of the fixed per-query floor (VERDICT r9 item #9).
-_CONFS_APPLIED: set[str] = set()
+#: Keyed on the SESSION object (weakly), not the applicationId: confs are
+#: session-scoped, so two sessions sharing a SparkContext
+#: (spark.newSession()) must each get the confs, and a WeakSet entry dies
+#: with its session (no id()-after-GC collisions). A second Python wrapper
+#: of the same JVM session merely re-applies idempotent sets.
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:
-        app = str(id(spark))
-    if app in _CONFS_APPLIED:
+    if spark in _CONFS_APPLIED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — session default applies
-    _CONFS_APPLIED.add(app)
+    try:
+        _CONFS_APPLIED.add(spark)
+    except TypeError:
+        pass  # non-weakref-able session stub (tests): re-apply each call
     return spark
 
 

@@ -603,7 +603,23 @@ def cusum_monitor(events: DataFrame, mean_q_by_type: dict[str, int]) -> DataFram
         hours = sorted(acc)
         cnts = [acc[h] for h in hours]
         state.update((hours, cnts))
-        m = int(mean_q_by_type[et])
+        m_raw = mean_q_by_type.get(et)
+        if m_raw is None:
+            # event type never seen by the batch-trained means: no
+            # reference rate to monitor against — emit a null CUSUM row
+            # (state is kept, so the type starts scoring the moment a
+            # retrained mean map includes it) instead of raising inside
+            # applyInPandasWithState and killing the whole query
+            yield pd.DataFrame(
+                {
+                    "event_type": [et],
+                    "n_buckets": [len(hours)],
+                    "peak_cusum_q": [None],
+                    "peak_hour_us": [None],
+                }
+            )
+            return
+        m = int(m_raw)
         prefix = 0
         run_min_prev = 0  # min(0, min prefix_{j<i}) — 0 for the first row
         best, best_h = None, None

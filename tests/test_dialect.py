@@ -315,6 +315,29 @@ def test_malformed_octal_literal_is_parse_error():
         parse("SELECT 089 FROM region")
 
 
+def test_malformed_octal_token_dump_is_tk_error():
+    # Lexer.cpp read_number: '08'/'09' leave is != has -> TK_ERROR; the
+    # token dump must diverge from TK_OCT_INT exactly as the reference
+    # lexer stage does (ADVICE r10)
+    from mutable_spark.dialect.lexer import token_dump
+
+    assert "08 TK_ERROR" in token_dump("SELECT 08;")
+    assert "09 TK_ERROR" in token_dump("SELECT 09;")
+    assert "017 TK_OCT_INT" in token_dump("SELECT 017;")
+    assert "0 TK_OCT_INT" in token_dump("SELECT 0;")
+
+
+def test_limit_offset_round_trip_raw_token_text():
+    # ASTPrinter.cpp:139 echoes c.limit.text verbatim: 'LIMIT 0x10' must
+    # NOT normalize to 'LIMIT 16' in the parser-stage pretty-print
+    from mutable_spark.dialect.printer import print_stmt
+
+    out = print_stmt(parse("SELECT a FROM t LIMIT 0x10 OFFSET 010;"))
+    assert "LIMIT 0x10 OFFSET 010" in out
+    out = print_stmt(parse("SELECT a FROM t LIMIT 5;"))
+    assert "LIMIT 5" in out
+
+
 def test_char_length_truncation_at_ingest(spark):
     from mutable_spark.dialect import Engine
 

@@ -1,0 +1,35 @@
+"""Runtime-conf application is SESSION-scoped (ADVICE r10): confs set via
+``spark.conf.set`` live on the SparkSession, not the SparkContext, so a
+second session sharing the context (``spark.newSession()``) must get its
+own application — the old applicationId-keyed memo silently skipped it."""
+
+from mutable_spark.session import RUNTIME_CONFS, apply_runtime_confs
+
+# a conf that is runtime-settable and session-scoped
+_PROBE = "spark.sql.codegen.maxFields"
+
+
+def test_new_session_sharing_context_gets_runtime_confs(spark):
+    apply_runtime_confs(spark)
+    assert spark.conf.get(_PROBE) == RUNTIME_CONFS[_PROBE]
+
+    sibling = spark.newSession()
+    try:
+        # fresh session: Spark default, not our tuned value
+        sibling.conf.set(_PROBE, "100")
+        apply_runtime_confs(sibling)
+        assert sibling.conf.get(_PROBE) == RUNTIME_CONFS[_PROBE]
+    finally:
+        # leave the shared context's main session untouched
+        assert spark.conf.get(_PROBE) == RUNTIME_CONFS[_PROBE]
+
+
+def test_memo_is_per_session_object(spark):
+    from mutable_spark import session as S
+
+    apply_runtime_confs(spark)
+    assert spark in S._CONFS_APPLIED
+    sib = spark.newSession()
+    assert sib not in S._CONFS_APPLIED
+    apply_runtime_confs(sib)
+    assert sib in S._CONFS_APPLIED

@@ -1171,6 +1171,54 @@ def test_streaming_cusum_equals_batch(spark):
         assert g.peak_hour_us == want_us, (et, g.peak_hour_us, want_us)
 
 
+def test_streaming_cusum_untrained_type_emits_null_not_crash(spark):
+    """An event type arriving in the stream that was ABSENT from the
+    batch-trained means must not kill the query (ADVICE r10: the
+    KeyError inside applyInPandasWithState was fatal): it emits a
+    null-CUSUM placeholder row while trained types keep scoring."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import (
+        cusum_monitor,
+        run_available_now,
+        stream_events,
+    )
+
+    e = load_tables(spark, SF_DIR).events
+    all_means = {
+        r["event_type"]: r["m"]
+        for r in e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("(sum(cnt) * 1000) div count(*)").alias("m"))
+        .collect()
+    }
+    dropped = sorted(all_means)[0]
+    means = {k: v for k, v in all_means.items() if k != dropped}
+    rows = run_available_now(
+        cusum_monitor(stream_events(spark, SF_DIR), means),
+        "t_cusum_untrained",
+        mode="update",
+    )
+    by_type = {}
+    for r in rows:
+        if (
+            r.event_type not in by_type
+            or r.n_buckets >= by_type[r.event_type].n_buckets
+        ):
+            by_type[r.event_type] = r
+    # the untrained type surfaced (query survived) with null scores...
+    assert dropped in by_type
+    assert by_type[dropped].peak_cusum_q is None
+    assert by_type[dropped].n_buckets > 0  # state still accumulates
+    # ...and at least one trained type still scored normally
+    trained = [t for t in by_type if t != dropped]
+    assert trained and all(
+        by_type[t].peak_cusum_q is not None for t in trained
+    )
+
+
 def test_streaming_cusum_state_survives_restart(spark, tmp_path):
     """CUSUM monitor state across a checkpointed stop/restart: deliver the
     first half of the timeline, stop, deliver the rest. The split lands
