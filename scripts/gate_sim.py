@@ -70,6 +70,15 @@ def main() -> int:
             ok, msg = compare(n, spark, con, args.sf)
         except Exception as e:  # noqa: BLE001 — report and continue
             ok, msg = False, f"{n}: ERROR {type(e).__name__}: {e}"
+        # cache hygiene (VERDICT r10 item #5): after materialization,
+        # every cache()/localCheckpoint block a query created must be
+        # releasable, and the storage layer must come back EMPTY —
+        # a long-lived session must not accrue residue query over query.
+        registry.release_caches(spark)
+        left = registry.persistent_rdd_count(spark)
+        if left:
+            ok = False
+            msg += f" [CACHE RESIDUE: {left} persistent RDDs after release]"
         if not ok:
             bad.append(n)
         print(msg, flush=True)

@@ -1171,6 +1171,107 @@ def test_streaming_cusum_equals_batch(spark):
         assert g.peak_hour_us == want_us, (et, g.peak_hour_us, want_us)
 
 
+def test_streaming_ab_monitor_equals_batch(spark):
+    """ab_monitor over the full bounded replay must land bit-identically
+    on the batch `events_ab_test` rows: the streaming agg folds the same
+    DECIMAL sufficient sums, and the Welch t is the same scalar tree."""
+    from mutable_spark import registry
+    from mutable_spark.streaming.events import (
+        ab_monitor,
+        run_available_now,
+        stream_events,
+    )
+
+    registry.load_all()
+    rows = run_available_now(
+        ab_monitor(stream_events(spark, SF_DIR)), "t_ab", mode="update"
+    )
+    final = {}
+    for r in rows:  # update mode re-emits; keep the fullest row per type
+        if r.event_type not in final or (r.n_a + r.n_b) >= (
+            final[r.event_type].n_a + final[r.event_type].n_b
+        ):
+            final[r.event_type] = r
+    want = {
+        r.event_type: r
+        for r in registry.QUERIES["events_ab_test"](spark, SF_DIR).collect()
+    }
+    assert set(final) == set(want)
+    for et, w in want.items():
+        g = final[et]
+        assert (g.n_a, g.n_b) == (w.n_a, w.n_b), et
+        # bit-identical floats: same exact decimal inputs, same IEEE tree
+        assert g.mean_diff == w.mean_diff, et
+        assert g.welch_t == w.welch_t, et
+
+
+def test_streaming_ab_monitor_state_survives_restart(spark, tmp_path):
+    """A/B monitor sufficient-sum state across a checkpointed
+    stop/restart: deliver half the events, stop, deliver the rest —
+    phase-2 events must fold into phase-1's restored per-type sums, and
+    the final t statistics equal the batch op bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark import registry
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.events import ab_monitor
+
+    registry.load_all()
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            ab_monitor(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase2")
+    run_once()
+
+    out = spark.read.parquet(str(sink))
+    final = {}
+    for r in out.collect():
+        if r.event_type not in final or (r.n_a + r.n_b) >= (
+            final[r.event_type].n_a + final[r.event_type].n_b
+        ):
+            final[r.event_type] = r
+    want = {
+        r.event_type: r
+        for r in registry.QUERIES["events_ab_test"](spark, SF_DIR).collect()
+    }
+    assert set(final) == set(want)
+    for et, w in want.items():
+        g = final[et]
+        assert (g.n_a, g.n_b) == (w.n_a, w.n_b), et
+        assert g.mean_diff == w.mean_diff, et
+        assert g.welch_t == w.welch_t, et
+
+
 def test_streaming_cusum_untrained_type_emits_null_not_crash(spark):
     """An event type arriving in the stream that was ABSENT from the
     batch-trained means must not kill the query (ADVICE r10: the
