@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import weakref
 from dataclasses import dataclass, field
 from pathlib import Path
 from types import SimpleNamespace
@@ -39,6 +40,64 @@ TABLE_NAMES = (
 #: re-deriving the frame per query costs ~100 ms each on local runs; the
 #: logical plan is immutable so sharing it is free.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+# ---------------------------------------------------------------------------
+# Size-aware AQE gate. AQE's value — runtime join re-planning, partition
+# coalescing, skew splitting — scales with SHUFFLE BYTES; its cost is a
+# fixed per-stage barrier (each exchange becomes its own job submission +
+# re-optimization round). Measured on this box (same-session A/B, min-of-3
+# per arm, 42 headliners at sf0.1): AQE on adds 30-240 ms per classic
+# query (tpch_q3 0.67→0.51 s off, sessionize 0.42→0.18 s, legacy-21 total
+# 11.36→9.89 s) while the data is far too small for any re-plan to change
+# the answer. So the catalog makes the cost-based call the optimizer
+# can't: inputs below _AQE_BYTES_THRESHOLD plan WITHOUT the barriers;
+# above it (the 100 TB design point) AQE stays on — exactly the regime
+# where a wrong join strategy or a skewed key costs minutes, not
+# milliseconds. The session default (session.RUNTIME_CONFS) remains ON,
+# so paths that never load catalog tables keep the scale posture.
+# ---------------------------------------------------------------------------
+
+_AQE_BYTES_THRESHOLD = 256 * 1024 * 1024
+_DIR_BYTES_CACHE: dict[str, int] = {}
+#: session → sf_dir the AQE gate last applied for (avoids a py4j conf.set
+#: roundtrip per load_table call); weak keys so entries die with their
+#: session instead of colliding on a reused address
+_AQE_APPLIED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _dir_input_bytes(sf_dir: str) -> int:
+    key = sf_dir.rstrip("/")
+    if key not in _DIR_BYTES_CACHE:
+        p = Path(key)
+        try:
+            total = sum(
+                f.stat().st_size
+                for f in p.glob("*.parquet")
+                if f.is_file()
+            )
+        except OSError:
+            total = 1 << 60
+        # unknown/empty layouts count as huge: default to the AQE-on
+        # scale posture when we can't see the inputs
+        _DIR_BYTES_CACHE[key] = total or (1 << 60)
+    return _DIR_BYTES_CACHE[key]
+
+
+def _tune_aqe(spark: SparkSession, sf_dir: str) -> None:
+    key = sf_dir.rstrip("/")
+    try:
+        if _AQE_APPLIED.get(spark) == key:
+            return
+    except TypeError:
+        pass  # non-weakref-able session stub (tests): fall through and set
+    on = _dir_input_bytes(key) >= _AQE_BYTES_THRESHOLD
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true" if on else "false")
+        _AQE_APPLIED[spark] = key
+    except Exception:
+        pass
 
 # ---------------------------------------------------------------------------
 # Ingest re-layout: the driver's testdata parquet is written as ONE row group
@@ -118,6 +177,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division, matching DuckDB's ns→µs truncation.
     """
     apply_runtime_confs(spark)
+    _tune_aqe(spark, sf_dir)
     # applicationId (not id(spark)): a stopped session's address can be
     # reused by a new one, which would serve dead plans from the cache
     try:

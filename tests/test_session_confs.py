@@ -33,3 +33,26 @@ def test_memo_is_per_session_object(spark):
     assert sib not in S._CONFS_APPLIED
     apply_runtime_confs(sib)
     assert sib in S._CONFS_APPLIED
+
+
+def test_size_aware_aqe_gate(spark):
+    """catalog._tune_aqe (r11): inputs below the threshold plan without
+    AQE's per-stage barriers; at/above it (the 100 TB posture) AQE is on."""
+    from mutable_spark import catalog as C
+
+    C.load_tables(spark, "/root/testdata/sf0.01")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+    # simulate a big deployment: pretend the dir holds 1 TiB
+    fake = "/root/testdata/sf0.01"
+    old = C._DIR_BYTES_CACHE.get(fake.rstrip("/"))
+    try:
+        C._DIR_BYTES_CACHE[fake.rstrip("/")] = 1 << 40
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, fake)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        C._DIR_BYTES_CACHE[fake.rstrip("/")] = old
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, fake)  # restore the small-input decision
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
