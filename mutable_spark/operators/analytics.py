@@ -54,9 +54,14 @@ def op_approx_sketches(spark, sf_dir):
     Deterministic for a fixed input/partitioning but not portable across
     engines, hence no SQL oracle."""
     li = load_tables(spark, sf_dir).lineitem
+    # error knobs made EXPLICIT so the bounds are checkable claims
+    # (tests/test_sketches.py sweeps them): HLL++ rsd 5%, KLL-style
+    # percentile rank error 1/10000
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
     )
 
 

