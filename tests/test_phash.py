@@ -114,3 +114,59 @@ def test_phash_classes_equal_union_find(spark):
     )
     got = sorted(tuple(r) for r in phash_duplicate_classes(sig).collect())
     assert got == want
+
+
+import importlib.util
+
+import pytest
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="no image codec in this container (documented boundary: "
+    "operators/multimodal.py decode_image)",
+)
+def test_decode_image_real_codec(spark):
+    """Real-codec path (VERDICT r10 item #9): decode a generated PNG
+    through the SAME mapInPandas plumbing the fake path uses; skipped —
+    not failed — where no codec ships."""
+    import io
+
+    import pandas as pd
+    from PIL import Image
+
+    from mutable_spark.operators.multimodal import decode_image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_image(png) == (7, 5, "RGB")
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+
+    def batches(it):
+        for pdf in it:
+            dims = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    rows = df.mapInPandas(
+        batches, "doc_id long, width int, height int"
+    ).collect()
+    assert [(r.doc_id, r.width, r.height) for r in rows] == [(1, 7, 5)]
+
+
+def test_decode_image_without_codec_raises_cleanly():
+    """Where PIL is absent the boundary must stay an explicit
+    NotImplementedError, never a crash deeper in."""
+    from mutable_spark.operators import multimodal as M
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("codec present; covered by the real-codec test")
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_image(b"\x89PNG fake")
