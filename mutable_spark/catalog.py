@@ -85,6 +85,17 @@ def _dir_input_bytes(sf_dir: str) -> int:
     return _DIR_BYTES_CACHE[key]
 
 
+#: shuffle width for below-threshold inputs. Same-session A/B at sf0.1
+#: (min-of-3 per arm, both sweeps): 32 → 8 partitions takes the classic
+#: legacy-21 from 9.3-9.6 s to 7.6-7.8 s and the 21 heavies from 35.3 to
+#: 28.0 s (sim_pq_train −1.33 s, sim_ivf_train −1.03 s, source_overlap
+#: −0.95 s) — at ~17 MB of input, 32-way exchanges are pure task-launch
+#: overhead. Above the threshold the session default stands and AQE
+#: coalesces from there (the 100 TB sizing rule: ~128 MB of shuffle data
+#: per partition).
+_SMALL_SHUFFLE_PARTITIONS = "8"
+
+
 def _tune_aqe(spark: SparkSession, sf_dir: str) -> None:
     key = sf_dir.rstrip("/")
     try:
@@ -92,9 +103,17 @@ def _tune_aqe(spark: SparkSession, sf_dir: str) -> None:
             return
     except TypeError:
         pass  # non-weakref-able session stub (tests): fall through and set
-    on = _dir_input_bytes(key) >= _AQE_BYTES_THRESHOLD
+    big = _dir_input_bytes(key) >= _AQE_BYTES_THRESHOLD
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true" if on else "false")
+        if not hasattr(spark, "_msq_default_shuffle"):
+            spark._msq_default_shuffle = spark.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        spark.conf.set("spark.sql.adaptive.enabled", "true" if big else "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            spark._msq_default_shuffle if big else _SMALL_SHUFFLE_PARTITIONS,
+        )
         _AQE_APPLIED[spark] = key
     except Exception:
         pass

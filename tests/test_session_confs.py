@@ -56,3 +56,28 @@ def test_size_aware_aqe_gate(spark):
         C._AQE_APPLIED.pop(spark, None)
         C._tune_aqe(spark, fake)  # restore the small-input decision
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+
+def test_size_aware_shuffle_width(spark):
+    """Below the input threshold the gate narrows shuffles to 8
+    partitions; at scale the session default (AQE-coalesced) returns."""
+    from mutable_spark import catalog as C
+
+    C.load_tables(spark, "/root/testdata/sf0.01")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+    key = "/root/testdata/sf0.01"
+    old = C._DIR_BYTES_CACHE.get(key)
+    try:
+        C._DIR_BYTES_CACHE[key] = 1 << 40
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, key)
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == spark._msq_default_shuffle
+        )
+    finally:
+        C._DIR_BYTES_CACHE[key] = old
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, key)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
