@@ -444,3 +444,362 @@ def tpch_q22(spark, sf_dir):
                           WHERE o.o_custkey = cand.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         GROUP BY c_nationkey""")
+
+
+# --- round-11 additions: the remaining TPC-H queries expressible on the
+# testdata schema (no partsupp table -> q2/q9/q11/q16/q20 are out of reach;
+# documented in COVERAGE.md). All additive continuations of the reference's
+# benchmark/tpc-h family (its own corpus stops at q1/q3/q6/q12/q14 because
+# the reference grammar lacks EXISTS/IN/OUTER JOIN -- see
+# reference `src/parse/Parser.cpp` grammar and `benchmark/tpc-h/*.sql`).
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           {sql_split_sum(_SQL_DP_C, 4)} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: revenue between two nations by direction
+    and ship year. Additive continuation of `benchmark/tpc-h/` (reference
+    grammar has no multi-alias self-join of nation). Shape: the two
+    25-row nation sides broadcast with their name filters pushed into the
+    build side, so the disjunctive nation pair test runs as two broadcast
+    probes — the only shuffle is the 4-key final rollup. At 100 TB the
+    lineitem date filter pushes to the scan and the fact table never
+    re-partitions."""
+    return _q(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"], f"""
+        SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(s) */
+               n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+               {_s_split(_S_DP, 4)} AS revenue
+        FROM msq_supplier s
+        JOIN msq_lineitem ON s_suppkey = l_suppkey
+        JOIN msq_orders   ON o_orderkey = l_orderkey
+        JOIN msq_customer ON c_custkey = o_custkey
+        JOIN msq_nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN msq_nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                             AND TIMESTAMP_NTZ '1997-12-31 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT)
+        ORDER BY supp_nation, cust_nation, l_year""")
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN {_SQL_DP_C} ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM({_SQL_DP_C}) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_3's share of ECONOMY-part
+    revenue sold into AMERICA, by order year. Exactness: numerator and
+    denominator are exact integer cent-products summed as BIGINT; the
+    share is ONE double division of two exact integers, IEEE-identical in
+    both engines (no per-row double accumulation). Shape: an 8-table
+    snowflake where every dimension (part filtered to ~1/6, supplier,
+    customer->nation->region, nation twice) broadcasts; lineitem flows
+    through a single pipeline with only the 2-key year rollup shuffling.
+    100 TB: the p_type filter prunes the broadcast build, not the fact
+    scan; the orders date filter pushes down."""
+    return _q(spark, sf_dir,
+              ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n1), BROADCAST(n2), BROADCAST(r) */
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN {_S_DP} ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM({_S_DP}) AS BIGINT) AS DOUBLE) AS mkt_share
+        FROM msq_part p
+        JOIN msq_lineitem ON p_partkey = l_partkey
+        JOIN msq_supplier s ON s_suppkey = l_suppkey
+        JOIN msq_orders   ON l_orderkey = o_orderkey
+        JOIN msq_customer ON o_custkey = c_custkey
+        JOIN msq_nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN msq_region r  ON n1.n_regionkey = r_regionkey
+        JOIN msq_nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                              AND TIMESTAMP_NTZ '1997-12-31 00:00:00'
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+        ORDER BY o_year""")
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution. Adapted: the original
+    excludes orders by o_comment pattern (no comment column in the
+    testdata) -> excluded priority class instead; the join-bound filter
+    placement (inside the LEFT JOIN's ON, not WHERE) is the point of the
+    query and is preserved. Shape: outer join shuffles on custkey, then
+    two cascading partial-agg rollups — the second groups a
+    customer-count histogram, ~dozens of keys. Pure-integer output."""
+    return _q(spark, sf_dir, ["customer", "orders"], """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM msq_customer LEFT OUTER JOIN msq_orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_SQL_DP_C}) AS BIGINT) AS total_revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue_c AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: the supplier(s) with max quarterly revenue
+    (the reference grammar has no CREATE VIEW / scalar subquery — additive).
+    Exactness: the argmax compares exact BIGINT cent-sums (ties included,
+    per spec); only the displayed total divides once into a double.
+    Shape: one partial-agg rollup on l_suppkey, a 1-row MAX broadcast
+    back as a scalar-subquery filter, and a broadcast join against the
+    supplier dim. The quarter filter pushes to the scan; at 100 TB the
+    revenue CTE is the only shuffle."""
+    return _q(spark, sf_dir, ["supplier", "lineitem"], f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM({_S_DP}) AS BIGINT) AS total_revenue_c
+            FROM msq_lineitem
+            WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT /*+ BROADCAST(s) */ s_suppkey, s_name,
+               CAST(total_revenue_c AS DOUBLE) / 10000.0 AS total_revenue
+        FROM msq_supplier s JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+        ORDER BY s_suppkey""")
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    SELECT CAST(CAST(SUM({_SQL_P}) AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey,
+                 CAST(SUM({_SQL_Q}) AS BIGINT) AS sq,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY l_partkey) a ON p_partkey = a_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 15
+      AND {_SQL_Q} * 5 * cnt < sq
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue. Adapted: no p_container ->
+    p_size band stands in. The correlated AVG subquery is decorrelated
+    into a per-part aggregate join — the scale-correct shape (one rollup
+    on l_partkey instead of a re-scan per outer row). Exactness: the
+    `quantity < 0.2 * avg(quantity)` test cross-multiplies to
+    `5 * qty_c * cnt < sum_qty_c` — all BIGINT, no engine rounds a
+    threshold; the final /7.0 (per spec) and cents descale merge into one
+    double division by 700. Shape: part is a broadcast dim; at 100 TB the
+    per-part agg and the fact re-join co-partition on l_partkey, so AQE
+    reuses the exchange."""
+    return _q(spark, sf_dir, ["lineitem", "part"], f"""
+        SELECT /*+ BROADCAST(p) */
+               CAST(CAST(SUM({_S_P}) AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+        FROM msq_lineitem
+        JOIN msq_part p ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS a_partkey,
+                     CAST(SUM({_S_Q}) AS BIGINT) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM msq_lineitem GROUP BY l_partkey) a ON p_partkey = a_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND {_S_Q} * 5 * cnt < sq""")
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(CAST(SUM({_SQL_Q}) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING CAST(SUM({_SQL_Q}) AS BIGINT) > 21000)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customer: top-100 orders whose total line
+    quantity exceeds a threshold (threshold 210 sized to the testdata's
+    order fan-out; spec uses 300+ on a 7-line average — same selectivity
+    band). Shape: the IN-subquery plans as a LeftSemi join against a
+    partial-agg rollup on l_orderkey; the semi probe, the re-join, and
+    the final group all share the orderkey partitioning, and the top-100
+    finishes as TakeOrderedAndProject — no global sort materializes.
+    Exactness: quantities as BIGINT cents; one display division."""
+    return _q(spark, sf_dir, ["customer", "orders", "lineitem"], f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(CAST(SUM({_S_Q}) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty
+        FROM msq_customer
+        JOIN msq_orders   ON c_custkey = o_custkey
+        JOIN msq_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM msq_lineitem
+                             GROUP BY l_orderkey
+                             HAVING CAST(SUM({_S_Q}) AS BIGINT) > 21000)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100""")
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_split_sum(_SQL_DP_C, 4)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue: three disjunctive brand/size/quantity
+    bands over the part join (adapted: p_size bands stand in for
+    p_container sets; no l_shipmode -> the mode conjunct drops). The
+    interesting planner property: the disjunction references BOTH sides,
+    so it can only evaluate post-join — but the per-branch part-side
+    conjuncts (brand+size) are implied and a good planner derives the
+    OR-of-build-filters. Spark evaluates the residual on broadcast-join
+    output inside one codegen stage; global split-sum agg, 1-row out."""
+    return _q(spark, sf_dir, ["lineitem", "part"], f"""
+        SELECT /*+ BROADCAST(p) */ {_s_split(_S_DP, 4)} AS revenue
+        FROM msq_lineitem JOIN msq_part p ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH ord AS (SELECT o_orderkey, o_orderdate FROM orders
+                 WHERE o_orderstatus = 'F'),
+    flags AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+               CAST(SUM(is_late) AS BIGINT) AS n_late
+        FROM flags GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN ord o ON l1.l_orderkey = o.o_orderkey
+    JOIN per_order p ON l1.l_orderkey = p.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND p.n_supp > 1 AND p.n_late = 1 AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting. Adapted: no
+    l_commitdate/l_receiptdate -> "late" = shipped >30 days after the
+    order date (the q4/q12 adaptation). The original's EXISTS (another
+    supplier on the order) + NOT EXISTS (no OTHER supplier late) pair is
+    decorrelated into per-(order, supplier) lateness flags and a
+    per-order (supplier count, late-supplier count) rollup: late line
+    & n_supp > 1 & n_late = 1 is exactly "this supplier is the sole late
+    one on a multi-supplier order". Scale shape: the two rollups and the
+    fact re-join all partition on l_orderkey — one exchange feeds all
+    three; supplier and nation broadcast. Counting stays at line
+    granularity, matching the original's l1-row count."""
+    return _q(spark, sf_dir, ["orders", "lineitem", "supplier", "nation"], """
+        WITH ord AS (SELECT o_orderkey, o_orderdate FROM msq_orders
+                     WHERE o_orderstatus = 'F'),
+        flags AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM msq_lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey, l.l_suppkey),
+        per_order AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+                   CAST(SUM(is_late) AS BIGINT) AS n_late
+            FROM flags GROUP BY l_orderkey)
+        SELECT /*+ BROADCAST(s), BROADCAST(n) */
+               s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM msq_lineitem l1
+        JOIN ord o ON l1.l_orderkey = o.o_orderkey
+        JOIN per_order p ON l1.l_orderkey = p.l_orderkey
+        JOIN msq_supplier s ON s_suppkey = l1.l_suppkey
+        JOIN msq_nation n   ON s_nationkey = n_nationkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND p.n_supp > 1 AND p.n_late = 1 AND n_name = 'NATION_1'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")

@@ -263,6 +263,14 @@ _SAMPLE_PRIORITY: list[str] = [
     # late-r11 additions (registered after the r11 rotation; rotation
     # candidates for r12):
     "sim_pq_search",  # two-stage ANN: ADC shortlist -> exact rerank
+    "tpch_q7",   # r11: TPC-H completion (testdata-expressible remainder)
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
 ]
 
 

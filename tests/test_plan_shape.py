@@ -703,3 +703,102 @@ def test_pq_search_broadcast_shortlist_no_second_corpus_scan(plans):
     # InMemoryTableScan nodes must outnumber raw parquet scans of the
     # embeddings file in the serving plan
     assert "InMemoryTableScan" in p
+
+
+def test_q7_nation_pair_broadcasts_no_cartesian(plans):
+    """tpch_q7 (r11): the disjunctive two-nation pair test runs as
+    broadcast probes against the 25-row nation dims — the fact table
+    pipelines through one stage and only the 4-key year rollup (plus its
+    ORDER BY) exchanges. The date filter reaches the lineitem scan."""
+    p = plans("tpch_q7")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "PushedFilters:" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters:" in l]
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_q8_every_dimension_broadcasts(plans):
+    """tpch_q8 (r11): all seven dimension joins of the snowflake
+    broadcast; lineitem never hash-exchanges for a join — the only data
+    exchange is the 2-key year rollup. No division node feeds a filter
+    (the share divides once, in the projection, from two exact BIGINTs)."""
+    import re
+
+    p = plans("tpch_q8")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # rollup + sort exchanges only — the fact side's join pipeline is
+    # exchange-free
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_q13_outer_join_condition_stays_in_join(plans):
+    """tpch_q13 (r11): the priority exclusion lives in the LEFT JOIN's ON
+    clause — customers with only excluded orders must still appear with
+    c_count = 0 — so the filter must NOT be pushed below the outer join
+    as a WHERE (that would change semantics). Two cascaded partial-agg
+    rollups follow."""
+    p = plans("tpch_q13")
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_q15_argmax_single_fact_rollup(plans):
+    """tpch_q15 (r11): ONE rollup on l_suppkey over the quarter-filtered
+    scan; the MAX scalar subquery reuses that rollup (subquery-duplicate
+    exchange at worst) and the supplier dim broadcasts. The quarter
+    filter reaches the scan."""
+    p = plans("tpch_q15")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    pushed = [l for l in p.splitlines() if "PushedFilters:" in l]
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_q17_decorrelated_avg_no_cartesian(plans):
+    """tpch_q17 (r11): the correlated per-part AVG is a partial-agg
+    rollup joined back on l_partkey, not a re-scan per row; the
+    cross-multiplied threshold keeps every comparison integer (no
+    division feeds the filter)."""
+    p = plans("tpch_q17")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+    # the threshold is 5 * qty * cnt < sum — a multiply, not a divide
+    assert "divide" not in p.lower() or "/ 700.0" in p
+
+
+def test_q18_semi_join_then_topk(plans):
+    """tpch_q18 (r11): the IN-subquery plans as LeftSemi against the
+    orderkey rollup, and the top-100 finishes as TakeOrderedAndProject —
+    no global sort materializes."""
+    p = plans("tpch_q18")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_single_stage(plans):
+    """tpch_q19 (r11): part broadcasts; the three-band disjunction
+    evaluates as a residual on the broadcast join output inside one
+    codegen stage; ONE exchange (the global split-sum agg)."""
+    import re
+
+    p = plans("tpch_q19")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_q21_rollups_share_orderkey_partitioning(plans):
+    """tpch_q21 (r11): the decorrelated EXISTS/NOT-EXISTS pair is two
+    rollups and a fact re-join that all partition on l_orderkey;
+    supplier/nation broadcast; top-100 is TakeOrderedAndProject."""
+    import re
+
+    p = plans("tpch_q21")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # flags rollup + per_order rollup + re-join: bounded exchange count
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
