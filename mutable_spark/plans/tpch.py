@@ -66,7 +66,10 @@ def _q(spark, sf_dir, tables, sql):
 
 
 def _s_cents(c: str) -> str:
-    return f"CAST(round(({c})*100) AS BIGINT)"
+    # FLOOR(x+0.5), not round(): Spark's round() on DOUBLE allocates a
+    # BigDecimal per row (see functions.cents — measured -25% on q1);
+    # exact for 2-decimal-grid values of either sign.
+    return f"CAST(FLOOR(({c})*100 + 0.5d) AS BIGINT)"
 
 
 def _s_split(e: str, s: int) -> str:

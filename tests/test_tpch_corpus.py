@@ -96,3 +96,25 @@ def test_lineitem_money_columns_on_two_decimal_grid():
         " FROM '/root/testdata/sf0.01/lineitem.parquet'"
     ).fetchone()[0]
     assert dev < 1e-6, dev
+
+
+def test_floor_cents_equals_round_cents_both_signs(spark):
+    """`functions.cents` uses FLOOR(x*100 + 0.5) instead of round() (which
+    allocates a BigDecimal per row — measured -25% on q1). Pin that it
+    matches round() exactly for grid values of BOTH signs — a CAST
+    truncation instead of FLOOR would break negatives like acctbal."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.functions import cents
+
+    vals = [k / 100.0 for k in range(-100000, 100000, 37)] + [
+        -0.01, 0.0, 0.01, 21474836.47, -21474836.47
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = df.select(
+        cents("x").alias("fast"),
+        F.round(F.col("x") * 100).cast("long").alias("slow"),
+        F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long").alias("lit"),
+    )
+    bad = out.filter("fast <> slow OR fast <> lit").count()
+    assert bad == 0
