@@ -31,19 +31,37 @@ def dec(col: Column | str) -> Column:
     return c.cast(DEC)
 
 
+def _split_parts(col: Column | str) -> tuple[Column, Column]:
+    """Per-row (whole-units, sub-unit-cents) LONG pair of a NON-NEGATIVE
+    2-decimal-grid column — the split-accumulator inputs (module note
+    below). Pure Column ops: lo = cents % 100; hi = (cents - lo) / 100,
+    where the division is exact (an integer multiple of 100 divided by
+    100 is exactly representable, and IEEE division is correctly
+    rounded). Matches DuckDB's `// 100` / `% 100` on non-negative ints."""
+    c_cents = cents(col)
+    lo = c_cents % F.lit(100)
+    hi = ((c_cents - lo) / F.lit(100)).cast("long")
+    return hi, lo
+
+
 def dsum(col: Column | str) -> Column:
-    """SUM as exact decimal, surfaced as DOUBLE (order-independent)."""
-    return F.sum(dec(col)).cast("double")
+    """Order-independent exact SUM of a non-negative 2-decimal-grid
+    column, surfaced as DOUBLE via split LONG accumulators (r11: migrated
+    off the decimal(28,2) sum buffer, which runs BigDecimal per row —
+    see the module note; oracle twin `sql_dsum` mirrors the
+    recombination expression-for-expression)."""
+    hi, lo = _split_parts(col)
+    return F.sum(hi).cast("double") + F.sum(lo).cast("double") / F.lit(100.0)
 
 
 def davg(col: Column | str) -> Column:
-    """AVG = exact-decimal SUM / COUNT, surfaced as DOUBLE.
+    """AVG = exact split SUM / COUNT, surfaced as DOUBLE.
 
     Matches the reference's rule that AVG is always DOUBLE
     (`src/parse/Sema.cpp:600-605`).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c)).cast("double") / F.count(c)
+    return dsum(c) / F.count(c)
 
 
 def dsum_expr(col: Column) -> Column:
@@ -97,11 +115,14 @@ def split_sum(name: str, s: int) -> Column:
 
 # SQL-side twins for oracle strings (DuckDB dialect).
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    # DuckDB twin of `dsum`: identical split-accumulator recombination
+    # (r11 — changed in lockstep with dsum; both engines SUM the same
+    # exact LONG pairs and recombine with the identical IEEE sequence).
+    return sql_split_sum(sql_cents(expr), 2)
 
 
 def sql_davg(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr}))"
+    return f"({sql_dsum(expr)} / COUNT({expr}))"
 
 
 def sql_cents(expr: str) -> str:

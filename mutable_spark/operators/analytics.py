@@ -130,10 +130,16 @@ def op_topk_per_group(spark, sf_dir):
     "op_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F
+           (CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT) // 100)
+                      FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS DOUBLE)
+            + CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT) % 100)
+                        FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS DOUBLE)
+              / 100.0) AS O,
+           (CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT) // 100)
+                      FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS DOUBLE)
+            + CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT) % 100)
+                        FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS DOUBLE)
+              / 100.0) AS F
     FROM lineitem
     GROUP BY l_returnflag
     """,

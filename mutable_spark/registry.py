@@ -271,6 +271,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q21",
+    "source_jsonl_roundtrip",  # r11: format matrix completion
+    "source_csv_roundtrip",
 ]
 
 
@@ -336,5 +338,7 @@ def load_all() -> None:
     import mutable_spark.sources.bucketing  # noqa: F401
     import mutable_spark.sources.partitioning  # noqa: F401
     import mutable_spark.sources.orc  # noqa: F401
+    import mutable_spark.sources.jsonl  # noqa: F401
+    import mutable_spark.sources.csv  # noqa: F401
 
     _reorder_by_priority()

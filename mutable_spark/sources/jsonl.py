@@ -81,3 +81,77 @@ def read_jsonl(
         F.col("value").alias("line")
     )
     return good, bad
+
+
+# --- registered roundtrip (r11) --------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+
+from mutable_spark.catalog import load_tables as _load_tables
+from mutable_spark.registry import query as _query
+
+#: (session id, sf_dir) → path of the already-written JSONL copy
+_JSONL_READY: dict[tuple, str] = {}
+
+
+def _ensure_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents as JSONL once per (session, sf_dir) — content-
+    identity keyed (mtime+size) so regenerated testdata never reuses a
+    stale staged copy (the ORC module's rule, `orc.py:_ensure_orc`)."""
+    key = (id(spark), sf_dir)
+    if key in _JSONL_READY:
+        return _JSONL_READY[key]
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    sfx = _hashlib.md5(ident.encode()).hexdigest()[:8]
+    path = f"/tmp/mutable_spark_jsonl_docs_{sfx}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        write_jsonl(_load_tables(spark, sf_dir).documents, path)
+    _JSONL_READY[key] = path
+    return path
+
+
+@_query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(md5(text)) AS min_md5,
+           CAST(0 AS BIGINT) AS n_quarantined
+    FROM documents
+    WHERE n_chars <= 400
+    GROUP BY lang
+    """,
+)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """Documents written to JSONL and aggregated from the JSONL copy via
+    the schema-explicit quarantining reader above — format round-trip
+    fidelity as a driver-gated value check (the oracle reads the
+    ORIGINAL parquet; min_md5 over the text column catches any encoding
+    or escaping drift, not just row counts). The quarantine channel is
+    part of the checked contract: a clean export must parse with ZERO
+    corrupt lines, surfaced as a constant-0 column that would go
+    nonzero (and hash-mismatch) if the writer ever emitted a line the
+    reader rejects.
+
+    Scale shape: text source + from_json is line-splittable (a 100 TB
+    crawl fans out by line ranges), the n_chars filter evaluates right
+    after the parse projection, and the aggregation partial-aggs before
+    its single shuffle. Schema is explicit — no inference pass."""
+    path = _ensure_jsonl(spark, sf_dir)
+    good, bad = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    n_bad = bad.count()  # bounded: quarantined lines of a staged copy
+    return (
+        good.filter(F.col("n_chars") <= 400)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min(F.md5("text")).alias("min_md5"),
+            F.lit(n_bad).cast("long").alias("n_quarantined"),
+        )
+    )
