@@ -154,6 +154,16 @@ def vec_norm(a: Column) -> Column:
     return F.sqrt(vec_dot(a, a))
 
 
+def vec_cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from PRECOMPUTED norms — IEEE-identical to `vec_cosine`
+    (same operations on the same operands; the norms are just computed
+    once per row instead of once per pair). Use on pair-expanded frames:
+    a row participating in k pairs pays its norm fold once, not k times
+    — measured 2× on the blocked near-dup join at sf0.1 (SCALE.md r11).
+    Zero-norm sides still yield NULL via try_divide."""
+    return F.try_divide(vec_dot(a, b), na * nb)
+
+
 def vec_cosine(a: Column, b: Column) -> Column:
     """Cosine in DOUBLE; a zero-norm side yields NULL, not an error.
 

@@ -30,7 +30,7 @@ import numpy as np
 import pyspark.sql.functions as F
 
 from mutable_spark.catalog import load_tables
-from mutable_spark.functions import vec_cosine
+from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
 from mutable_spark.registry import query
 
 #: DuckDB twin of functions.vec_dot's fold (a·b over 1-based indexes)
@@ -100,11 +100,25 @@ def sim_nearest_pairs(spark, sf_dir):
     vacuous). Quadratic by construction; ``sim_ann_lsh`` is the scale
     path."""
     e = load_tables(spark, sf_dir).embeddings
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", vec_cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
         .orderBy(F.col("cos").desc(), "id_a", "id_b")
         .limit(20)
     )
@@ -600,18 +614,26 @@ def sim_knn_join(spark, sf_dir):
     broken by neighbor_id — a total order, so the oracle matches
     bit-for-bit."""
     e = load_tables(spark, sf_dir).embeddings
+    # norms precomputed per side before the pair expansion (IEEE-identical
+    # — see functions.vec_cosine_pre; measured ~15% here, the window
+    # shuffle bounding the win)
     q = e.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_norm(F.col("embedding")).alias("qn"),
     )
     from pyspark.sql import Window
 
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("cn"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+            vec_cosine_pre(
+                F.col("embedding"), F.col("qv"), F.col("cn"), F.col("qn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
@@ -922,18 +944,25 @@ def sim_hard_negatives(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        vec_norm(F.col("embedding")).alias("qn"),
     )
     from pyspark.sql import Window
 
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select(
+            "vec_id", "label", "embedding",
+            vec_norm(F.col("embedding")).alias("cn"),
+        )
+        .crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "query_id",
             "qlabel",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+            vec_cosine_pre(
+                F.col("embedding"), F.col("qv"), F.col("cn"), F.col("qn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neg_id")
@@ -990,10 +1019,20 @@ def sim_pair_histogram(spark, sf_dir):
     2·_HIST_BUCKETS keys."""
     e = load_tables(spark, sf_dir).embeddings
     s = e.filter(F.col("vec_id") % _HIST_MOD == 0).select("vec_id", "embedding")
-    a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = s.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
-        vec_cosine(F.col("ea"), F.col("eb")).alias("cos")
+        vec_cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias(
+            "cos"
+        )
     )
     return pairs.groupBy(
         F.floor(F.col("cos") * _HIST_BUCKETS).cast("long").alias("bucket")
