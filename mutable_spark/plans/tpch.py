@@ -18,6 +18,8 @@ BigDecimal per row — measured 0.79 s → 0.66 s on Q1 at sf0.1.
 
 from __future__ import annotations
 
+import weakref
+
 import pyspark.sql.functions as F
 
 from mutable_spark.catalog import load_tables
@@ -58,10 +60,30 @@ _SQL_CH_C = f"({_SQL_DP_C} * (100 + {_SQL_T}))"
 # first-class and plan-pinned.
 
 
+#: session → {view name: id() of the DataFrame currently bound}.
+#: createOrReplaceTempView is a py4j round trip + catalog write (~10 ms
+#: per view), and load_table memoizes frames per (app, sf_dir, table), so
+#: re-binding the SAME frame is a no-op we can skip. Keyed WEAKLY on the
+#: session object (the `_CONFS_APPLIED` rule, session.py): temp views are
+#: session-scoped, a dead session's entry dies with it, and an address
+#: reuse cannot collide because the key is the live object itself. A
+#: different sf_dir yields a different cached frame → different id() →
+#: re-registration happens.
+_VIEWS_BOUND: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _q(spark, sf_dir, tables, sql):
     t = load_tables(spark, sf_dir)
+    try:
+        bound = _VIEWS_BOUND.setdefault(spark, {})
+    except TypeError:  # non-weakref-able session stub (tests)
+        bound = {}
     for tbl in tables:
-        getattr(t, tbl).createOrReplaceTempView(f"msq_{tbl}")
+        df = getattr(t, tbl)
+        name = f"msq_{tbl}"
+        if bound.get(name) != id(df):
+            df.createOrReplaceTempView(name)
+            bound[name] = id(df)
     return spark.sql(sql)
 
 
