@@ -1624,3 +1624,121 @@ def sim_pq_search(spark, sf_dir):
         "dist_q",
         F.coalesce("hit", F.lit(0).cast("long")).alias("hit"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Matryoshka prefix length (dims 1..16 of the 64): MRL-trained encoders
+#: front-load information so a prefix slice serves cheap first-pass
+#: retrieval; this diagnostic measures what that costs on THIS corpus.
+_MRL_DIM = 16
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC, e.vec_id
+               ) AS rank_full,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_sql_cos(f'e.embedding[1:{_MRL_DIM}]', f'q.qv[1:{_MRL_DIM}]')} DESC, e.vec_id
+               ) AS rank_pre
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE rank_full <= {_KNN_K}
+                                   AND rank_pre <= {_KNN_K}) AS BIGINT)
+               AS n_overlap,
+           CAST(COUNT(*) FILTER (WHERE rank_full <= {_KNN_K}
+                                   AND rank_pre <= {_KNN_K})
+                * 10000 // {_KNN_K} AS BIGINT) AS recall_bp
+    FROM scored
+    GROUP BY query_id
+    """,
+)
+def sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka (prefix-dimension) retrieval recall — "Matryoshka
+    Representation Learning" (Kusupati et al. 2022): serve ANN from the
+    first ``_MRL_DIM`` of 64 dimensions (4× less compute and memory per
+    comparison) and measure recall@k against the exact full-dimension
+    top-k, per query. The production pattern is prefix-dim shortlist →
+    full-dim rerank (the same two-stage shape as ``sim_pq_search``);
+    this operator is the diagnostic that says whether the corpus's
+    encoder front-loads enough signal for that to be safe — run it
+    BEFORE switching the serving path.
+
+    Exactness: both rankings are deterministic total orders (IEEE cosine
+    DESC, neighbor_id tiebreak) over bit-identical folds in both
+    engines, so the per-query overlap count — and the integer
+    basis-point recall — hash-match exactly. A row carries BOTH ranks,
+    so "neighbor in both top-k sets" is a per-row predicate: no set
+    intersection join.
+
+    Scale shape: ONE corpus scan (both cosines score in the same
+    projection off the broadcast query batch), ONE shuffle on query_id
+    feeding BOTH row_number windows (same partitioning, two in-partition
+    sorts), then a per-query partial agg. Norms are hoisted per side
+    (`vec_cosine_pre`); the prefix slice happens once per row, not per
+    pair, on the corpus side and once per query on the broadcast side."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_norm(F.col("embedding")).alias("qn"),
+        F.slice(F.col("embedding"), 1, _MRL_DIM).alias("qp"),
+        vec_norm(F.slice(F.col("embedding"), 1, _MRL_DIM)).alias("qpn"),
+    )
+    c = e.select(
+        "vec_id",
+        "embedding",
+        vec_norm(F.col("embedding")).alias("cn"),
+        F.slice(F.col("embedding"), 1, _MRL_DIM).alias("ep"),
+        vec_norm(F.slice(F.col("embedding"), 1, _MRL_DIM)).alias("cpn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vec_cosine_pre(
+                F.col("embedding"), F.col("qv"), F.col("cn"), F.col("qn")
+            ).alias("cos_full"),
+            vec_cosine_pre(
+                F.col("ep"), F.col("qp"), F.col("cpn"), F.col("qpn")
+            ).alias("cos_pre"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), "neighbor_id"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), "neighbor_id"
+    )
+    # conditional count over ALL scored rows (not filter-then-group): a
+    # query with ZERO overlap must still emit its n_overlap = 0 row,
+    # exactly as the oracle's COUNT(*) FILTER does
+    hit = (
+        (F.col("rank_full") <= _KNN_K) & (F.col("rank_pre") <= _KNN_K)
+    ).cast("long")
+    both = (
+        scored.withColumn("rank_full", F.row_number().over(wf))
+        .withColumn("rank_pre", F.row_number().over(wp))
+        .select("query_id", hit.alias("hit"))
+    )
+    return both.groupBy("query_id").agg(
+        F.sum("hit").alias("n_overlap"),
+        F.expr(f"CAST(sum(hit) * 10000 div {_KNN_K} AS BIGINT)").alias(
+            "recall_bp"
+        ),
+    )

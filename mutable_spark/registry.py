@@ -273,6 +273,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q21",
     "source_jsonl_roundtrip",  # r11: format matrix completion
     "source_csv_roundtrip",
+    "sim_matryoshka_recall",  # r11: prefix-dim retrieval diagnostic (MRL)
 ]
 
 

@@ -802,3 +802,20 @@ def test_q21_rollups_share_orderkey_partitioning(plans):
     assert "TakeOrderedAndProject" in p
     # flags rollup + per_order rollup + re-join: bounded exchange count
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
+
+
+def test_matryoshka_recall_one_scan_one_exchange(plans):
+    """sim_matryoshka_recall (r11): both cosines (full + prefix) score in
+    ONE pass off the broadcast query batch; both row_number windows and
+    the final agg share the single query_id exchange. The corpus scans
+    once (plus the broadcast build's own scan)."""
+    import re
+
+    p = plans("sim_matryoshka_recall")
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 2
+    # exactly one data exchange (the query_id hash partitioning both
+    # windows and the agg share); the only other exchange is the
+    # broadcast build of the query batch
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", p)) == 1, p
