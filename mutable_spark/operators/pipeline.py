@@ -1615,3 +1615,142 @@ def _register_leakage_safe_oracle():
 
 
 _register_leakage_safe_oracle()
+
+
+# --------------------------------------------------------------------------
+#: funnel length gate (chars) — sits inside the corpus range (60-400) so
+#: the stage genuinely drops mass at every SF
+_FUNNEL_MIN_CHARS = 80
+_FUNNEL_LANGS = ("en", "de", "fr")
+
+_SQL_FUNNEL_FLAGS = f"""
+    SELECT n_chars,
+           s1,
+           s1 AND (n_chars >= {_FUNNEL_MIN_CHARS}) AS s2,
+           s1 AND (n_chars >= {_FUNNEL_MIN_CHARS})
+              AND lang IN ('en','de','fr') AS s3,
+           s1 AND (n_chars >= {_FUNNEL_MIN_CHARS})
+              AND lang IN ('en','de','fr')
+              AND ({_SQL_QUALITY}) >= {_QUALITY_TH} AS s4,
+           doc_id, text
+    FROM (
+        SELECT *,
+               {_sql_hash52('doc_id')}
+                   < {_MIX_SQL_RATE} * 4503599627370496.0 AS s1
+        FROM documents
+    )
+"""
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH flagged AS ({_SQL_FUNNEL_FLAGS}),
+    final AS (
+        SELECT n_chars, s1, s2, s3, s4,
+               s4 AND doc_id = MIN(CASE WHEN s4 THEN doc_id END)
+                   OVER (PARTITION BY md5({_NORMALIZE_SQL})) AS s5
+        FROM flagged
+    )
+    SELECT stage, stage_name, n_docs, sum_chars FROM (
+        SELECT 0 AS stage, 'raw' AS stage_name,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM final
+        UNION ALL
+        SELECT 1, 'mix', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s1 THEN n_chars ELSE 0 END) AS BIGINT) FROM final
+        UNION ALL
+        SELECT 2, 'length', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s2 THEN n_chars ELSE 0 END) AS BIGINT) FROM final
+        UNION ALL
+        SELECT 3, 'lang', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s3 THEN n_chars ELSE 0 END) AS BIGINT) FROM final
+        UNION ALL
+        SELECT 4, 'quality', CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s4 THEN n_chars ELSE 0 END) AS BIGINT) FROM final
+        UNION ALL
+        SELECT 5, 'dedup', CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s5 THEN n_chars ELSE 0 END) AS BIGINT) FROM final
+    ) ORDER BY stage
+    """,
+)
+def pipeline_filter_funnel(spark, sf_dir):
+    """The curation FUNNEL table — per-stage survivor counts and char
+    mass for the cascade mix → length → lang → quality → exact-dedup:
+    the attrition diagnostic every data-curation report tabulates (what
+    fraction each gate drops, cumulatively), answered in ONE pass
+    without materializing any intermediate corpus. Stages reuse the
+    registered operators' exact expressions (`mix_kept_frame`'s hash
+    rate, `quality_expr`, the normalized-digest min-id dedup rule), so
+    the funnel's stage-5 survivor count equals what the composed
+    pipeline would keep.
+
+    Exactness: counts and char sums are pure integers; the dedup flag is
+    the min-doc-id-among-qualified-rows rule, expressed identically in
+    both engines (MIN(CASE WHEN qualified THEN doc_id END) OVER digest).
+
+    Scale shape: flags are map-side cumulative booleans over the scan;
+    the only shuffles are the digest window (the dedup stage needs it —
+    same key the standalone dedup shuffles on) and the 6-row final
+    aggregate; the stage unpivot explodes a 1-row aggregate, never data.
+    No intermediate corpus is written — the funnel reads each byte
+    once."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    h = _hash52(F.col("doc_id"))
+    rate = (
+        (F.substring(F.col("source"), 4, 10).cast("long") % 4 + 1) * F.lit(0.25)
+    )
+    s1 = h < rate * F.lit(_HASH52_DOMAIN)
+    s2 = s1 & (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+    s3 = s2 & F.col("lang").isin(*_FUNNEL_LANGS)
+    s4 = s3 & (quality_expr() >= _QUALITY_TH)
+    flagged = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(_normalize(F.col("text"))).alias("digest"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        s4.alias("s4"),
+    )
+    w = Window.partitionBy("digest")
+    final = flagged.withColumn(
+        "s5",
+        F.col("s4")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(w)
+        ),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    chars = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c), F.col("n_chars")).otherwise(0)
+    ).cast("long")
+    one = final.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum("n_chars").cast("long").alias("h0"),
+        cnt("s1").alias("c1"), chars("s1").alias("h1"),
+        cnt("s2").alias("c2"), chars("s2").alias("h2"),
+        cnt("s3").alias("c3"), chars("s3").alias("h3"),
+        cnt("s4").alias("c4"), chars("s4").alias("h4"),
+        cnt("s5").alias("c5"), chars("s5").alias("h5"),
+    )
+    names = ["raw", "mix", "length", "lang", "quality", "dedup"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(n).alias("stage_name"),
+                F.col(f"c{i}").alias("n_docs"),
+                F.col(f"h{i}").alias("sum_chars"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.stage_name", "r.n_docs", "r.sum_chars")
+        .orderBy("stage")
+    )

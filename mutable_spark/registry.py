@@ -274,6 +274,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "source_jsonl_roundtrip",  # r11: format matrix completion
     "source_csv_roundtrip",
     "sim_matryoshka_recall",  # r11: prefix-dim retrieval diagnostic (MRL)
+    "pipeline_filter_funnel",  # r11: per-stage curation attrition table
 ]
 
 

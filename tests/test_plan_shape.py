@@ -819,3 +819,16 @@ def test_matryoshka_recall_one_scan_one_exchange(plans):
     # broadcast build of the query batch
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert len(re.findall(r"\(\d+\) BroadcastExchange\b", p)) == 1, p
+
+
+def test_filter_funnel_one_pass(plans):
+    """pipeline_filter_funnel (r11): cumulative stage flags are map-side
+    over ONE corpus scan; the only data exchange is the digest window
+    (the dedup stage's key); the stage unpivot explodes a 1-row
+    aggregate, never data."""
+    import re
+
+    p = plans("pipeline_filter_funnel")
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Scan parquet") <= 2  # the digest-window subtree
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, p  # digest window + 1-row agg
