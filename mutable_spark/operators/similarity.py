@@ -331,6 +331,41 @@ _SQL_IVF = f"""
 """
 
 
+def _ivf_probe_labels(e, q, nprobe: int = 3):
+    """(probed labels, query id) — the deterministic IVF probe shared by
+    ``sim_ivf_topk`` and ``sim_ivfpq_search``: exact scaled-long
+    per-(list, dim) centroid sums (associative → bit-identical under any
+    aggregation order), ONE double division each, cosine fold with label
+    tiebreak, nprobe rows collected to the driver (the only data that
+    ever leaves the cluster)."""
+    scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
+    cvec = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.struct(
+                "dim",
+                (F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))).alias(
+                    "c"
+                ),
+            ).alias("dc"),
+        )
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
+        .select("label", F.col("arr.c").alias("centroid"))
+    )
+    probe_rows = (
+        cvec.crossJoin(F.broadcast(q))
+        .select("label", vec_cosine(F.col("centroid"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "label")
+        .limit(nprobe)
+        .collect()
+    )
+    return [r.label for r in probe_rows], q.collect()[0].qid
+
+
 @query("sim_ivf_topk", oracle=_SQL_IVF)
 def sim_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse quantizer → probe the nearest inverted lists
@@ -356,37 +391,7 @@ def sim_ivf_topk(spark, sf_dir):
         .limit(1)
         .select(F.col("embedding").alias("qv"), F.col("vec_id").alias("qid"))
     )
-
-    # (1) exact centroids: scaled-long sums per (list, dim), re-assembled
-    # into a double array in dim order (sort_array on the struct key)
-    scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
-    cvec = (
-        e.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            F.struct(
-                "dim",
-                (F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))).alias(
-                    "c"
-                ),
-            ).alias("dc"),
-        )
-        .groupBy("label")
-        .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
-        .select("label", F.col("arr.c").alias("centroid"))
-    )
-    # (2) deterministic probe selection (3 rows to the driver)
-    probe_rows = (
-        cvec.crossJoin(F.broadcast(q))
-        .select("label", vec_cosine(F.col("centroid"), F.col("qv")).alias("cos"))
-        .orderBy(F.col("cos").desc(), "label")
-        .limit(3)
-        .collect()
-    )
-    probe_labels = [r.label for r in probe_rows]
-    qid = q.collect()[0].qid
+    probe_labels, qid = _ivf_probe_labels(e, q)
 
     # (3) partition-pruned exact search within the probed lists
     return (
@@ -1741,4 +1746,189 @@ def sim_matryoshka_recall(spark, sf_dir):
         F.expr(f"CAST(sum(hit) * 10000 div {_KNN_K} AS BIGINT)").alias(
             "recall_bp"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+def _sql_ivfpq_search() -> str:
+    """DuckDB twin of ``sim_ivfpq_search``: the IVF probe CTEs
+    (`_SQL_IVF`'s exact scaled-long centroids + nprobe-3 cosine choice)
+    composed in FRONT of the PQ chain — the ADC shortlist scans only the
+    probed lists' codes; rerank and the exact full-scan evaluation
+    harness are verbatim `_sql_pq_search`."""
+    S = int(_DOT_SCALE)
+    return f"""
+    WITH {_sql_pq_chain()},
+    q0 AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    csum AS (
+        SELECT label, d,
+               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+                   AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM embeddings, range(1, {_DIM} + 1) t(d)
+        GROUP BY label, d
+    ),
+    cvec AS (
+        SELECT label,
+               list(CAST(s AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
+                   AS centroid
+        FROM csum GROUP BY label
+    ),
+    probe AS (
+        SELECT label FROM cvec, q0
+        ORDER BY {_sql_cos('centroid', 'qv')} DESC, label
+        LIMIT 3
+    ),
+    cand AS (
+        SELECT vec_id FROM embeddings
+        WHERE label IN (SELECT label FROM probe)
+          AND vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    q AS (
+        SELECT e.s, e.d, e.x AS qx FROM ex e
+        WHERE e.vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    dq AS (
+        SELECT c.s, c.cluster,
+               SUM(CAST(floor((q.qx - c.c) * (q.qx - c.c) * {S})
+                        AS BIGINT)) AS qdist
+        FROM c1 c JOIN q ON q.s = c.s AND q.d = c.d
+        GROUP BY c.s, c.cluster
+    ),
+    shortlist AS (
+        SELECT a.vec_id, CAST(SUM(d.qdist) AS BIGINT) AS adc_dist
+        FROM a2 a
+        JOIN cand cd ON cd.vec_id = a.vec_id
+        JOIN dq d ON d.s = a.s AND d.cluster = a.cluster
+        GROUP BY a.vec_id
+        ORDER BY adc_dist, a.vec_id LIMIT {_PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT e.vec_id,
+               CAST(SUM(CAST(floor((e.x - q.qx) * (e.x - q.qx) * {S})
+                             AS BIGINT)) AS BIGINT) AS dist_q
+        FROM ex e JOIN shortlist sl ON sl.vec_id = e.vec_id
+                  JOIN q ON q.s = e.s AND q.d = e.d
+        GROUP BY e.vec_id
+    ),
+    served AS (
+        SELECT vec_id, dist_q,
+               row_number() OVER (ORDER BY dist_q, vec_id) AS rnk
+        FROM rerank ORDER BY dist_q, vec_id LIMIT 10
+    ),
+    exact AS (
+        SELECT e.vec_id,
+               SUM(CAST(floor((e.x - q.qx) * (e.x - q.qx) * {S})
+                        AS BIGINT)) AS dist
+        FROM ex e JOIN q ON q.s = e.s AND q.d = e.d
+        WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+        GROUP BY e.vec_id
+    ),
+    exact_top AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT CAST(sv.rnk AS BIGINT) AS rnk, sv.vec_id, sv.dist_q,
+           CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS hit
+    FROM served sv LEFT JOIN exact_top t ON t.vec_id = sv.vec_id
+    """
+
+
+@query("sim_ivfpq_search", oracle=_sql_ivfpq_search())
+def sim_ivfpq_search(spark, sf_dir):
+    """IVF-PQ: the full production ANN architecture (the FAISS IVFPQ
+    index) — coarse-quantizer cell probing in FRONT of the PQ ADC
+    shortlist, then the exact rerank. Three pruning tiers compose:
+    (1) the IVF probe (`_ivf_probe_labels`, shared with `sim_ivf_topk`)
+    selects nprobe=3 of the inverted lists, so the codes scan touches
+    ~nprobe/n_lists of the corpus; (2) within the probed lists the
+    broadcast ADC table scores M-byte codes, keeping a
+    {_PQ_SHORTLIST}-wide shortlist; (3) full vectors are read for
+    shortlist members only. The hit column evaluates the served top-10
+    against the exact FULL-scan top-10 — the harness that shows what
+    cell pruning + code quantization together cost (production drops
+    the full scan).
+
+    Scale shape: at 100 TB the codes table is partitioned by list id,
+    so stage 2 is partition-pruned I/O exactly like `sim_ivf_topk`'s
+    stage 3; the list-id filter applies to the (vec_id, label) frame
+    the codes join carries (a co-keyed equi-join — in a real store the
+    codes table carries the list id natively). No cartesian anywhere;
+    every distance is a scaled-long with (dist, vec_id) tiebreaks, so
+    rank/distance/hit all value-hash against the DuckDB twin."""
+    e = load_tables(spark, sf_dir).embeddings
+    S = int(_DOT_SCALE)
+    ex, cent, assign = _pq_fit(e)
+    qdf = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.col("vec_id").alias("qid"))
+    )
+    probe_labels, qid = _ivf_probe_labels(e, qdf)
+    cand = (
+        e.filter(F.col("label").isin(probe_labels))
+        .filter(F.col("vec_id") != F.lit(int(qid)))
+        .select("vec_id")
+    )
+    qx = ex.filter(F.col("vec_id") == qid).select(
+        "s", "d", F.col("x").alias("qx")
+    )
+    dq = (
+        cent.join(F.broadcast(qx), ["s", "d"])
+        .groupBy("s", "cluster")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")) * F.lit(S)
+                ).cast("long")
+            ).alias("qdist")
+        )
+    )
+    shortlist = (
+        assign.join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(dq), ["s", "cluster"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    exact_term = F.sum(
+        F.floor(
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) * F.lit(S)
+        ).cast("long")
+    )
+    served = (
+        ex.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qx), ["s", "d"])
+        .groupBy("vec_id")
+        .agg(exact_term.alias("dist_q"))
+        .orderBy("dist_q", "vec_id")
+        .limit(10)
+    )
+    from pyspark.sql import Window
+
+    served = served.select(
+        F.row_number()
+        .over(Window.orderBy("dist_q", "vec_id"))
+        .cast("long")
+        .alias("rnk"),
+        "vec_id",
+        "dist_q",
+    )
+    exact_top = (
+        ex.filter(F.col("vec_id") != qid)
+        .join(F.broadcast(qx), ["s", "d"])
+        .groupBy("vec_id")
+        .agg(exact_term.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("one"))
+    )
+    return served.join(F.broadcast(exact_top), "vec_id", "left").select(
+        "rnk",
+        "vec_id",
+        "dist_q",
+        F.coalesce(F.col("one"), F.lit(0)).cast("long").alias("hit"),
     )

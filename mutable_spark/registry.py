@@ -275,6 +275,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "source_csv_roundtrip",
     "sim_matryoshka_recall",  # r11: prefix-dim retrieval diagnostic (MRL)
     "pipeline_filter_funnel",  # r11: per-stage curation attrition table
+    "sim_ivfpq_search",  # r11: IVF probe -> PQ ADC shortlist -> exact rerank
 ]
 
 

@@ -832,3 +832,14 @@ def test_filter_funnel_one_pass(plans):
     assert "CartesianProduct" not in p and "Join" not in p
     assert p.count("Scan parquet") <= 2  # the digest-window subtree
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, p  # digest window + 1-row agg
+
+
+def test_ivfpq_no_cartesian_shortlist_broadcast(plans):
+    """sim_ivfpq_search (r11): the IVF-PQ composition keeps every tier an
+    equi-join pipeline — no cartesian; the rerank touches full vectors
+    through a broadcast of the bounded shortlist, never a second
+    unpruned corpus pass."""
+    p = plans("sim_ivfpq_search")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" in p  # the probed-lists candidate restriction
