@@ -76,11 +76,12 @@ HEADLINE = [
     # sf0.1; text_bm25_rank and op_group_join stay out at 0.6 s each)
     "dedup_containment",
     "sim_pq_train",
-    # r11 additions over the bar (two-stage ANN 2.9 s at sf0.1 — the
-    # trained codebooks rebuild per call by design; the eight new TPC-H
-    # queries, matryoshka recall, filter funnel and the format
-    # roundtrips all stay out at 0.2-0.8 s)
+    # r11 additions over the bar (two-stage ANN 2.9 s, IVF-PQ 3.1 s at
+    # sf0.1 — the trained codebooks rebuild per call by design; the
+    # eight new TPC-H queries, matryoshka recall, filter funnel and the
+    # format roundtrips all stay out at 0.2-0.8 s)
     "sim_pq_search",
+    "sim_ivfpq_search",
 ]
 
 
