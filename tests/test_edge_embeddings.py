@@ -88,3 +88,44 @@ def emb_duck(emb_dir):
 def test_edge_embeddings_match_oracle(name, spark, emb_duck, emb_dir):
     ok, msg = compare(name, spark, emb_duck, emb_dir)
     assert ok, msg
+
+
+def test_vec_cosine_pre_is_bit_identical_to_vec_cosine(spark):
+    """The norm-hoisted cosine (`vec_cosine_pre`, the r11 pair-loop
+    optimization) must equal the per-pair `vec_cosine` BITWISE on
+    adversarial vectors: zero vectors (NULL via try_divide), tiny and
+    huge magnitudes, negatives, and denormal-adjacent values — the
+    operands and operation sequence are identical, only the evaluation
+    point of the norms moves."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
+
+    vecs = [
+        [0.0] * 4,
+        [1.0, 0.0, 0.0, 0.0],
+        [-1e-300, 1e-300, -1e-300, 1e-300],
+        [1e150, -1e150, 1e150, -1e150],
+        [0.1, 0.2, 0.3, 0.4],
+        [-0.5, 0.25, -0.125, 0.0625],
+        [3.141592653589793, -2.718281828459045, 1.4142135623730951, -1.7320508075688772],
+    ]
+    rows = [(i, j, a, b) for i, a in enumerate(vecs) for j, b in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "i int, j int, a array<double>, b array<double>"
+    )
+    out = df.select(
+        vec_cosine(F.col("a"), F.col("b")).alias("plain"),
+        vec_cosine_pre(
+            F.col("a"),
+            F.col("b"),
+            vec_norm(F.col("a")),
+            vec_norm(F.col("b")),
+        ).alias("pre"),
+    ).collect()
+    for r in out:
+        assert (r.plain is None) == (r.pre is None)
+        if r.plain is not None:
+            import struct
+
+            assert struct.pack("d", r.plain) == struct.pack("d", r.pre)
