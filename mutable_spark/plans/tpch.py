@@ -828,3 +828,254 @@ def tpch_q21(spark, sf_dir):
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100""")
+
+
+# --- r11b: the five partsupp queries over a DERIVED supply relation --------
+# The testdata has no partsupp table, but lineitem IS a supplier×part
+# relation: ps_supplycost := the minimum integer unit price ever charged
+# for (part, supplier) — (price_c * 100) div qty_c, truncating integer
+# division, non-negative so Spark's `div` and DuckDB's `//` agree — and
+# ps_availqty := total quantity shipped (in cents). This preserves the
+# five reference query SHAPES exactly (q2's correlated min subquery, q9's
+# profit expression and join topology, q11's HAVING-over-global-fraction,
+# q16's distinct-count with a NOT IN exclusion, q20's nested-IN semi
+# chain) while staying fully oracle-checkable; COVERAGE.md documents the
+# derivation beside the 17 schema-native queries.
+
+_PS_SPARK = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(({_S_P} * 100) div {_S_Q}) AS ps_supplycost_c,
+           CAST(SUM({_S_Q}) AS BIGINT) AS ps_availqty_c
+    FROM msq_lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+_PS_SQL = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(({_SQL_P} * 100) // {_SQL_Q}) AS ps_supplycost_c,
+           CAST(SUM({_SQL_Q}) AS BIGINT) AS ps_availqty_c
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (SELECT s_suppkey, s_acctbal, s_name, n_name FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_supplycost_c AS BIGINT) AS supplycost_c
+    FROM part JOIN ps ON p_partkey = ps_partkey
+    JOIN eu ON eu.s_suppkey = ps_suppkey
+    WHERE p_size = 15
+      AND ps_supplycost_c = (SELECT MIN(ps2.ps_supplycost_c)
+                             FROM ps ps2 JOIN eu e2 ON e2.s_suppkey = ps2.ps_suppkey
+                             WHERE ps2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier, over the derived supply relation
+    (module note above). The defining shape — a correlated MIN subquery
+    over region-filtered suppliers per part — is preserved; Spark
+    decorrelates it into a per-part min aggregate joined back (equality
+    correlation). Integer supply costs make the argmax tie-exact.
+    Scale: the region-filtered supplier dim broadcasts; the ps rollup
+    and its min-reaggregation co-partition on ps_partkey."""
+    return _q(spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"], f"""
+        WITH ps AS ({_PS_SPARK}),
+        eu AS (SELECT s_suppkey, s_acctbal, s_name, n_name FROM msq_supplier
+               JOIN msq_nation ON s_nationkey = n_nationkey
+               JOIN msq_region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(ps_supplycost_c AS BIGINT) AS supplycost_c
+        FROM msq_part JOIN ps ON p_partkey = ps_partkey
+        JOIN eu ON eu.s_suppkey = ps_suppkey
+        WHERE p_size = 15
+          AND ps_supplycost_c = (SELECT MIN(ps2.ps_supplycost_c)
+                                 FROM ps ps2 JOIN eu e2 ON e2.s_suppkey = ps2.ps_suppkey
+                                 WHERE ps2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {sql_split_sum(f'({_SQL_P} * (100 - {_SQL_D}))', 4)}
+             - {sql_split_sum(f'(ps_supplycost_c * {_SQL_Q})', 4)} AS profit
+    FROM lineitem
+    JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit, over the derived supply relation:
+    profit = Σ revenue − Σ cost per (supplier nation, order year) for
+    parts matching a name pattern. Exactness at scale: per-row profit
+    can be NEGATIVE, and split accumulators require non-negative inputs
+    (div/% diverge across engines on negatives) — so revenue and cost
+    split-sum SEPARATELY (each non-negative) and subtract once as
+    doubles, the identical IEEE sequence in both engines. Shape: the
+    famous 6-table join tree; ps co-partitions with lineitem on
+    (partkey), part/supplier/nation broadcast; one 2-key rollup."""
+    return _q(spark, sf_dir,
+              ["lineitem", "part", "supplier", "orders", "nation"], f"""
+        WITH ps AS ({_PS_SPARK})
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               {_s_split(f'({_S_P} * (100 - {_S_D}))', 4)}
+                 - {_s_split(f'(ps_supplycost_c * {_S_Q})', 4)} AS profit
+        FROM msq_lineitem
+        JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN msq_part ON p_partkey = l_partkey
+        JOIN msq_supplier ON s_suppkey = l_suppkey
+        JOIN msq_orders ON o_orderkey = l_orderkey
+        JOIN msq_nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+        ORDER BY nation, o_year DESC""")
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    de AS (SELECT ps_partkey,
+                  CAST(ps_supplycost_c * ps_availqty_c AS DECIMAL(38,0)) AS v
+           FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_2'),
+    tot AS (SELECT CAST(SUM(v) AS DECIMAL(38,0)) AS total FROM de)
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+    FROM de, tot
+    GROUP BY ps_partkey, tot.total
+    HAVING CAST(SUM(v) AS DECIMAL(38,0)) * 500 > tot.total
+    ORDER BY value_c DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock identification, over the derived supply
+    relation: parts whose inventory value at one nation's suppliers
+    exceeds 1/500 of the nation total. The HAVING-against-a-global-
+    aggregate shape is the point; the fraction test runs as an exact
+    DECIMAL(38,0) cross-multiplication (no engine rounds a threshold;
+    the per-part display value fits BIGINT, the national total may
+    not). Scale: supplier/nation broadcast; the 1-row total broadcasts
+    back; one rollup on ps_partkey."""
+    return _q(spark, sf_dir, ["lineitem", "supplier", "nation"], f"""
+        WITH ps AS ({_PS_SPARK}),
+        de AS (SELECT ps_partkey,
+                      CAST(ps_supplycost_c * ps_availqty_c AS DECIMAL(38,0)) AS v
+               FROM ps JOIN msq_supplier ON s_suppkey = ps_suppkey
+               JOIN msq_nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_2'),
+        tot AS (SELECT CAST(SUM(v) AS DECIMAL(38,0)) AS total FROM de)
+        SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+        FROM de, tot
+        GROUP BY ps_partkey, tot.total
+        HAVING CAST(SUM(v) AS DECIMAL(38,0)) * 500 > tot.total
+        ORDER BY value_c DESC, ps_partkey""")
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship, over the derived supply
+    relation. Adapted: the original excludes suppliers with complaint
+    comments (no comment column) -> negative-balance suppliers stand
+    in; brand/type/size exclusion filters and the COUNT(DISTINCT
+    suppkey) rollup are preserved. The NOT IN plans as a null-safe anti
+    join against a 1-column dim. Scale: part broadcasts; the distinct
+    count partial-aggregates on the 3-key group."""
+    return _q(spark, sf_dir, ["lineitem", "part", "supplier"], f"""
+        WITH ps AS ({_PS_SPARK})
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN msq_part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM msq_supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100""")
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped97 AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM({_SQL_Q}) AS BIGINT) AS q97
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT ps_suppkey FROM ps
+          JOIN shipped97 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+            AND ps_availqty_c > 2 * q97)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion, over the derived supply
+    relation. Adapted: "availqty exceeds half of one year's shipments"
+    becomes total-shipped > 2 × 1997-shipped (cross-multiplied, all
+    BIGINT — the original's 0.5 factor without a division). The nested
+    IN chain — suppliers IN (supply rows for parts IN (name-filtered
+    parts) with excess availability) — is the shape, planned as two
+    stacked LeftSemi joins. Scale: the name-filtered part list and the
+    nation dim broadcast; ps and shipped97 co-partition on
+    (partkey, suppkey) so the excess test is exchange-free."""
+    return _q(spark, sf_dir, ["lineitem", "part", "supplier", "nation"], f"""
+        WITH ps AS ({_PS_SPARK}),
+        shipped97 AS (
+            SELECT l_partkey, l_suppkey, CAST(SUM({_S_Q}) AS BIGINT) AS q97
+            FROM msq_lineitem
+            WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, s_suppkey
+        FROM msq_supplier JOIN msq_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT ps_suppkey FROM ps
+              JOIN shipped97 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              WHERE ps_partkey IN (SELECT p_partkey FROM msq_part
+                                   WHERE p_name LIKE 'small%')
+                AND ps_availqty_c > 2 * q97)
+        ORDER BY s_name""")

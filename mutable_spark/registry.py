@@ -276,6 +276,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_matryoshka_recall",  # r11: prefix-dim retrieval diagnostic (MRL)
     "pipeline_filter_funnel",  # r11: per-stage curation attrition table
     "sim_ivfpq_search",  # r11: IVF probe -> PQ ADC shortlist -> exact rerank
+    "tpch_q2",   # r11b: TPC-H 22/22 — derived supply relation (plans/tpch.py)
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 

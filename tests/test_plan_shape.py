@@ -843,3 +843,47 @@ def test_ivfpq_no_cartesian_shortlist_broadcast(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "LeftSemi" in p  # the probed-lists candidate restriction
+
+
+def test_q2_correlated_min_decorrelated(plans):
+    """tpch_q2 (r11b): the correlated per-part MIN subquery decorrelates
+    into an aggregate joined back — no re-scan per row, no cartesian;
+    the region-filtered supplier dim broadcasts."""
+    p = plans("tpch_q2")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4  # ps rollup + per-part min
+
+
+def test_q9_profit_terms_split_separately(plans):
+    """tpch_q9 (r11b): profit sums revenue and cost as SEPARATE
+    non-negative split accumulators (negatives can't enter div/% — the
+    cross-engine divergence the module note pins); the plan carries 4
+    long SUM aggregates and no divide feeds a filter."""
+    p = plans("tpch_q9")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q11_having_is_decimal_cross_multiply(plans):
+    """tpch_q11 (r11b): the fraction test is a DECIMAL(38,0) cross-
+    multiplication against the broadcast 1-row national total — no
+    double division decides membership."""
+    p = plans("tpch_q11")
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_is_anti_join(plans):
+    """tpch_q16 (r11b): the NOT IN exclusion plans as a (null-aware)
+    anti join against the 1-column supplier dim."""
+    p = plans("tpch_q16")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_nested_in_is_semi_chain(plans):
+    """tpch_q20 (r11b): both INs plan as LeftSemi joins; the excess-
+    availability test is integer cross-multiplied."""
+    p = plans("tpch_q20")
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
