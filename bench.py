@@ -78,8 +78,8 @@ HEADLINE = [
     "sim_pq_train",
     # r11 additions over the bar (two-stage ANN 2.9 s, IVF-PQ 3.1 s at
     # sf0.1 — the trained codebooks rebuild per call by design; the
-    # eight new TPC-H queries, matryoshka recall, filter funnel and the
-    # format roundtrips all stay out at 0.2-0.8 s)
+    # thirteen new TPC-H queries, matryoshka recall, filter funnel and
+    # the format roundtrips all stay out at 0.2-0.9 s)
     "sim_pq_search",
     "sim_ivfpq_search",
 ]
