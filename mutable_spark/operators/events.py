@@ -1126,3 +1126,133 @@ def events_ab_test(spark, sf_dir):
         (ma - mb).alias("mean_diff"),
         ((ma - mb) / F.sqrt(va + vb)).alias("welch_t"),
     )
+
+
+# --------------------------------------------------------------------------
+#: max gap between consecutive funnel steps (integer microseconds) —
+#: 7 days fits the synthetic stream's cadence so every stage genuinely
+#: attrites (150 -> 144 -> 138 users at sf0.01)
+_FUNNEL_STEP_GAP_US = 7 * 86400 * 1_000_000
+_SQL_TSM = "date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)"
+
+
+@query(
+    "events_funnel_steps",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, {_SQL_TSM} AS tsm FROM events
+    ),
+    w1 AS (
+        SELECT user_id, event_type, tsm,
+               MIN(CASE WHEN event_type = 'view' THEN tsm END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM base
+    ),
+    w2 AS (
+        SELECT user_id, event_type, tsm, t1,
+               MIN(CASE WHEN event_type = 'click' AND tsm > t1
+                         AND tsm <= t1 + {_FUNNEL_STEP_GAP_US} THEN tsm END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND tsm > t2
+                         AND tsm <= t2 + {_FUNNEL_STEP_GAP_US} THEN tsm END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    per_user AS (
+        SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        FROM w3 GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS c1,
+               CAST(COUNT(t2) AS BIGINT) AS c2,
+               CAST(COUNT(t3) AS BIGINT) AS c3
+        FROM per_user
+    )
+    SELECT step, step_name, n_users FROM (
+        SELECT 1 AS step, 'view' AS step_name, c1 AS n_users FROM agg
+        UNION ALL SELECT 2, 'click', c2 FROM agg
+        UNION ALL SELECT 3, 'purchase', c3 FROM agg
+    ) ORDER BY step
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    """Multi-step sequential funnel: view → click → purchase, each step
+    within ``_FUNNEL_STEP_GAP_US`` of the previous step's EARLIEST
+    completion — the k-step generalization of ``events_funnel``'s
+    single conversion, i.e. sequential pattern matching with per-step
+    gap constraints (the MATCH_RECOGNIZE-lite every product-analytics
+    store ships). Earliest-chain semantics: t1 = the user's first view,
+    t2 = first qualifying click after t1, t3 = first qualifying
+    purchase after t2 — a deterministic chain, not best-of-all-chains
+    (greedy-earliest is the standard funnel definition and makes the
+    result a pure function of the set of events).
+
+    Shape: ONE hash exchange on user_id feeding THREE stacked
+    whole-partition window MINs (each conditional on the previous
+    step's scalar — same partitioning, so Catalyst reuses the single
+    exchange), then a per-user rollup and a 3-row unpivot of one global
+    aggregate. No self-join: the classic formulation is a k-way
+    interval self-join that explodes on active users; this is a
+    scan-shaped pass whose state per user is three timestamps.
+
+    Exactness: timestamps become integer epoch MICROSECONDS via the
+    proven `unix_micros`/`date_diff` parity (events_interarrival), so
+    every MIN and gap comparison is integer arithmetic; counts are
+    integers."""
+    e = load_tables(spark, sf_dir).events
+    tsm = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    base = e.select("user_id", "event_type", tsm.alias("tsm"))
+    w1 = base.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("tsm"))).over(w),
+    )
+    w2 = w1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("tsm") > F.col("t1"))
+                & (F.col("tsm") <= F.col("t1") + _FUNNEL_STEP_GAP_US),
+                F.col("tsm"),
+            )
+        ).over(w),
+    )
+    w3 = w2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tsm") > F.col("t2"))
+                & (F.col("tsm") <= F.col("t2") + _FUNNEL_STEP_GAP_US),
+                F.col("tsm"),
+            )
+        ).over(w),
+    )
+    per_user = w3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    agg = per_user.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(n).alias("step_name"),
+                F.col(f"c{i + 1}").alias("n_users"),
+            )
+            for i, n in enumerate(["view", "click", "purchase"])
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.step_name", "r.n_users")
+        .orderBy("step")
+    )

@@ -281,6 +281,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "events_funnel_steps",  # r11: k-step sequential funnel w/ gap bounds
 ]
 
 

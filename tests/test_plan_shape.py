@@ -887,3 +887,16 @@ def test_q20_nested_in_is_semi_chain(plans):
     p = plans("tpch_q20")
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_funnel_steps_single_exchange_no_join(plans):
+    """events_funnel_steps (r11): the 3-step chain is three stacked
+    whole-partition window MINs over ONE user_id exchange — never a
+    k-way interval self-join."""
+    import re
+
+    p = plans("events_funnel_steps")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 3
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, p  # user_id + 1-row agg
