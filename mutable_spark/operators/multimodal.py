@@ -529,3 +529,143 @@ def phash_duplicate_classes(sig, max_ham: int = 3):
     return connected_components(
         phash_pairs(sig, max_ham=max_ham).select("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+#: consecutive-frame aHash distance at or above this = a scene boundary
+#: (frame distances on the synthetic corpus span 2-16, median ~9 — 12
+#: flags the top tail; a real pipeline calibrates on labeled cuts)
+_SCENE_HAM_THRESHOLD = 12
+
+
+def _phash_chunk_sql_over(k: int, col: str) -> str:
+    """`_phash_chunk_sql` generalized to any string column (the original
+    hardcodes `text`); used by the scene-change oracle over frame
+    substrings."""
+    cell_sum = (
+        f"CASE WHEN (i+1)*n//{_PHASH_CELLS} > i*n//{_PHASH_CELLS} THEN "
+        f"list_sum(list_transform(range(1 + i*n//{_PHASH_CELLS}, "
+        f"1 + (i+1)*n//{_PHASH_CELLS}), j -> ascii(substr({col}, j, 1)))) "
+        f"ELSE 0 END"
+    )
+    bit = (
+        f"CASE WHEN n = 0 THEN 0 "
+        f"WHEN ({cell_sum}) * n > tot * ((i+1)*n//{_PHASH_CELLS} - i*n//{_PHASH_CELLS}) "
+        f"THEN 1 ELSE 0 END"
+    )
+    return (
+        f"CAST(list_sum(list_transform(range({16 * k}, {16 * (k + 1)}), i -> "
+        f"({bit}) * (1 << (i - {16 * k})))) AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_scene_changes",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, j AS frame_idx,
+               substr(text, 1 + CAST(j * {_FRAME_BYTES} AS INT),
+                      {_FRAME_BYTES}) AS fp
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, strlen(text) // {_FRAME_BYTES})) AS j
+              FROM documents)
+        WHERE j % {_FRAME_STRIDE} = 0
+    ),
+    sig AS (
+        SELECT doc_id, frame_idx,
+               {_phash_chunk_sql_over(0, 'fp')} AS c0,
+               {_phash_chunk_sql_over(1, 'fp')} AS c1,
+               {_phash_chunk_sql_over(2, 'fp')} AS c2,
+               {_phash_chunk_sql_over(3, 'fp')} AS c3
+        FROM (SELECT doc_id, frame_idx, fp, strlen(fp) AS n,
+                     CASE WHEN strlen(fp) = 0 THEN 0 ELSE
+                       list_sum(list_transform(range(1, strlen(fp) + 1),
+                                               i -> ascii(substr(fp, i, 1))))
+                     END AS tot
+              FROM frames)
+    ),
+    d AS (
+        SELECT doc_id, frame_idx,
+               bit_count(xor(c0, lag(c0) OVER w))
+             + bit_count(xor(c1, lag(c1) OVER w))
+             + bit_count(xor(c2, lag(c2) OVER w))
+             + bit_count(xor(c3, lag(c3) OVER w)) AS ham
+        FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE ham >= {_SCENE_HAM_THRESHOLD})
+                AS BIGINT) AS n_changes,
+           CAST(COALESCE(MAX(ham), 0) AS BIGINT) AS max_ham,
+           CAST(COALESCE(MIN(CASE WHEN ham >= {_SCENE_HAM_THRESHOLD}
+                                  THEN frame_idx END), -1) AS BIGINT)
+               AS first_change_idx
+    FROM d WHERE ham IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def multimodal_scene_changes(spark, sf_dir):
+    """Scene-change (shot-boundary) detection over fake video payloads:
+    sample frames (`multimodal_frame_sample`'s stride), per-frame
+    aHash (`fake_phash` — the codec-shaped Python tier, Arrow-batched),
+    then flag frame transitions whose signature Hamming distance clears
+    ``_SCENE_HAM_THRESHOLD`` — the standard perceptual-hash shot cut
+    detector every video curation pipeline runs before sampling
+    training clips. A real pipeline swaps `fake_phash` for pHash over
+    decoded luma (`decode_image`); the frame walk, signature geometry,
+    lag comparison and rollup are exactly what ships.
+
+    Per doc: sampled frame count, boundary count, max distance, first
+    boundary index (-1 when none — a single cut-free shot). Docs with
+    fewer than 2 sampled frames have no transitions and drop out, in
+    both engines alike.
+
+    Shape: ONE Arrow-batched map emits (doc, frame_idx, 4-chunk
+    signature) rows — payloads are read once and never shuffled; the
+    lag window and the rollup both partition on doc_id (one exchange,
+    reused). Every bit is integer arithmetic (the `fake_phash`
+    cross-multiplication + XOR popcounts), so the whole detector is
+    hash-checked against the DuckDB twin."""
+    df = _payload_df(spark, sf_dir)
+
+    def sig_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, c0, c1, c2, c3 = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j in range(0, len(b) // _FRAME_BYTES, _FRAME_STRIDE):
+                    h = fake_phash(b[j * _FRAME_BYTES : (j + 1) * _FRAME_BYTES])
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    c0.append(h[0])
+                    c1.append(h[1])
+                    c2.append(h[2])
+                    c3.append(h[3])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs,
+                 "c0": c0, "c1": c1, "c2": c2, "c3": c3}
+            )
+
+    sig = df.mapInPandas(
+        sig_batch,
+        schema="doc_id long, frame_idx long, c0 long, c1 long, c2 long, c3 long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ham = sum(
+        F.bit_count(F.col(c).bitwiseXOR(F.lag(c).over(w))) for c in ("c0", "c1", "c2", "c3")
+    )
+    d = sig.select("doc_id", "frame_idx", ham.alias("ham")).filter(
+        F.col("ham").isNotNull()
+    )
+    hit = F.when(F.col("ham") >= _SCENE_HAM_THRESHOLD, 1).otherwise(0)
+    return d.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_frames"),
+        F.sum(hit).cast("long").alias("n_changes"),
+        F.coalesce(F.max("ham"), F.lit(0)).cast("long").alias("max_ham"),
+        F.coalesce(
+            F.min(F.when(F.col("ham") >= _SCENE_HAM_THRESHOLD, F.col("frame_idx"))),
+            F.lit(-1),
+        ).cast("long").alias("first_change_idx"),
+    )

@@ -900,3 +900,15 @@ def test_funnel_steps_single_exchange_no_join(plans):
     assert "CartesianProduct" not in p
     assert p.count("Window") >= 3
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, p  # user_id + 1-row agg
+
+
+def test_scene_changes_one_python_pass_one_exchange(plans):
+    """multimodal_scene_changes (r11): ONE Arrow-batched Python tier
+    (the codec-shaped signature map) — payloads never shuffle; the lag
+    window and rollup share the doc_id exchange."""
+    import re
+
+    p = plans("multimodal_scene_changes")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
