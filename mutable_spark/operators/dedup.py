@@ -1317,3 +1317,77 @@ def dedup_containment(spark, sf_dir):
     return pairs.withColumn("containment", cont).filter(
         F.col("containment") >= _CONT_THRESHOLD
     )
+
+
+@query(
+    "dedup_tier_certification",
+    oracle=f"""
+    WITH ex AS ({_SQL_PAIRS_HASHED})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_lsh,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           CAST(10000 AS BIGINT) AS precision_bp,
+           CAST(10000 AS BIGINT) AS recall_bp
+    FROM ex
+    """,
+)
+def dedup_tier_certification(spark, sf_dir):
+    """Scale-tier certification: the MinHash-LSH near-dup tier
+    (`minhash_lsh_pairs`, the linear-ish path) cross-validated against
+    the exact all-pairs Jaccard baseline (`dedup_ngram_jaccard`'s
+    O(n²) plan) INSIDE one query — pair-set sizes, the intersection,
+    and integer basis-point precision/recall. On any corpus whose
+    duplicate classes respect the tier's contracts (star cap, 64×2
+    banding at threshold 0.5, miss ≈ 1e-8) the tier emits EXACTLY the
+    baseline's pairs, so the oracle states the certified expectation —
+    precision = recall = 10000 bp — and the Spark side computes the
+    claim from the REAL tier: any lost or spurious pair turns the
+    driver row red. This upgrades "both ops share an oracle" into a
+    directly-checked equality between the scale path and its
+    correctness baseline (the diagnostic a pipeline runs on a corpus
+    sample before trusting the tier at 100 TB, where the baseline is
+    unrunnable).
+
+    Shape: the tier's cost plus the baseline's (quadratic on purpose —
+    this is a sampled-corpus diagnostic, not a production pass); the
+    final comparison is a full-outer join on the pair key and a 1-row
+    count aggregate."""
+    d = load_tables(spark, sf_dir).documents
+    g = _hashed_shingle_df(d).cache()
+    lsh = minhash_lsh_pairs(g).select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+
+    gs = _shingle_df(d)
+    a = gs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = gs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    exact = (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.size("sh_a") * 2 >= F.size("sh_b"))
+            & (F.size("sh_b") * 2 >= F.size("sh_a")),
+        )
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    n_exact = F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).cast("long")
+    n_lsh = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).cast("long")
+    n_both = F.sum(
+        F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+        .otherwise(0)
+    ).cast("long")
+    return both.agg(
+        n_exact.alias("n_exact"),
+        n_lsh.alias("n_lsh"),
+        n_both.alias("n_both"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        F.expr("CAST(n_both * 10000 div n_lsh AS BIGINT)").alias("precision_bp"),
+        F.expr("CAST(n_both * 10000 div n_exact AS BIGINT)").alias("recall_bp"),
+    )

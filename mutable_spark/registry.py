@@ -283,6 +283,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q20",
     "events_funnel_steps",  # r11: k-step sequential funnel w/ gap bounds
     "multimodal_scene_changes",  # r11: shot-boundary detection over frames
+    "dedup_tier_certification",  # r11: LSH tier == exact baseline, checked
 ]
 
 
