@@ -284,6 +284,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_funnel_steps",  # r11: k-step sequential funnel w/ gap bounds
     "multimodal_scene_changes",  # r11: shot-boundary detection over frames
     "dedup_tier_certification",  # r11: LSH tier == exact baseline, checked
+    # late-r12 additions (registered after the r12 rotation below):
+    "dedup_simhash_certification",  # r12: pigeonhole tier == exact Hamming
 ]
 
 

@@ -203,3 +203,74 @@ def test_containment_finds_quote_jaccard_misses(spark, tmp_path):
         for r in minhash_lsh_pairs(_hashed_shingle_df(df)).collect()
     ]
     assert (1, 2) not in jac_pairs
+
+
+def _plant_corpus(spark, tmp_path, docs):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+
+
+def test_tier_certification_mod1_is_full_corpus(spark, tmp_path, monkeypatch):
+    """knob=1 ≡ pre-knob behavior: `doc_id % 1 == 0` keeps every doc, so
+    the certification at _CERT_MOD=1 runs both tiers over the FULL
+    corpus — pinned by planting a duplicate pair whose doc_ids would be
+    dropped by any mod>1 slice and asserting mod=1 still counts it."""
+    from mutable_spark import registry
+    from mutable_spark.operators import dedup
+
+    registry.load_all()
+    text = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " tail"
+    docs = [
+        (7, text, "en", "s", len(text)),      # 7 % m != 0 for m in 2..7
+        (11, near, "en", "s", len(near)),     # ditto
+        (13, "unrelated words entirely here now", "en", "s", 33),
+    ]
+    _plant_corpus(spark, tmp_path, docs)
+    monkeypatch.setattr(dedup, "_CERT_MOD", 1)
+    row = registry.QUERIES["dedup_tier_certification"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row.n_exact == 1 and row.n_lsh == 1 and row.n_both == 1
+    assert row.precision_bp == 10000 and row.recall_bp == 10000
+    # ... while the default mod>1 slice sees none of these doc_ids
+    monkeypatch.undo()
+    if dedup._CERT_MOD > 1:
+        row2 = registry.QUERIES["dedup_tier_certification"](
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert row2.n_exact == 0
+
+
+def test_tier_certification_vacuous_zero_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r11: a corpus with NO qualifying pairs must certify
+    vacuously (precision = recall = 10000 bp), not emit NULL from the
+    0/0 integer division — matching the oracle's constant-10000
+    empty-aggregate row."""
+    from mutable_spark import registry
+    from mutable_spark.operators import dedup
+
+    registry.load_all()
+    docs = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (3, "zeta eta theta iota kappa", "en", "s", 25),
+        (6, "lambda mu nu xi omicron", "en", "s", 23),
+    ]
+    _plant_corpus(spark, tmp_path, docs)
+    monkeypatch.setattr(dedup, "_CERT_MOD", 3)
+    row = registry.QUERIES["dedup_tier_certification"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row.n_exact == 0 and row.n_lsh == 0 and row.n_both == 0
+    assert row.precision_bp == 10000 and row.recall_bp == 10000
