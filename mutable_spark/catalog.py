@@ -58,31 +58,61 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 # ---------------------------------------------------------------------------
 
 _AQE_BYTES_THRESHOLD = 256 * 1024 * 1024
-_DIR_BYTES_CACHE: dict[str, int] = {}
-#: session → sf_dir the AQE gate last applied for (avoids a py4j conf.set
-#: roundtrip per load_table call); weak keys so entries die with their
-#: session instead of colliding on a reused address
-_AQE_APPLIED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+#: (path, dir-mtime) → bytes; the mtime in the key invalidates the entry
+#: when testdata is regenerated in place (r11 ADVICE — the staging
+#: modules' fingerprint discipline applied here too). File GROWTH without
+#: a directory entry change keeps the old classification for the process
+#: lifetime; acceptable — testdata refreshes rewrite files (new inodes
+#: touch the dir), and the failure mode is a conservative posture, not a
+#: wrong answer.
+_DIR_BYTES_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+#: session → (sf_dir, resolved posture) the AQE gate last applied (avoids
+#: a py4j conf.set roundtrip per load_table call); weak keys so entries
+#: die with their session instead of colliding on a reused address.
+#: CONTRACT: confs are session-global and Spark reads them at EXECUTION
+#: time, so a session interleaving builds against differently-postured
+#: sf_dirs executes earlier-built plans under whichever posture applied
+#: last. Every harness here (driver, gate_sim, bench, oracle suite) runs
+#: one sf_dir per session; a caller mixing sizes inherits the scale-safe
+#: direction only when the LAST dir is the big one — mixed-size sessions
+#: should pin spark.sql.adaptive.enabled=true themselves.
+_AQE_APPLIED: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
     weakref.WeakKeyDictionary()
 )
 
 
-def _dir_input_bytes(sf_dir: str) -> int:
-    key = sf_dir.rstrip("/")
+def _dir_input_bytes(sf_dir: str, inflation: float = 1.0) -> int:
+    """Estimated peak shuffle bytes for queries over ``sf_dir``: the raw
+    parquet bytes, plus (inflation−1)× the DOCUMENTS table's share when an
+    op family declares a shingle/gram blow-up — only the text corpus
+    explodes under those tiers, so inflating the whole directory would
+    misclassify dirs whose bulk is lineitem/events (and flip the measured
+    small-SF posture for no shuffle that actually exists)."""
+    path = sf_dir.rstrip("/")
+    p = Path(path)
+    try:
+        mtime = p.stat().st_mtime
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
     if key not in _DIR_BYTES_CACHE:
-        p = Path(key)
         try:
-            total = sum(
-                f.stat().st_size
+            sizes = {
+                f.name: f.stat().st_size
                 for f in p.glob("*.parquet")
                 if f.is_file()
-            )
+            }
         except OSError:
-            total = 1 << 60
+            sizes = {}
+        total = sum(sizes.values())
         # unknown/empty layouts count as huge: default to the AQE-on
         # scale posture when we can't see the inputs
-        _DIR_BYTES_CACHE[key] = total or (1 << 60)
-    return _DIR_BYTES_CACHE[key]
+        _DIR_BYTES_CACHE[key] = (
+            (total or (1 << 60)),
+            sizes.get("documents.parquet", 0),
+        )
+    total, docs = _DIR_BYTES_CACHE[key]
+    return total + int(docs * max(inflation - 1.0, 0.0))
 
 
 #: shuffle width for below-threshold inputs. Same-session A/B at sf0.1
@@ -96,14 +126,21 @@ def _dir_input_bytes(sf_dir: str) -> int:
 _SMALL_SHUFFLE_PARTITIONS = "8"
 
 
-def _tune_aqe(spark: SparkSession, sf_dir: str) -> None:
+def _tune_aqe(spark: SparkSession, sf_dir: str, inflation: float = 1.0) -> None:
+    """Apply the size posture for ``sf_dir``. ``inflation`` is the op
+    family's declared blow-up of shuffle bytes over input bytes
+    (explode-heavy shingle/gram tiers inflate ~10-20×; r11 verdict nit:
+    a ~100-250 MiB corpus under such an op builds multi-GiB shuffles
+    that NEED AQE's skew splitting and the wide shuffle default, so the
+    gate compares inflated bytes against the threshold)."""
     key = sf_dir.rstrip("/")
+    big = _dir_input_bytes(key, inflation) >= _AQE_BYTES_THRESHOLD
+    memo = (key, big)
     try:
-        if _AQE_APPLIED.get(spark) == key:
+        if _AQE_APPLIED.get(spark) == memo:
             return
     except TypeError:
         pass  # non-weakref-able session stub (tests): fall through and set
-    big = _dir_input_bytes(key) >= _AQE_BYTES_THRESHOLD
     try:
         if not hasattr(spark, "_msq_default_shuffle"):
             spark._msq_default_shuffle = spark.conf.get(
@@ -114,7 +151,7 @@ def _tune_aqe(spark: SparkSession, sf_dir: str) -> None:
             "spark.sql.shuffle.partitions",
             spark._msq_default_shuffle if big else _SMALL_SHUFFLE_PARTITIONS,
         )
-        _AQE_APPLIED[spark] = key
+        _AQE_APPLIED[spark] = memo
     except Exception:
         pass
 
@@ -187,16 +224,29 @@ def _maybe_relayout(spark: SparkSession, src: Path) -> Path:
     return dest if (dest / "_SUCCESS").exists() else src
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: declared shuffle blow-up of the word-shingle / rolling-gram tiers: a
+#: document of n tokens explodes into ~n 3-gram shingle rows (each
+#: carrying a hash) or ~n k-gram rows — measured 10-20× the input bytes
+#: once per-row overhead is counted. Op families built on those tiers
+#: pass this to ``load_tables`` so the AQE gate sizes against SHUFFLE
+#: bytes, not input bytes (r11 verdict nit #1).
+SHINGLE_INFLATION = 16.0
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, inflation: float = 1.0
+) -> DataFrame:
     """Read one testdata table with engine type normalization.
 
     - ``events.ts`` arrives as INT64 TIMESTAMP(NANOS) (Spark can't read it
       natively; `spark.sql.legacy.parquet.nanosAsLong` is set by
       ``apply_runtime_confs``). Convert nanos → TIMESTAMP_NTZ via exact
       integer division, matching DuckDB's ns→µs truncation.
+    - ``inflation`` forwards the op family's shuffle blow-up hint to the
+      AQE size gate (see ``SHINGLE_INFLATION``).
     """
     apply_runtime_confs(spark)
-    _tune_aqe(spark, sf_dir)
+    _tune_aqe(spark, sf_dir, inflation)
     # applicationId (not id(spark)): a stopped session's address can be
     # reused by a new one, which would serve dead plans from the cache
     try:
@@ -217,10 +267,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+def load_tables(
+    spark: SparkSession, sf_dir: str, inflation: float = 1.0
+) -> SimpleNamespace:
     """All testdata tables as attributes: ``t.lineitem``, ``t.orders``, …"""
     return SimpleNamespace(
-        **{name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+        **{
+            name: load_table(spark, sf_dir, name, inflation)
+            for name in TABLE_NAMES
+        }
     )
 
 

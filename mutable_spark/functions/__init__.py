@@ -80,9 +80,14 @@ def dsum_expr(col: Column) -> Column:
 # (~6e11 TPC-H rows): the hi sum carries ≤ max_whole_units·rows (Q1's
 # charge: ~3.7e4 · 6e11 ≈ 2e16) and the lo sum < 10^s·rows (≤ 6e17 for
 # s=6) — both far inside int64, where the naive single-long accumulator
-# for the charge product overflows at roughly sf 40. Non-negative inputs
-# only (div/% on negatives differ across engines); TPC-H money columns
-# qualify. The double recombination (hi + lo/10^s) is mirrored
+# for the charge product overflows at roughly sf 40. Signed inputs are
+# exact too: Spark's `div`/`%` and DuckDB's `//`/`%` BOTH truncate toward
+# zero with dividend-sign remainders (verified: -99428 div 100 = -994,
+# -99428 % 100 = -28 in both engines — r11 ADVICE), so the split parts
+# are engine-identical for any sign; the overflow BOUNDS above are stated
+# for the non-negative TPC-H money columns, and a signed column just
+# needs |value|·rows inside int64 the same way. The double recombination
+# (hi + lo/10^s) is mirrored
 # expression-for-expression by the SQL twins, so both engines perform the
 # IDENTICAL IEEE operation sequence on identical exact integers.
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from mutable_spark.catalog import load_tables
+from mutable_spark.catalog import SHINGLE_INFLATION, load_tables
 from mutable_spark.registry import query
 
 JACCARD_THRESHOLD = 0.5
@@ -242,7 +242,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     min(|A|,|B|) / max(|A|,|B|) ≥ t, so no qualifying pair is dropped.
     Still O(n²) after pruning — this is the correctness baseline; at scale
     run ``dedup_minhash_lsh`` (identical verified output, linear-ish cost)."""
-    g = _shingle_df(load_tables(spark, sf_dir).documents)
+    g = _shingle_df(load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents)
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
@@ -369,7 +369,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     Above the cap the intended consumer is components, not the pair list
     — see ``tests/test_dedup_scale.py::test_minhash_degenerate_corpus_bounded``
     and COVERAGE.md."""
-    g = _hashed_shingle_df(load_tables(spark, sf_dir).documents).cache()
+    g = _hashed_shingle_df(load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents).cache()
     return minhash_lsh_pairs(g)
 
 
@@ -507,7 +507,7 @@ def dedup_duplicate_classes(spark, sf_dir):
     The unique fixpoint (min id reachable from each node) is engine
     independent, so the DuckDB oracle computes the same classes with a
     recursive CTE over the identical exact-verified pair list."""
-    g = _hashed_shingle_df(load_tables(spark, sf_dir).documents).cache()
+    g = _hashed_shingle_df(load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents).cache()
     pairs = (
         minhash_lsh_pairs(g).select("doc_a", "doc_b").localCheckpoint(eager=True)
     )
@@ -1013,7 +1013,7 @@ def dedup_simhash(spark, sf_dir):
     vote with their frequency (the standard weighted SimHash)."""
     # no cache: with hamming computed inside the bucket rows (below) the
     # whole plan is one linear pipeline — every subframe is read once
-    sig = _simhash_sig_df(load_tables(spark, sf_dir).documents)
+    sig = _simhash_sig_df(load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents)
     return simhash_pairs(sig)
 
 
@@ -1193,7 +1193,7 @@ def dedup_verbatim_ngrams(spark, sf_dir):
     contract; a 100 TB run feeds the star spanning set to components
     instead). The oracle mirrors the identical arithmetic, so the span
     evidence is hash-checked bit-for-bit."""
-    e = verbatim_gram_rows(load_tables(spark, sf_dir).documents)
+    e = verbatim_gram_rows(load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents)
     grouped = (
         e.groupBy("h")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id"))).alias("ms"))
@@ -1238,7 +1238,7 @@ def dedup_threshold_histogram(spark, sf_dir):
     Scale shape: everything up to `minhash_lsh_pairs` is the shared LSH
     tier (its shuffles and caps documented at `dedup_minhash_lsh`); the
     histogram adds one partial-agg groupBy on a ≤10-value key."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     g = _hashed_shingle_df(d).cache()
     pairs = minhash_lsh_pairs(g)
     bucket = F.least(F.lit(9), F.floor(F.col("jac") * 10)).cast("long")
@@ -1309,7 +1309,7 @@ def dedup_containment(spark, sf_dir):
     exactly the documented trade. Visibility floor: overlap made only
     of >cap shingles is not seen (mirrored by the oracle, which applies
     the identical cap)."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     g = _hashed_shingle_df(d)
     # cache the posting list: THREE consumers (the df-cap aggregate and
     # both sides of the self-join) would otherwise each recompute the
@@ -1398,7 +1398,7 @@ def dedup_tier_certification(spark, sf_dir):
     Shape: the tier's cost plus the sampled baseline's; the final
     comparison is a full-outer join on the pair key and a 1-row count
     aggregate."""
-    d = load_tables(spark, sf_dir).documents.filter(
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents.filter(
         F.col("doc_id") % _CERT_MOD == 0
     )
     g = _hashed_shingle_df(d).cache()
@@ -1507,7 +1507,7 @@ def dedup_simhash_certification(spark, sf_dir):
     tier reads it through 4 chunk buckets, the baseline through a
     theta self-join), a full-outer join on the pair key, a 1-row
     count aggregate."""
-    d = load_tables(spark, sf_dir).documents.filter(
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents.filter(
         F.col("doc_id") % _CERT_MOD == 0
     )
     sig = _simhash_sig_df(d).cache()

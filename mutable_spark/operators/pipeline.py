@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from mutable_spark.catalog import load_tables
+from mutable_spark.catalog import SHINGLE_INFLATION, load_tables
 from mutable_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _NORMALIZE_SQL,
@@ -106,7 +106,7 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     what the DuckDB oracle cross-checks. The anti-join against the
     dropped set is left to Catalyst/AQE: the set is data-dependent and
     unbounded at 100 TB, so no forced broadcast."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     toks = _tokens()
     quality = quality_expr()
 
@@ -246,7 +246,7 @@ def pipeline_decontaminate(spark, sf_dir):
     catches verbatim and trailing-marker-mutated copies; the fuzzy tier
     for paraphrased contamination is the MinHash machinery
     (``dedup_minhash_lsh`` with the eval set as one side)."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     digest = F.md5(_normalize(F.col("text")))
     evalset = (
         d.filter(F.col("doc_id") % _EVAL_MOD == 0)
@@ -309,7 +309,7 @@ def pipeline_decontaminate_fuzzy(spark, sf_dir):
     near-identical items and any one of them attests contamination).
     Testdata stays far under the cap
     (`tests/test_dedup_scale.py::test_testdata_classes_under_cap`)."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
     contaminated = fuzzy_contaminated_ids(d, is_eval)
     # broadcast the contamination list (bounded by the eval side — the
@@ -810,7 +810,7 @@ def pipeline_contamination_stats(spark, sf_dir):
     sort-merge join anywhere."""
     import mutable_spark.operators.dedup as D
 
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == 0
     g = D._hashed_shingle_df(d).cache()
     ev = g.filter(is_eval).select("doc_id", F.explode("shh").alias("h"))
@@ -900,7 +900,7 @@ def pipeline_dedup_keep_best(spark, sf_dir):
     import mutable_spark.operators.dedup as D
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     g = D._hashed_shingle_df(d).cache()
     pairs = (
         D.minhash_lsh_pairs(g)
@@ -1088,7 +1088,7 @@ def pipeline_end_to_end(spark, sf_dir):
     documents never consume a source's token quota."""
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     digest = F.md5(_normalize(F.col("text")))
 
     qualified = (
@@ -1510,7 +1510,7 @@ def pipeline_dedup_stats(spark, sf_dir):
     verbatim), then a second partial-agg groupBy on the class-size key,
     whose cardinality is bounded by the largest duplicate class — tiny
     at any corpus size. Nothing else moves."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     classes = (
         d.select(F.md5(_normalize(F.col("text"))).alias("g"))
         .groupBy("g")
@@ -1553,7 +1553,7 @@ def pipeline_split_leakage_safe(spark, sf_dir):
 
     Oracle: the classes recursive CTE shared with
     ``dedup_duplicate_classes`` + the identical md5-prefix arithmetic."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     import mutable_spark.operators.dedup as D
 
     g = D._hashed_shingle_df(d).cache()

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from mutable_spark.catalog import load_tables
+from mutable_spark.catalog import SHINGLE_INFLATION, load_tables
 from mutable_spark.registry import query
 
 #: whitespace tokens of `text` (same as DuckDB string_split_regex(trim(),'\s+'))
@@ -795,7 +795,7 @@ def text_bpe_pairs(spark, sf_dir):
     through the already-aggregated freq. Two partial-agg shuffles
     (word counts, pair counts) and a top-k finish
     (TakeOrderedAndProject) — no global sort, no joins."""
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     return bpe_pair_counts_frame(d).orderBy(
         F.col("total_count").desc(), "pair"
     ).limit(50)
@@ -975,7 +975,7 @@ def text_boilerplate_grams(spark, sf_dir):
     output is one row per document with ≥ k tokens."""
     import mutable_spark.operators.dedup as D
 
-    d = load_tables(spark, sf_dir).documents
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     # cached: the gram tier (token md5s + k-1 zip_withs + distinct +
     # explode) has TWO consumers — the df dictionary and the join-back —
     # and recomputing it doubled the dominant map work (measured

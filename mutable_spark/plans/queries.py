@@ -502,10 +502,13 @@ def op_subquery_scalar(spark, sf_dir):
     aggregate back and filter. One shuffle on a low-cardinality key; the
     per-nation averages are tiny and broadcast back."""
     c = load_tables(spark, sf_dir).customer
+    # dsum, not a decimal-sum cast: the oracle's sql_dsum moved to the
+    # split-accumulator form in r11 and the two formulas differ bitwise
+    # for 16/25 per-nation averages (r11 ADVICE) — both engines must run
+    # the IDENTICAL recombination. c_acctbal is signed; split div/% parity
+    # on negatives is verified engine-identical (functions module note).
     navg = c.groupBy("c_nationkey").agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
-            "nation_avg"
-        )
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("nation_avg")
     )
     return (
         c.join(

@@ -40,99 +40,136 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-11 rotation (fifth application of the r7-verdict practice,
-# executing r10 verdict item #1): the twelve late-r10 registrations that
-# have never held a driver row rotate IN (op_group_join, text_bm25_rank,
-# tpch_q4, tpch_q22, dedup_containment, sim_pq_train, sim_pq_recall,
-# events_changepoint_cusum, op_window_rank_family, events_ab_test,
-# op_merge_upsert, text_quality_centroid). The twelve slots come from
-# names holding MULTIPLE triple-match rows (r9 AND r10 at minimum) whose
-# family stays in-sample: dialect_spn_like_prefix (SPN kept by
-# planned_join), op_join_bucketed (co-located physical joins kept by the
-# salted pair + the incoming group-join's partitioning-reuse pin),
-# dedup_verbatim_ngrams (dedup kept by embedding_cosine +
-# duplicate_classes + threshold_histogram + incoming containment),
-# sim_semantic_dedup + sim_hard_negatives (sim kept by the IVF/quantize/
-# rerank/covariance stack + incoming PQ pair), events_markov_transitions
-# + events_anomaly_mad (events keeps 6 members incl. the incoming
-# CUSUM + A/B test), text_bpe_pairs + text_chunk_sliding (text keeps 5
-# incl. incoming BM25 + Rocchio), pipeline_token_budget_sample +
-# pipeline_length_buckets + pipeline_mix_temperature (pipeline keeps 9;
-# sampling/mixing shapes also run verbatim inside pipeline_end_to_end).
+# Round-12 rotation (sixth application of the r7-verdict practice,
+# executing r11 verdict item #1): the twenty-two r11 registrations that
+# have never held a driver row rotate IN — the thirteen TPC-H
+# continuations (q2 q7 q8 q9 q11 q13 q15 q16 q17 q18 q19 q20 q21),
+# sim_pq_search, sim_ivfpq_search, sim_matryoshka_recall,
+# source_jsonl_roundtrip, source_csv_roundtrip, pipeline_filter_funnel,
+# events_funnel_steps, multimodal_scene_changes, and
+# dedup_tier_certification. The twenty-two slots come ONLY from names
+# holding BOTH r10 AND r11 triple-match rows (the twelve single-row r11
+# rotations all stay), with every family keeping members in-sample:
+#   * dialect keeps dialect_tpch_q1/q3 + the SPN + zone-index gates
+#     (q5/q10 demote; the 6-table chain and outer-join agg shapes now run
+#     in-sample via the DataFrame q5..q21 set);
+#   * extended joins/grouping keep op_group_join + op_window_rank_family
+#     + op_merge_upsert (op_join_full_outer demotes — tpch_q13's outer
+#     join covers the shape; op_grouping_sets demotes — rollup/cube
+#     family stays pinned in tests and held r9-r11 rows);
+#   * skew keeps op_join_salted (op_agg_salted demotes); windows keep
+#     op_window_rank_family (+ pack_sequences) so op_window_time_range
+#     demotes; sources hand partitioned_scan/orc to the incoming
+#     jsonl/csv roundtrips (format matrix still 4-wide across rounds);
+#   * dedup keeps embedding_cosine + containment + the incoming
+#     certification (duplicate_classes / threshold_histogram demote);
+#   * sim keeps ivf_train + the PQ pair + the three incoming serving ops
+#     (quantize/quantized_rerank/covariance demote);
+#   * multimodal keeps phash + incoming scene_changes (audio demotes);
+#   * events keep pagerank/cusum/ab_test + incoming funnel_steps
+#     (interarrival/attribution/session_text demote);
+#   * text keeps lm_surprisal/bm25/quality_centroid (tfidf/boilerplate
+#     demote);
+#   * pipeline keeps 5 + incoming filter_funnel (curriculum_sharded /
+#     contamination_stats / dedup_keep_best demote; their maps run
+#     verbatim inside pipeline_end_to_end).
 # All demoted names remain green in the local oracle suite
 # (tests/test_queries_oracle.py runs ALL registrations).
 _SAMPLE_PRIORITY: list[str] = [
-    # extended joins + grouping analytics + r10 physical/DML additions:
-    # fused group-join (partitioning-reuse pin), full ranking/navigation
-    # window family, MERGE INTO upsert arbitration
-    "op_join_full_outer",
-    "op_grouping_sets",
+    # physical/DML: fused group-join (partitioning-reuse pin), full
+    # ranking/navigation window family, MERGE INTO upsert arbitration
     "op_group_join",
     "op_window_rank_family",
     "op_merge_upsert",
-    # dialect frontend: the four deepest TPC-H paths (q5/q10 rotated in
-    # r10 — 6-table join chain + outer-join aggregation through the full
-    # lexer→sema→planner path) + estimator / index gates
+    # dialect frontend: the two deepest always-sampled TPC-H paths via
+    # the full lexer→sema→planner path + estimator / index gates
     "dialect_tpch_q1",
     "dialect_tpch_q3",
-    "dialect_tpch_q5",
-    "dialect_tpch_q10",
     "dialect_spn_planned_join",
     "dialect_zoneindex_scan",
-    # TPC-H DataFrame builders: semi/anti-join parity (r10)
+    # TPC-H DataFrame builders — the 22/22 completion rotates in whole:
+    # semi/anti (q4/q22, r11 rows) + the thirteen r11 continuations
+    # including the derived-partsupp five (q2/q9/q11/q16/q20)
     "tpch_q4",
     "tpch_q22",
-    # physical-property ops + source formats: salted aggregation AND
-    # salted join (retry-safe content salt), time-range window,
-    # partition-pruned scan, ORC round-trip
-    "op_agg_salted",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    # physical-property ops + source formats: salted join (retry-safe
+    # content salt), JSONL + CSV round-trips (r11 format completion)
     "op_join_salted",
-    "op_window_time_range",
-    "source_partitioned_scan",
-    "source_orc_roundtrip",
-    # dedup: blocked embedding tier, components, threshold-sensitivity
-    # histogram, asymmetric containment via df-capped inverted index (r10)
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    # dedup: blocked embedding tier, asymmetric containment, and the
+    # LSH-tier-vs-exact-baseline certification (r11)
     "dedup_embedding_cosine",
-    "dedup_duplicate_classes",
-    "dedup_threshold_histogram",
     "dedup_containment",
-    # similarity/ANN: trainer + serving stack + diagnostics + the PQ
-    # trainer/ADC-serving pair (r10)
+    "dedup_tier_certification",
+    # similarity/ANN: trainer + the PQ trainer/ADC pair + the r11
+    # serving stack (shortlist→rerank, IVF→PQ→rerank, MRL diagnostic)
     "sim_ivf_train",
-    "sim_quantize_embeddings",
-    "sim_quantized_rerank",
-    "sim_embedding_covariance",
     "sim_pq_train",
     "sim_pq_recall",
-    # multimodal
+    "sim_pq_search",
+    "sim_ivfpq_search",
+    "sim_matryoshka_recall",
+    # multimodal: perceptual hash + shot-boundary detection (r11)
     "multimodal_phash",
-    "multimodal_audio_chunks",
-    # events: cadence, attribution, iterative PageRank, session-text
-    # reconstruction, CUSUM change-point + Welch A/B test (r10)
-    "events_interarrival",
-    "events_attribution",
+    "multimodal_scene_changes",
+    # events: iterative PageRank, CUSUM change-point, Welch A/B test,
+    # k-step sequential funnel (r11)
     "events_pagerank",
-    "events_session_text",
     "events_changepoint_cusum",
     "events_ab_test",
-    # text: trained-LM filter, tf-idf keyterms, boilerplate grams,
-    # integer BM25 retrieval + Rocchio quality gate (r10)
+    "events_funnel_steps",
+    # text: trained-LM filter, integer BM25 retrieval, Rocchio gate
     "text_lm_surprisal",
-    "text_tfidf_terms",
-    "text_boilerplate_grams",
     "text_bm25_rank",
     "text_quality_centroid",
-    # pipeline: curation verbs + composition + leakage-safe split
-    "pipeline_curriculum_sharded",
+    # pipeline: curation composition + leakage-safe split + the r11
+    # per-stage attrition funnel
     "pipeline_decontaminate_fuzzy",
-    "pipeline_contamination_stats",
     "pipeline_end_to_end",
-    "pipeline_dedup_keep_best",
     "pipeline_pack_sequences",
     "pipeline_source_overlap",
     "pipeline_split_leakage_safe",
-    "pipeline_clean_corpus",  # index 50-1: last slot of the sample
+    "pipeline_clean_corpus",
+    "pipeline_filter_funnel",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
+    # demoted r12 (every name holds r10 AND r11 triple-match rows;
+    # family-coverage rationale in the rotation note above)
+    "op_join_full_outer",
+    "op_grouping_sets",
+    "dialect_tpch_q5",
+    "dialect_tpch_q10",
+    "op_agg_salted",
+    "op_window_time_range",
+    "source_partitioned_scan",
+    "source_orc_roundtrip",
+    "dedup_duplicate_classes",
+    "dedup_threshold_histogram",
+    "sim_quantize_embeddings",
+    "sim_quantized_rerank",
+    "sim_embedding_covariance",
+    "multimodal_audio_chunks",
+    "events_interarrival",
+    "events_attribution",
+    "events_session_text",
+    "text_tfidf_terms",
+    "text_boilerplate_grams",
+    "pipeline_curriculum_sharded",
+    "pipeline_contamination_stats",
+    "pipeline_dedup_keep_best",
     # demoted r11 (all hold r9 AND r10 triple-match rows; family
     # coverage rationale in the rotation note above)
     "dialect_spn_like_prefix",
@@ -260,31 +297,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    # late-r11 additions (registered after the r11 rotation; rotation
-    # candidates for r12):
-    "sim_pq_search",  # two-stage ANN: ADC shortlist -> exact rerank
-    "tpch_q7",   # r11: TPC-H completion (testdata-expressible remainder)
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "source_jsonl_roundtrip",  # r11: format matrix completion
-    "source_csv_roundtrip",
-    "sim_matryoshka_recall",  # r11: prefix-dim retrieval diagnostic (MRL)
-    "pipeline_filter_funnel",  # r11: per-stage curation attrition table
-    "sim_ivfpq_search",  # r11: IVF probe -> PQ ADC shortlist -> exact rerank
-    "tpch_q2",   # r11b: TPC-H 22/22 — derived supply relation (plans/tpch.py)
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "events_funnel_steps",  # r11: k-step sequential funnel w/ gap bounds
-    "multimodal_scene_changes",  # r11: shot-boundary detection over frames
-    "dedup_tier_certification",  # r11: LSH tier == exact baseline, checked
-    # late-r12 additions (registered after the r12 rotation below):
+    # late-r12 additions (registered after the r12 rotation above;
+    # rotation candidates for r13):
     "dedup_simhash_certification",  # r12: pigeonhole tier == exact Hamming
 ]
 

@@ -20,23 +20,33 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # Round 11: CORRECTNESS_r10 was a 50/50 clean sweep, so "never
-    # sampled" is now exactly the twelve late-r10 registrations — they
-    # all rotate IN this round (r10 verdict item #1), displacing twelve
-    # names that hold BOTH r9 and r10 triple-match rows (family-coverage
-    # rationale in registry.py's rotation note).
-    "op_group_join",
-    "op_window_rank_family",
-    "op_merge_upsert",
-    "tpch_q4",
-    "tpch_q22",
-    "dedup_containment",
-    "sim_pq_train",
-    "sim_pq_recall",
-    "events_changepoint_cusum",
-    "events_ab_test",
-    "text_bm25_rank",
-    "text_quality_centroid",
+    # Round 12: CORRECTNESS_r11 was a 50/50 clean sweep, so "never
+    # sampled" is exactly the twenty-two late-r11 registrations — they
+    # all rotate IN this round (r11 verdict item #1), displacing
+    # twenty-two names that hold BOTH r10 and r11 triple-match rows
+    # (family-coverage rationale in registry.py's rotation note).
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "sim_pq_search",
+    "sim_ivfpq_search",
+    "sim_matryoshka_recall",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "pipeline_filter_funnel",
+    "events_funnel_steps",
+    "multimodal_scene_changes",
+    "dedup_tier_certification",
 ]
 
 

@@ -43,18 +43,60 @@ def test_size_aware_aqe_gate(spark):
     C.load_tables(spark, "/root/testdata/sf0.01")
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
 
-    # simulate a big deployment: pretend the dir holds 1 TiB
+    # simulate a big deployment: pretend the dir holds 1 TiB (cache keys
+    # are (path, dir-mtime) since r12 — seed via the real key)
     fake = "/root/testdata/sf0.01"
-    old = C._DIR_BYTES_CACHE.get(fake.rstrip("/"))
+    ckey = next(k for k in C._DIR_BYTES_CACHE if k[0] == fake.rstrip("/"))
+    old = C._DIR_BYTES_CACHE[ckey]
     try:
-        C._DIR_BYTES_CACHE[fake.rstrip("/")] = 1 << 40
+        C._DIR_BYTES_CACHE[ckey] = (1 << 40, 0)
         C._AQE_APPLIED.pop(spark, None)
         C._tune_aqe(spark, fake)
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
-        C._DIR_BYTES_CACHE[fake.rstrip("/")] = old
+        C._DIR_BYTES_CACHE[ckey] = old
         C._AQE_APPLIED.pop(spark, None)
         C._tune_aqe(spark, fake)  # restore the small-input decision
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+
+def test_aqe_gate_explode_inflation(spark):
+    """r11 verdict nit #1: op families whose tiers explode the DOCUMENTS
+    table declare an inflation factor; the gate sizes against the
+    inflated documents share. A mid-size corpus (sub-threshold raw, but
+    multi-GiB once shingled) plans WITH AQE + wide shuffles; the tiny
+    testdata stays in the small posture even when hinted; and inflation
+    never flips dirs whose bulk is non-document tables."""
+    from mutable_spark import catalog as C
+
+    key = "/root/testdata/sf0.01"
+    # hinted tiny corpus: posture unchanged (documents ≪ threshold/16)
+    C._AQE_APPLIED.pop(spark, None)
+    C._tune_aqe(spark, key, inflation=C.SHINGLE_INFLATION)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    ckey = next(k for k in C._DIR_BYTES_CACHE if k[0] == key)
+    old = C._DIR_BYTES_CACHE[ckey]
+    try:
+        # 100 MiB corpus, 90% documents: raw stays under the 256 MiB
+        # threshold, the 16x shingle hint crosses it
+        C._DIR_BYTES_CACHE[ckey] = (100 << 20, 90 << 20)
+        assert C._dir_input_bytes(key) < C._AQE_BYTES_THRESHOLD
+        assert (
+            C._dir_input_bytes(key, C.SHINGLE_INFLATION)
+            >= C._AQE_BYTES_THRESHOLD
+        )
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, key, inflation=C.SHINGLE_INFLATION)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        # same 100 MiB with NO document share: hint is a no-op
+        C._DIR_BYTES_CACHE[ckey] = (100 << 20, 0)
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, key, inflation=C.SHINGLE_INFLATION)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    finally:
+        C._DIR_BYTES_CACHE[ckey] = old
+        C._AQE_APPLIED.pop(spark, None)
+        C._tune_aqe(spark, key)
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
 
 
@@ -67,9 +109,10 @@ def test_size_aware_shuffle_width(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
 
     key = "/root/testdata/sf0.01"
-    old = C._DIR_BYTES_CACHE.get(key)
+    ckey = next(k for k in C._DIR_BYTES_CACHE if k[0] == key)
+    old = C._DIR_BYTES_CACHE[ckey]
     try:
-        C._DIR_BYTES_CACHE[key] = 1 << 40
+        C._DIR_BYTES_CACHE[ckey] = (1 << 40, 0)
         C._AQE_APPLIED.pop(spark, None)
         C._tune_aqe(spark, key)
         assert (
@@ -77,7 +120,7 @@ def test_size_aware_shuffle_width(spark):
             == spark._msq_default_shuffle
         )
     finally:
-        C._DIR_BYTES_CACHE[key] = old
+        C._DIR_BYTES_CACHE[ckey] = old
         C._AQE_APPLIED.pop(spark, None)
         C._tune_aqe(spark, key)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
