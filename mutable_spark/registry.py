@@ -300,6 +300,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # late-r12 additions (registered after the r12 rotation above;
     # rotation candidates for r13):
     "dedup_simhash_certification",  # r12: pigeonhole tier == exact Hamming
+    "sim_ivfpq_nprobe_sweep",  # r12: the FAISS-style recall/cost curve
 ]
 
 

@@ -912,3 +912,22 @@ def test_scene_changes_one_python_pass_one_exchange(plans):
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
     assert "Join" not in p and "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_ivfpq_sweep_shared_frames(plans):
+    """sim_ivfpq_nprobe_sweep (r12): the whole 4-point recall curve
+    hangs off ONE ADC frame — per-tier shortlists are windows
+    (row_number PARTITION BY nprobe), not pipeline replays; no
+    cartesian; the tier table and shortlist join-backs broadcast."""
+    import re
+
+    p = plans("sim_ivfpq_nprobe_sweep")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # one window pass per tier stage — kmeans init + ADC shortlist +
+    # served rank = 3 — not one per nprobe value (a replayed pipeline
+    # would carry ≥ 2 per tier × 4 tiers)
+    assert len(re.findall(r"\(\d+\) Window\b", p)) <= 3, p
+    # the shortlist frame is cached: its ADC subtree must not replay
+    # into both consumers
+    assert "InMemoryRelation" in p
