@@ -695,3 +695,93 @@ def ab_monitor(events: DataFrame) -> DataFrame:
         (ma - mb).alias("mean_diff"),
         ((ma - mb) / F.sqrt(va + vb)).alias("welch_t"),
     )
+
+
+def funnel_steps_user_chain(events: DataFrame) -> DataFrame:
+    """Streaming twin of `events_funnel_steps` (r11 verdict item #6):
+    per-user earliest-chain state — exactly the three timestamps the
+    batch op's stacked window MINs compute — maintained incrementally
+    through `applyInPandasWithState`.
+
+    The chain (t1 = first view, t2 = first qualifying click after t1,
+    t3 = first qualifying purchase after t2) is a pure function of the
+    user's event SET, but NOT incrementally updatable from (t1,t2,t3)
+    alone: a late-arriving earlier view moves t1 and can invalidate the
+    settled t2/t3 (the gap window shifts). So the state keeps what the
+    recomputation needs — the min view (one long: views only ever
+    lower it) plus the click and purchase timestamp sets — and each
+    micro-batch folds its events in and re-derives the chain from
+    scratch. Set-function semantics make the output independent of
+    arrival order, micro-batch boundaries, and restarts by
+    construction (pinned in tests across a checkpointed OUT-OF-ORDER
+    restart: the second half of the timeline delivered first).
+
+    Scale: state per user is one long + the user's click/purchase
+    timestamps — bounded by per-user activity, not stream length, and
+    in a watermarked deployment compactable: once the watermark passes
+    t1 + gap the click set collapses to the settled t2 (same for t3),
+    shrinking state to three longs — the `funnel_user_totals` pending
+    -list discipline applied per step. Omitted here for the bounded
+    replay, like that twin's timeout."""
+    import pandas as pd
+
+    from mutable_spark.operators.events import _FUNNEL_STEP_GAP_US
+
+    def update(key, pdfs, state):
+        min_view, clicks, purchases = (
+            state.get if state.exists else (None, [], [])
+        )
+        clicks, purchases = list(clicks), list(purchases)
+        for pdf in pdfs:
+            for ts, etype in pdf[["ts", "event_type"]].itertuples(index=False):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if etype == "view":
+                    min_view = t_us if min_view is None else min(min_view, t_us)
+                elif etype == "click":
+                    clicks.append(t_us)
+                elif etype == "purchase":
+                    purchases.append(t_us)
+        t1 = min_view
+        t2 = (
+            min(
+                (
+                    c
+                    for c in clicks
+                    if t1 < c <= t1 + _FUNNEL_STEP_GAP_US
+                ),
+                default=None,
+            )
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min(
+                (
+                    p
+                    for p in purchases
+                    if t2 < p <= t2 + _FUNNEL_STEP_GAP_US
+                ),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        state.update((min_view, clicks, purchases))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t1": pd.array([t1], dtype="Int64"),
+                "t2": pd.array([t2], dtype="Int64"),
+                "t3": pd.array([t3], dtype="Int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, t1 long, t2 long, t3 long",
+        stateStructType=(
+            "min_view long, clicks array<long>, purchases array<long>"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

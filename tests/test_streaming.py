@@ -1492,3 +1492,110 @@ def test_streaming_upsert_equals_batch_merge(spark, tmp_path):
     )
     want = {r.k: r.price for r in merged.collect()}
     assert got_prices == want
+
+
+def test_streaming_funnel_steps_out_of_order_restart(spark, tmp_path):
+    """events_funnel_steps' streaming twin (r12): the per-user earliest
+    chain is a pure SET function, so the stream must reproduce the batch
+    chain even when the timeline arrives BACKWARDS across a checkpointed
+    restart — phase 1 delivers the LATE half of each user's events,
+    phase 2 the early half (late-arriving earlier views legitimately
+    move t1 and re-open t2/t3). Final per-user rows are checked against
+    an independent pandas recomputation, and the derived step totals
+    against the registered batch op."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.events import _FUNNEL_STEP_GAP_US
+    from mutable_spark.streaming.events import funnel_steps_user_chain
+
+    ev = load_tables(spark, SF_DIR).events.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.selectExpr("min(ts) l", "max(ts) m").collect()[0]
+    split = lo + (hi - lo) / 2
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            funnel_steps_user_chain(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # OUT OF ORDER: the late half first
+    deliver(ev.filter(F.col("ts") >= F.lit(split)), "phase1")
+    run_once()
+    deliver(ev.filter(F.col("ts") < F.lit(split)), "phase2")
+    run_once()
+
+    out = spark.read.parquet(str(sink)).toPandas()
+    final = (
+        out.sort_values("bid").groupby("user_id").last()[["t1", "t2", "t3"]]
+    )
+
+    # independent expectation: pure-pandas earliest chain per user
+    pdf = ev.toPandas()
+    pdf["tsm"] = pdf["ts"].astype("int64") // 1000
+    expect = {}
+    for uid, g in pdf.groupby("user_id"):
+        views = g.loc[g.event_type == "view", "tsm"]
+        t1 = int(views.min()) if len(views) else None
+        t2 = t3 = None
+        if t1 is not None:
+            c = g.loc[
+                (g.event_type == "click")
+                & (g.tsm > t1)
+                & (g.tsm <= t1 + _FUNNEL_STEP_GAP_US),
+                "tsm",
+            ]
+            t2 = int(c.min()) if len(c) else None
+        if t2 is not None:
+            p = g.loc[
+                (g.event_type == "purchase")
+                & (g.tsm > t2)
+                & (g.tsm <= t2 + _FUNNEL_STEP_GAP_US),
+                "tsm",
+            ]
+            t3 = int(p.min()) if len(p) else None
+        expect[uid] = (t1, t2, t3)
+
+    assert set(final.index) == set(expect)
+    for uid, (t1, t2, t3) in expect.items():
+        got = final.loc[uid]
+        gv = tuple(None if pd.isna(x) else int(x) for x in got)
+        assert gv == (t1, t2, t3), (uid, gv, (t1, t2, t3))
+
+    # derived step totals == the registered batch op
+    want = {
+        r.step: r.n_users
+        for r in registry.QUERIES["events_funnel_steps"](spark, SF_DIR).collect()
+    }
+    got_totals = {
+        1: int(final["t1"].notna().sum()),
+        2: int(final["t2"].notna().sum()),
+        3: int(final["t3"].notna().sum()),
+    }
+    assert got_totals == want
