@@ -734,15 +734,16 @@ def test_q8_every_dimension_broadcasts(plans):
 
 
 def test_q13_outer_join_condition_stays_in_join(plans):
-    """tpch_q13 (r11): the priority exclusion lives in the LEFT JOIN's ON
-    clause — customers with only excluded orders must still appear with
-    c_count = 0 — so the filter must NOT be pushed below the outer join
-    as a WHERE (that would change semantics). Two cascaded partial-agg
-    rollups follow."""
+    """tpch_q13 (r12): customers with only excluded orders must still
+    appear with c_count = 0 — the outer join survives (LeftOuter, with
+    COALESCE supplying the zero), but the orders side pre-aggregates to
+    one row per custkey BEFORE the join, so the join moves counts, not
+    raw orders."""
     p = plans("tpch_q13")
     assert "LeftOuter" in p
     assert "CartesianProduct" not in p
-    assert p.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "coalesce" in p
+    assert p.count("HashAggregate") >= 4  # orders rollup + histogram
 
 
 def test_q15_argmax_single_fact_rollup(plans):
@@ -845,32 +846,55 @@ def test_ivfpq_no_cartesian_shortlist_broadcast(plans):
     assert "LeftSemi" in p  # the probed-lists candidate restriction
 
 
-def test_q2_correlated_min_decorrelated(plans):
-    """tpch_q2 (r11b): the correlated per-part MIN subquery decorrelates
-    into an aggregate joined back — no re-scan per row, no cartesian;
-    the region-filtered supplier dim broadcasts."""
+def test_q2_single_fact_scan_window_min(plans):
+    """tpch_q2 (r12): the correlated per-part MIN evaluates as a window
+    over the ONE (partkey, suppkey) rollup — the fact table scans once
+    (the r11 two-reference CTE form built the grouped ps relation
+    twice); both dim filters broadcast below the rollup; exactly two
+    data exchanges (rollup + window partitioning) and a top-k sink."""
+    import re
+
     p = plans("tpch_q2")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
-    assert p.count("HashAggregate") >= 4  # ps rollup + per-part min
+    assert "Window" in p
+    assert "TakeOrderedAndProject" in p
+    # ONE lineitem scan: 5 scans total (lineitem, part, supplier,
+    # nation, region), each listed once in the tree
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 5, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
 
 
 def test_q9_profit_terms_split_separately(plans):
-    """tpch_q9 (r11b): profit sums revenue and cost as SEPARATE
+    """tpch_q9 (r12): profit sums revenue and cost as SEPARATE
     non-negative split accumulators (negatives can't enter div/% — the
-    cross-engine divergence the module note pins); the plan carries 4
-    long SUM aggregates and no divide feeds a filter."""
+    cross-engine divergence the module note pins); the per-pair supply
+    cost is a window MIN over the name-prefiltered fact, so lineitem
+    scans ONCE (the r11 form built the grouped ps and re-joined it,
+    scanning the fact twice)."""
     p = plans("tpch_q9")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+    assert "Window" in p
+    tree = p.split("\n\n")[0]
+    # lineitem, part, orders, supplier, nation — one scan each
+    assert tree.count("Scan parquet") == 5, p
 
 
 def test_q11_having_is_decimal_cross_multiply(plans):
-    """tpch_q11 (r11b): the fraction test is a DECIMAL(38,0) cross-
+    """tpch_q11 (r12): the fraction test is a DECIMAL(38,0) cross-
     multiplication against the broadcast 1-row national total — no
-    double division decides membership."""
+    double division decides membership. The NATION_2 membership is a
+    LeftSemi below the rollup, and the twice-referenced per-partkey
+    rollup dedupes to a ReusedExchange — the fact scans ONCE."""
     p = plans("tpch_q11")
     assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    tree = p.split("\n\n")[0]
+    assert "ReusedExchange" in tree, p
+    # lineitem, supplier, nation — one scan each
+    assert tree.count("Scan parquet") == 3, p
 
 
 def test_q16_not_in_is_anti_join(plans):
@@ -882,11 +906,16 @@ def test_q16_not_in_is_anti_join(plans):
 
 
 def test_q20_nested_in_is_semi_chain(plans):
-    """tpch_q20 (r11b): both INs plan as LeftSemi joins; the excess-
-    availability test is integer cross-multiplied."""
+    """tpch_q20 (r12): both INs plan as LeftSemi joins; the excess-
+    availability test is integer cross-multiplied; ps and shipped97
+    fuse into ONE conditional rollup, so the fact scans once (r11
+    built two grouped-lineitem CTEs — two scans, two agg shuffles)."""
     p = plans("tpch_q20")
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p
+    tree = p.split("\n\n")[0]
+    # lineitem, part, supplier, nation — one scan each
+    assert tree.count("Scan parquet") == 4, p
 
 
 def test_funnel_steps_single_exchange_no_join(plans):
