@@ -60,6 +60,19 @@ _SQL_CH_C = f"({_SQL_DP_C} * (100 + {_SQL_T}))"
 # first-class and plan-pinned.
 
 
+# COALESCE(1) under a final no-LIMIT ORDER BY (r12): a global sort
+# requires OrderedDistribution, which a multi-partition child satisfies
+# only via a rangepartitioning Exchange — and RangePartitioner runs a
+# separate SAMPLING JOB to pick bounds. When the sort's input is the
+# final aggregate of a bounded-cardinality group (q1's 6 flags, nation/
+# year rollups, q13's count histogram), COALESCE(1) below the sort makes
+# the child SinglePartition, which satisfies OrderedDistribution outright:
+# no range exchange, no sampling job (measured: 2 jobs -> 1 on the q1
+# shape). Applied ONLY where the post-exchange input to the final stage
+# is provably tiny at ANY scale — q11/q15/q20 keep the range sort because
+# their final stage filters part/supplier-scale rows, and a 1-task
+# collapse there is exactly the driver-bottleneck this file avoids.
+
 #: session → {view name: id() of the DataFrame currently bound}.
 #: createOrReplaceTempView is a py4j round trip + catalog write (~10 ms
 #: per view), and load_table memoizes frames per (app, sf_dir, table), so
@@ -145,7 +158,7 @@ def tpch_q1(spark, sf_dir):
     All inputs sit on the 2-decimal grid (asserted in
     tests/test_tpch_corpus.py), so `cents()` is lossless."""
     return _q(spark, sf_dir, ["lineitem"], f"""
-        SELECT l_returnflag, l_linestatus,
+        SELECT /*+ COALESCE(1) */ l_returnflag, l_linestatus,
                {_s_split(_S_Q, 2)}  AS sum_qty,
                {_s_split(_S_P, 2)}  AS sum_base_price,
                {_s_split(_S_DP, 4)} AS sum_disc_price,
@@ -245,7 +258,7 @@ def tpch_q12(spark, sf_dir):
     becomes shipped >60 days after order date, and the CASE buckets split
     on quantity. Same shape: big join + conditional counting aggregates."""
     return _q(spark, sf_dir, ["lineitem", "orders"], """
-        SELECT o_orderpriority,
+        SELECT /*+ COALESCE(1) */ o_orderpriority,
                SUM(CASE WHEN l_quantity >  25.0D THEN 1 ELSE 0 END) AS heavy_count,
                SUM(CASE WHEN l_quantity <= 25.0D THEN 1 ELSE 0 END) AS light_count
         FROM msq_orders JOIN msq_lineitem ON o_orderkey = l_orderkey
@@ -327,6 +340,7 @@ def tpch_q5(spark, sf_dir):
         .withColumn("dp_c", _dp_c())
         .groupBy("n_name")
         .agg(split_sum("dp_c", 4).alias("revenue"))
+        .coalesce(1)
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -509,7 +523,7 @@ def tpch_q7(spark, sf_dir):
     lineitem date filter pushes to the scan and the fact table never
     re-partitions."""
     return _q(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"], f"""
-        SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(s) */
+        SELECT /*+ COALESCE(1), BROADCAST(n1), BROADCAST(n2), BROADCAST(s) */
                n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
                {_s_split(_S_DP, 4)} AS revenue
@@ -562,7 +576,7 @@ def tpch_q8(spark, sf_dir):
     scan; the orders date filter pushes down."""
     return _q(spark, sf_dir,
               ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], f"""
-        SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n1), BROADCAST(n2), BROADCAST(r) */
+        SELECT /*+ COALESCE(1), BROADCAST(p), BROADCAST(s), BROADCAST(n1), BROADCAST(n2), BROADCAST(r) */
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                                   THEN {_S_DP} ELSE 0 END) AS BIGINT) AS DOUBLE)
@@ -612,7 +626,7 @@ def tpch_q13(spark, sf_dir):
     the build side at most that — strictly fewer shuffled bytes than
     outer-joining raw orders. Pure-integer output."""
     return _q(spark, sf_dir, ["customer", "orders"], """
-        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        SELECT /*+ COALESCE(1) */ c_count, CAST(COUNT(*) AS BIGINT) AS custdist
         FROM (SELECT c_custkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count
               FROM msq_customer LEFT OUTER JOIN
                    (SELECT o_custkey, COUNT(*) AS cnt FROM msq_orders
@@ -976,7 +990,7 @@ def tpch_q9(spark, sf_dir):
             FROM msq_lineitem
             JOIN msq_part p ON p_partkey = l_partkey
             WHERE p_name LIKE '%red%')
-        SELECT /*+ BROADCAST(s), BROADCAST(n) */ n_name AS nation,
+        SELECT /*+ COALESCE(1), BROADCAST(s), BROADCAST(n) */ n_name AS nation,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                {_s_split('rev_c', 4)}
                  - {_s_split('(cost_c * q_c)', 4)} AS profit
