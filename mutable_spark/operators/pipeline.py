@@ -106,6 +106,8 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
     what the DuckDB oracle cross-checks. The anti-join against the
     dropped set is left to Catalyst/AQE: the set is data-dependent and
     unbounded at 100 TB, so no forced broadcast."""
+    from pyspark.sql import Window
+
     d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     toks = _tokens()
     quality = quality_expr()
@@ -114,11 +116,15 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
         "doc_id", "source", "text", F.size(toks).cast("long").alias("n_tok")
     )
 
-    exact_keep = (
-        quality_pass.groupBy(F.md5(_normalize(F.col("text"))).alias("g"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # exact-dedup keep set as a window ARGMIN, not groupBy + semi-join-
+    # back (r12, the full-registry scan audit): the join-back form
+    # references quality_pass twice, and Spark inlines the reference —
+    # TWO corpus scans and TWO tokenization/quality passes. The window
+    # form keeps rows whose doc_id is the digest group's MIN in the same
+    # shuffle that grouped them: one corpus scan, one wide exchange
+    # (which the old semi join paid anyway at scale, where exact_keep is
+    # corpus-sized and never broadcasts). Measured at sf0.1: 3.25 -> 2.34 s (min-of-3).
+    keep_w = Window.partitionBy(F.md5(_normalize(F.col("text"))))
 
     if pair_source == "lsh":
         g = _hashed_shingle_df(d).cache()
@@ -142,8 +148,10 @@ def pipeline_clean_corpus(spark, sf_dir, pair_source: str = "lsh"):
         )
     near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
-    survivors = quality_pass.join(exact_keep, "doc_id", "left_semi").join(
-        near_dropped, "doc_id", "left_anti"
+    survivors = (
+        quality_pass.withColumn("keep_id", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .join(near_dropped, "doc_id", "left_anti")
     )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1387,7 +1395,11 @@ def pipeline_mix_temperature(spark, sf_dir):
     never shuffles before the summary (same contract as mix_sources /
     stratified_sample)."""
     d = load_tables(spark, sf_dir).documents
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # cached (r12 scan audit): the strata frame feeds BOTH the totals
+    # rollup and the rate join; uncached, the per-source corpus rollup
+    # runs twice (a second full pass over the `source` column at 100 TB).
+    # Strata-bounded — one row per source.
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).cache()
     s = s.withColumn(
         "q",
         F.floor(F.sqrt(F.col("n").cast("double")) * _TEMP_QSCALE).cast("long"),

@@ -635,8 +635,15 @@ def lm_train_model(d):
     pretrained model can be applied elsewhere (the foreachBatch
     score-at-ingest twin, `streaming.documents.lm_score_batch`)."""
     train = d.filter(F.col("lang") == _LM_TRAIN_LANG)
-    c12 = _bigram_rows(train, []).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    # cached (r12 scan audit): c12 feeds BOTH the score join and the c1
+    # prefix rollup; uncached, Spark rebuilds the train-slice bigram
+    # explode + agg per consumer (a second full training pass at 100 TB).
+    # The model is vocabulary²-bounded — the cheapest cache in the repo.
+    c12 = (
+        _bigram_rows(train, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .cache()
     )
     # prefix occurrences roll up from the bigram counts (sum, not a second
     # pass over the token stream): c1(w) = Σ_v c12(w, v)
@@ -885,7 +892,12 @@ def text_tfidf_terms(spark, sf_dir):
     never a global sort."""
     d = load_tables(spark, sf_dir).documents
     tok = d.select("doc_id", F.explode(_toks()).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # cached (r12 scan audit): tf has TWO consumers — the score join and
+    # the df rollup — and Spark inlines the reference, re-running the
+    # explode + (doc, token) agg per consumer (3 documents scans at 100 TB
+    # = 3 corpus passes). Same session-lifetime tier-cache contract as
+    # the boilerplate gram tier (registry.release_caches).
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window
