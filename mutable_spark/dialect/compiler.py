@@ -89,6 +89,10 @@ class Source:
     table: str | None = None
 
 
+#: grouped-sort outputs the estimator bounds at or below this many rows
+#: plan a single-partition sort (no range exchange, no sampling job)
+_TINY_SORT_ROWS = 4096
+
 #: comparison ops SpnTableModel understands (plans/spn.py leaf likelihoods)
 _SPN_OPS = {"<", "<=", ">", ">=", "="}
 _SPN_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
@@ -305,6 +309,17 @@ class Compiler:
         else:
             df = df.select(*out_cols)
         if sort_cols:
+            if stmt.limit is None and self._grouped_sort_is_tiny(stmt, sources):
+                # estimator-driven sort strategy: a global ORDER BY plans
+                # a rangepartitioning Exchange whose RangePartitioner runs
+                # a separate boundary-SAMPLING job — pure overhead when
+                # the sort input is a grouped aggregate the estimator
+                # bounds at a few thousand rows. SinglePartition satisfies
+                # OrderedDistribution outright, so coalesce(1) below the
+                # sort removes both the exchange and the sampling job.
+                # LIMIT queries skip this (sort+limit already plans
+                # TakeOrderedAndProject, SURVEY §2.7).
+                df = df.coalesce(1)
             df = df.orderBy(*sort_cols)
         if hidden:
             df = df.drop(*hidden)
@@ -313,6 +328,51 @@ class Compiler:
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
         return df
+
+    # ------------------------------------------------------------------
+    def _grouped_sort_is_tiny(self, stmt: A.SelectStmt, sources) -> bool:
+        """Estimator gate for the single-partition sort strategy: True
+        when every GROUP BY key is a plain designator on a source whose
+        attached SPN model bounds the distinct-count PRODUCT at or below
+        ``_TINY_SORT_ROWS`` (``SpnTableModel.estimate_distinct`` — the
+        reference's `Spn::estimate_number_distinct_values`, `Spn.cpp:946`,
+        surfaced as a physical-sort decision instead of a join-order
+        input). The product over keys is an upper bound on the aggregate's
+        output rows, so the gate can only be conservative: any
+        non-designator key, unresolvable source, or missing model keeps
+        the scale-safe range sort."""
+        models = getattr(self.planner, "spn_models", None) if self.planner else None
+        if not models or not stmt.group_by:
+            return False
+        alias_table = {
+            s.alias: r.name
+            for s, r in zip(sources, stmt.from_)
+            if r.name is not None
+        }
+        est = 1
+        for g in stmt.group_by:
+            e = g.expr
+            if not isinstance(e, A.Designator):
+                return False
+            owners = [
+                s
+                for s in sources
+                if e.table in (None, s.alias) and e.attr in s.attrs
+            ]
+            if len(owners) != 1:
+                return False
+            m = models.get(owners[0].alias)
+            if m is None:
+                m = models.get(alias_table.get(owners[0].alias))
+            if m is None:
+                return False
+            try:
+                est *= int(m.estimate_distinct(e.attr))
+            except (KeyError, ValueError, TypeError):
+                return False
+            if est > _TINY_SORT_ROWS:
+                return False
+        return True
 
     # ------------------------------------------------------------------
     def _bind_sources(self, stmt: A.SelectStmt) -> list[Source]:

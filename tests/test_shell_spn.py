@@ -78,3 +78,40 @@ def test_plan_and_cardinalities_commands(spark, tmp_path):
     assert eng.planner.should_broadcast("r", {}) and not eng.planner.should_broadcast("s", {})
     ptext = plan_text(eng, "SELECT COUNT(*) AS n FROM r, s WHERE r.key = s.rkey")
     assert "BroadcastHashJoin" in ptext or "broadcast" in ptext.lower()
+
+
+def test_estimator_driven_sort_strategy(spark):
+    """r12: a grouped ORDER BY whose group-key distinct product the
+    learned SPN bounds below _TINY_SORT_ROWS plans a single-partition
+    sort — no rangepartitioning exchange, no boundary-sampling job.
+    Without models (no planner) the scale-safe range sort stays, and a
+    LIMIT query keeps TakeOrderedAndProject either way."""
+    eng = _engine(spark)
+    q = "SELECT val, COUNT(*) AS n FROM r GROUP BY val ORDER BY val"
+
+    # no planner yet: range sort
+    p0 = eng.execute(q)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p0
+
+    learn_spns(eng)  # r.val has 7 distinct values -> tiny
+    df = eng.execute(q)
+    p1 = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p1
+    assert "Coalesce 1" in p1 or "Coalesce(1)" in p1 or "coalesce" in p1.lower()
+    # values unchanged and ordered
+    vals = [r.val for r in df.collect()]
+    assert vals == sorted(vals) and len(vals) == 7
+
+    # a non-designator group key keeps the range sort (gate is conservative)
+    p2 = (
+        eng.execute("SELECT key % 3 AS k, COUNT(*) AS n FROM r GROUP BY key % 3 AS k ORDER BY k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in p2
+
+    # LIMIT keeps the top-k sink, never a 1-partition global sort
+    p3 = (
+        eng.execute("SELECT val, COUNT(*) AS n FROM r GROUP BY val ORDER BY val LIMIT 3")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p3
