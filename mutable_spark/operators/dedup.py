@@ -1308,9 +1308,19 @@ def dedup_containment(spark, sf_dir):
     cap is the knob — raise it and pay Σ df² over kept shingles,
     exactly the documented trade. Visibility floor: overlap made only
     of >cap shingles is not seen (mirrored by the oracle, which applies
-    the identical cap)."""
+    the identical cap) — `dedup_containment_certification` measures that
+    floor as a driver-checked recall number."""
     d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
-    g = _hashed_shingle_df(d)
+    return containment_pairs(d)
+
+
+def containment_pairs(d, g=None):
+    """The df-capped containment tier over a documents frame — the frame
+    behind ``dedup_containment``, shared with its certification twin
+    (which passes a prebuilt, cached ``g`` so both tiers read ONE
+    shingle materialization)."""
+    if g is None:
+        g = _hashed_shingle_df(d)
     # cache the posting list: THREE consumers (the df-cap aggregate and
     # both sides of the self-join) would otherwise each recompute the
     # tokenize→shingle→explode pipeline — measured 4 parquet scans in
@@ -1525,6 +1535,116 @@ def dedup_simhash_certification(spark, sf_dir):
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    both = exact.join(tier, ["doc_a", "doc_b"], "full_outer")
+    cnt = lambda c: F.coalesce(
+        F.sum(F.coalesce(F.col(c), F.lit(0))), F.lit(0)
+    ).cast("long")
+    n_both = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_tier").isNotNull(), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return both.agg(
+        cnt("in_exact").alias("n_exact"),
+        cnt("in_tier").alias("n_tier"),
+        n_both.alias("n_both"),
+    ).select(
+        "n_exact",
+        "n_tier",
+        "n_both",
+        F.expr(
+            "CAST(CASE WHEN n_tier = 0 THEN 10000"
+            " ELSE n_both * 10000 div n_tier END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 10000"
+            " ELSE n_both * 10000 div n_exact END AS BIGINT)"
+        ).alias("recall_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_containment_certification",
+    oracle=f"""
+    WITH g AS ({{g}}),
+    post AS (SELECT doc_id, len(shh) AS n, unnest(shh) AS sh FROM g),
+    kept AS (SELECT sh FROM post GROUP BY sh HAVING COUNT(*) <= {_CONT_DF_CAP}),
+    tier AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   MIN(a.n) AS n_a, MIN(b.n) AS n_b
+            FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE a.sh IN (SELECT sh FROM kept)
+            GROUP BY a.doc_id, b.doc_id)
+        WHERE CAST(inter AS DOUBLE) / LEAST(n_a, n_b) >= {_CONT_THRESHOLD}
+    ),
+    ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a, g b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
+              / LEAST(len(a.shh), len(b.shh)) >= {_CONT_THRESHOLD}
+    ),
+    c AS (SELECT
+        (SELECT COUNT(*) FROM ex) AS n_exact,
+        (SELECT COUNT(*) FROM tier) AS n_tier,
+        (SELECT COUNT(*) FROM tier t JOIN ex e
+           ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b) AS n_both)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_tier AS BIGINT) AS n_tier,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CASE WHEN n_tier = 0 THEN 10000
+                     ELSE n_both * 10000 // n_tier END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_both * 10000 // n_exact END AS BIGINT) AS recall_bp
+    FROM c
+    """.format(g=_sql_hashed_shingles(f"WHERE doc_id % {_CERT_MOD} = 0")),
+)
+def dedup_containment_certification(spark, sf_dir):
+    """Containment scale-tier certification — the `dedup_tier_certification`
+    pattern rotated onto the THIRD near-dup tier (after Jaccard-LSH and
+    SimHash): the df-capped posting-list join cross-validated against the
+    exact all-pairs containment baseline (full shingle sets, NO cap) on
+    the same `doc_id % {_CERT_MOD} == 0` systematic sample.
+
+    Unlike the other two certifications, the expected verdict is NOT
+    10000/10000. Precision = 10000 is a THEOREM: the cap only removes
+    shingles from the intersection count, so tier containment ≤ true
+    containment and every tier pair is a true pair. Recall is the
+    MEASURED number — it quantifies the documented visibility floor
+    (pairs whose overlap rides on >cap boilerplate shingles are
+    invisible to the tier), turning `dedup_containment`'s "the cap is
+    the knob" contract from prose into a driver-checked basis-point
+    figure a 100 TB operator can read before choosing the cap.
+
+    Shape: ONE cached shingle materialization feeds both tiers (the
+    tier through its posting list, the baseline through an array
+    theta-join bounded by the sample); a full-outer join on the pair
+    key; a 1-row count aggregate. Vacuous samples certify through the
+    0-denominator guards."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents.filter(
+        F.col("doc_id") % _CERT_MOD == 0
+    )
+    g = _hashed_shingle_df(d).cache()
+    tier = containment_pairs(d, g=g).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_tier")
+    )
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sa"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sb"))
+    true_cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.least(
+        F.size("sa"), F.size("sb")
+    )
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", true_cont.alias("containment"))
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )
     both = exact.join(tier, ["doc_a", "doc_b"], "full_outer")

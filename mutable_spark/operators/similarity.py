@@ -2187,3 +2187,73 @@ def sim_ivfpq_nprobe_sweep(spark, sf_dir):
             (F.col("n_hits") * 1000).cast("long").alias("recall_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_balance",
+    oracle="""
+    WITH s AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(MIN(n) AS BIGINT) AS min_cell,
+                 CAST(MAX(n) AS BIGINT) AS max_cell
+          FROM s),
+    b AS (SELECT CAST(SUM(((s.n * 1000000) // t.n_vecs)
+                          * ((s.n * 1000000) // t.n_vecs)) AS BIGINT) AS sb2
+          FROM s, t)
+    SELECT t.n_vecs, t.n_cells, t.min_cell, t.max_cell,
+           CAST((t.n_cells * b.sb2) // 100000000 AS BIGINT) AS imbalance_bp
+    FROM t, b
+    """,
+)
+def sim_ivf_balance(spark, sf_dir):
+    """IVF list-balance pre-flight over the DEPLOYED assignment (the
+    stored `label` cell id that `sim_ivf_topk` / `dedup_embedding_cosine`
+    probe): FAISS's imbalance factor k·Σ(nᵢ/N)² as integer basis points
+    — 10000 = perfectly balanced lists, k·10000 = quantizer collapse
+    into one list. This is the number an IVF operator reads BEFORE
+    trusting nprobe recall curves (`sim_ivfpq_nprobe_sweep`): probe cost
+    is ∝ the probed lists' sizes, so a skewed quantizer silently turns
+    nprobe=8 into a near-full scan, and the standard remedy (re-train
+    the coarse quantizer — `sim_ivf_train`) is an offline decision this
+    diagnostic gates.
+
+    Integer-exact at ANY corpus size, no overflow: per-cell shares are
+    first quantized to micro-units bᵢ = nᵢ·10⁶ div N (≤ 10⁶ each, so
+    Σbᵢ² ≤ (Σbᵢ)² = 10¹², and k·Σbᵢ² fits int64 up to k = 9·10⁶ lists),
+    then imbalance_bp = k·Σbᵢ² div 10⁸ — every step an integer op both
+    engines execute identically; the naive k·Σnᵢ²·10⁴/N² overflows
+    int64 past N ≈ 3·10⁹ vectors. Quantization error ≤ k·2·10⁻⁶ · 10⁴
+    bp — well under 1 bp for any sane k/N.
+
+    Shape: ONE narrow scan of the label column (a dict-encoded int at
+    rest), a partial-agg rollup to k rows, and 1-row arithmetic — the
+    cheapest query in the similarity family, by design: a pre-flight
+    must cost nothing next to the search it gates."""
+    e = load_tables(spark, sf_dir).embeddings
+    s = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = s.agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+    )
+    b = (
+        s.crossJoin(F.broadcast(t.select("n_vecs")))
+        .select(F.expr("(n * 1000000) div n_vecs").alias("b"))
+        .agg(F.sum(F.expr("b * b")).cast("long").alias("sb2"))
+    )
+    return (
+        t.crossJoin(F.broadcast(b))
+        .select(
+            "n_vecs",
+            "n_cells",
+            "min_cell",
+            "max_cell",
+            F.expr("CAST((n_cells * sb2) div 100000000 AS BIGINT)").alias(
+                "imbalance_bp"
+            ),
+        )
+    )

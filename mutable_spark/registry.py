@@ -301,6 +301,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # rotation candidates for r13):
     "dedup_simhash_certification",  # r12: pigeonhole tier == exact Hamming
     "sim_ivfpq_nprobe_sweep",  # r12: the FAISS-style recall/cost curve
+    "dedup_containment_certification",  # r12: df-cap visibility floor measured
+    "sim_ivf_balance",  # r12: FAISS imbalance-factor pre-flight, integer bp
 ]
 
 

@@ -274,3 +274,30 @@ def test_tier_certification_vacuous_zero_guard(spark, tmp_path, monkeypatch):
     ).collect()[0]
     assert row.n_exact == 0 and row.n_lsh == 0 and row.n_both == 0
     assert row.precision_bp == 10000 and row.recall_bp == 10000
+
+
+def test_containment_certification_measures_df_cap_floor(spark, tmp_path):
+    """r12: the containment certification's recall is a MEASURED number,
+    not a pinned constant — a boilerplate clique whose every shingle
+    exceeds the df cap is invisible to the tier (n_tier = 0) while the
+    exact all-pairs baseline sees all C(n,2) containment-1.0 pairs.
+    Precision certifies at 10000 (the tier-⊆-exact theorem, vacuously
+    here); recall reads 0 — the documented visibility floor as a number."""
+    from mutable_spark import registry
+    from mutable_spark.operators import dedup
+
+    registry.load_all()
+    n = dedup._CONT_DF_CAP + 2
+    text = " ".join(f"tok{i}" for i in range(10))
+    docs = [
+        (dedup._CERT_MOD * i, text, "en", "s", len(text)) for i in range(n)
+    ]
+    _plant_corpus(spark, tmp_path, docs)
+    row = registry.QUERIES["dedup_containment_certification"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row.n_tier == 0
+    assert row.n_exact == n * (n - 1) // 2
+    assert row.n_both == 0
+    assert row.precision_bp == 10000
+    assert row.recall_bp == 0
