@@ -237,6 +237,26 @@ CASES: dict[str, str] = {
         "SELECT R.id, COUNT(*) c, MIN(S.n2m) m FROM {R} R, {R} S "
         "WHERE R.id = S.fid GROUP BY R.id)"
     ),
+    # r12 floor-attack pattern, measured at 10M rows: "keep each
+    # group's argmin rows" — the shape behind the tpch_q2/q9 and
+    # clean_corpus rewrites. Two formulations of the SAME computation
+    # (value-checked equal): the groupBy + join-back form builds the
+    # grouped relation AND re-reads the fact (two passes, two wide
+    # shuffles at scale), the window form does it in ONE pass over one
+    # (n10000) exchange. DuckDB gets each form's own text — its
+    # optimizer does not rewrite between them either, so the A/B
+    # isolates the formulation choice both engines face.
+    "argmin_groupjoin": (
+        "SELECT COUNT(*), SUM(v) FROM ("
+        "SELECT D.n100000 v FROM {D} D JOIN "
+        "(SELECT n10000 g, MIN(n100000) m FROM {D} GROUP BY n10000) a "
+        "ON D.n10000 = a.g AND D.n100000 = a.m)"
+    ),
+    "argmin_window": (
+        "SELECT COUNT(*), SUM(v) FROM (SELECT n100000 v FROM ("
+        "SELECT n100000, MIN(n100000) OVER (PARTITION BY n10000) m "
+        "FROM {D}) WHERE n100000 = m)"
+    ),
     # equi_join_n2m.yml
     "equi_join_n2m": (
         "SELECT COUNT(*) FROM {R} R, {R} S WHERE R.n2m = S.n2m "
@@ -407,6 +427,22 @@ def spark_df(spark, name: str, dist, rel):
             .agg(F.count(F.lit(1)).alias("c"), F.min("n2m").alias("m"))
         )
         return g.agg(F.count(F.lit(1)), F.sum("c"), F.min("m"))
+    if name == "argmin_groupjoin":
+        a = dist.groupBy(F.col("n10000").alias("g")).agg(
+            F.min("n100000").alias("m")
+        )
+        j = dist.join(
+            a, (F.col("n10000") == F.col("g")) & (F.col("n100000") == F.col("m"))
+        )
+        return j.agg(F.count(F.lit(1)), F.sum("n100000"))
+    if name == "argmin_window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("n10000")
+        k = dist.select(
+            "n100000", F.min("n100000").over(w).alias("m")
+        ).filter(F.col("n100000") == F.col("m"))
+        return k.agg(F.count(F.lit(1)), F.sum("n100000"))
     if name.startswith("equi_join_pk_fk"):
         right = rel.select(F.col("fid"))
         if name.endswith("_shj"):

@@ -400,7 +400,9 @@ def op_window_time_range(spark, sf_dir):
            CAST(row_number() OVER wo AS BIGINT) AS rn,
            lag(o_orderkey) OVER wo AS prev_key,
            lead(o_orderkey) OVER wo AS next_key,
-           first_value(o_orderkey) OVER wo AS first_key
+           first_value(o_orderkey) OVER wo AS first_key,
+           CAST(ntile(4) OVER wo AS BIGINT) AS quartile,
+           nth_value(o_orderkey, 3) OVER wo AS third_key
     FROM orders
     WINDOW wt AS (PARTITION BY o_orderpriority
                   ORDER BY month(o_orderdate)),
@@ -415,7 +417,8 @@ def op_window_rank_family(spark, sf_dir):
     (month of order date — ties are the whole point: rank skips, dense
     doesn't, percent_rank/cume_dist are peer-group functions and stay
     deterministic under ties because they depend only on key values),
-    plus row_number / lag / lead / first_value over the TOTAL order with
+    plus row_number / lag / lead / first_value / ntile(4) / nth_value(3)
+    over the TOTAL order with
     the key tiebreak (navigation functions are only deterministic on a
     total order — putting them on the tied window would be a
     nondeterminism bug, which is exactly what this split documents).
@@ -441,4 +444,6 @@ def op_window_rank_family(spark, sf_dir):
         F.lag("o_orderkey").over(wo).alias("prev_key"),
         F.lead("o_orderkey").over(wo).alias("next_key"),
         F.first_value("o_orderkey").over(wo).alias("first_key"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+        F.nth_value("o_orderkey", 3).over(wo).alias("third_key"),
     )
