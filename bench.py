@@ -181,11 +181,19 @@ def main() -> None:
         best_spread = min(best_spread, spread)
         if spread <= spread_bar:
             break
-        print(
-            f"# invocation {invocations} spread {spread:.1f}% > "
-            f"{spread_bar:.0f}%: re-invoking",
-            file=sys.stderr,
-        )
+        if invocations < max_inv:
+            print(
+                f"# invocation {invocations} spread {spread:.1f}% > "
+                f"{spread_bar:.0f}%: re-invoking",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# invocation {invocations} spread {spread:.1f}% > "
+                f"{spread_bar:.0f}%: invocation budget exhausted, keeping "
+                f"cross-invocation mins (best spread {best_spread:.1f}%)",
+                file=sys.stderr,
+            )
     for name in HEADLINE:
         print(
             f"# {name}: {timings[name]:.3f}s ({rows_seen[name]} rows)",

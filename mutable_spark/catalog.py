@@ -96,6 +96,12 @@ def _dir_input_bytes(sf_dir: str, inflation: float = 1.0) -> int:
         mtime = -1.0
     key = (path, mtime)
     if key not in _DIR_BYTES_CACHE:
+        # one live entry per directory: a regenerated sf_dir gets a new
+        # mtime key, so purge the stale ones (keeps the cache bounded in
+        # long-lived processes that rewrite testdata, e.g. planted-corpus
+        # tests)
+        for k in [k for k in _DIR_BYTES_CACHE if k[0] == path]:
+            del _DIR_BYTES_CACHE[k]
         try:
             sizes = {
                 f.name: f.stat().st_size

@@ -340,10 +340,19 @@ class Compiler:
         input). The product over keys is an upper bound on the aggregate's
         output rows, so the gate can only be conservative: any
         non-designator key, unresolvable source, or missing model keeps
-        the scale-safe range sort."""
+        the scale-safe range sort.
+
+        Sample-coverage guard: ``estimate_distinct`` reports the distinct
+        count OF THE SAMPLE — for a table larger than ``SAMPLE_CAP`` a
+        long-tailed key can hide arbitrarily many unseen values, so a
+        bounded sample can NEVER bound the group count and the gate
+        trusts only models that saw every row (n_rows ≤ SAMPLE_CAP).
+        That is the honest scope of the optimization: dim-scale tables
+        and shell sessions, never a sampled fact table."""
         models = getattr(self.planner, "spn_models", None) if self.planner else None
         if not models or not stmt.group_by:
             return False
+        from mutable_spark.plans.spn import SAMPLE_CAP
         alias_table = {
             s.alias: r.name
             for s, r in zip(sources, stmt.from_)
@@ -366,6 +375,8 @@ class Compiler:
                 m = models.get(alias_table.get(owners[0].alias))
             if m is None:
                 return False
+            if getattr(m, "n_rows", SAMPLE_CAP + 1) > SAMPLE_CAP:
+                return False  # sampled model: distincts are not bounded
             try:
                 est *= int(m.estimate_distinct(e.attr))
             except (KeyError, ValueError, TypeError):

@@ -32,12 +32,14 @@ def dec(col: Column | str) -> Column:
 
 
 def _split_parts(col: Column | str) -> tuple[Column, Column]:
-    """Per-row (whole-units, sub-unit-cents) LONG pair of a NON-NEGATIVE
-    2-decimal-grid column — the split-accumulator inputs (module note
-    below). Pure Column ops: lo = cents % 100; hi = (cents - lo) / 100,
-    where the division is exact (an integer multiple of 100 divided by
-    100 is exactly representable, and IEEE division is correctly
-    rounded). Matches DuckDB's `// 100` / `% 100` on non-negative ints."""
+    """Per-row (whole-units, sub-unit-cents) LONG pair of a 2-decimal-
+    grid column, either sign — the split-accumulator inputs (module note
+    below; signed exactness argument there: Spark and DuckDB both
+    truncate toward zero with dividend-sign remainders, r11 ADVICE
+    verification). Pure Column ops: lo = cents % 100; hi =
+    (cents - lo) / 100, where the division is exact (an integer multiple
+    of 100 divided by 100 is exactly representable, and IEEE division is
+    correctly rounded)."""
     c_cents = cents(col)
     lo = c_cents % F.lit(100)
     hi = ((c_cents - lo) / F.lit(100)).cast("long")
@@ -45,8 +47,11 @@ def _split_parts(col: Column | str) -> tuple[Column, Column]:
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent exact SUM of a non-negative 2-decimal-grid
-    column, surfaced as DOUBLE via split LONG accumulators (r11: migrated
+    """Order-independent exact SUM of a 2-decimal-grid column (either
+    sign — see the module note's signed-exactness argument; the int64
+    bounds there are stated for non-negative money columns and a signed
+    column needs |value|·rows inside int64 the same way), surfaced as
+    DOUBLE via split LONG accumulators (r11: migrated
     off the decimal(28,2) sum buffer, which runs BigDecimal per row —
     see the module note; oracle twin `sql_dsum` mirrors the
     recombination expression-for-expression)."""

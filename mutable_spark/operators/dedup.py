@@ -1314,11 +1314,13 @@ def dedup_containment(spark, sf_dir):
     return containment_pairs(d)
 
 
-def containment_pairs(d, g=None):
-    """The df-capped containment tier over a documents frame — the frame
-    behind ``dedup_containment``, shared with its certification twin
-    (which passes a prebuilt, cached ``g`` so both tiers read ONE
-    shingle materialization)."""
+def containment_pairs(d=None, *, g=None):
+    """The df-capped containment tier, from EITHER a documents frame
+    (``d`` — shingles built here) OR a prebuilt shingle frame (``g`` —
+    the certification twin passes its cached materialization so both
+    tiers read one). Exactly one source, never both: a mismatched (d, g)
+    pair would silently ignore ``d``."""
+    assert (d is None) != (g is None), "pass exactly one of d / g"
     if g is None:
         g = _hashed_shingle_df(d)
     # cache the posting list: THREE consumers (the df-cap aggregate and
@@ -1368,6 +1370,53 @@ def containment_pairs(d, g=None):
 _CERT_MOD = 3
 
 
+def _certify(exact, tier, tier_col: str):
+    """Shared certification tail for the three tier-vs-baseline twins:
+    full-outer join the pair sets on (doc_a, doc_b) — `exact` carries an
+    `in_exact` flag, `tier` an `in_tier` flag — count each side and the
+    overlap, and emit integer basis-point precision/recall. Outer
+    COALESCEs: SUM over an EMPTY pair set is NULL, but the oracles'
+    COUNT-based empty-aggregate rows read 0 — a vacuous corpus must
+    certify, not NULL out; the 0-denominator CASE guards make the empty
+    pair set read 10000 bp (nothing spurious, nothing lost) in both
+    engines (ADVICE r11). `tier_col` names the tier count in the output
+    (n_lsh for the Jaccard twin's historical driver rows, n_tier for
+    the SimHash/containment twins)."""
+    both = exact.join(tier, ["doc_a", "doc_b"], "full_outer")
+
+    def cnt(c):
+        return F.coalesce(
+            F.sum(F.coalesce(F.col(c), F.lit(0))), F.lit(0)
+        ).cast("long")
+
+    n_both = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_tier").isNotNull(), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return both.agg(
+        cnt("in_exact").alias("n_exact"),
+        cnt("in_tier").alias(tier_col),
+        n_both.alias("n_both"),
+    ).select(
+        "n_exact",
+        tier_col,
+        "n_both",
+        F.expr(
+            f"CAST(CASE WHEN {tier_col} = 0 THEN 10000"
+            f" ELSE n_both * 10000 div {tier_col} END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 10000"
+            " ELSE n_both * 10000 div n_exact END AS BIGINT)"
+        ).alias("recall_bp"),
+    )
+
+
+
 @query(
     "dedup_tier_certification",
     oracle=f"""
@@ -1412,7 +1461,7 @@ def dedup_tier_certification(spark, sf_dir):
         F.col("doc_id") % _CERT_MOD == 0
     )
     g = _hashed_shingle_df(d).cache()
-    lsh = minhash_lsh_pairs(g).select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+    lsh = minhash_lsh_pairs(g).select("doc_a", "doc_b", F.lit(1).alias("in_tier"))
 
     gs = _shingle_df(d)
     a = gs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -1431,44 +1480,7 @@ def dedup_tier_certification(spark, sf_dir):
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )
-    both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
-    # outer COALESCE: SUM over an EMPTY pair set is NULL, but the oracle's
-    # COUNT-based empty-aggregate row reads 0 — the vacuous corpus must
-    # certify, not NULL out (ADVICE r11)
-    n_exact = F.coalesce(
-        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))), F.lit(0)
-    ).cast("long")
-    n_lsh = F.coalesce(
-        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))), F.lit(0)
-    ).cast("long")
-    n_both = F.coalesce(
-        F.sum(
-            F.when(
-                F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1
-            ).otherwise(0)
-        ),
-        F.lit(0),
-    ).cast("long")
-    return both.agg(
-        n_exact.alias("n_exact"),
-        n_lsh.alias("n_lsh"),
-        n_both.alias("n_both"),
-    ).select(
-        "n_exact",
-        "n_lsh",
-        "n_both",
-        # 0-denominator guard (ADVICE r11): an empty pair set certifies
-        # vacuously — nothing spurious / nothing lost — matching the
-        # oracle's constant-10000 empty-aggregate row instead of NULL.
-        F.expr(
-            "CAST(CASE WHEN n_lsh = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_lsh END AS BIGINT)"
-        ).alias("precision_bp"),
-        F.expr(
-            "CAST(CASE WHEN n_exact = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_exact END AS BIGINT)"
-        ).alias("recall_bp"),
-    )
+    return _certify(exact, lsh, "n_lsh")
 
 
 # --------------------------------------------------------------------------
@@ -1537,35 +1549,7 @@ def dedup_simhash_certification(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )
-    both = exact.join(tier, ["doc_a", "doc_b"], "full_outer")
-    cnt = lambda c: F.coalesce(
-        F.sum(F.coalesce(F.col(c), F.lit(0))), F.lit(0)
-    ).cast("long")
-    n_both = F.coalesce(
-        F.sum(
-            F.when(
-                F.col("in_exact").isNotNull() & F.col("in_tier").isNotNull(), 1
-            ).otherwise(0)
-        ),
-        F.lit(0),
-    ).cast("long")
-    return both.agg(
-        cnt("in_exact").alias("n_exact"),
-        cnt("in_tier").alias("n_tier"),
-        n_both.alias("n_both"),
-    ).select(
-        "n_exact",
-        "n_tier",
-        "n_both",
-        F.expr(
-            "CAST(CASE WHEN n_tier = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_tier END AS BIGINT)"
-        ).alias("precision_bp"),
-        F.expr(
-            "CAST(CASE WHEN n_exact = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_exact END AS BIGINT)"
-        ).alias("recall_bp"),
-    )
+    return _certify(exact, tier, "n_tier")
 
 
 # --------------------------------------------------------------------------
@@ -1633,7 +1617,7 @@ def dedup_containment_certification(spark, sf_dir):
         F.col("doc_id") % _CERT_MOD == 0
     )
     g = _hashed_shingle_df(d).cache()
-    tier = containment_pairs(d, g=g).select(
+    tier = containment_pairs(g=g).select(
         "doc_a", "doc_b", F.lit(1).alias("in_tier")
     )
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sa"))
@@ -1647,32 +1631,4 @@ def dedup_containment_certification(spark, sf_dir):
         .filter(F.col("containment") >= _CONT_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )
-    both = exact.join(tier, ["doc_a", "doc_b"], "full_outer")
-    cnt = lambda c: F.coalesce(
-        F.sum(F.coalesce(F.col(c), F.lit(0))), F.lit(0)
-    ).cast("long")
-    n_both = F.coalesce(
-        F.sum(
-            F.when(
-                F.col("in_exact").isNotNull() & F.col("in_tier").isNotNull(), 1
-            ).otherwise(0)
-        ),
-        F.lit(0),
-    ).cast("long")
-    return both.agg(
-        cnt("in_exact").alias("n_exact"),
-        cnt("in_tier").alias("n_tier"),
-        n_both.alias("n_both"),
-    ).select(
-        "n_exact",
-        "n_tier",
-        "n_both",
-        F.expr(
-            "CAST(CASE WHEN n_tier = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_tier END AS BIGINT)"
-        ).alias("precision_bp"),
-        F.expr(
-            "CAST(CASE WHEN n_exact = 0 THEN 10000"
-            " ELSE n_both * 10000 div n_exact END AS BIGINT)"
-        ).alias("recall_bp"),
-    )
+    return _certify(exact, tier, "n_tier")

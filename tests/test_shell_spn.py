@@ -102,6 +102,16 @@ def test_estimator_driven_sort_strategy(spark):
     vals = [r.val for r in df.collect()]
     assert vals == sorted(vals) and len(vals) == 7
 
+    # a SAMPLED model (n_rows > SAMPLE_CAP) keeps the range sort — a
+    # bounded sample cannot bound a long-tailed key's distinct count
+    from mutable_spark.plans.spn import SAMPLE_CAP
+
+    real_n = eng.spn_models["r"].n_rows
+    eng.spn_models["r"].n_rows = SAMPLE_CAP + 1
+    p_sampled = eng.execute(q)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p_sampled
+    eng.spn_models["r"].n_rows = real_n
+
     # a non-designator group key keeps the range sort (gate is conservative)
     p2 = (
         eng.execute("SELECT key % 3 AS k, COUNT(*) AS n FROM r GROUP BY key % 3 AS k ORDER BY k")
