@@ -1075,16 +1075,26 @@ def tpch_q16(spark, sf_dir):
     comments (no comment column) -> negative-balance suppliers stand
     in; brand/type/size exclusion filters and the COUNT(DISTINCT
     suppkey) rollup are preserved. The NOT IN plans as a null-safe anti
-    join against a 1-column dim. Scale: part broadcasts; the distinct
-    count partial-aggregates on the 3-key group."""
-    return _q(spark, sf_dir, ["lineitem", "part", "supplier"], f"""
-        WITH ps AS ({_PS_SPARK})
+    join against a 1-column dim. r12: the oracle keeps the full `ps`
+    CTE; the Spark side observes that q16 reads NONE of the supply
+    aggregates — only the distinct (partkey, suppkey) PAIRS — so the
+    MIN/SUM rollup becomes a plain DISTINCT, and the part exclusions
+    (all partkey-level) join below it: whole pairs survive or drop
+    together, the pair set for qualifying parts is identical, and the
+    lineitem shuffle carries two ints and no aggregation buffers.
+    Scale: part broadcasts below the distinct; the distinct count
+    partial-aggregates on the 3-key group."""
+    return _q(spark, sf_dir, ["lineitem", "part", "supplier"], """
         SELECT p_brand, p_type, p_size,
                CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
-        FROM ps JOIN msq_part ON p_partkey = ps_partkey
-        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
-          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-          AND ps_suppkey NOT IN (SELECT s_suppkey FROM msq_supplier
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                     l_suppkey AS ps_suppkey,
+                     p_brand, p_type, p_size
+              FROM msq_lineitem
+              JOIN msq_part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+                AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)) ps
+        WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM msq_supplier
                                  WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
