@@ -1632,3 +1632,104 @@ def dedup_containment_certification(spark, sf_dir):
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )
     return _certify(exact, tier, "n_tier")
+
+
+# --------------------------------------------------------------------------
+@query("dedup_blocking_certification", oracle=None)  # assigned below
+def dedup_blocking_certification(spark, sf_dir):
+    """Blocking-recall certification for the embedding near-dup tier —
+    the FOURTH tier-vs-baseline twin, completing the set (Jaccard-LSH,
+    SimHash, containment, and now quantizer blocking): the cell-blocked
+    cosine join (`embedding_cosine_pairs`, the `dedup_embedding_cosine`
+    tier) cross-validated against the exact ALL-PAIRS cosine baseline —
+    no blocking — on the same `vec_id % _CERT_MOD == 0` systematic
+    sample.
+
+    Like the containment twin, the expected verdict is asymmetric:
+    precision = 10000 is a THEOREM (the tier verifies the exact cosine
+    inside each block, so every tier pair clears the threshold and is in
+    the baseline), while recall MEASURES the tier's documented contract
+    — "cross-cell pairs are out of scope by construction" — as a
+    driver-checked basis-point number: the standard blocking-recall
+    audit an entity-resolution deployment runs before trusting the
+    quantizer (a falling recall here is the re-train signal
+    `sim_ivf_balance` gates on from the size side).
+
+    Shape: the sampled frame feeds both tiers; the baseline is the
+    all-pairs theta join — quadratic ONLY in the MOD-sample, exactly
+    like the other three certifications; cosines on both sides are the
+    same exact JVM fold (`vec_cosine_pre`, bitwise-pinned to the
+    oracle's list_reduce), so the comparison is bit-exact end to end."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    e = load_tables(spark, sf_dir).embeddings.filter(
+        F.col("vec_id") % _CERT_MOD == 0
+    )
+    tier = embedding_cosine_pairs(e).select(
+        "vec_a", "vec_b", F.lit(1).alias("in_tier")
+    ).withColumnRenamed("vec_a", "doc_a").withColumnRenamed("vec_b", "doc_b")
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    return _certify(exact, tier, "n_tier")
+
+
+def _register_blocking_certification_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["dedup_blocking_certification"] = f"""
+    WITH s AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id % {_CERT_MOD} = 0),
+    tier AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM s a, s b
+            WHERE a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    ),
+    ex AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM s a, s b
+            WHERE a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    ),
+    c AS (SELECT
+        (SELECT COUNT(*) FROM ex) AS n_exact,
+        (SELECT COUNT(*) FROM tier) AS n_tier,
+        (SELECT COUNT(*) FROM tier t JOIN ex e
+           ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b) AS n_both)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_tier AS BIGINT) AS n_tier,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CASE WHEN n_tier = 0 THEN 10000
+                     ELSE n_both * 10000 // n_tier END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_both * 10000 // n_exact END AS BIGINT) AS recall_bp
+    FROM c
+    """
+
+
+_register_blocking_certification_oracle()

@@ -303,6 +303,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ivfpq_nprobe_sweep",  # r12: the FAISS-style recall/cost curve
     "dedup_containment_certification",  # r12: df-cap visibility floor measured
     "sim_ivf_balance",  # r12: FAISS imbalance-factor pre-flight, integer bp
+    "dedup_blocking_certification",  # r12: quantizer blocking recall measured
 ]
 
 

@@ -301,3 +301,52 @@ def test_containment_certification_measures_df_cap_floor(spark, tmp_path):
     assert row.n_both == 0
     assert row.precision_bp == 10000
     assert row.recall_bp == 0
+
+
+def test_blocking_certification_measures_cross_cell_loss(spark, tmp_path):
+    """r12: the blocking certification's recall is a MEASURED number — a
+    pair of near-identical vectors planted in DIFFERENT quantizer cells
+    is invisible to the blocked tier but caught by the exact all-pairs
+    baseline; an identical pair in the SAME cell is caught by both.
+    Precision certifies at 10000 (tier verifies exact cosine in-block)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mutable_spark import registry
+    from mutable_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    m = dedup._CERT_MOD
+    v = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0 * m, v, 1),          # same-cell near-dup pair (0, m)
+        (1 * m, v, 1),
+        (2 * m, v, 2),          # CROSS-cell near-dup pair (2m, 3m)
+        (3 * m, v, 3),
+        (4 * m, [9.0, -7.0, 5.0, -3.0], 4),  # unrelated
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    row = registry.QUERIES["dedup_blocking_certification"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    # exact sees all C(4,2)=6 identical-vector pairs; the tier sees only
+    # the single same-cell pair
+    assert row.n_exact == 6
+    assert row.n_tier == 1
+    assert row.n_both == 1
+    assert row.precision_bp == 10000
+    assert row.recall_bp == 1 * 10000 // 6
