@@ -304,6 +304,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_containment_certification",  # r12: df-cap visibility floor measured
     "sim_ivf_balance",  # r12: FAISS imbalance-factor pre-flight, integer bp
     "dedup_blocking_certification",  # r12: quantizer blocking recall measured
+    "dedup_multiprobe_certification",  # r12: multiprobe-2 recall 893->6220 bp
 ]
 
 
