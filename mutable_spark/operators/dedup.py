@@ -1768,14 +1768,50 @@ def dedup_multiprobe_certification(spark, sf_dir):
     shuffles (cell, vec) rows — ``_MULTIPROBE``× the single-probe tier's
     bytes; DISTINCT dedupes pairs sharing two cells before the exact
     verify. The quadratic baseline exists only on the MOD sample."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    e = load_tables(spark, sf_dir).embeddings.filter(
+        F.col("vec_id") % _CERT_MOD == 0
+    )
+    tier = multiprobe_cosine_pairs(e).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("in_tier"),
+    )
+    ea = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    exact = (
+        ea.join(eb, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    return _certify(exact, tier, "n_tier")
+
+
+def multiprobe_cosine_pairs(e):
+    """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
+    top-``_MULTIPROBE`` centroid blocking — the tier behind
+    ``dedup_embedding_multiprobe``, shared with its certification."""
     from pyspark.sql import Window
 
     from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
     from mutable_spark.operators.similarity import _DOT_SCALE
 
-    e = load_tables(spark, sf_dir).embeddings.filter(
-        F.col("vec_id") % _CERT_MOD == 0
-    )
     scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
     cvec = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
@@ -1807,55 +1843,41 @@ def dedup_multiprobe_certification(spark, sf_dir):
         .filter(F.col("rk") <= _MULTIPROBE)
         .select("vec_id", "cell")
     )
-    a = assign.select(F.col("vec_id").alias("doc_a"), "cell")
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(
-        F.col("vec_id").alias("doc_b"), F.col("cell").alias("cell_b")
+        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b")
     )
     cand = (
         a.join(
             b,
             (F.col("cell") == F.col("cell_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("doc_a", "doc_b")
+        .select("vec_a", "vec_b")
         .distinct()
     )
     ea = e.select(
-        F.col("vec_id").alias("doc_a"),
+        F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         vec_norm(F.col("embedding")).alias("na"),
     )
     eb = e.select(
-        F.col("vec_id").alias("doc_b"),
+        F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         vec_norm(F.col("embedding")).alias("nb"),
     )
-    tier = (
-        cand.join(ea, "doc_a")
-        .join(eb, "doc_b")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
-            "doc_a",
-            "doc_b",
+            "vec_a",
+            "vec_b",
             vec_cosine_pre(
                 F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_tier"))
     )
-    exact = (
-        ea.join(eb, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
-    )
-    return _certify(exact, tier, "n_tier")
 
 
 def _register_multiprobe_certification_oracle():
@@ -1928,3 +1950,66 @@ def _register_multiprobe_certification_oracle():
 
 
 _register_multiprobe_certification_oracle()
+
+
+@query("dedup_embedding_multiprobe", oracle=None)  # assigned below
+def dedup_embedding_multiprobe(spark, sf_dir):
+    """Embedding near-dup pairs under multiprobe blocking — the
+    PRODUCTION tier the certification pair justifies: same output
+    contract as `dedup_embedding_cosine` (exact-verified cosine ≥
+    threshold pairs) but candidates come from the top-``_MULTIPROBE``
+    centroid assignment instead of the single stored cell, recovering
+    the cross-cell pairs single-cell blocking is blind to (measured on
+    this corpus: recall 893 → 6220 bp at unchanged 10000 precision —
+    `dedup_blocking_certification` / `dedup_multiprobe_certification`).
+    Scale shape: k×dim centroid broadcast, one map-side assign pass,
+    a (cell, vec) pair join at ≤ ``_MULTIPROBE``× the single-cell
+    tier's shuffle bytes, exact verify only on candidates."""
+    return multiprobe_cosine_pairs(load_tables(spark, sf_dir).embeddings)
+
+
+def _register_embedding_multiprobe_oracle():
+    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["dedup_embedding_multiprobe"] = f"""
+    WITH csum AS (
+        SELECT label, d,
+               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+                   AS BIGINT)) AS sm,
+               COUNT(*) AS n
+        FROM embeddings, range(1, {_DIM} + 1) t(d)
+        GROUP BY label, d
+    ),
+    cvec AS (
+        SELECT label AS cell,
+               list(CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
+                   AS centroid
+        FROM csum GROUP BY label
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')} DESC,
+                                c.cell) AS rk
+            FROM embeddings e, cvec c
+        ) WHERE rk <= {_MULTIPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM (
+        SELECT c.vec_a, c.vec_b,
+               {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+    ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    """
+
+
+_register_embedding_multiprobe_oracle()

@@ -305,6 +305,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ivf_balance",  # r12: FAISS imbalance-factor pre-flight, integer bp
     "dedup_blocking_certification",  # r12: quantizer blocking recall measured
     "dedup_multiprobe_certification",  # r12: multiprobe-2 recall 893->6220 bp
+    "dedup_embedding_multiprobe",  # r12: the production multiprobe pair tier
 ]
 
 
