@@ -960,3 +960,26 @@ def test_ivfpq_sweep_shared_frames(plans):
     # the shortlist frame is cached: its ADC subtree must not replay
     # into both consumers
     assert "InMemoryRelation" in p
+
+
+def test_ivf_balance_one_scan_reused_rollup(plans):
+    """sim_ivf_balance (r12): ONE narrow scan of the label column; the
+    per-cell rollup exchange is REUSED by the Σb² branch (never a second
+    scan); the totals cross-joins are 1-row broadcasts, no cartesian."""
+    p = plans("sim_ivf_balance")
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in p
+    assert tree.count("Scan parquet") == 1, p
+    assert "ReusedExchange" in tree, p
+
+
+def test_multiprobe_tier_broadcast_assign_no_cartesian(plans):
+    """dedup_embedding_multiprobe (r12): the centroid table broadcasts
+    into the map-side assign pass (k×dim rows — a BroadcastNestedLoop
+    with a bounded build side by construction), candidates DISTINCT
+    before the exact verify, and no unbounded cartesian anywhere."""
+    p = plans("dedup_embedding_multiprobe")
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in p
+    assert tree.count("BroadcastExchange") >= 1, p
+    assert "HashAggregate" in p  # the pair DISTINCT
