@@ -156,6 +156,42 @@ def op_pivot(spark, sf_dir):
 
 
 @query(
+    "op_unpivot",
+    oracle="""
+    SELECT o_orderkey, measure, value FROM (
+        SELECT o_orderkey, 'totalprice' AS measure,
+               CAST(o_totalprice AS DOUBLE) AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS measure,
+               CAST(o_custkey AS DOUBLE) AS value FROM orders
+    )
+    """,
+)
+def op_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of `op_pivot`, completing the
+    reshaping pair (SURVEY §2.5 additive; neither exists in the
+    reference grammar): wide measure columns become (measure, value)
+    rows via Spark's native `unpivot` (the UNPIVOT relational operator,
+    compiled to an Expand node — one map-side pass, NO shuffle and no
+    per-row Python). The oracle states the same relation as the ANSI
+    UNION ALL expansion, which DuckDB's UNPIVOT also desugars to.
+    Scale: Expand multiplies rows map-side by the measure count; at
+    100 TB this is the standard long-format feature extraction whose
+    cost is output IO, not compute — nothing shuffles."""
+    o = load_tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
     "op_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

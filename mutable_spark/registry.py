@@ -306,6 +306,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_blocking_certification",  # r12: quantizer blocking recall measured
     "dedup_multiprobe_certification",  # r12: multiprobe-2 recall 893->6220 bp
     "dedup_embedding_multiprobe",  # r12: the production multiprobe pair tier
+    "op_unpivot",  # r12: UNPIVOT/melt, the inverse of op_pivot (Expand, no shuffle)
 ]
 
 
