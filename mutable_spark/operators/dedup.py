@@ -2013,3 +2013,215 @@ def _register_embedding_multiprobe_oracle():
 
 
 _register_embedding_multiprobe_oracle()
+
+
+#: probe depths the multiprobe sweep certifies (P=1 = nearest-derived-
+#: centroid blocking; _MULTIPROBE=2 is the production tier's default)
+_MULTIPROBE_SWEEP = 4
+
+
+@query("dedup_multiprobe_sweep", oracle=None)  # assigned below
+def dedup_multiprobe_sweep(spark, sf_dir):
+    """Multiprobe blocking recall CURVE — recall@P for P ∈ 1..4 in ONE
+    query, the blocking analogue of `sim_ivfpq_nprobe_sweep`:
+    the tuning artifact an operator reads to pick the probe depth
+    (recall vs ≤P² pair fan-out) before running the tier at 100 TB.
+
+    One-pass construction instead of four separate sweeps: a pair
+    sharing cell c at assignment ranks (ra, rb) becomes a candidate
+    exactly when P ≥ max(ra, rb), so its probe threshold is
+    min over shared cells of max(ra, rb) — computed by ONE grouped MIN
+    over the rank-≤{sweep} assignment self-join. Exact-verify the
+    candidates once, bucket true pairs by threshold, and the cumulative
+    histogram against the exact all-pairs baseline IS the curve.
+    Everything stays integer/bit-deterministic (exact centroid cosine
+    ordering with cell tiebreaks → identical thresholds in both
+    engines).
+
+    Measured on this corpus (sf0.1, MOD sample): 2291 → 6220 → 8908 →
+    9856 bp for P = 1..4. Two curve nuances the numbers expose: P=2
+    reproduces `dedup_multiprobe_certification`'s 6220 exactly (same
+    construction), and P=1 reads 2291 — NOT the stored-label
+    certification's 893 — because nearest-DERIVED-centroid assignment
+    already differs from the stored cell id (itself a re-train signal:
+    the deployed assignment disagrees with its own centroids). Scale:
+    same shapes as the production tier, fan-out bounded by P²; the
+    quadratic baseline exists only on the MOD sample."""
+    from pyspark.sql import Window
+
+    from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
+    from mutable_spark.operators.similarity import _DOT_SCALE
+
+    e = load_tables(spark, sf_dir).embeddings.filter(
+        F.col("vec_id") % _CERT_MOD == 0
+    )
+    scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
+    cvec = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.struct(
+                "dim",
+                (
+                    F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))
+                ).alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
+        .select(F.col("label").alias("cell"), F.col("arr.c").alias("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    assign = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            "cell",
+            vec_cosine(F.col("embedding"), F.col("centroid")).alias("ccos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MULTIPROBE_SWEEP)
+        .select("vec_id", "cell", "rk")
+    )
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cell", F.col("rk").alias("ra"))
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("rk").alias("rb"),
+    )
+    thr = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min(F.greatest("ra", "rb")).alias("p_thr"))
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    true_thr = (
+        thr.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "p_thr",
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+        .groupBy("p_thr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_exact = (
+        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos")
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    ps = spark.range(1, _MULTIPROBE_SWEEP + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    return (
+        ps.join(F.broadcast(true_thr), F.col("p_thr") <= F.col("p"), "left")
+        .groupBy("p")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "p",
+            "n_hits",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                " ELSE n_hits * 10000 div n_exact END AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("p")
+    )
+
+
+def _register_multiprobe_sweep_oracle():
+    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["dedup_multiprobe_sweep"] = f"""
+    WITH s AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id % {_CERT_MOD} = 0),
+    csum AS (
+        SELECT label, d,
+               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+                   AS BIGINT)) AS sm,
+               COUNT(*) AS n
+        FROM s, range(1, {_DIM} + 1) t(d)
+        GROUP BY label, d
+    ),
+    cvec AS (
+        SELECT label AS cell,
+               list(CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
+                   AS centroid
+        FROM csum GROUP BY label
+    ),
+    assign AS (
+        SELECT vec_id, cell, rk FROM (
+            SELECT s.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY {_sql_cos('s.embedding', 'c.centroid')} DESC,
+                                c.cell) AS rk
+            FROM s, cvec c
+        ) WHERE rk <= {_MULTIPROBE_SWEEP}
+    ),
+    thr AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               MIN(GREATEST(a.rk, b.rk)) AS p_thr
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    tt AS (
+        SELECT p_thr, COUNT(*) AS c FROM (
+            SELECT t.p_thr,
+                   {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+            FROM thr t
+            JOIN s ea ON ea.vec_id = t.vec_a
+            JOIN s eb ON eb.vec_id = t.vec_b
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+        GROUP BY p_thr
+    ),
+    nx AS (
+        SELECT COUNT(*) AS n_exact FROM (
+            SELECT {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM s a, s b WHERE a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    )
+    SELECT p, n_hits, n_exact, CAST(CASE WHEN n_exact = 0 THEN 10000
+               ELSE n_hits * 10000 // n_exact END AS BIGINT) AS recall_bp
+    FROM (
+        SELECT p.p AS p,
+               CAST(COALESCE(SUM(tt.c), 0) AS BIGINT) AS n_hits,
+               CAST(MIN(nx.n_exact) AS BIGINT) AS n_exact
+        FROM range(1, {_MULTIPROBE_SWEEP} + 1) p(p)
+        LEFT JOIN tt ON tt.p_thr <= p.p
+        CROSS JOIN nx
+        GROUP BY p.p
+    )
+    ORDER BY p
+    """
+
+
+_register_multiprobe_sweep_oracle()

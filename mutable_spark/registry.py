@@ -307,6 +307,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_multiprobe_certification",  # r12: multiprobe-2 recall 893->6220 bp
     "dedup_embedding_multiprobe",  # r12: the production multiprobe pair tier
     "op_unpivot",  # r12: UNPIVOT/melt, the inverse of op_pivot (Expand, no shuffle)
+    "dedup_multiprobe_sweep",  # r12: recall@P curve 2291/6220/8908/9856 bp, one pass
 ]
 
 
