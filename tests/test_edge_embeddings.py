@@ -56,6 +56,15 @@ _EMB_OPS = [
     "dedup_embedding_cosine",
     "sim_semantic_dedup",
     "sim_quantize_embeddings",
+    # r12 additions: the balance pre-flight and the multiprobe blocking
+    # family (certifications + production tier + recall curve) — zero
+    # vectors make centroid cosines NaN, so the rank-by-cosine assignment
+    # must place NaN identically in both engines
+    "sim_ivf_balance",
+    "dedup_blocking_certification",
+    "dedup_multiprobe_certification",
+    "dedup_embedding_multiprobe",
+    "dedup_multiprobe_sweep",
 ]
 
 
