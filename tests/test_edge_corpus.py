@@ -86,6 +86,13 @@ _DOC_OPS = [
     "text_bm25_rank",
     "pipeline_dedup_stats",
     "dedup_containment",
+    # r12 certifications: each runs its tier AND the exact baseline on
+    # the MOD-sampled edge corpus — unicode/empty/regex-metachar text
+    # must certify identically in both engines (or vacuously via the
+    # 0-denominator guards)
+    "dedup_tier_certification",
+    "dedup_simhash_certification",
+    "dedup_containment_certification",
 ]
 
 
