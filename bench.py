@@ -82,6 +82,11 @@ HEADLINE = [
     # the format roundtrips all stay out at 0.2-0.9 s)
     "sim_pq_search",
     "sim_ivfpq_search",
+    # r12 additions over the bar (the multiprobe blocking family: sweep
+    # ~2.0 s, production tier ~1.4 s at sf0.1; ivf_balance, unpivot and
+    # the point certifications stay out at 0.2-1.2 s)
+    "dedup_multiprobe_sweep",
+    "dedup_embedding_multiprobe",
 ]
 
 
