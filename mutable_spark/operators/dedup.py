@@ -1803,46 +1803,126 @@ def dedup_multiprobe_certification(spark, sf_dir):
     return _certify(exact, tier, "n_tier")
 
 
-def multiprobe_cosine_pairs(e):
-    """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
-    top-``_MULTIPROBE`` centroid blocking — the tier behind
-    ``dedup_embedding_multiprobe``, shared with its certification."""
+def _multiprobe_assign(e, max_rk: int):
+    """(vec_id, cell, rk) — each vector's top-``max_rk`` cells by cosine
+    to the per-cell centroid, WITHOUT per-pair HOF folds: the N×k dot
+    products run as a codegen'd integer aggregate over the posexploded
+    vectors joined to the broadcast (cell, dim, c) centroid table — the
+    `sim_ann_lsh` plane-dot architecture (its docstring measures why:
+    interpreted per-row lambda folds are 2-8× slower at N×k scale).
+    Ranking by dot/|c| is cosine-equivalent per vector (|e| is constant
+    within the partition); the dot is Σ floor(x·c·2^40) — exact longs,
+    associative, bit-identical under any partial-agg order — and |c| is
+    the same sqrt-of-fold the oracle computes on the centroid list, so
+    both engines rank identically (score tie → cell tiebreak)."""
     from pyspark.sql import Window
 
-    from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
+    from mutable_spark.functions import vec_norm
     from mutable_spark.operators.similarity import _DOT_SCALE
 
     scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
-    cvec = (
+    csum = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
             "label",
-            F.struct(
-                "dim",
-                (
-                    F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))
-                ).alias("c"),
-            ).alias("dc"),
+            "dim",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))).alias(
+                "c"
+            ),
         )
+    )
+    cn = (
+        csum.select("label", F.struct("dim", "c").alias("dc"))
         .groupBy("label")
         .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
-        .select(F.col("label").alias("cell"), F.col("arr.c").alias("centroid"))
+        .select(
+            F.col("label").alias("cell"),
+            vec_norm(F.col("arr.c")).alias("cnorm"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    assign = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cvec))
+    cd = csum.select(F.col("label").alias("cell"), "dim", "c")
+    term = F.floor(
+        F.col("x").cast("double") * F.col("c") * F.lit(_DOT_SCALE)
+    ).cast("long")
+    dots = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(cd), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(term).alias("idot"))
+        .join(F.broadcast(cn), "cell")
         .select(
             "vec_id",
             "cell",
-            vec_cosine(F.col("embedding"), F.col("centroid")).alias("ccos"),
+            # try_divide: a degenerate all-zero centroid (zero-norm cell —
+            # the edge corpus's zero vector alone in a cell) must yield
+            # NULL, not an ANSI divide-by-zero error; NULL scores sort
+            # LAST under DESC in BOTH engines (Spark desc-nulls-last
+            # default; DuckDB default_null_order), so zero-norm cells are
+            # simply never probed while ranked cells exist.
+            F.try_divide(F.col("idot").cast("double"), F.col("cnorm")).alias(
+                "score"
+            ),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MULTIPROBE)
-        .select("vec_id", "cell")
     )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "cell")
+    return (
+        dots.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_rk)
+        .select("vec_id", "cell", "rk")
+    )
+
+
+def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
+    """The DuckDB twin of ``_multiprobe_assign`` as a WITH-fragment:
+    the caller supplies the leading WITH and consumes `assign` (and `s`,
+    the filtered embeddings the fragment defines)."""
+    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_dot
+
+    return f"""s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where}),
+    csum AS (
+        SELECT label, d,
+               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+                   AS BIGINT)) AS sm,
+               COUNT(*) AS n
+        FROM s, range(1, {_DIM} + 1) t(d)
+        GROUP BY label, d
+    ),
+    cd AS (SELECT label AS cell, d,
+                  CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) AS c
+           FROM csum),
+    cvec AS (SELECT cell, list(c ORDER BY d) AS centroid FROM cd GROUP BY cell),
+    cn AS (SELECT cell, sqrt({_sql_dot('centroid', 'centroid')}) AS cnorm
+           FROM cvec),
+    dots AS (
+        SELECT se.vec_id, cd.cell,
+               SUM(CAST(floor(CAST(se.embedding[cd.d] AS DOUBLE) * cd.c
+                              * {_DOT_SCALE!r}) AS BIGINT)) AS idot
+        FROM s se, cd
+        GROUP BY se.vec_id, cd.cell
+    ),
+    assign AS (
+        SELECT vec_id, cell, rk FROM (
+            SELECT d.vec_id, d.cell,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY CASE WHEN cn.cnorm = 0 THEN NULL
+                                     ELSE CAST(d.idot AS DOUBLE) / cn.cnorm
+                                END DESC,
+                                d.cell) AS rk
+            FROM dots d JOIN cn USING (cell)
+        ) WHERE rk <= {max_rk}
+    )"""
+
+
+def multiprobe_cosine_pairs(e):
+    """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
+    top-``_MULTIPROBE`` centroid blocking — the tier behind
+    ``dedup_embedding_multiprobe``, shared with its certification."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    assign = _multiprobe_assign(e, _MULTIPROBE).select("vec_id", "cell")
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(
         F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b")
@@ -1885,32 +1965,7 @@ def _register_multiprobe_certification_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_certification"] = f"""
-    WITH s AS (SELECT vec_id, label, embedding FROM embeddings
-               WHERE vec_id % {_CERT_MOD} = 0),
-    csum AS (
-        SELECT label, d,
-               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
-                   AS BIGINT)) AS sm,
-               COUNT(*) AS n
-        FROM s, range(1, {_DIM} + 1) t(d)
-        GROUP BY label, d
-    ),
-    cvec AS (
-        SELECT label AS cell,
-               list(CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
-                   AS centroid
-        FROM csum GROUP BY label
-    ),
-    assign AS (
-        SELECT vec_id, cell FROM (
-            SELECT s.vec_id, c.cell,
-                   row_number() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY {_sql_cos('s.embedding', 'c.centroid')} DESC,
-                                c.cell) AS rk
-            FROM s, cvec c
-        ) WHERE rk <= {_MULTIPROBE}
-    ),
+    WITH {_sql_multiprobe_assign(f"WHERE vec_id % {_CERT_MOD} = 0", _MULTIPROBE)},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
@@ -1973,30 +2028,7 @@ def _register_embedding_multiprobe_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_embedding_multiprobe"] = f"""
-    WITH csum AS (
-        SELECT label, d,
-               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
-                   AS BIGINT)) AS sm,
-               COUNT(*) AS n
-        FROM embeddings, range(1, {_DIM} + 1) t(d)
-        GROUP BY label, d
-    ),
-    cvec AS (
-        SELECT label AS cell,
-               list(CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
-                   AS centroid
-        FROM csum GROUP BY label
-    ),
-    assign AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')} DESC,
-                                c.cell) AS rk
-            FROM embeddings e, cvec c
-        ) WHERE rk <= {_MULTIPROBE}
-    ),
+    WITH {_sql_multiprobe_assign("", _MULTIPROBE)},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
@@ -2006,8 +2038,8 @@ def _register_embedding_multiprobe_oracle():
         SELECT c.vec_a, c.vec_b,
                {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
         FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.vec_a
-        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        JOIN s ea ON ea.vec_id = c.vec_a
+        JOIN s eb ON eb.vec_id = c.vec_b
     ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
     """
 
@@ -2047,45 +2079,12 @@ def dedup_multiprobe_sweep(spark, sf_dir):
     the deployed assignment disagrees with its own centroids). Scale:
     same shapes as the production tier, fan-out bounded by P²; the
     quadratic baseline exists only on the MOD sample."""
-    from pyspark.sql import Window
-
-    from mutable_spark.functions import vec_cosine, vec_cosine_pre, vec_norm
-    from mutable_spark.operators.similarity import _DOT_SCALE
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
-    scaled = F.floor(F.col("x").cast("double") * F.lit(_DOT_SCALE)).cast("long")
-    cvec = (
-        e.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            F.struct(
-                "dim",
-                (
-                    F.col("s").cast("double") / (F.col("n") * F.lit(_DOT_SCALE))
-                ).alias("c"),
-            ).alias("dc"),
-        )
-        .groupBy("label")
-        .agg(F.sort_array(F.collect_list("dc")).alias("arr"))
-        .select(F.col("label").alias("cell"), F.col("arr.c").alias("centroid"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    assign = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cvec))
-        .select(
-            "vec_id",
-            "cell",
-            vec_cosine(F.col("embedding"), F.col("centroid")).alias("ccos"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MULTIPROBE_SWEEP)
-        .select("vec_id", "cell", "rk")
-    )
+    assign = _multiprobe_assign(e, _MULTIPROBE_SWEEP)
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell", F.col("rk").alias("ra"))
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
@@ -2160,32 +2159,7 @@ def _register_multiprobe_sweep_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_sweep"] = f"""
-    WITH s AS (SELECT vec_id, label, embedding FROM embeddings
-               WHERE vec_id % {_CERT_MOD} = 0),
-    csum AS (
-        SELECT label, d,
-               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
-                   AS BIGINT)) AS sm,
-               COUNT(*) AS n
-        FROM s, range(1, {_DIM} + 1) t(d)
-        GROUP BY label, d
-    ),
-    cvec AS (
-        SELECT label AS cell,
-               list(CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) ORDER BY d)
-                   AS centroid
-        FROM csum GROUP BY label
-    ),
-    assign AS (
-        SELECT vec_id, cell, rk FROM (
-            SELECT s.vec_id, c.cell,
-                   row_number() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY {_sql_cos('s.embedding', 'c.centroid')} DESC,
-                                c.cell) AS rk
-            FROM s, cvec c
-        ) WHERE rk <= {_MULTIPROBE_SWEEP}
-    ),
+    WITH {_sql_multiprobe_assign(f"WHERE vec_id % {_CERT_MOD} = 0", _MULTIPROBE_SWEEP)},
     thr AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                MIN(GREATEST(a.rk, b.rk)) AS p_thr
