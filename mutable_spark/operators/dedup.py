@@ -1961,7 +1961,7 @@ def multiprobe_cosine_pairs(e):
 
 
 def _register_multiprobe_certification_oracle():
-    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_cos
+    from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_certification"] = f"""
@@ -2024,7 +2024,7 @@ def dedup_embedding_multiprobe(spark, sf_dir):
 
 
 def _register_embedding_multiprobe_oracle():
-    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_cos
+    from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_embedding_multiprobe"] = f"""
@@ -2155,7 +2155,7 @@ def dedup_multiprobe_sweep(spark, sf_dir):
 
 
 def _register_multiprobe_sweep_oracle():
-    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_cos
+    from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_sweep"] = f"""
