@@ -1320,7 +1320,10 @@ def containment_pairs(d=None, *, g=None):
     the certification twin passes its cached materialization so both
     tiers read one). Exactly one source, never both: a mismatched (d, g)
     pair would silently ignore ``d``."""
-    assert (d is None) != (g is None), "pass exactly one of d / g"
+    if (d is None) == (g is None):
+        # ValueError, not assert: the guard must survive `python -O`
+        # (a stripped assert would silently ignore `d` and compute over `g`)
+        raise ValueError("pass exactly one of d / g")
     if g is None:
         g = _hashed_shingle_df(d)
     # cache the posting list: THREE consumers (the df-cap aggregate and
@@ -1824,7 +1827,11 @@ def _multiprobe_assign(e, max_rk: int):
     csum = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+        # count(x), not count(*): the mean's denominator is the number of
+        # PRESENT elements at this dim, matching the oracle's
+        # COUNT(embedding[d]) — so a ragged/short vector cannot silently
+        # skew the centroid differently across engines
+        .agg(F.sum(scaled).alias("s"), F.count(F.col("x")).alias("n"))
         .select(
             "label",
             "dim",
@@ -1885,7 +1892,7 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
         SELECT label, d,
                SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS sm,
-               COUNT(*) AS n
+               COUNT(embedding[d]) AS n
         FROM s, range(1, {_DIM} + 1) t(d)
         GROUP BY label, d
     ),

@@ -307,7 +307,7 @@ _SQL_IVF = f"""
         SELECT label, d,
                SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS s,
-               COUNT(*) AS n
+               COUNT(embedding[d]) AS n
         FROM embeddings, range(1, {_DIM} + 1) t(d)
         GROUP BY label, d
     ),
@@ -342,7 +342,9 @@ def _ivf_probe_labels(e, q, nprobe: int = 3):
     cvec = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.sum(scaled).alias("s"), F.count(F.lit(1)).alias("n"))
+        # count(x) / COUNT(embedding[d]): both engines divide the mean by
+        # the per-dim count of PRESENT elements (ragged-vector safety)
+        .agg(F.sum(scaled).alias("s"), F.count(F.col("x")).alias("n"))
         .select(
             "label",
             F.struct(
@@ -1782,7 +1784,7 @@ def _sql_ivfpq_search() -> str:
         SELECT label, d,
                SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS s,
-               COUNT(*) AS n
+               COUNT(embedding[d]) AS n
         FROM embeddings, range(1, {_DIM} + 1) t(d)
         GROUP BY label, d
     ),
@@ -1978,7 +1980,7 @@ def _sql_ivfpq_nprobe_sweep() -> str:
         SELECT label, d,
                SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS s,
-               COUNT(*) AS n
+               COUNT(embedding[d]) AS n
         FROM embeddings, range(1, {_DIM} + 1) t(d)
         GROUP BY label, d
     ),
