@@ -738,7 +738,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     Known contract: cross-cell pairs are out of scope by construction
     (blocking's standard recall tradeoff; the quantizer is trained so that
     near-dups land in the same cell). The oracle mirrors the same blocking,
-    so the driver comparison is exact."""
+    so the driver comparison is exact.
+
+    TIER STATUS (r13): this is the documented CHEAP tier — one cell per
+    vector, minimum shuffle, recall measured at 893 bp on this corpus by
+    `dedup_blocking_certification` (the stored labels drift from their
+    own centroids; see `sim_cell_reassign`). The PRODUCTION default is
+    the multiprobe tier (`dedup_embedding_multiprobe`, 9856 bp at the
+    same 10000 precision), which `sim_semantic_dedup` consumes."""
     return embedding_cosine_pairs(load_tables(spark, sf_dir).embeddings)
 
 
@@ -804,64 +811,47 @@ def sim_semantic_dedup(spark, sf_dir):
     near-dup text removal, pruning paraphrases and re-renderings that no
     shingle method can see.
 
+    PRODUCTION PATH (r13): candidates come from the certified MULTIPROBE
+    tier (``multiprobe_cosine_pairs`` — top-``_MULTIPROBE`` derived-
+    centroid cells per vector, exact JVM cosine verify), not the
+    single-stored-cell tier whose cross-cell recall the repo's own
+    `dedup_blocking_certification` measured at 893 bp on this corpus: a
+    SemDeDup run over single-cell blocking would silently keep ~91% of
+    true semantic duplicates. The multiprobe tier reads 9856 bp at the
+    same 10000 precision (`dedup_multiprobe_certification`); the
+    single-cell tier stays registered as the documented cheap option
+    (`dedup_embedding_cosine`).
+
     Composition of already-verified pieces, no new moving parts:
-    ``embedding_cosine_pairs`` (blocked equi-join on the cell id, exact
-    JVM cosine — the `dedup_embedding_cosine` tier) → alternating-star
-    ``connected_components`` (O(log n) rounds) → drop non-representatives.
-    Registered result: the per-cell summary (total, dropped, kept, and
-    the smallest kept id), bounded at one row per cell.
+    ``multiprobe_cosine_pairs`` → alternating-star
+    ``connected_components`` (multiprobe classes CAN cross cells — a
+    vector probing two cells chains them — so the global O(log n)
+    star loop replaces r12's cell-local union-find; at this corpus'
+    pair counts the ≤1M-edge driver-local fast path serves) → drop
+    non-representatives. Registered result: the per-STORED-cell summary
+    (total, dropped, kept, and the smallest kept id), bounded at one
+    row per cell.
 
-    Scale shape inherits from its parts: one shuffle on the cell id for
-    the pair join (zero if the table is bucketed by cell), quadratic only
-    within a cell (the quantizer bounds cell sizes at ~sqrt(n); AQE
-    splits skewed cells), components touch only the near-dup subgraph —
-    a tiny fraction of the corpus. The DuckDB oracle recomputes the
-    identical classes with a recursive CTE over the same blocked-cosine
-    pair list, so keep/drop decisions are hash-checked end-to-end."""
+    Scale shape inherits from its parts: a k×dim centroid broadcast +
+    one map-side assign pass, a pair join shuffling ≤ _MULTIPROBE× the
+    single-cell tier's bytes, exact verify only on candidates;
+    components touch only the near-dup subgraph — a tiny fraction of
+    the corpus. The DuckDB oracle recomputes the identical classes with
+    a recursive CTE over the same multiprobe pair list, so keep/drop
+    decisions are hash-checked end-to-end."""
     e = load_tables(spark, sf_dir).embeddings
-    pairs = embedding_cosine_pairs(e).select("label", "vec_a", "vec_b")
-    # Cell-local components, NOT the global alternating-star loop: the
-    # blocked pair graph cannot cross cells, so each cell's classes
-    # resolve independently in ONE grouped pass — union-find inside an
-    # Arrow batch, group size bounded by the quantizer cell (the same
-    # bound the pair expansion already relies on). The iterative
-    # `connected_components` pays 2 shuffles + a checkpoint PER ROUND
-    # (measured 6 rounds on this graph) for a generality — cross-bucket
-    # edges — that blocking structurally rules out here; minhash classes
-    # keep the global loop because band buckets do overlap. This is the
-    # applyInPandas case the design rules carve out: iterative semantics
-    # no builtin expresses, over bounded groups. The union attaches the
-    # larger root under the smaller, so every root IS its component
-    # minimum — the same fixpoint the oracle's recursive CTE computes.
-    def _cell_union_find(pdf):
-        import pandas as pd
-
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in zip(pdf["vec_a"], pdf["vec_b"]):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        nodes = sorted(parent)
-        return pd.DataFrame(
-            {"vec_id": nodes, "class_rep": [find(n) for n in nodes]}
-        )
-
-    classes = pairs.groupBy("label").applyInPandas(
-        _cell_union_find, schema="vec_id long, class_rep long"
+    # checkpoint the verified pair list BEFORE components: the star loop
+    # (and its `nodes` frame) reads `pairs` several times, and the final
+    # summary would otherwise re-run the whole assign→join→verify
+    # pipeline per read (measured 9.9 → 3.6 s at sf0.1)
+    pairs = (
+        multiprobe_cosine_pairs(e)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
     )
-    dropped = classes.filter(F.col("vec_id") != F.col("class_rep")).select(
-        "vec_id", F.lit(1).alias("is_dropped")
+    classes = connected_components(pairs)
+    dropped = classes.filter(F.col("doc_id") != F.col("class_rep")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("is_dropped")
     )
     marked = e.select("vec_id", "label").join(dropped, "vec_id", "left")
     return marked.groupBy("label").agg(
@@ -873,16 +863,26 @@ def sim_semantic_dedup(spark, sf_dir):
 
 
 def _register_semantic_dedup_oracle():
+    """Invoked at the BOTTOM of this module: the oracle recomputes the
+    classes over the PRODUCTION multiprobe pair list, so it composes
+    `_sql_multiprobe_assign` (defined below with the multiprobe tier)."""
     from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
 
     ORACLES["sim_semantic_dedup"] = f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE {_sql_multiprobe_assign("", _MULTIPROBE)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
         SELECT vec_a, vec_b FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {_sql_cos('a.embedding', 'b.embedding')} AS cos
-            FROM embeddings a, embeddings b
-            WHERE a.label = b.label AND a.vec_id < b.vec_id
+            SELECT c.vec_a, c.vec_b,
+                   {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+            FROM cand c
+            JOIN s ea ON ea.vec_id = c.vec_a
+            JOIN s eb ON eb.vec_id = c.vec_b
         ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
     ),
     edges AS (
@@ -906,9 +906,6 @@ def _register_semantic_dedup_oracle():
     FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
     GROUP BY e.label
     """
-
-
-_register_semantic_dedup_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1740,8 +1737,19 @@ _register_blocking_certification_oracle()
 
 #: cells per vector in the multiprobe blocking tier (FAISS multiprobe /
 #: Multi-Probe LSH, Lv et al. 2007, applied to pair blocking: each vector
-#: joins through its top-_MULTIPROBE nearest centroids instead of one)
-_MULTIPROBE = 2
+#: joins through its top-_MULTIPROBE nearest centroids instead of one).
+#:
+#: OPERATING POINT (r13, picked from the registered sweep
+#: `dedup_multiprobe_sweep` + an sf0.1 cost A/B, the IVFPQ-serving
+#: treatment): recall@P = 2291/6220/8908/9856 bp for P=1..4 at unchanged
+#: 10000 precision; measured wall on `dedup_embedding_multiprobe` at
+#: sf0.1 = 1.92/2.33/2.64 s for P=2/3/4. P=4 is the FIRST point past a
+#: 0.95-recall serving bar (9856 bp ≈ 98.6% of true cosine-0.3 pairs)
+#: at 1.37× the P=2 wall and +62% candidate volume — dedup recall is the
+#: quantity that poisons training data when it's missing, so the default
+#: buys it. If shuffle budget binds at deployment scale, P=3 is the knee
+#: (8908 bp at 1.21×); re-run the sweep on a MOD sample to re-certify.
+_MULTIPROBE = 4
 
 
 @query("dedup_multiprobe_certification", oracle=None)  # assigned below
@@ -2022,8 +2030,10 @@ def dedup_embedding_multiprobe(spark, sf_dir):
     threshold pairs) but candidates come from the top-``_MULTIPROBE``
     centroid assignment instead of the single stored cell, recovering
     the cross-cell pairs single-cell blocking is blind to (measured on
-    this corpus: recall 893 → 6220 bp at unchanged 10000 precision —
-    `dedup_blocking_certification` / `dedup_multiprobe_certification`).
+    this corpus: recall 893 → 9856 bp at unchanged 10000 precision —
+    `dedup_blocking_certification` / `dedup_multiprobe_certification`;
+    the P=4 default is the sweep-justified operating point, see the
+    `_MULTIPROBE` note).
     Scale shape: k×dim centroid broadcast, one map-side assign pass,
     a (cell, vec) pair join at ≤ ``_MULTIPROBE``× the single-cell
     tier's shuffle bytes, exact verify only on candidates."""
@@ -2055,7 +2065,8 @@ _register_embedding_multiprobe_oracle()
 
 
 #: probe depths the multiprobe sweep certifies (P=1 = nearest-derived-
-#: centroid blocking; _MULTIPROBE=2 is the production tier's default)
+#: centroid blocking; _MULTIPROBE=4 is the sweep-picked production
+#: default — see the operating-point note on `_MULTIPROBE`)
 _MULTIPROBE_SWEEP = 4
 
 
@@ -2078,9 +2089,9 @@ def dedup_multiprobe_sweep(spark, sf_dir):
     engines).
 
     Measured on this corpus (sf0.1, MOD sample): 2291 → 6220 → 8908 →
-    9856 bp for P = 1..4. Two curve nuances the numbers expose: P=2
-    reproduces `dedup_multiprobe_certification`'s 6220 exactly (same
-    construction), and P=1 reads 2291 — NOT the stored-label
+    9856 bp for P = 1..4. Two curve nuances the numbers expose: P=4
+    reproduces `dedup_multiprobe_certification`'s 9856 exactly (same
+    construction at the production default), and P=1 reads 2291 — NOT the stored-label
     certification's 893 — because nearest-DERIVED-centroid assignment
     already differs from the stored cell id (itself a re-train signal:
     the deployed assignment disagrees with its own centroids). Scale:
@@ -2206,3 +2217,7 @@ def _register_multiprobe_sweep_oracle():
 
 
 _register_multiprobe_sweep_oracle()
+
+# sim_semantic_dedup's oracle composes the multiprobe fragment defined in
+# this section, so its registration runs here, at the bottom of the module
+_register_semantic_dedup_oracle()
