@@ -87,6 +87,10 @@ HEADLINE = [
     # the point certifications stay out at 0.2-1.2 s)
     "dedup_multiprobe_sweep",
     "dedup_embedding_multiprobe",
+    # r13 addition over the bar (reassign certification 1.9 s — three
+    # cosine tiers on the MOD sample; sim_matryoshka_search and
+    # sim_cell_reassign stay out at 0.7 / 0.6 s)
+    "dedup_reassign_certification",
 ]
 
 

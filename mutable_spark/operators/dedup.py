@@ -1931,13 +1931,18 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
     )"""
 
 
-def multiprobe_cosine_pairs(e):
+def multiprobe_cosine_pairs(e, max_rk: int | None = None):
     """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
-    top-``_MULTIPROBE`` centroid blocking — the tier behind
-    ``dedup_embedding_multiprobe``, shared with its certification."""
+    top-``max_rk`` centroid blocking (default: the ``_MULTIPROBE``
+    production operating point) — the tier behind
+    ``dedup_embedding_multiprobe``, shared with its certification and,
+    at ``max_rk=1``, the refreshed-assignment arm of
+    ``dedup_reassign_certification``."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
-    assign = _multiprobe_assign(e, _MULTIPROBE).select("vec_id", "cell")
+    if max_rk is None:
+        max_rk = _MULTIPROBE
+    assign = _multiprobe_assign(e, max_rk).select("vec_id", "cell")
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(
         F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b")
@@ -2217,6 +2222,175 @@ def _register_multiprobe_sweep_oracle():
 
 
 _register_multiprobe_sweep_oracle()
+
+
+def refreshed_cells(e):
+    """(vec_id, cell) — each vector's NEAREST derived-centroid cell, the
+    rk=1 slice of the multiprobe assignment: the refreshed coarse
+    assignment the blocked tiers consume in place of the stored `label`
+    column once `sim_cell_reassign` / `dedup_reassign_certification`
+    show the stored labels have drifted from their own centroids. One
+    broadcast-assign pass (k×dim centroid table, map-side scoring)."""
+    return _multiprobe_assign(e, 1).select("vec_id", "cell")
+
+
+@query("sim_cell_reassign", oracle=None)  # assigned below
+def sim_cell_reassign(spark, sf_dir):
+    """Coarse-quantizer cell RE-ASSIGNMENT — the op that closes the
+    drift `dedup_multiprobe_sweep` exposed: single-cell blocking over
+    the STORED labels reads 893 bp recall while the same blocking over
+    each vector's nearest DERIVED centroid reads 2291 bp (the sweep's
+    P=1 point), i.e. the deployed assignment disagrees with its own
+    centroids — the classic "re-train the coarse quantizer" signal
+    `sim_ivf_balance` describes from the size side. This op turns the
+    trained centroids back into a refreshed cell column (one Lloyd
+    assignment step, `refreshed_cells`) and registers the movement
+    matrix: (old_cell, new_cell, n_vecs, min_vec), ≤ k² rows — the
+    audit artifact showing exactly which cells bleed into which.
+
+    Scale shape: centroid build is two partial-agg passes over the
+    posexploded corpus (exact scaled-long sums, bit-deterministic);
+    scoring joins a broadcast k×dim table map-side; the only shuffles
+    are the per-(label,dim) centroid agg and the ≤k² summary agg. At
+    100 TB the refreshed column is written back beside the embedding
+    and every blocked tier (single-cell, multiprobe, SemDeDup) reads it
+    in place of `label` — `dedup_reassign_certification` prices what
+    that buys as a driver-checked recall pair."""
+    e = load_tables(spark, sf_dir).embeddings
+    return (
+        e.select("vec_id", "label")
+        .join(refreshed_cells(e).withColumnRenamed("cell", "new_cell"), "vec_id")
+        .groupBy(F.col("label").alias("old_cell"), "new_cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+        )
+    )
+
+
+def _register_cell_reassign_oracle():
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["sim_cell_reassign"] = f"""
+    WITH {_sql_multiprobe_assign("", 1)}
+    SELECT s.label AS old_cell, a.cell AS new_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(s.vec_id) AS min_vec
+    FROM s JOIN assign a ON a.vec_id = s.vec_id
+    GROUP BY s.label, a.cell
+    """
+
+
+_register_cell_reassign_oracle()
+
+
+@query("dedup_reassign_certification", oracle=None)  # assigned below
+def dedup_reassign_certification(spark, sf_dir):
+    """Certification for `sim_cell_reassign`: single-cell blocking
+    recall under the STORED labels vs under the REFRESHED (nearest
+    derived-centroid) assignment, against the exact all-pairs baseline
+    on the same `vec_id % _CERT_MOD == 0` systematic sample as every
+    other certification. One driver-checked row pins the claim
+    "re-assignment does not lose recall" as an integer comparison
+    (measured on this corpus: 893 → 2291 bp; a test asserts
+    refreshed ≥ stored).
+
+    Both tiers exact-verify the cosine inside their blocks, so
+    precision = 10000 is a theorem on each arm and the row only needs
+    COUNTS — no pair-set joins: recall_bp = n_tier * 10000 div n_exact.
+    The quadratic baseline exists only on the MOD sample."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    e = load_tables(spark, sf_dir).embeddings.filter(
+        F.col("vec_id") % _CERT_MOD == 0
+    )
+    stored = embedding_cosine_pairs(e).agg(
+        F.count(F.lit(1)).alias("n_stored")
+    )
+    refreshed = multiprobe_cosine_pairs(e, max_rk=1).agg(
+        F.count(F.lit(1)).alias("n_refreshed")
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    exact = (
+        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos")
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    bp = (
+        "CAST(CASE WHEN n_exact = 0 THEN 10000"
+        " ELSE {n} * 10000 div n_exact END AS BIGINT)"
+    )
+    return (
+        exact.crossJoin(F.broadcast(stored))
+        .crossJoin(F.broadcast(refreshed))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_stored").cast("long").alias("n_stored"),
+            F.col("n_refreshed").cast("long").alias("n_refreshed"),
+            F.expr(bp.format(n="n_stored")).alias("recall_stored_bp"),
+            F.expr(bp.format(n="n_refreshed")).alias("recall_refreshed_bp"),
+        )
+    )
+
+
+def _register_reassign_certification_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["dedup_reassign_certification"] = f"""
+    WITH {_sql_multiprobe_assign(f"WHERE vec_id % {_CERT_MOD} = 0", 1)},
+    refr AS (
+        SELECT COUNT(*) AS n_refreshed FROM (
+            SELECT {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+            FROM (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ) c
+            JOIN s ea ON ea.vec_id = c.vec_a
+            JOIN s eb ON eb.vec_id = c.vec_b
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    ),
+    stor AS (
+        SELECT COUNT(*) AS n_stored FROM (
+            SELECT {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM s a, s b
+            WHERE a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    ),
+    ex AS (
+        SELECT COUNT(*) AS n_exact FROM (
+            SELECT {_sql_cos('a.embedding', 'b.embedding')} AS cos
+            FROM s a, s b WHERE a.vec_id < b.vec_id
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_stored AS BIGINT) AS n_stored,
+           CAST(n_refreshed AS BIGINT) AS n_refreshed,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_stored * 10000 // n_exact END AS BIGINT)
+               AS recall_stored_bp,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_refreshed * 10000 // n_exact END AS BIGINT)
+               AS recall_refreshed_bp
+    FROM ex, stor, refr
+    """
+
+
+_register_reassign_certification_oracle()
 
 # sim_semantic_dedup's oracle composes the multiprobe fragment defined in
 # this section, so its registration runs here, at the bottom of the module

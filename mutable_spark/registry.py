@@ -40,47 +40,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-12 rotation (sixth application of the r7-verdict practice,
-# executing r11 verdict item #1): the twenty-two r11 registrations that
-# have never held a driver row rotate IN — the thirteen TPC-H
-# continuations (q2 q7 q8 q9 q11 q13 q15 q16 q17 q18 q19 q20 q21),
-# sim_pq_search, sim_ivfpq_search, sim_matryoshka_recall,
-# source_jsonl_roundtrip, source_csv_roundtrip, pipeline_filter_funnel,
-# events_funnel_steps, multimodal_scene_changes, and
-# dedup_tier_certification. The twenty-two slots come ONLY from names
-# holding BOTH r10 AND r11 triple-match rows (the twelve single-row r11
-# rotations all stay), with every family keeping members in-sample:
-#   * dialect keeps dialect_tpch_q1/q3 + the SPN + zone-index gates
-#     (q5/q10 demote; the 6-table chain and outer-join agg shapes now run
-#     in-sample via the DataFrame q5..q21 set);
-#   * extended joins/grouping keep op_group_join + op_window_rank_family
-#     + op_merge_upsert (op_join_full_outer demotes — tpch_q13's outer
-#     join covers the shape; op_grouping_sets demotes — rollup/cube
-#     family stays pinned in tests and held r9-r11 rows);
-#   * skew keeps op_join_salted (op_agg_salted demotes); windows keep
-#     op_window_rank_family (+ pack_sequences) so op_window_time_range
-#     demotes; sources hand partitioned_scan/orc to the incoming
-#     jsonl/csv roundtrips (format matrix still 4-wide across rounds);
-#   * dedup keeps embedding_cosine + containment + the incoming
-#     certification (duplicate_classes / threshold_histogram demote);
-#   * sim keeps ivf_train + the PQ pair + the three incoming serving ops
-#     (quantize/quantized_rerank/covariance demote);
-#   * multimodal keeps phash + incoming scene_changes (audio demotes);
-#   * events keep pagerank/cusum/ab_test + incoming funnel_steps
-#     (interarrival/attribution/session_text demote);
-#   * text keeps lm_surprisal/bm25/quality_centroid (tfidf/boilerplate
-#     demote);
-#   * pipeline keeps 5 + incoming filter_funnel (curriculum_sharded /
-#     contamination_stats / dedup_keep_best demote; their maps run
-#     verbatim inside pipeline_end_to_end).
+# Round-13 rotation (seventh application of the r7-verdict practice,
+# executing r12 verdict item #4): the nine r12 registrations that have
+# never held a driver row rotate IN (dedup_simhash_certification,
+# sim_ivfpq_nprobe_sweep, dedup_containment_certification,
+# sim_ivf_balance, dedup_blocking_certification,
+# dedup_multiprobe_certification, dedup_embedding_multiprobe, op_unpivot,
+# dedup_multiprobe_sweep) plus the three r13 additions
+# (sim_cell_reassign, dedup_reassign_certification,
+# sim_matryoshka_search). The twelve slots come ONLY from names holding
+# at least r11 AND r12 triple-match rows (every single-row r12 rotation
+# stays), with every family keeping members in-sample:
+#   * dedup keeps containment-family + ALL certifications + the
+#     multiprobe production tier (dedup_embedding_cosine [6 rows] and
+#     dedup_containment [2 rows] demote — the single-cell tier's shape
+#     runs in-sample via dedup_blocking_certification, which executes
+#     embedding_cosine_pairs verbatim; containment runs verbatim inside
+#     dedup_containment_certification);
+#   * sim keeps the full serving stack (pq_search, ivfpq_search,
+#     ivfpq_nprobe_sweep, matryoshka pair, balance, reassign) —
+#     sim_ivf_train [5 rows], sim_pq_train and sim_pq_recall [2 rows
+#     each] demote; their trainer/ADC frames run verbatim inside the
+#     in-sample search/sweep ops;
+#   * windows: op_window_rank_family [2 rows] demotes — ranking windows
+#     run in-sample via the window-MIN decorrelations (tpch_q2/q15/q17/
+#     q22), the multiprobe rank-assign, matryoshka/ivfpq row_numbers;
+#   * analytics gains op_unpivot (the r12 Expand pin);
+#   * events: events_pagerank [4 rows] demotes (cusum/ab_test/
+#     funnel_steps keep the family);
+#   * text: text_lm_surprisal [4 rows] demotes (bm25/quality_centroid
+#     keep the family);
+#   * multimodal: multimodal_phash [4 rows] demotes (scene_changes keeps
+#     the family and runs the same signature tier);
+#   * pipeline: clean_corpus [8 rows], pack_sequences [4],
+#     source_overlap [4] demote (decontaminate_fuzzy, end_to_end,
+#     split_leakage_safe, filter_funnel keep the family; the clean
+#     pipeline runs verbatim inside end_to_end).
 # All demoted names remain green in the local oracle suite
 # (tests/test_queries_oracle.py runs ALL registrations).
 _SAMPLE_PRIORITY: list[str] = [
-    # physical/DML: fused group-join (partitioning-reuse pin), full
-    # ranking/navigation window family, MERGE INTO upsert arbitration
+    # physical/DML: fused group-join (partitioning-reuse pin), MERGE
+    # INTO upsert arbitration, UNPIVOT/melt (Expand, no shuffle)
     "op_group_join",
-    "op_window_rank_family",
     "op_merge_upsert",
+    "op_unpivot",
     # dialect frontend: the two deepest always-sampled TPC-H paths via
     # the full lexer→sema→planner path + estimator / index gates
     "dialect_tpch_q1",
@@ -110,44 +113,59 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_join_salted",
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
-    # dedup: blocked embedding tier, asymmetric containment, and the
-    # LSH-tier-vs-exact-baseline certification (r11)
-    "dedup_embedding_cosine",
-    "dedup_containment",
+    # dedup: the FULL certification family (LSH, SimHash, containment,
+    # blocking, multiprobe, reassign) + the multiprobe production tier,
+    # its recall sweep, and the Lloyd re-assignment op (r12/r13)
     "dedup_tier_certification",
-    # similarity/ANN: trainer + the PQ trainer/ADC pair + the r11
-    # serving stack (shortlist→rerank, IVF→PQ→rerank, MRL diagnostic)
-    "sim_ivf_train",
-    "sim_pq_train",
-    "sim_pq_recall",
+    "dedup_simhash_certification",
+    "dedup_containment_certification",
+    "dedup_blocking_certification",
+    "dedup_multiprobe_certification",
+    "dedup_reassign_certification",
+    "dedup_embedding_multiprobe",
+    "dedup_multiprobe_sweep",
+    "sim_cell_reassign",
+    # similarity/ANN: the serving stack — PQ shortlist→rerank,
+    # IVF→PQ→rerank + its nprobe sweep, the balance pre-flight, the MRL
+    # diagnostic + the r13 MRL two-stage serving path
     "sim_pq_search",
     "sim_ivfpq_search",
+    "sim_ivfpq_nprobe_sweep",
+    "sim_ivf_balance",
     "sim_matryoshka_recall",
-    # multimodal: perceptual hash + shot-boundary detection (r11)
-    "multimodal_phash",
+    "sim_matryoshka_search",
+    # multimodal: shot-boundary detection (same signature tier as phash)
     "multimodal_scene_changes",
-    # events: iterative PageRank, CUSUM change-point, Welch A/B test,
-    # k-step sequential funnel (r11)
-    "events_pagerank",
+    # events: CUSUM change-point, Welch A/B test, k-step funnel (r11)
     "events_changepoint_cusum",
     "events_ab_test",
     "events_funnel_steps",
-    # text: trained-LM filter, integer BM25 retrieval, Rocchio gate
-    "text_lm_surprisal",
+    # text: integer BM25 retrieval, Rocchio gate
     "text_bm25_rank",
     "text_quality_centroid",
     # pipeline: curation composition + leakage-safe split + the r11
     # per-stage attrition funnel
     "pipeline_decontaminate_fuzzy",
     "pipeline_end_to_end",
-    "pipeline_pack_sequences",
-    "pipeline_source_overlap",
     "pipeline_split_leakage_safe",
-    "pipeline_clean_corpus",
     "pipeline_filter_funnel",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
+    # demoted r13 (every name holds at least r11 AND r12 triple-match
+    # rows; family-coverage rationale in the rotation note above)
+    "op_window_rank_family",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "sim_ivf_train",
+    "sim_pq_train",
+    "sim_pq_recall",
+    "multimodal_phash",
+    "events_pagerank",
+    "text_lm_surprisal",
+    "pipeline_clean_corpus",
+    "pipeline_pack_sequences",
+    "pipeline_source_overlap",
     # demoted r12 (every name holds r10 AND r11 triple-match rows;
-    # family-coverage rationale in the rotation note above)
+    # family-coverage rationale in the r12 rotation note, git history)
     "op_join_full_outer",
     "op_grouping_sets",
     "dialect_tpch_q5",
@@ -297,17 +315,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    # late-r12 additions (registered after the r12 rotation above;
-    # rotation candidates for r13):
-    "dedup_simhash_certification",  # r12: pigeonhole tier == exact Hamming
-    "sim_ivfpq_nprobe_sweep",  # r12: the FAISS-style recall/cost curve
-    "dedup_containment_certification",  # r12: df-cap visibility floor measured
-    "sim_ivf_balance",  # r12: FAISS imbalance-factor pre-flight, integer bp
-    "dedup_blocking_certification",  # r12: quantizer blocking recall measured
-    "dedup_multiprobe_certification",  # r12: multiprobe-2 recall 893->6220 bp
-    "dedup_embedding_multiprobe",  # r12: the production multiprobe pair tier
-    "op_unpivot",  # r12: UNPIVOT/melt, the inverse of op_pivot (Expand, no shuffle)
-    "dedup_multiprobe_sweep",  # r12: recall@P curve 2291/6220/8908/9856 bp, one pass
 ]
 
 

@@ -65,6 +65,13 @@ _EMB_OPS = [
     "dedup_multiprobe_certification",
     "dedup_embedding_multiprobe",
     "dedup_multiprobe_sweep",
+    # r13 additions: the Lloyd re-assignment pair — NaN centroid scores
+    # (the zero vector) must rank identically in both engines' rk=1 slice
+    "sim_cell_reassign",
+    "dedup_reassign_certification",
+    # r13: MRL two-stage serving — NULL prefix cosines (zero vector)
+    # must shortlist identically in both engines
+    "sim_matryoshka_search",
 ]
 
 

@@ -983,3 +983,21 @@ def test_multiprobe_tier_broadcast_assign_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert tree.count("BroadcastExchange") >= 1, p
     assert "HashAggregate" in p  # the pair DISTINCT
+
+
+def test_matryoshka_search_broadcast_two_stage(plans):
+    """sim_matryoshka_search (r13): the MRL two-stage serving shape —
+    the 1-row query and the 200-id shortlist BROADCAST into their
+    joins (the corpus side never shuffles for them), both stages
+    finish as distributed top-k (TakeOrderedAndProject, no global
+    Sort+Exchange), and nothing degenerates into an unbounded
+    cartesian (the only nested-loop sides are the broadcast 1-row
+    query)."""
+    import re
+
+    p = plans("sim_matryoshka_search")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # shortlist ids into the rerank
+    assert "TakeOrderedAndProject" in p
+    # no full-width Sort+Exchange: every ORDER BY ... LIMIT is a top-k
+    assert not re.search(r"\(\d+\) Sort\b", p.split("\n\n")[0]), p

@@ -20,33 +20,24 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # Round 12: CORRECTNESS_r11 was a 50/50 clean sweep, so "never
-    # sampled" is exactly the twenty-two late-r11 registrations — they
-    # all rotate IN this round (r11 verdict item #1), displacing
-    # twenty-two names that hold BOTH r10 and r11 triple-match rows
-    # (family-coverage rationale in registry.py's rotation note).
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "sim_pq_search",
-    "sim_ivfpq_search",
-    "sim_matryoshka_recall",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "pipeline_filter_funnel",
-    "events_funnel_steps",
-    "multimodal_scene_changes",
-    "dedup_tier_certification",
+    # Round 13: CORRECTNESS_r12 was a 50/50 clean sweep, so "never
+    # sampled" is the nine late-r12 registrations plus the three r13
+    # additions — they all rotate IN this round (r12 verdict item #4),
+    # displacing twelve names that hold at least r11 AND r12
+    # triple-match rows (family-coverage rationale in registry.py's
+    # rotation note).
+    "dedup_simhash_certification",
+    "sim_ivfpq_nprobe_sweep",
+    "dedup_containment_certification",
+    "sim_ivf_balance",
+    "dedup_blocking_certification",
+    "dedup_multiprobe_certification",
+    "dedup_embedding_multiprobe",
+    "op_unpivot",
+    "dedup_multiprobe_sweep",
+    "sim_cell_reassign",
+    "dedup_reassign_certification",
+    "sim_matryoshka_search",
 ]
 
 
