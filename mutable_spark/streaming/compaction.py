@@ -112,3 +112,70 @@ def compact_fuzzy_classes(
         return connected_components(pairs)
     finally:
         g.unpersist()
+
+
+# --- embedding (semantic) dedup twin ---------------------------------------
+# The same lambda split applied to the EMBEDDING multiprobe tier — the one
+# scale tier that had no ingest-side twin through r12. The argument is
+# identical to the fuzzy-text case, with one addition: the multiprobe
+# centroids are per-cell MEANS of the corpus, so candidate generation is
+# doubly global — a per-microbatch variant would not only miss classes that
+# straddle batch boundaries, it would assign against centroids that drift
+# batch-to-batch. Compaction therefore recomputes centroids over the
+# ALL-TIME vector store each run (two partial-agg passes over the
+# posexploded store — ~k×dim output rows, trivially cheaper than the pair
+# join it feeds) and re-emits classes; the store append is the only
+# incremental write, and one Lloyd-style refresh per compaction run keeps
+# the assignment honest against exactly the drift `sim_cell_reassign`
+# measures on the static corpus.
+
+
+def _vector_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "vectors"
+
+
+def extend_vector_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Incremental half of embedding compaction: append every staged
+    vector not yet in the all-time store (one LEFT ANTI on vec_id).
+    Returns the number of newly stored vectors. Idempotent — a rerun
+    after a crash between append and class emission re-diffs against
+    the store and appends nothing."""
+    staged = spark.read.parquet(staged_dir)
+    vec_dir = _vector_dir(store_dir)
+    if (vec_dir / "_SUCCESS").exists():
+        seen = spark.read.parquet(str(vec_dir)).select("vec_id")
+        staged = staged.join(seen, "vec_id", "left_anti")
+    new_vecs = staged.localCheckpoint(eager=True)
+    n_new = new_vecs.count()
+    if n_new:
+        new_vecs.write.mode("append").parquet(str(vec_dir))
+    return n_new
+
+
+def compact_embedding_classes(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One embedding-compaction run: extend the all-time vector store
+    from the staged ingest output, then emit merged semantic-duplicate
+    classes (doc_id, class_rep) over ALL-TIME vectors — the same
+    (multiprobe_cosine_pairs → connected_components) composition
+    `sim_semantic_dedup`'s production path runs, shared verbatim, so
+    stream+compaction can only ever equal the batch answer by
+    construction."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.operators.dedup import (
+        connected_components,
+        multiprobe_cosine_pairs,
+    )
+
+    extend_vector_store(spark, staged_dir, store_dir)
+    e = spark.read.parquet(str(_vector_dir(store_dir)))
+    pairs = (
+        multiprobe_cosine_pairs(e)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    return connected_components(pairs)

@@ -1599,3 +1599,85 @@ def test_streaming_funnel_steps_out_of_order_restart(spark, tmp_path):
         3: int(final["t3"].notna().sum()),
     }
     assert got_totals == want
+
+
+def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
+    """The lambda split applied to the embedding multiprobe tier (r13,
+    VERDICT r12 item #6): embeddings arrive in TWO deliveries through a
+    real append-mode parquet ingest stream (exactly-once checkpointing);
+    a compaction run after each delivery extends the all-time vector
+    store incrementally, recomputes the multiprobe centroids over the
+    FULL store, and re-emits semantic-duplicate classes. Final classes
+    equal the batch (multiprobe_cosine_pairs -> connected_components)
+    answer — sim_semantic_dedup's production composition — on the same
+    corpus; the second compaction stores only the second delivery's
+    vectors (incrementality); and at least one class straddles the
+    delivery boundary, proving a per-microbatch pass would both miss
+    pairs AND assign against drifting centroids."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.dedup import (
+        connected_components,
+        multiprobe_cosine_pairs,
+    )
+    from mutable_spark.streaming.compaction import (
+        compact_embedding_classes,
+        extend_vector_store,
+    )
+
+    e = load_tables(spark, SF_DIR).embeddings
+
+    src = tmp_path / "in"
+    staged = tmp_path / "staged"
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(e.schema).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(staged))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # modulo split: near-dup pairs between even and odd vec_ids exist by
+    # construction of the clustered corpus, so classes MUST straddle
+    deliver(e.filter(F.col("vec_id") % 2 == 0), "phase1")
+    run_once()
+    compact_embedding_classes(spark, str(staged), str(store)).collect()
+
+    deliver(e.filter(F.col("vec_id") % 2 == 1), "phase2")
+    run_once()
+    # incrementality: the second compaction stores ONLY the new delivery
+    n_new = extend_vector_store(spark, str(staged), str(store))
+    assert n_new == e.filter(F.col("vec_id") % 2 == 1).count() and n_new > 0
+    got = compact_embedding_classes(spark, str(staged), str(store)).collect()
+
+    # the store holds every vector exactly once (no re-store, no loss)
+    vecs = spark.read.parquet(str(store / "vectors"))
+    assert vecs.count() == e.count()
+    assert vecs.select("vec_id").distinct().count() == e.count()
+
+    pairs = (
+        multiprobe_cosine_pairs(e)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(True)
+    )
+    want = connected_components(pairs).collect()
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
+    straddles = [
+        r for r in got if r["class_rep"] % 2 != r["doc_id"] % 2
+    ]
+    assert straddles, "no semantic class crossed the delivery boundary"
