@@ -1655,6 +1655,16 @@ def dedup_blocking_certification(spark, sf_dir):
     quantizer (a falling recall here is the re-train signal
     `sim_ivf_balance` gates on from the size side).
 
+    ROLE IN THE CERTIFICATION FAMILY (r13): this row audits the CHEAP
+    single-cell tier — deliberately NOT re-pointed at the production
+    path, because `dedup_multiprobe_certification` already certifies
+    the production default (`_MULTIPROBE`, 9856 bp at 10000 precision)
+    with the identical construction; re-pointing this one would
+    register the same query twice. Together the family prices every
+    deployed tier: stored-label single-cell (here, 893 bp), refreshed
+    single-cell (`dedup_reassign_certification`, 2291 bp), production
+    multiprobe (9856 bp), and the full curve (`dedup_multiprobe_sweep`).
+
     Shape: the sampled frame feeds both tiers; the baseline is the
     all-pairs theta join — quadratic ONLY in the MOD-sample, exactly
     like the other three certifications; cosines on both sides are the

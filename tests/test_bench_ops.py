@@ -7,12 +7,17 @@ asserts per case, kept alive here so the harness can't rot between
 
 from __future__ import annotations
 
+#: property suite (the OPSBENCH harness value checks) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import importlib
 import sys
 from pathlib import Path
 
 import duckdb
-import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 

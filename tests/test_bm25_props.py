@@ -6,10 +6,15 @@ the Spark side and could in principle mistranslate the same way."""
 
 from __future__ import annotations
 
+#: property suite (seeded random corpora vs an independent model) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import random
 
-import pytest
 
 from mutable_spark import registry
 from tests.conftest import SF_DIR

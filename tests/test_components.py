@@ -5,9 +5,14 @@ ever sees diameter-2 LSH classes; these pin multi-round convergence
 
 from __future__ import annotations
 
+#: property suite (adversarial graph shapes vs a union-find oracle) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import random
 
-import pytest
 
 from mutable_spark.operators.dedup import connected_components
 

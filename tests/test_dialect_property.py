@@ -11,8 +11,13 @@ diverge (float formatting, division by zero, overflow past int64).
 
 from __future__ import annotations
 
-import duckdb
+#: property suite (random program generation vs DuckDB) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
 import pytest
+
+pytestmark = pytest.mark.slow
+
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -13,6 +13,13 @@
 
 from __future__ import annotations
 
+#: property suite (packing/sampling/knn invariants on real frames) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 import pyspark.sql.functions as F
 
 from mutable_spark import registry

@@ -22,8 +22,13 @@ so accumulation order cannot matter. Two pins:
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
+#: property suite (forced spill-path oracle identity) — opt-out of the default gate
+#: (see pytest.ini); run everything with `pytest -m ""`
 import pytest
+
+pytestmark = pytest.mark.slow
+
+import pyspark.sql.functions as F
 
 from mutable_spark import registry
 from mutable_spark.catalog import load_tables
