@@ -700,6 +700,47 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH exact AS ({_SQL_EXACT_TOPK}),
+    approx AS ({_SQL_ANN})
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) * 10000 // 10 AS BIGINT) AS recall_bp
+    FROM exact e JOIN approx a ON e.vec_id = a.vec_id
+    """,
+)
+def sim_ann_recall(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH ANN path against the exact
+    brute-force top-10 — the last ANN tier without a registered recall
+    instrument (r13; IVF has `sim_ivf_recall`, PQ/IVFPQ have their
+    search hit columns + the nprobe sweep, MRL has the prefix
+    diagnostic + serving hit column, multiprobe blocking has its
+    certification family). Composes the two registered paths verbatim
+    (`sim_cosine_topk` exact, `sim_ann_lsh` approx), so the basis-point
+    number is an end-to-end check of the 16-bit signature + pigeonhole
+    candidate + exact rerank stack — and because both paths are
+    bit-deterministic, the recall itself is oracle-checkable.
+
+    Why this matters operationally: the sign-bit signature is only 16
+    bits, so chunk-collision candidate generation is the RECALL
+    bottleneck this op prices (the `dedup_embedding_cosine` docstring's
+    "~16-bit recall" claim, now a driver-checked integer instead of
+    prose). A deployment re-runs this before trusting the LSH tier at a
+    new corpus/scale; a falling number means more planes or a band
+    re-shape. Scale shape: both sides are distributed top-k frames (10
+    rows each); the semi join and the 1-row summary are driver-scale."""
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = sim_ann_lsh(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("CAST(n_hits * 10000 div 10 AS BIGINT)").alias("recall_bp"),
+    )
+
+
 def quantize_frame(e):
     """(vec_id, label, e, qscale, codes) for an embeddings frame — the
     shared int8 quantization core of ``sim_quantize_embeddings`` and the

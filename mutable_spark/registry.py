@@ -315,6 +315,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
+    # late-r13 additions (registered after the r13 rotation above;
+    # rotation candidates for r14):
+    "sim_ann_recall",  # r13: hyperplane-LSH recall@10 vs exact, integer bp
 ]
 
 

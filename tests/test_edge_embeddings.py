@@ -72,6 +72,8 @@ _EMB_OPS = [
     # r13: MRL two-stage serving — NULL prefix cosines (zero vector)
     # must shortlist identically in both engines
     "sim_matryoshka_search",
+    # r13: LSH recall instrument — composes two edge-pinned paths
+    "sim_ann_recall",
 ]
 
 
