@@ -1766,3 +1766,103 @@ def pipeline_filter_funnel(spark, sf_dir):
         .select("r.stage", "r.stage_name", "r.n_docs", "r.sum_chars")
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+#: minimum quality margin for a preference pair to be emitted: a
+#: chosen/rejected pair whose scores are nearly equal teaches a reward
+#: model nothing (and flips under labeler noise) — the standard DPO/RLHF
+#: data-prep filter. 0.05 on this corpus' [0,1]-ish quality scale.
+_PREF_MIN_MARGIN = 0.05
+
+
+@query(
+    "pipeline_preference_pairs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source, lang, {_SQL_QUALITY} AS quality
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY quality DESC, doc_id) AS rc,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY quality ASC, doc_id) AS rr
+        FROM t
+    ),
+    g AS (
+        SELECT source, lang,
+               MAX(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+               MAX(CASE WHEN rc = 1 THEN quality END) AS chosen_q,
+               MAX(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+               MAX(CASE WHEN rr = 1 THEN quality END) AS rejected_q,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM r GROUP BY source, lang
+    )
+    SELECT source, lang, chosen_id, rejected_id, chosen_q, rejected_q,
+           chosen_q - rejected_q AS margin, n_docs
+    FROM g
+    WHERE chosen_id <> rejected_id
+      AND chosen_q - rejected_q >= {_PREF_MIN_MARGIN}
+    """,
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training data:
+    within each (source, lang) prompt-group proxy, pair the
+    highest-quality document (chosen) against the lowest (rejected),
+    keep only pairs with a meaningful score margin
+    (≥ {_PREF_MIN_MARGIN}), and emit one audited row per group —
+    (chosen_id, rejected_id, both scores, margin, group size). The
+    scoring function is the pipeline's shared ``quality_expr`` (a real
+    deployment swaps in an RM score column; the construction —
+    best-vs-worst with margin gating and deterministic tiebreaks — is
+    the part that must be exact and is what this op registers).
+
+    Determinism: both rankings are total orders (quality DESC/ASC with
+    doc_id tiebreak) over the IDENTICAL IEEE double sequence in both
+    engines (`quality_expr` ≡ `_SQL_QUALITY`, the bit-for-bit pair the
+    clean-corpus gate already relies on), and the margin is one
+    subtraction of two such doubles — so chosen/rejected ids, scores,
+    and the margin filter all hash-match.
+
+    Scale shape: one corpus scan computing scores in codegen; ONE
+    exchange on the group key feeds BOTH row_number windows (same
+    partitioning, two in-partition sorts) AND the final per-group
+    aggregate (same key — Spark reuses the partitioning, no second
+    shuffle); output is one row per group. At 100 TB with real
+    per-prompt groups the same plan holds: group count is the output
+    bound, and nothing but (group, score, id) triples ever shuffles."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    s = d.select("doc_id", "source", "lang", quality_expr().alias("quality"))
+    wc = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    wr = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").asc(), "doc_id"
+    )
+    r = s.withColumn("rc", F.row_number().over(wc)).withColumn(
+        "rr", F.row_number().over(wr)
+    )
+    g = r.groupBy("source", "lang").agg(
+        F.max(F.when(F.col("rc") == 1, F.col("doc_id"))).alias("chosen_id"),
+        F.max(F.when(F.col("rc") == 1, F.col("quality"))).alias("chosen_q"),
+        F.max(F.when(F.col("rr") == 1, F.col("doc_id"))).alias("rejected_id"),
+        F.max(F.when(F.col("rr") == 1, F.col("quality"))).alias("rejected_q"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "chosen_id",
+        "rejected_id",
+        "chosen_q",
+        "rejected_q",
+        (F.col("chosen_q") - F.col("rejected_q")).alias("margin"),
+        "n_docs",
+    ).filter(
+        (F.col("chosen_id") != F.col("rejected_id"))
+        & (F.col("margin") >= _PREF_MIN_MARGIN)
+    )

@@ -318,6 +318,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # late-r13 additions (registered after the r13 rotation above;
     # rotation candidates for r14):
     "sim_ann_recall",  # r13: hyperplane-LSH recall@10 vs exact, integer bp
+    "pipeline_preference_pairs",  # r13: DPO/RM chosen-vs-rejected pair build
 ]
 
 

@@ -93,6 +93,9 @@ _DOC_OPS = [
     "dedup_tier_certification",
     "dedup_simhash_certification",
     "dedup_containment_certification",
+    # r13: preference pairs — empty/unicode text must score and rank
+    # identically (chosen/rejected ids + IEEE margin) in both engines
+    "pipeline_preference_pairs",
 ]
 
 

@@ -1001,3 +1001,18 @@ def test_matryoshka_search_broadcast_two_stage(plans):
     assert "TakeOrderedAndProject" in p
     # no full-width Sort+Exchange: every ORDER BY ... LIMIT is a top-k
     assert not re.search(r"\(\d+\) Sort\b", p.split("\n\n")[0]), p
+
+
+def test_preference_pairs_single_exchange_no_join(plans):
+    """pipeline_preference_pairs (r13): one corpus scan scoring in
+    codegen, ONE exchange on the group key shared by BOTH row_number
+    windows AND the per-group aggregate (same key — no second shuffle),
+    chosen/rejected picked by conditional MAX, no join anywhere."""
+    import re
+
+    p = plans("pipeline_preference_pairs")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert p.count("Window") >= 2
+    assert tree.count("Scan parquet") == 1, p
