@@ -784,6 +784,38 @@ def embedding_cosine_pairs(e):
     )
 
 
+def exact_cosine_pairs(e):
+    """(vec_a, vec_b, cos) — the EXACT all-pairs cosine baseline: theta
+    self-join, norm-hoisted exact JVM cosine, thresholded. Quadratic by
+    construction, so consumers only ever run it on MOD-bounded samples —
+    it is the shared ground-truth arm of every embedding certification
+    (blocking, multiprobe, reassign, and the sweep's denominator); one
+    definition keeps the four baselines from drifting apart."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            vec_cosine_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
+    )
+
+
 def _register_embedding_oracle():
     from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
@@ -843,7 +875,8 @@ def sim_semantic_dedup(spark, sf_dir):
     # checkpoint the verified pair list BEFORE components: the star loop
     # (and its `nodes` frame) reads `pairs` several times, and the final
     # summary would otherwise re-run the whole assign→join→verify
-    # pipeline per read (measured 9.9 → 3.6 s at sf0.1)
+    # pipeline per read (measured 9.9 → 5.1 s warm at sf0.1; 4.7 s in
+    # the round's bench invocation)
     pairs = (
         multiprobe_cosine_pairs(e)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
@@ -1670,35 +1703,18 @@ def dedup_blocking_certification(spark, sf_dir):
     like the other three certifications; cosines on both sides are the
     same exact JVM fold (`vec_cosine_pre`, bitwise-pinned to the
     oracle's list_reduce), so the comparison is bit-exact end to end."""
-    from mutable_spark.functions import vec_cosine_pre, vec_norm
-
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
     tier = embedding_cosine_pairs(e).select(
-        "vec_a", "vec_b", F.lit(1).alias("in_tier")
-    ).withColumnRenamed("vec_a", "doc_a").withColumnRenamed("vec_b", "doc_b")
-    a = e.select(
-        F.col("vec_id").alias("doc_a"),
-        F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding")).alias("na"),
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("in_tier"),
     )
-    b = e.select(
-        F.col("vec_id").alias("doc_b"),
-        F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding")).alias("nb"),
-    )
-    exact = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    exact = exact_cosine_pairs(e).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("in_exact"),
     )
     return _certify(exact, tier, "n_tier")
 
@@ -1789,8 +1805,6 @@ def dedup_multiprobe_certification(spark, sf_dir):
     shuffles (cell, vec) rows — ``_MULTIPROBE``× the single-probe tier's
     bytes; DISTINCT dedupes pairs sharing two cells before the exact
     verify. The quadratic baseline exists only on the MOD sample."""
-    from mutable_spark.functions import vec_cosine_pre, vec_norm
-
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
@@ -1799,27 +1813,10 @@ def dedup_multiprobe_certification(spark, sf_dir):
         F.col("vec_b").alias("doc_b"),
         F.lit(1).alias("in_tier"),
     )
-    ea = e.select(
-        F.col("vec_id").alias("doc_a"),
-        F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding")).alias("na"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("doc_b"),
-        F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding")).alias("nb"),
-    )
-    exact = (
-        ea.join(eb, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    exact = exact_cosine_pairs(e).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("in_exact"),
     )
     return _certify(exact, tier, "n_tier")
 
@@ -1902,7 +1899,13 @@ def _multiprobe_assign(e, max_rk: int):
 def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
     """The DuckDB twin of ``_multiprobe_assign`` as a WITH-fragment:
     the caller supplies the leading WITH and consumes `assign` (and `s`,
-    the filtered embeddings the fragment defines)."""
+    the filtered embeddings the fragment defines).
+
+    Presence contract (mirrors Spark's posexplode): a vector with an
+    EMPTY (or NULL) embedding array produces no posexploded rows, so it
+    never reaches the Spark rank window and gets NO assignment; the
+    `len(se.embedding) > 0` guard drops the same vectors from the dots
+    cross-join here (which would otherwise emit NULL-score rk rows)."""
     from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_dot
 
     return f"""s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where}),
@@ -1925,6 +1928,7 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
                SUM(CAST(floor(CAST(se.embedding[cd.d] AS DOUBLE) * cd.c
                               * {_DOT_SCALE!r}) AS BIGINT)) AS idot
         FROM s se, cd
+        WHERE len(se.embedding) > 0
         GROUP BY se.vec_id, cd.cell
     ),
     assign AS (
@@ -2156,16 +2160,7 @@ def dedup_multiprobe_sweep(spark, sf_dir):
         .groupBy("p_thr")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_exact = (
-        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos")
-        )
-        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
+    n_exact = exact_cosine_pairs(e).agg(F.count(F.lit(1)).alias("n_exact"))
     ps = spark.range(1, _MULTIPROBE_SWEEP + 1).select(
         F.col("id").cast("int").alias("p")
     )
@@ -2308,8 +2303,6 @@ def dedup_reassign_certification(spark, sf_dir):
     precision = 10000 is a theorem on each arm and the row only needs
     COUNTS — no pair-set joins: recall_bp = n_tier * 10000 div n_exact.
     The quadratic baseline exists only on the MOD sample."""
-    from mutable_spark.functions import vec_cosine_pre, vec_norm
-
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
@@ -2319,26 +2312,7 @@ def dedup_reassign_certification(spark, sf_dir):
     refreshed = multiprobe_cosine_pairs(e, max_rk=1).agg(
         F.count(F.lit(1)).alias("n_refreshed")
     )
-    ea = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding")).alias("na"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding")).alias("nb"),
-    )
-    exact = (
-        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos")
-        )
-        .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
+    exact = exact_cosine_pairs(e).agg(F.count(F.lit(1)).alias("n_exact"))
     bp = (
         "CAST(CASE WHEN n_exact = 0 THEN 10000"
         " ELSE {n} * 10000 div n_exact END AS BIGINT)"

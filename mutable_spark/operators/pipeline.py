@@ -1812,7 +1812,7 @@ def pipeline_preference_pairs(spark, sf_dir):
     within each (source, lang) prompt-group proxy, pair the
     highest-quality document (chosen) against the lowest (rejected),
     keep only pairs with a meaningful score margin
-    (≥ {_PREF_MIN_MARGIN}), and emit one audited row per group —
+    (``_PREF_MIN_MARGIN`` = 0.05), and emit one audited row per group —
     (chosen_id, rejected_id, both scores, margin, group size). The
     scoring function is the pipeline's shared ``quality_expr`` (a real
     deployment swaps in an RM score column; the construction —
@@ -1840,8 +1840,12 @@ def pipeline_preference_pairs(spark, sf_dir):
     wc = Window.partitionBy("source", "lang").orderBy(
         F.col("quality").desc(), "doc_id"
     )
+    # asc_NULLS_LAST, not plain asc(): Spark's ASC default is nulls
+    # FIRST while DuckDB's is nulls LAST — a NULL quality (NULL text)
+    # must never beat a real low score to the rejected slot in either
+    # engine (the DESC sides agree by default: both nulls-last)
     wr = Window.partitionBy("source", "lang").orderBy(
-        F.col("quality").asc(), "doc_id"
+        F.col("quality").asc_nulls_last(), "doc_id"
     )
     r = s.withColumn("rc", F.row_number().over(wc)).withColumn(
         "rr", F.row_number().over(wr)

@@ -1852,9 +1852,10 @@ def _sql_matryoshka_search() -> str:
 @query("sim_matryoshka_search", oracle=_sql_matryoshka_search())
 def sim_matryoshka_search(spark, sf_dir):
     """The production two-stage MRL serving path (`sim_pq_search`'s
-    shape applied to prefix dimensions): a {_MRL_SERVE_DIM}-dim prefix
-    cosine shortlist of width {_MRL_SHORTLIST}, then an exact full-dim
-    cosine rerank of ONLY the shortlisted candidates. Returns the served
+    shape applied to prefix dimensions): a ``_MRL_SERVE_DIM`` (32)-dim
+    prefix cosine shortlist of width ``_MRL_SHORTLIST`` (200), then an
+    exact full-dim cosine rerank of ONLY the shortlisted candidates.
+    Returns the served
     top-10 (rank, vec_id, exact cosine) plus a hit flag against the
     exact full-scan top-10 — the evaluation harness PROVING the serving
     point's recall (measured 9-10/10 across sf0.001/0.01/0.1; see the
@@ -1863,12 +1864,12 @@ def sim_matryoshka_search(spark, sf_dir):
     at the width/prefix that diagnostic + the width sweep justified.
 
     Scale shape: stage 1 is one corpus scan that folds only the first
-    {_MRL_SERVE_DIM} of 64 dims (2× less compute; with a real MRL
+    32 of 64 dims (2× less compute; with a real MRL
     column layout, 2× less I/O) against a broadcast 1-row query,
-    finishing as a distributed top-{_MRL_SHORTLIST}
+    finishing as a distributed top-``_MRL_SHORTLIST`` (200)
     (TakeOrderedAndProject — no global sort); stage 2 broadcasts the
     shortlist ids into an equi-join and touches full vectors for
-    exactly {_MRL_SHORTLIST} rows at any corpus size. The exact
+    exactly 200 rows at any corpus size. The exact
     full-scan top-10 is the EVALUATION harness only — production drops
     the hit column and the full scan.
 

@@ -172,10 +172,20 @@ def compact_embedding_classes(
     )
 
     extend_vector_store(spark, staged_dir, store_dir)
-    e = spark.read.parquet(str(_vector_dir(store_dir)))
-    pairs = (
-        multiprobe_cosine_pairs(e)
-        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        .localCheckpoint(eager=True)
-    )
-    return connected_components(pairs)
+    # cached: multiprobe_cosine_pairs reads the store four times (the
+    # centroid aggregate, the dot aggregate, and both pair-verify
+    # sides) — the same multi-read reason compact_fuzzy_classes caches
+    # its signature store; without it each compaction pays 4 full
+    # store scans that grow with all-time corpus size
+    e = spark.read.parquet(str(_vector_dir(store_dir))).cache()
+    try:
+        pairs = (
+            multiprobe_cosine_pairs(e)
+            .select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+            .localCheckpoint(eager=True)
+        )
+        return connected_components(pairs)
+    finally:
+        e.unpersist()
