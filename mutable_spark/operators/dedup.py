@@ -1906,7 +1906,7 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
     never reaches the Spark rank window and gets NO assignment; the
     `len(se.embedding) > 0` guard drops the same vectors from the dots
     cross-join here (which would otherwise emit NULL-score rk rows)."""
-    from mutable_spark.operators.similarity import _DIM, _DOT_SCALE, _sql_dot
+    from mutable_spark.operators.similarity import _DOT_SCALE, _sql_dot
 
     return f"""s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where}),
     csum AS (
@@ -1914,7 +1914,9 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
                SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS sm,
                COUNT(embedding[d]) AS n
-        FROM s, range(1, {_DIM} + 1) t(d)
+        FROM (SELECT label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS d
+              FROM s)
         GROUP BY label, d
     ),
     cd AS (SELECT label AS cell, d,

@@ -147,3 +147,70 @@ def test_vec_cosine_pre_is_bit_identical_to_vec_cosine(spark):
             import struct
 
             assert struct.pack("d", r.plain) == struct.pack("d", r.pre)
+
+
+# --- ragged corpus: the fixed-64-dim contract violated on purpose --------
+# r13 self-review follow-through: the multiprobe assign fragment claims
+# posexplode-presence semantics (empty/NULL vectors get NO assignment) and
+# dimension-agnostic centroids (unnest(generate_series(1, len(embedding))),
+# not a hardcoded 64-dim range). This corpus breaks both assumptions at
+# once — empty array, all-NULL elements, and 4-dim vectors — and every
+# assign-fragment consumer must still match its oracle exactly.
+_RAGGED_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0], 1),
+    (7, [1.0, 2.0, 3.0, 4.0], 1),
+    (14, [], 2),                       # empty: no posexploded rows at all
+    (21, [None, None, None, None], 2),  # present dims, all-NULL elements
+    (28, [9.0, -7.0, 5.0, -3.0], 3),
+]
+
+_RAGGED_OPS = [
+    "sim_cell_reassign",
+    "dedup_reassign_certification",
+    "dedup_embedding_multiprobe",
+    "dedup_multiprobe_certification",
+    "dedup_multiprobe_sweep",
+    "sim_semantic_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def ragged_dir(spark, tmp_path_factory):
+    import os
+
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_DIR
+
+    path = tmp_path_factory.mktemp("ragged_embeddings")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(_RAGGED_VECS, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(path / "embeddings.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(path / f))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def ragged_duck(ragged_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{ragged_dir}/embeddings.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _RAGGED_OPS)
+def test_ragged_embeddings_match_oracle(name, spark, ragged_duck, ragged_dir):
+    ok, msg = compare(name, spark, ragged_duck, ragged_dir)
+    assert ok, msg
