@@ -319,6 +319,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # rotation candidates for r14):
     "sim_ann_recall",  # r13: hyperplane-LSH recall@10 vs exact, integer bp
     "pipeline_preference_pairs",  # r13: DPO/RM chosen-vs-rejected pair build
+    "source_binary_scan",  # r13: binaryFile object ingestion, per-object digest
 ]
 
 
@@ -386,5 +387,6 @@ def load_all() -> None:
     import mutable_spark.sources.orc  # noqa: F401
     import mutable_spark.sources.jsonl  # noqa: F401
     import mutable_spark.sources.csv  # noqa: F401
+    import mutable_spark.sources.binary  # noqa: F401
 
     _reorder_by_priority()
