@@ -1870,3 +1870,97 @@ def pipeline_preference_pairs(spark, sf_dir):
         (F.col("chosen_id") != F.col("rejected_id"))
         & (F.col("margin") >= _PREF_MIN_MARGIN)
     )
+
+
+# --------------------------------------------------------------------------
+#: T5-style span-corruption layout knobs: ~15% of tokens masked in spans
+#: of SPAN_LEN, so span STARTS fire at noise/span_len = 5% per token
+#: position (Raffel et al. 2020, "Exploring the Limits of Transfer
+#: Learning with a Unified Text-to-Text Transformer", §3.1.4)
+_SPAN_LEN = 3
+_SPAN_START_FRAC = 0.05
+
+
+@query(
+    "pipeline_span_corruption",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(generate_series(1,
+                   len(string_split_regex(trim(text), '\s+')))) AS i
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, i,
+               CASE WHEN {_sql_hash52("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                         < {_SPAN_START_FRAC} * 4503599627370496.0
+                    THEN 1 ELSE 0 END AS s
+        FROM tok
+    ),
+    mm AS (
+        SELECT doc_id, i, s,
+               MAX(s) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING
+                                     AND CURRENT ROW) AS msk
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS n_spans,
+           CAST(SUM(msk) AS BIGINT) AS n_masked,
+           MIN(CASE WHEN s = 1 THEN i END) AS first_start,
+           CAST(SUM(msk) * 10000 // COUNT(*) AS BIGINT) AS mask_bp
+    FROM mm
+    GROUP BY doc_id
+    """,
+)
+def pipeline_span_corruption(spark, sf_dir):
+    """T5-style span-corruption LAYOUT (Raffel et al. 2020): mark ~15%
+    of each document's tokens for masking in spans of ``_SPAN_LEN``,
+    with every decision a pure function of (doc_id, token index) — the
+    property an epoch-reproducible denoising dataloader needs: the same
+    document yields the same spans on every run, executor count, and
+    partitioning, with no RNG state to checkpoint. Span starts fire
+    where the shared 52-bit md5 hash of ``doc_id:i`` falls under
+    noise/span_len (the `pipeline_train_test_split` construction); a
+    token is masked iff a start fired in the trailing ``_SPAN_LEN``
+    window (spans truncate at document end, overlaps merge — counted
+    honestly by summing the windowed flag). Registered result: the
+    per-document layout summary (token/span/masked counts, first span
+    start, integer mask rate) — pinning every masking decision through
+    the window without shipping per-token rows to the driver.
+
+    Scale shape: one corpus scan posexplodes token INDICES only (the
+    token text never leaves the scan projection); ONE exchange on
+    doc_id feeds the trailing-window flag AND the per-doc rollup (same
+    key — partitioning reused); output is one row per document. The
+    dense posexplode index makes the ROWS frame equal to the RANGE
+    frame, so both engines compute the identical window."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", F.posexplode(toks).alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i")
+    )
+    thresh = _SPAN_START_FRAC * 4503599627370496.0
+    start = (
+        _hash52(F.concat_ws(":", F.col("doc_id"), F.col("i"))) < thresh
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_SPAN_LEN - 1), 0)
+    )
+    mm = t.select("doc_id", "i", start.alias("s")).withColumn(
+        "msk", F.max("s").over(w)
+    )
+    return mm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("s").cast("long").alias("n_spans"),
+        F.sum("msk").cast("long").alias("n_masked"),
+        F.min(F.when(F.col("s") == 1, F.col("i"))).alias("first_start"),
+        F.expr("CAST(sum(msk) * 10000 div count(1) AS BIGINT)").alias(
+            "mask_bp"
+        ),
+    )

@@ -320,6 +320,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ann_recall",  # r13: hyperplane-LSH recall@10 vs exact, integer bp
     "pipeline_preference_pairs",  # r13: DPO/RM chosen-vs-rejected pair build
     "source_binary_scan",  # r13: binaryFile object ingestion, per-object digest
+    "pipeline_span_corruption",  # r13: T5 denoising span layout, RNG-free
 ]
 
 

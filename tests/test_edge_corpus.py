@@ -96,6 +96,9 @@ _DOC_OPS = [
     # r13: preference pairs — empty/unicode text must score and rank
     # identically (chosen/rejected ids + IEEE margin) in both engines
     "pipeline_preference_pairs",
+    # r13: span corruption — tokenization of empty/regex-metachar text
+    # and the trailing mask window must lay out identically
+    "pipeline_span_corruption",
 ]
 
 
