@@ -266,3 +266,94 @@ def boilerplate_scrub_stream(docs: DataFrame, boiler: list[int]) -> DataFrame:
     from mutable_spark.operators.text import boilerplate_stats_frame
 
     return boilerplate_stats_frame(docs, boiler)
+
+
+def preference_pair_state(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``pipeline_preference_pairs``: the
+    per-(source, lang) chosen/rejected extremes maintained incrementally
+    via applyInPandasWithState as documents arrive at ingest — the
+    reward-model data-prep monitor that says, at any point of the
+    crawl, which pair each group would currently contribute.
+
+    Scoring happens UPSTREAM of the state function with the shared
+    ``quality_expr`` (JVM-side, the identical IEEE sequence the batch op
+    and its oracle use), so state only compares doubles; extremes use
+    the batch tiebreaks exactly (quality DESC/ASC then smallest doc_id,
+    NULL scores never beating real ones — the asc_nulls_last contract).
+    State per group: (best_q, best_id, worst_q, worst_id, n). Each
+    micro-batch emits the group's post-update pair with the batch op's
+    gate evaluated into a ``qualifies`` column (distinct docs AND
+    margin ≥ the shared ``_PREF_MIN_MARGIN``) — the last emission per
+    group therefore equals the batch row set when filtered on it
+    (asserted across a two-delivery replay in tests)."""
+    import pandas as pd
+
+    from mutable_spark.operators.pipeline import _PREF_MIN_MARGIN, quality_expr
+
+    scored = docs.select(
+        "source", "lang", "doc_id", quality_expr().alias("q")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            best_q, best_id, worst_q, worst_id, n = state.get
+        else:
+            best_q, best_id, worst_q, worst_id, n = (None,) * 4 + (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+            real = pdf[pdf["q"].notna()]
+            for doc_id, q in zip(real["doc_id"], real["q"]):
+                doc_id, q = int(doc_id), float(q)
+                if (
+                    best_q is None
+                    or q > best_q
+                    or (q == best_q and doc_id < best_id)
+                ):
+                    best_q, best_id = q, doc_id
+                if (
+                    worst_q is None
+                    or q < worst_q
+                    or (q == worst_q and doc_id < worst_id)
+                ):
+                    worst_q, worst_id = q, doc_id
+        state.update((best_q, best_id, worst_q, worst_id, n))
+        if best_q is None:
+            return iter(())  # no scored doc yet: nothing to monitor
+        margin = best_q - worst_q
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "source": [key[0]],
+                        "lang": [key[1]],
+                        "chosen_id": [best_id],
+                        "rejected_id": [worst_id],
+                        "chosen_q": [best_q],
+                        "rejected_q": [worst_q],
+                        "margin": [margin],
+                        "n_docs": [n],
+                        "qualifies": [
+                            int(
+                                best_id != worst_id
+                                and margin >= _PREF_MIN_MARGIN
+                            )
+                        ],
+                    }
+                )
+            ]
+        )
+
+    return scored.groupBy("source", "lang").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, lang string, chosen_id long, rejected_id long,"
+            " chosen_q double, rejected_q double, margin double,"
+            " n_docs long, qualifies long"
+        ),
+        stateStructType=(
+            "best_q double, best_id long, worst_q double, worst_id long,"
+            " n long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1681,3 +1681,72 @@ def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
         r for r in got if r["class_rep"] % 2 != r["doc_id"] % 2
     ]
     assert straddles, "no semantic class crossed the delivery boundary"
+
+
+def test_streaming_preference_pairs_two_phase_equals_batch(spark, tmp_path):
+    """The preference-pair monitor settles to the batch answer across a
+    TWO-phase delivery against one checkpoint (state survives the
+    restart; extremes discovered in different phases combine): the last
+    emission per (source, lang), filtered on the op's own `qualifies`
+    gate, equals pipeline_preference_pairs' row set exactly — ids,
+    IEEE scores, margin, and group sizes."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.documents import preference_pair_state
+
+    d = load_tables(spark, SF_DIR).documents
+
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    sink = tmp_path / "out"
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            preference_pair_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # modulo split: both phases hit most groups, so extremes straddle
+    deliver(d.filter(F.col("doc_id") % 2 == 0), "phase1")
+    run_once()
+    deliver(d.filter(F.col("doc_id") % 2 == 1), "phase2")
+    run_once()
+
+    # n_docs strictly grows per emission, so the settled pair per group
+    # is its max-n_docs row (parquet sink keeps no emission order)
+    by_group: dict = {}
+    for r in spark.read.parquet(str(sink)).collect():
+        k = (r.source, r.lang)
+        if k not in by_group or r.n_docs > by_group[k].n_docs:
+            by_group[k] = r
+    got = _rows(
+        (
+            r.source, r.lang, r.chosen_id, r.rejected_id,
+            r.chosen_q, r.rejected_q, r.margin, r.n_docs,
+        )
+        for r in by_group.values()
+        if r.qualifies == 1
+    )
+    want = _rows(
+        tuple(r)
+        for r in registry.QUERIES["pipeline_preference_pairs"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want and len(want) > 0
