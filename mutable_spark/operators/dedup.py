@@ -2241,6 +2241,34 @@ def refreshed_cells(e):
     return _multiprobe_assign(e, 1).select("vec_id", "cell")
 
 
+def retrained_cells(e, k: int, rounds: int = 2):
+    """(vec_id, cell) — a re-trained k-cell coarse assignment: ``rounds``
+    Lloyd iterations from the deterministic ``vec_id % k`` init, each
+    round being the registered rk=1 nearest-derived-centroid assignment
+    (`refreshed_cells`' machinery) over the previous round's labels.
+    This is the k-means behind SCALE.md's "k ~ √N demonstrated" A/B
+    (scripts/ab_ksweep.py): at k=√N the per-cell population — and with
+    it the multiprobe pair fan-out — stays bounded as the corpus grows,
+    where the stored fixed-k assignment's grows linearly. Building
+    block for moving the multiprobe production tier onto re-trained √N
+    cells (the oracle-side chaining is the r14 item); every step is the
+    bit-deterministic assign fragment, so a SQL twin is one chained
+    fragment per round. Each round's input is localCheckpoint'ed: the
+    assign pipeline reads its frame several times, and round r+1 must
+    not replay rounds 1..r."""
+    lab = e.select(
+        "vec_id", (F.col("vec_id") % k).cast("int").alias("cell")
+    )
+    for _ in range(rounds):
+        staged = (
+            e.drop("label")
+            .join(lab.withColumnRenamed("cell", "label"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        lab = _multiprobe_assign(staged, 1).select("vec_id", "cell")
+    return lab
+
+
 @query("sim_cell_reassign", oracle=None)  # assigned below
 def sim_cell_reassign(spark, sf_dir):
     """Coarse-quantizer cell RE-ASSIGNMENT — the op that closes the

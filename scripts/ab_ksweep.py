@@ -58,13 +58,9 @@ def main() -> None:
     print(f"N={n}, sqrt-N k={k}", flush=True)
     measure(e, "k=stored", dd._MULTIPROBE)
 
-    # 2 Lloyd rounds from a deterministic modulo init: round = the
-    # registered rk=1 nearest-derived-centroid assignment
-    lab = e.select("vec_id", (F.col("vec_id") % k).cast("int").alias("cell"))
-    for _ in range(2):
-        staged = relabel(e, lab).localCheckpoint(eager=True)
-        lab = dd._multiprobe_assign(staged, 1).select("vec_id", "cell")
-    ek = relabel(e, lab).localCheckpoint(eager=True)
+    # 2 Lloyd rounds from a deterministic modulo init (the shared
+    # library k-means: operators/dedup.py::retrained_cells)
+    ek = relabel(e, dd.retrained_cells(e, k)).localCheckpoint(eager=True)
     for p in (dd._MULTIPROBE, 6, 8):
         measure(ek, f"k={k}", p)
 

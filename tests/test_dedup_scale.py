@@ -418,3 +418,40 @@ def test_reassign_certification_refreshed_not_worse_on_corpus(spark):
     ).collect()[0]
     assert row.recall_refreshed_bp >= row.recall_stored_bp
     assert row.n_exact >= row.n_refreshed >= row.n_stored
+
+
+def test_retrained_cells_reunites_planted_drift(spark, tmp_path):
+    """r13: `retrained_cells` (the k-means behind the √N A/B) is Lloyd
+    from a modulo init — on a corpus whose stored labels split an
+    identical-vector cluster, ONE round already reunites the cluster in
+    a single cell, and a second round is a fixpoint (assignments stop
+    changing once centroids equal the cluster vectors)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mutable_spark.operators.dedup import retrained_cells
+    from tests.conftest import SF_DIR
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [9.0, -7.0, 5.0, -3.0]
+    rows = [(0, v, 1), (1, v, 2), (2, v, 1), (3, w, 2)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    one = {r.vec_id: r.cell for r in retrained_cells(e, 2, rounds=1).collect()}
+    two = {r.vec_id: r.cell for r in retrained_cells(e, 2, rounds=2).collect()}
+    # the v-cluster lands in ONE cell, w in another, from round 1 on
+    assert one[0] == one[1] == one[2] != one[3]
+    assert two == one  # fixpoint
