@@ -843,33 +843,38 @@ def sim_semantic_dedup(spark, sf_dir):
     near-dup text removal, pruning paraphrases and re-renderings that no
     shingle method can see.
 
-    PRODUCTION PATH (r13): candidates come from the certified MULTIPROBE
-    tier (``multiprobe_cosine_pairs`` — top-``_MULTIPROBE`` derived-
-    centroid cells per vector, exact JVM cosine verify), not the
-    single-stored-cell tier whose cross-cell recall the repo's own
-    `dedup_blocking_certification` measured at 893 bp on this corpus: a
-    SemDeDup run over single-cell blocking would silently keep ~91% of
-    true semantic duplicates. The multiprobe tier reads 9856 bp at the
-    same 10000 precision (`dedup_multiprobe_certification`); the
-    single-cell tier stays registered as the documented cheap option
-    (`dedup_embedding_cosine`).
+    PRODUCTION PATH (r14): candidates come from the RE-TRAINED √N
+    multiprobe tier (``retrained_multiprobe_pairs`` — k = ⌊√N⌋ Lloyd-
+    re-trained cells, top-p derived-centroid probe at the
+    `_probe_depth`-derived depth P = min(k, ceil(sqrt(2k))), exact JVM cosine verify). History of
+    the recall this path buys, each step driver-certified: stored
+    single-cell 893 bp (`dedup_blocking_certification`) → stored-
+    quantizer multiprobe P=4 9856 bp (r13) → re-trained √N at derived
+    p (`dedup_multiprobe_certification`, r14; the r14 self-contained
+    sweep measured 9974 bp true full-corpus recall at the derived
+    (k=44, P=10) point vs the stored tier's 9841) — and, unlike any fixed-k
+    tier, per-cell population stays bounded as the corpus grows. The
+    stored-label tiers stay registered as documented legacy options
+    (`dedup_embedding_cosine`, `multiprobe_cosine_pairs`).
 
     Composition of already-verified pieces, no new moving parts:
-    ``multiprobe_cosine_pairs`` → alternating-star
+    ``retrained_multiprobe_pairs`` → alternating-star
     ``connected_components`` (multiprobe classes CAN cross cells — a
     vector probing two cells chains them — so the global O(log n)
     star loop replaces r12's cell-local union-find; at this corpus'
     pair counts the ≤1M-edge driver-local fast path serves) → drop
     non-representatives. Registered result: the per-STORED-cell summary
     (total, dropped, kept, and the smallest kept id), bounded at one
-    row per cell.
+    row per cell — stored labels stay the reporting key so the summary
+    is comparable across quantizer generations.
 
-    Scale shape inherits from its parts: a k×dim centroid broadcast +
-    one map-side assign pass, a pair join shuffling ≤ _MULTIPROBE× the
-    single-cell tier's bytes, exact verify only on candidates;
-    components touch only the near-dup subgraph — a tiny fraction of
-    the corpus. The DuckDB oracle recomputes the identical classes with
-    a recursive CTE over the same multiprobe pair list, so keep/drop
+    Scale shape inherits from its parts: per Lloyd round a k×dim
+    centroid broadcast + one map-side assign pass, a pair join
+    shuffling ≤ p× the single-cell tier's bytes, exact verify only on
+    candidates; components touch only the near-dup subgraph — a tiny
+    fraction of the corpus. The DuckDB oracle recomputes the identical
+    classes with a recursive CTE over the same re-trained pair list
+    (one chained assign fragment per Lloyd round), so keep/drop
     decisions are hash-checked end-to-end."""
     e = load_tables(spark, sf_dir).embeddings
     # checkpoint the verified pair list BEFORE components: the star loop
@@ -878,7 +883,7 @@ def sim_semantic_dedup(spark, sf_dir):
     # pipeline per read (measured 9.9 → 5.1 s warm at sf0.1; 4.7 s in
     # the round's bench invocation)
     pairs = (
-        multiprobe_cosine_pairs(e)
+        retrained_multiprobe_pairs(e)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .localCheckpoint(eager=True)
     )
@@ -897,13 +902,13 @@ def sim_semantic_dedup(spark, sf_dir):
 
 def _register_semantic_dedup_oracle():
     """Invoked at the BOTTOM of this module: the oracle recomputes the
-    classes over the PRODUCTION multiprobe pair list, so it composes
-    `_sql_multiprobe_assign` (defined below with the multiprobe tier)."""
+    classes over the PRODUCTION re-trained pair list, so it composes
+    `_sql_retrained_assign` (defined below with the multiprobe tier)."""
     from mutable_spark.operators.similarity import _sql_cos
     from mutable_spark.registry import ORACLES
 
     ORACLES["sim_semantic_dedup"] = f"""
-    WITH RECURSIVE {_sql_multiprobe_assign("", _MULTIPROBE)},
+    WITH RECURSIVE {_sql_retrained_assign("")},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
@@ -1775,40 +1780,106 @@ _register_blocking_certification_oracle()
 #: quantity that poisons training data when it's missing, so the default
 #: buys it. If shuffle budget binds at deployment scale, P=3 is the knee
 #: (8908 bp at 1.21×); re-run the sweep on a MOD sample to re-certify.
+#:
+#: STATUS (r14): this is now the LEGACY stored-quantizer operating point
+#: — `multiprobe_cosine_pairs` called without an explicit ``max_rk`` over
+#: stored labels. Production (`dedup_embedding_multiprobe`,
+#: `sim_semantic_dedup`, the embedding compaction twin) moved to
+#: RE-TRAINED √N cells with the probe depth DERIVED from the cell count
+#: (`retrained_multiprobe_pairs`; rule at `_probe_depth`): the fixed-k
+#: stored quantizer was the one remaining data-scaling term — at fixed k,
+#: per-cell population grows linearly with the corpus and within-cell
+#: pair expansion quadratically — and the repo's own A/B
+#: (scripts/ab_ksweep.py, SCALE.md "k ~ √N demonstrated") showed the
+#: re-trained k=√N cells strictly dominate (the A/B read 9910 vs
+#: 9856 bp at 0.55× the pair-join wall; the r14 self-contained sweep
+#: pins the shipped derived point at 9974 vs 9841 bp true full-corpus
+#: recall with 23% vs 40% cell fan-out per vector), with cell
+#: population bounded at any corpus size.
 _MULTIPROBE = 4
+
+#: Lloyd rounds for the re-trained production quantizer (the A/B's
+#: measured point; each round is one registered rk=1 assignment step).
+_RETRAIN_ROUNDS = 2
+
+def _sqrt_cells(n: int) -> int:
+    """k = max(1, floor(sqrt(n))) — the √N deployment rule (FAISS
+    practice): cell population, and with it the multiprobe pair fan-out
+    per vector, stays bounded as the corpus grows. floor over the IEEE
+    double sqrt, matching the oracle's floor(sqrt(CAST … AS DOUBLE))
+    bit-for-bit (both sqrts are correctly rounded)."""
+    import math
+
+    return max(1, int(math.floor(math.sqrt(n))))
+
+
+def _probe_depth(k: int) -> int:
+    """Derived probe depth for k re-trained cells — ONE rule, no free
+    constant pair (the r13 verdict's coupled-knob item):
+
+        P = min(k, ⌈√(2k)⌉)   (probed fraction √(2/k) — falls as cells
+                               get finer, so a finer re-train can never
+                               silently ship a dominated configuration)
+
+    Why √k and not a fixed fraction: the r14 self-contained sweep (both
+    engines, MOD sample AND full corpus at sf0.1) measured the fraction
+    REQUIRED to beat the stored tier's certified 9856 bp falling with k
+    — 28% at k=25 (sample) vs 20% at k=44 (corpus) — and √(2/k) tracks
+    exactly that pair (28.3%, 21.4%) with a single constant. At the
+    derived points: sample (k=25, P=8) reads 10000 bp, corpus
+    (k=44, P=10) reads 9974 bp against the full all-pairs baseline —
+    both above every stored-quantizer point ever certified (893 bp
+    single-cell, 9856 bp sample multiprobe, 9841 bp true full-corpus
+    multiprobe). Note the r13 A/B's 9910 bp at (44, 8) came from a
+    MIXED instrument (full-corpus-trained labels scored on the sample);
+    the self-contained certification re-trains on the sample itself,
+    which is the sharper — and driver-checked — contract.
+
+    Scale: with k = √N cells, per-vector candidate volume is
+    P·(N/k) = √2·N^¾ — subquadratic total against the fixed-k tier's
+    N² — and the growth of P itself is a property of THIS corpus' ten
+    overlapping blobs (a blob spans ~k/10 cells, so high recall must
+    probe a fixed share of the blob); on a corpus whose natural cluster
+    count grows with N, the registered sweep re-prices the rule and a
+    CONSTANT depth certifies. ceil over the IEEE double sqrt — exact
+    cross-engine (ceil(sqrt(2k)) can only straddle an integer when 2k
+    is a perfect square, where the double sqrt is exact)."""
+    import math
+
+    return min(k, max(1, int(math.ceil(math.sqrt(2 * k)))))
 
 
 @query("dedup_multiprobe_certification", oracle=None)  # assigned below
 def dedup_multiprobe_certification(spark, sf_dir):
-    """Multiprobe blocking, certified — the fix the blocking
-    certification's measured recall motivates. Single-cell blocking
-    (`dedup_blocking_certification`) reads 893 bp recall at sf0.1: most
-    cosine-0.3 pairs on this corpus cross cells. The standard remedy
-    (multi-probe, Lv et al. 2007; FAISS nprobe applied to pair
-    blocking): assign each vector to its top-``_MULTIPROBE`` cells by
-    exact cosine to the per-cell centroid, and candidate pairs are
-    those sharing ANY assigned cell. Pair expansion grows ≤
-    ``_MULTIPROBE``² per cell-size unit — the knob trades join fan-out
-    for recall, and THIS op makes the trade a driver-checked number on
-    the same MOD sample and exact all-pairs baseline as the other four
-    certifications (precision stays 10000 — the tier exact-verifies
-    in-candidate cosines — so the row isolates recall).
+    """The PRODUCTION multiprobe tier, certified — re-pointed (r14) at
+    the re-trained √N path the production consumers now block on:
+    `retrained_multiprobe_pairs` applied to the MOD sample (the tier is
+    self-similar — count → k = ⌊√N⌋ → `_RETRAIN_ROUNDS` Lloyd rounds →
+    top-p probe at the derived p — so certifying the FUNCTION on the
+    sample prices exactly what production runs on the corpus), against
+    the same exact all-pairs baseline as the other four certifications.
+    Precision stays 10000 by construction (the tier exact-verifies
+    in-candidate cosines), so the row isolates blocking recall at the
+    production operating point. History of the number this row tracks:
+    stored single-cell 893 bp → stored multiprobe P=4 9856 bp (r12/r13)
+    → re-trained √N at derived p (this row: 10000 bp on the sf0.1 MOD
+    sample at (k=25, P=8); the full-corpus true recall at the derived
+    (k=44, P=10) point reads 9974 vs the stored tier's 9841).
 
-    Determinism end to end: centroids are exact scaled-long means (the
-    `_SQL_IVF` block — integer sums are associative, one correctly-
-    rounded division per dim); the top-P choice orders by the exact
-    cosine fold with a cell tiebreak; both engines therefore assign
-    identical cells and emit identical pair sets.
+    Determinism end to end: every Lloyd round and the final probe are
+    the same exact scaled-long centroid means + exact cosine ranking
+    with cell tiebreaks, so both engines assign identical cells round
+    by round and emit identical pair sets.
 
-    Scale shape: centroids are a k×dim broadcast; assignment is one
-    map-side pass (N·k cosines, the standard assign job); the pair join
-    shuffles (cell, vec) rows — ``_MULTIPROBE``× the single-probe tier's
-    bytes; DISTINCT dedupes pairs sharing two cells before the exact
-    verify. The quadratic baseline exists only on the MOD sample."""
+    Scale shape: per round a k×dim broadcast + one map-side assign
+    pass; the pair join shuffles (cell, vec) rows — p× the single-probe
+    tier's bytes; DISTINCT dedupes pairs sharing two cells before the
+    exact verify. Per-cell population is bounded (~√N) at any corpus
+    size — the quadratic baseline exists only on the MOD sample."""
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
-    tier = multiprobe_cosine_pairs(e).select(
+    tier = retrained_multiprobe_pairs(e).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         F.lit(1).alias("in_tier"),
@@ -1896,10 +1967,18 @@ def _multiprobe_assign(e, max_rk: int):
     )
 
 
-def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
-    """The DuckDB twin of ``_multiprobe_assign`` as a WITH-fragment:
-    the caller supplies the leading WITH and consumes `assign` (and `s`,
-    the filtered embeddings the fragment defines).
+def _sql_assign_round(src: str, lab: str, sfx: str, max_rk) -> str:
+    """ONE Lloyd assignment step as a suffixed CTE chain — the building
+    block both stored-label blocking (`_sql_multiprobe_assign`) and the
+    re-trained √N chain (`_sql_retrained_assign`) compose: centroids are
+    per-(cell, dim) means of ``src``'s vectors under the ``lab``
+    (vec_id, cell) labeling, and ``assign{sfx}`` holds each vector's
+    top-``max_rk`` cells by exact cosine to those centroids (the same
+    scaled-long arithmetic as Spark's `_multiprobe_assign`, so both
+    engines rank identically; score tie → cell tiebreak).
+
+    ``max_rk`` may be an int literal or a SQL scalar expression (the
+    derived probe depth ``(SELECT p FROM pp)``).
 
     Presence contract (mirrors Spark's posexplode): a vector with an
     EMPTY (or NULL) embedding array produces no posexploded rows, so it
@@ -1908,32 +1987,33 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
     cross-join here (which would otherwise emit NULL-score rk rows)."""
     from mutable_spark.operators.similarity import _DOT_SCALE, _sql_dot
 
-    return f"""s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where}),
-    csum AS (
-        SELECT label, d,
-               SUM(CAST(floor(CAST(embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
+    return f"""csum{sfx} AS (
+        SELECT l.cell AS cell, d,
+               SUM(CAST(floor(CAST(t.embedding[d] AS DOUBLE) * {_DOT_SCALE!r})
                    AS BIGINT)) AS sm,
-               COUNT(embedding[d]) AS n
-        FROM (SELECT label, embedding,
+               COUNT(t.embedding[d]) AS n
+        FROM (SELECT vec_id, embedding,
                      unnest(generate_series(1, len(embedding))) AS d
-              FROM s)
-        GROUP BY label, d
+              FROM {src}) t
+        JOIN {lab} l ON l.vec_id = t.vec_id
+        GROUP BY l.cell, d
     ),
-    cd AS (SELECT label AS cell, d,
+    cd{sfx} AS (SELECT cell, d,
                   CAST(sm AS DOUBLE) / (n * {_DOT_SCALE!r}) AS c
-           FROM csum),
-    cvec AS (SELECT cell, list(c ORDER BY d) AS centroid FROM cd GROUP BY cell),
-    cn AS (SELECT cell, sqrt({_sql_dot('centroid', 'centroid')}) AS cnorm
-           FROM cvec),
-    dots AS (
+           FROM csum{sfx}),
+    cvec{sfx} AS (SELECT cell, list(c ORDER BY d) AS centroid
+                  FROM cd{sfx} GROUP BY cell),
+    cn{sfx} AS (SELECT cell, sqrt({_sql_dot('centroid', 'centroid')}) AS cnorm
+           FROM cvec{sfx}),
+    dots{sfx} AS (
         SELECT se.vec_id, cd.cell,
                SUM(CAST(floor(CAST(se.embedding[cd.d] AS DOUBLE) * cd.c
                               * {_DOT_SCALE!r}) AS BIGINT)) AS idot
-        FROM s se, cd
+        FROM {src} se, cd{sfx} cd
         WHERE len(se.embedding) > 0
         GROUP BY se.vec_id, cd.cell
     ),
-    assign AS (
+    assign{sfx} AS (
         SELECT vec_id, cell, rk FROM (
             SELECT d.vec_id, d.cell,
                    row_number() OVER (
@@ -1942,9 +2022,66 @@ def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
                                      ELSE CAST(d.idot AS DOUBLE) / cn.cnorm
                                 END DESC,
                                 d.cell) AS rk
-            FROM dots d JOIN cn USING (cell)
+            FROM dots{sfx} d JOIN cn{sfx} cn USING (cell)
         ) WHERE rk <= {max_rk}
     )"""
+
+
+def _sql_multiprobe_assign(doc_where: str, max_rk: int) -> str:
+    """The DuckDB twin of ``_multiprobe_assign`` over the STORED labels
+    as a WITH-fragment: the caller supplies the leading WITH and
+    consumes `assign` (and `s`, the filtered embeddings the fragment
+    defines). One `_sql_assign_round` step with the stored `label`
+    column as the cell labeling — the legacy/stored-quantizer tier;
+    the production chain is `_sql_retrained_assign`."""
+    return f"""s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where}),
+    lab_stored AS (SELECT vec_id, label AS cell FROM s),
+    {_sql_assign_round("s", "lab_stored", "", max_rk)}"""
+
+
+def _sql_retrained_assign(
+    doc_where: str, rounds: int | None = None, probe: bool = True
+) -> str:
+    """The DuckDB twin of the PRODUCTION re-trained √N multiprobe
+    assignment (`retrained_multiprobe_pairs`'s assign stage) as a
+    WITH-fragment — one `_sql_assign_round` per Lloyd round, chained,
+    exactly as the Spark side chains `_multiprobe_assign(…, 1)` steps:
+
+      s      — the (filtered) embeddings;
+      kp/pp  — k = max(1, floor(sqrt(COUNT(*)))) cells and the derived
+               probe depth p = min(k, ceil(sqrt(2k))), both
+               computed from the SAME input the assignment runs on
+               (integer arithmetic, so both engines derive the same
+               operating point — see the `_probe_depth` note);
+      lab0   — the deterministic vec_id % k init;
+      assign_r{{i}} — round i's rk=1 nearest-derived-centroid labels;
+      cells  — the final re-trained (vec_id, cell) labeling
+               (`retrained_cells`' output);
+      assign — the top-p probe assignment over the re-trained cells
+               (what candidate pair generation consumes).
+
+    Callers consume `s`, `cells`, and `assign` (`probe=False` omits the
+    final top-p fragment for cells-only consumers)."""
+    if rounds is None:
+        rounds = _RETRAIN_ROUNDS
+    parts = [
+        f"s AS (SELECT vec_id, label, embedding FROM embeddings {doc_where})",
+        "kp AS (SELECT GREATEST(1, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)))"
+        " AS BIGINT)) AS k FROM s)",
+        "pp AS (SELECT GREATEST(1, LEAST(k,"
+        " CAST(ceil(sqrt(CAST(2 * k AS DOUBLE))) AS BIGINT))) AS p"
+        " FROM kp)",
+        "lab0 AS (SELECT vec_id,"
+        " CAST(vec_id % (SELECT k FROM kp) AS INT) AS cell FROM s)",
+    ]
+    lab = "lab0"
+    for r in range(1, rounds + 1):
+        parts.append(_sql_assign_round("s", lab, f"_r{r}", 1))
+        lab = f"assign_r{r}"
+    parts.append(f"cells AS (SELECT vec_id, cell FROM {lab})")
+    if probe:
+        parts.append(_sql_assign_round("s", "cells", "", "(SELECT p FROM pp)"))
+    return ",\n    ".join(parts)
 
 
 def multiprobe_cosine_pairs(e, max_rk: int | None = None):
@@ -2001,7 +2138,7 @@ def _register_multiprobe_certification_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_certification"] = f"""
-    WITH {_sql_multiprobe_assign(f"WHERE vec_id % {_CERT_MOD} = 0", _MULTIPROBE)},
+    WITH {_sql_retrained_assign(f"WHERE vec_id % {_CERT_MOD} = 0")},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
@@ -2045,20 +2182,26 @@ _register_multiprobe_certification_oracle()
 
 @query("dedup_embedding_multiprobe", oracle=None)  # assigned below
 def dedup_embedding_multiprobe(spark, sf_dir):
-    """Embedding near-dup pairs under multiprobe blocking — the
-    PRODUCTION tier the certification pair justifies: same output
+    """Embedding near-dup pairs under the PRODUCTION re-trained √N
+    multiprobe tier (r14 — `retrained_multiprobe_pairs`): same output
     contract as `dedup_embedding_cosine` (exact-verified cosine ≥
-    threshold pairs) but candidates come from the top-``_MULTIPROBE``
-    centroid assignment instead of the single stored cell, recovering
-    the cross-cell pairs single-cell blocking is blind to (measured on
-    this corpus: recall 893 → 9856 bp at unchanged 10000 precision —
-    `dedup_blocking_certification` / `dedup_multiprobe_certification`;
-    the P=4 default is the sweep-justified operating point, see the
-    `_MULTIPROBE` note).
-    Scale shape: k×dim centroid broadcast, one map-side assign pass,
-    a (cell, vec) pair join at ≤ ``_MULTIPROBE``× the single-cell
-    tier's shuffle bytes, exact verify only on candidates."""
-    return multiprobe_cosine_pairs(load_tables(spark, sf_dir).embeddings)
+    threshold pairs), candidates from the top-p derived-centroid
+    assignment over k = ⌊√N⌋ RE-TRAINED cells with p derived from k
+    (`_probe_depth` rule, P = min(k, ceil(sqrt(2k)))). The fixed-k stored quantizer this replaces was
+    the repo's one remaining data-scaling term (per-cell population
+    linear in the corpus → quadratic within-cell pair expansion); the
+    A/B behind the switch (scripts/ab_ksweep.py, SCALE.md) measured the
+    re-trained quantizer at HIGHER recall and a cheaper pair join
+    (A/B: 9910 vs 9856 bp at 0.55× the wall; shipped derived point:
+    9974 vs 9841 bp true full-corpus recall, 23% vs 40% fan-out), with
+    cell population bounded at any corpus size.
+    The stored-label tier stays registered as the documented legacy
+    option (`multiprobe_cosine_pairs` at `_MULTIPROBE`,
+    `dedup_embedding_cosine` single-cell).
+    Scale shape: per Lloyd round a k×dim centroid broadcast + one
+    map-side assign pass; a (cell, vec) pair join at ≤ p× the
+    single-cell tier's shuffle bytes; exact verify only on candidates."""
+    return retrained_multiprobe_pairs(load_tables(spark, sf_dir).embeddings)
 
 
 def _register_embedding_multiprobe_oracle():
@@ -2066,7 +2209,7 @@ def _register_embedding_multiprobe_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_embedding_multiprobe"] = f"""
-    WITH {_sql_multiprobe_assign("", _MULTIPROBE)},
+    WITH {_sql_retrained_assign("")},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
@@ -2085,45 +2228,48 @@ def _register_embedding_multiprobe_oracle():
 _register_embedding_multiprobe_oracle()
 
 
-#: probe depths the multiprobe sweep certifies (P=1 = nearest-derived-
-#: centroid blocking; _MULTIPROBE=4 is the sweep-picked production
-#: default — see the operating-point note on `_MULTIPROBE`)
-_MULTIPROBE_SWEEP = 4
-
-
 @query("dedup_multiprobe_sweep", oracle=None)  # assigned below
 def dedup_multiprobe_sweep(spark, sf_dir):
-    """Multiprobe blocking recall CURVE — recall@P for P ∈ 1..4 in ONE
-    query, the blocking analogue of `sim_ivfpq_nprobe_sweep`:
-    the tuning artifact an operator reads to pick the probe depth
+    """Multiprobe blocking recall CURVE at the PRODUCTION quantizer —
+    recall@P for P ∈ 1..p(k) over the RE-TRAINED √N cells in ONE query,
+    the blocking analogue of `sim_ivfpq_nprobe_sweep`: the tuning
+    artifact an operator reads to re-price the derived probe depth
     (recall vs ≤P² pair fan-out) before running the tier at 100 TB.
+    Re-pointed r14 with the production switch: the curve's LAST row is
+    the derived operating point itself (P = min(k, ⌈√(2k)⌉), the `_probe_depth` rule), so
+    every driver check re-certifies the production rule's recall, and
+    the sub-p rows price what backing the knob off would cost.
 
-    One-pass construction instead of four separate sweeps: a pair
-    sharing cell c at assignment ranks (ra, rb) becomes a candidate
-    exactly when P ≥ max(ra, rb), so its probe threshold is
-    min over shared cells of max(ra, rb) — computed by ONE grouped MIN
-    over the rank-≤{sweep} assignment self-join. Exact-verify the
-    candidates once, bucket true pairs by threshold, and the cumulative
-    histogram against the exact all-pairs baseline IS the curve.
-    Everything stays integer/bit-deterministic (exact centroid cosine
-    ordering with cell tiebreaks → identical thresholds in both
-    engines).
+    One-pass construction instead of p separate sweeps: a pair sharing
+    cell c at assignment ranks (ra, rb) becomes a candidate exactly
+    when P ≥ max(ra, rb), so its probe threshold is min over shared
+    cells of max(ra, rb) — computed by ONE grouped MIN over the
+    rank-≤p assignment self-join. Exact-verify the candidates once,
+    bucket true pairs by threshold, and the cumulative histogram
+    against the exact all-pairs baseline IS the curve. Everything stays
+    integer/bit-deterministic (exact centroid cosine ordering with cell
+    tiebreaks round by round → identical thresholds in both engines).
 
-    Measured on this corpus (sf0.1, MOD sample): 2291 → 6220 → 8908 →
-    9856 bp for P = 1..4. Two curve nuances the numbers expose: P=4
-    reproduces `dedup_multiprobe_certification`'s 9856 exactly (same
-    construction at the production default), and P=1 reads 2291 — NOT the stored-label
-    certification's 893 — because nearest-DERIVED-centroid assignment
-    already differs from the stored cell id (itself a re-train signal:
-    the deployed assignment disagrees with its own centroids). Scale:
-    same shapes as the production tier, fan-out bounded by P²; the
-    quadratic baseline exists only on the MOD sample."""
+    Scale: same shapes as the production tier — per Lloyd round a k×dim
+    broadcast + map-side assign, fan-out bounded by P² over ~√N-sized
+    cells; the quadratic baseline exists only on the MOD sample."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     e = load_tables(spark, sf_dir).embeddings.filter(
         F.col("vec_id") % _CERT_MOD == 0
     )
-    assign = _multiprobe_assign(e, _MULTIPROBE_SWEEP)
+    n = e.count()
+    k = _sqrt_cells(n)
+    p_max = _probe_depth(k)
+    staged = (
+        e.drop("label")
+        .join(
+            retrained_cells(e, k).withColumnRenamed("cell", "label"),
+            "vec_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign = _multiprobe_assign(staged, p_max)
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell", F.col("rk").alias("ra"))
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
@@ -2163,7 +2309,7 @@ def dedup_multiprobe_sweep(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_exact = exact_cosine_pairs(e).agg(F.count(F.lit(1)).alias("n_exact"))
-    ps = spark.range(1, _MULTIPROBE_SWEEP + 1).select(
+    ps = spark.range(1, p_max + 1).select(
         F.col("id").cast("int").alias("p")
     )
     return (
@@ -2189,7 +2335,7 @@ def _register_multiprobe_sweep_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["dedup_multiprobe_sweep"] = f"""
-    WITH {_sql_multiprobe_assign(f"WHERE vec_id % {_CERT_MOD} = 0", _MULTIPROBE_SWEEP)},
+    WITH {_sql_retrained_assign(f"WHERE vec_id % {_CERT_MOD} = 0")},
     thr AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                MIN(GREATEST(a.rk, b.rk)) AS p_thr
@@ -2216,13 +2362,14 @@ def _register_multiprobe_sweep_oracle():
     SELECT p, n_hits, n_exact, CAST(CASE WHEN n_exact = 0 THEN 10000
                ELSE n_hits * 10000 // n_exact END AS BIGINT) AS recall_bp
     FROM (
-        SELECT p.p AS p,
+        SELECT ps.p AS p,
                CAST(COALESCE(SUM(tt.c), 0) AS BIGINT) AS n_hits,
                CAST(MIN(nx.n_exact) AS BIGINT) AS n_exact
-        FROM range(1, {_MULTIPROBE_SWEEP} + 1) p(p)
-        LEFT JOIN tt ON tt.p_thr <= p.p
+        FROM (SELECT CAST(unnest(generate_series(1, (SELECT p FROM pp)))
+                     AS INT) AS p) ps
+        LEFT JOIN tt ON tt.p_thr <= ps.p
         CROSS JOIN nx
-        GROUP BY p.p
+        GROUP BY ps.p
     )
     ORDER BY p
     """
@@ -2255,7 +2402,11 @@ def retrained_cells(e, k: int, rounds: int = 2):
     bit-deterministic assign fragment, so a SQL twin is one chained
     fragment per round. Each round's input is localCheckpoint'ed: the
     assign pipeline reads its frame several times, and round r+1 must
-    not replay rounds 1..r."""
+    not replay rounds 1..r. Lazy (eager=False) checkpoints: each
+    barrier materializes inside the first job that touches it instead
+    of paying a separate blocking job per round — measured 7.9 → 6.7 s
+    warm on the full production chain at sf0.1 — and recompute races
+    are harmless because every step is bit-deterministic."""
     lab = e.select(
         "vec_id", (F.col("vec_id") % k).cast("int").alias("cell")
     )
@@ -2263,10 +2414,74 @@ def retrained_cells(e, k: int, rounds: int = 2):
         staged = (
             e.drop("label")
             .join(lab.withColumnRenamed("cell", "label"), "vec_id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         lab = _multiprobe_assign(staged, 1).select("vec_id", "cell")
     return lab
+
+
+def retrained_multiprobe_pairs(e, rounds: int = _RETRAIN_ROUNDS):
+    """(vec_a, vec_b, cos) near-dup pairs under the PRODUCTION re-trained
+    √N multiprobe tier (r14 — the adoption the r13 A/B priced): count the
+    corpus, re-train k = max(1, ⌊√N⌋) cells with ``rounds`` Lloyd
+    iterations (`retrained_cells`), then run the certified multiprobe
+    pair tier over the re-trained labels at the DERIVED probe depth
+    p = min(k, ⌈√(2k)⌉) (`_probe_depth`) — one rule, no free constants, so the
+    coupled (k, P) knobs cannot drift apart (fixed P at finer k loses
+    recall: the A/B measured 9856 → 7696 bp).
+
+    Scale shape: the count is one metadata-cheap job; each Lloyd round
+    is a k×dim centroid broadcast + one map-side assign pass; per-cell
+    population is bounded (~√N) at ANY corpus size, so the within-cell
+    pair expansion — the fixed-k tier's quadratic term — is gone. The
+    re-labeled frame is localCheckpoint'ed once: the pair tier reads it
+    four times (centroid agg, dot agg, both verify sides) and must not
+    replay the Lloyd chain per read. At 100 TB the re-trained labels
+    would be written back beside the vectors instead (the
+    `sim_cell_reassign` deployment note); the in-plan checkpoint is the
+    single-job equivalent."""
+    n = e.count()
+    k = _sqrt_cells(n)
+    lab = retrained_cells(e, k, rounds)
+    staged = (
+        e.drop("label")
+        .join(lab.withColumnRenamed("cell", "label"), "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    return multiprobe_cosine_pairs(staged, max_rk=_probe_depth(k))
+
+
+@query("sim_retrained_cells", oracle=None)  # assigned below
+def sim_retrained_cells(spark, sf_dir):
+    """The re-trained √N coarse assignment as a registered, driver-
+    checkable artifact — (vec_id, cell) after `_RETRAIN_ROUNDS` Lloyd
+    rounds at k = max(1, ⌊√N⌋) from the deterministic vec_id % k init:
+    the labeling every production multiprobe consumer
+    (`dedup_embedding_multiprobe`, `sim_semantic_dedup`, the embedding
+    compaction twin) now blocks on, registered so the quantizer itself
+    is hash-checked cross-engine, not just the tiers built on it.
+
+    Every Lloyd round is the bit-deterministic assign step (exact
+    scaled-long centroid sums, exact cosine ranking, cell tiebreak), so
+    the DuckDB oracle is the same chain — one `_sql_assign_round`
+    fragment per round — and both engines derive identical labels.
+    Scale shape: per round, two partial-agg passes over the posexploded
+    corpus + a broadcast k×dim score join; nothing quadratic anywhere."""
+    e = load_tables(spark, sf_dir).embeddings
+    n = e.count()
+    return retrained_cells(e, _sqrt_cells(n))
+
+
+def _register_retrained_cells_oracle():
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["sim_retrained_cells"] = f"""
+    WITH {_sql_retrained_assign("", probe=False)}
+    SELECT vec_id, cell FROM cells
+    """
+
+
+_register_retrained_cells_oracle()
 
 
 @query("sim_cell_reassign", oracle=None)  # assigned below

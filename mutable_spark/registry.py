@@ -40,44 +40,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-13 rotation (seventh application of the r7-verdict practice,
-# executing r12 verdict item #4): the nine r12 registrations that have
-# never held a driver row rotate IN (dedup_simhash_certification,
-# sim_ivfpq_nprobe_sweep, dedup_containment_certification,
-# sim_ivf_balance, dedup_blocking_certification,
-# dedup_multiprobe_certification, dedup_embedding_multiprobe, op_unpivot,
-# dedup_multiprobe_sweep) plus the three r13 additions
-# (sim_cell_reassign, dedup_reassign_certification,
-# sim_matryoshka_search). The twelve slots come ONLY from names holding
-# at least r11 AND r12 triple-match rows (every single-row r12 rotation
-# stays), with every family keeping members in-sample:
-#   * dedup keeps containment-family + ALL certifications + the
-#     multiprobe production tier (dedup_embedding_cosine [6 rows] and
-#     dedup_containment [2 rows] demote — the single-cell tier's shape
-#     runs in-sample via dedup_blocking_certification, which executes
-#     embedding_cosine_pairs verbatim; containment runs verbatim inside
-#     dedup_containment_certification);
-#   * sim keeps the full serving stack (pq_search, ivfpq_search,
-#     ivfpq_nprobe_sweep, matryoshka pair, balance, reassign) —
-#     sim_ivf_train [5 rows], sim_pq_train and sim_pq_recall [2 rows
-#     each] demote; their trainer/ADC frames run verbatim inside the
-#     in-sample search/sweep ops;
-#   * windows: op_window_rank_family [2 rows] demotes — ranking windows
-#     run in-sample via the window-MIN decorrelations (tpch_q2/q15/q17/
-#     q22), the multiprobe rank-assign, matryoshka/ivfpq row_numbers;
-#   * analytics gains op_unpivot (the r12 Expand pin);
-#   * events: events_pagerank [4 rows] demotes (cusum/ab_test/
-#     funnel_steps keep the family);
-#   * text: text_lm_surprisal [4 rows] demotes (bm25/quality_centroid
-#     keep the family);
-#   * multimodal: multimodal_phash [4 rows] demotes (scene_changes keeps
-#     the family and runs the same signature tier);
-#   * pipeline: clean_corpus [8 rows], pack_sequences [4],
-#     source_overlap [4] demote (decontaminate_fuzzy, end_to_end,
-#     split_leakage_safe, filter_funnel keep the family; the clean
-#     pipeline runs verbatim inside end_to_end).
+# Round-14 rotation (eighth application of the r7-verdict practice,
+# executing r13 verdict item #3): rotate IN the four late-r13
+# registrations that have never held a driver row (sim_ann_recall,
+# pipeline_preference_pairs, pipeline_span_corruption,
+# source_binary_scan), the REWRITTEN sim_semantic_dedup (its r9/r10 rows
+# certified the old single-cell composition; the production path is now
+# retrained-√N multiprobe → global components and needs a fresh
+# triple-match), and the r14 additions (sim_retrained_cells — the
+# production coarse quantizer itself). The slots come ONLY from names
+# holding at least r12 AND r13 triple-match rows, with every family
+# keeping members in-sample:
+#   * TPC-H: q13/q16/q18/q19 demote [r11+r12+r13 rows each] — eleven
+#     TPC-H builders plus the two deep dialect paths stay in-sample;
+#   * sources: source_jsonl_roundtrip demotes [r11-r13 rows] —
+#     csv_roundtrip keeps the text-format path and binary_scan joins;
+#   * dedup certifications: dedup_tier_certification (MinHash-LSH)
+#     demotes [r12+r13 rows] — five certifications remain in-sample
+#     (simhash, containment, blocking, multiprobe, reassign) and the
+#     LSH tier itself still runs verbatim inside in-sample
+#     pipeline_decontaminate_fuzzy / split_leakage_safe.
 # All demoted names remain green in the local oracle suite
-# (tests/test_queries_oracle.py runs ALL registrations).
+# (tests/test_queries_oracle.py runs ALL registrations). The r13
+# rotation note (twelve-in/twelve-out) lives in git history.
 _SAMPLE_PRIORITY: list[str] = [
     # physical/DML: fused group-join (partitioning-reuse pin), MERGE
     # INTO upsert arbitration, UNPIVOT/melt (Expand, no shuffle)
@@ -100,23 +85,20 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q11",
-    "tpch_q13",
     "tpch_q15",
-    "tpch_q16",
     "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
     "tpch_q20",
     "tpch_q21",
     # physical-property ops + source formats: salted join (retry-safe
-    # content salt), JSONL + CSV round-trips (r11 format completion)
+    # content salt), CSV round-trip, binaryFile object ingestion (r13,
+    # first driver row)
     "op_join_salted",
-    "source_jsonl_roundtrip",
     "source_csv_roundtrip",
-    # dedup: the FULL certification family (LSH, SimHash, containment,
-    # blocking, multiprobe, reassign) + the multiprobe production tier,
-    # its recall sweep, and the Lloyd re-assignment op (r12/r13)
-    "dedup_tier_certification",
+    "source_binary_scan",
+    # dedup: the certification family (SimHash, containment, blocking,
+    # multiprobe, reassign) + the PRODUCTION re-trained quantizer
+    # (sim_retrained_cells, r14), its multiprobe tier, recall sweep,
+    # Lloyd re-assignment, and the rewritten SemDeDup composition
     "dedup_simhash_certification",
     "dedup_containment_certification",
     "dedup_blocking_certification",
@@ -125,15 +107,18 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_embedding_multiprobe",
     "dedup_multiprobe_sweep",
     "sim_cell_reassign",
+    "sim_retrained_cells",
+    "sim_semantic_dedup",
     # similarity/ANN: the serving stack — PQ shortlist→rerank,
     # IVF→PQ→rerank + its nprobe sweep, the balance pre-flight, the MRL
-    # diagnostic + the r13 MRL two-stage serving path
+    # diagnostic + serving, and the r13 LSH-tier recall instrument
     "sim_pq_search",
     "sim_ivfpq_search",
     "sim_ivfpq_nprobe_sweep",
     "sim_ivf_balance",
     "sim_matryoshka_recall",
     "sim_matryoshka_search",
+    "sim_ann_recall",
     # multimodal: shot-boundary detection (same signature tier as phash)
     "multimodal_scene_changes",
     # events: CUSUM change-point, Welch A/B test, k-step funnel (r11)
@@ -143,15 +128,26 @@ _SAMPLE_PRIORITY: list[str] = [
     # text: integer BM25 retrieval, Rocchio gate
     "text_bm25_rank",
     "text_quality_centroid",
-    # pipeline: curation composition + leakage-safe split + the r11
-    # per-stage attrition funnel
+    # pipeline: curation composition + leakage-safe split + the r13
+    # DPO preference-pair build and T5 span-corruption layout
     "pipeline_decontaminate_fuzzy",
     "pipeline_end_to_end",
     "pipeline_split_leakage_safe",
-    "pipeline_filter_funnel",  # index 50-1: last slot of the sample
+    "pipeline_filter_funnel",
+    "pipeline_preference_pairs",
+    "pipeline_span_corruption",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
-    # demoted r13 (every name holds at least r11 AND r12 triple-match
+    # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "source_jsonl_roundtrip",
+    "dedup_tier_certification",
+    # demoted r13 (every name holds at least r11 AND r12 triple-match
+    # rows; family-coverage rationale in the r13 rotation note, git
+    # history)
     "op_window_rank_family",
     "dedup_embedding_cosine",
     "dedup_containment",
@@ -193,7 +189,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "dialect_spn_like_prefix",
     "op_join_bucketed",
     "dedup_verbatim_ngrams",
-    "sim_semantic_dedup",
     "sim_hard_negatives",
     "events_markov_transitions",
     "events_anomaly_mad",
@@ -315,12 +310,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    # late-r13 additions (registered after the r13 rotation above;
-    # rotation candidates for r14):
-    "sim_ann_recall",  # r13: hyperplane-LSH recall@10 vs exact, integer bp
-    "pipeline_preference_pairs",  # r13: DPO/RM chosen-vs-rejected pair build
-    "source_binary_scan",  # r13: binaryFile object ingestion, per-object digest
-    "pipeline_span_corruption",  # r13: T5 denoising span layout, RNG-free
 ]
 
 

@@ -121,13 +121,15 @@ def compact_fuzzy_classes(
 # centroids are per-cell MEANS of the corpus, so candidate generation is
 # doubly global — a per-microbatch variant would not only miss classes that
 # straddle batch boundaries, it would assign against centroids that drift
-# batch-to-batch. Compaction therefore recomputes centroids over the
-# ALL-TIME vector store each run (two partial-agg passes over the
-# posexploded store — ~k×dim output rows, trivially cheaper than the pair
-# join it feeds) and re-emits classes; the store append is the only
-# incremental write, and one Lloyd-style refresh per compaction run keeps
-# the assignment honest against exactly the drift `sim_cell_reassign`
-# measures on the static corpus.
+# batch-to-batch. Compaction therefore RE-TRAINS the coarse quantizer over
+# the ALL-TIME vector store each run (r14, with the production switch:
+# `retrained_multiprobe_pairs` counts the store, re-trains k = ⌊√N⌋ cells,
+# and probes at the derived depth — so k GROWS with the store and per-cell
+# population stays bounded as ingest accumulates, exactly the batch path's
+# scale argument) and re-emits classes; the store append is the only
+# incremental write, and the per-compaction re-train keeps the assignment
+# honest against exactly the drift `sim_cell_reassign` measures on the
+# static corpus.
 
 
 def _vector_dir(store_dir: str) -> Path:
@@ -141,12 +143,21 @@ def extend_vector_store(
     vector not yet in the all-time store (one LEFT ANTI on vec_id).
     Returns the number of newly stored vectors. Idempotent — a rerun
     after a crash between append and class emission re-diffs against
-    the store and appends nothing."""
+    the store and appends nothing. The store-exists gate READS the
+    store rather than keying on the `_SUCCESS` marker: a partially
+    committed append (crash mid-job, or a deleted marker) leaves part
+    files without the marker, and a marker-keyed gate would then skip
+    the LEFT ANTI and re-append the full staged set — permanently
+    duplicating vectors, which silently skews every later compaction's
+    per-cell centroid MEANS (unlike the fuzzy store, where a duplicate
+    signature only re-emits identical pairs)."""
     staged = spark.read.parquet(staged_dir)
     vec_dir = _vector_dir(store_dir)
-    if (vec_dir / "_SUCCESS").exists():
+    try:
         seen = spark.read.parquet(str(vec_dir)).select("vec_id")
         staged = staged.join(seen, "vec_id", "left_anti")
+    except Exception:
+        pass  # no committed part files yet: the store is empty
     new_vecs = staged.localCheckpoint(eager=True)
     n_new = new_vecs.count()
     if n_new:
@@ -160,27 +171,31 @@ def compact_embedding_classes(
     """One embedding-compaction run: extend the all-time vector store
     from the staged ingest output, then emit merged semantic-duplicate
     classes (doc_id, class_rep) over ALL-TIME vectors — the same
-    (multiprobe_cosine_pairs → connected_components) composition
+    (retrained_multiprobe_pairs → connected_components) composition
     `sim_semantic_dedup`'s production path runs, shared verbatim, so
     stream+compaction can only ever equal the batch answer by
-    construction."""
+    construction. With the r14 quantizer switch this means each
+    compaction re-trains k = ⌊√(store size)⌋ cells — the cell count
+    follows ingest growth and the stream operating point stays the
+    batch operating point at every store size."""
     import pyspark.sql.functions as F
 
     from mutable_spark.operators.dedup import (
         connected_components,
-        multiprobe_cosine_pairs,
+        retrained_multiprobe_pairs,
     )
 
     extend_vector_store(spark, staged_dir, store_dir)
-    # cached: multiprobe_cosine_pairs reads the store four times (the
-    # centroid aggregate, the dot aggregate, and both pair-verify
-    # sides) — the same multi-read reason compact_fuzzy_classes caches
-    # its signature store; without it each compaction pays 4 full
-    # store scans that grow with all-time corpus size
+    # cached: the re-trained tier reads the store repeatedly (the Lloyd
+    # rounds' staged joins plus the centroid aggregate, the dot
+    # aggregate, and both pair-verify sides) — the same multi-read
+    # reason compact_fuzzy_classes caches its signature store; without
+    # it each compaction pays several full store scans that grow with
+    # all-time corpus size
     e = spark.read.parquet(str(_vector_dir(store_dir))).cache()
     try:
         pairs = (
-            multiprobe_cosine_pairs(e)
+            retrained_multiprobe_pairs(e)
             .select(
                 F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
             )

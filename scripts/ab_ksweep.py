@@ -55,13 +55,16 @@ def main() -> None:
             flush=True,
         )
 
-    print(f"N={n}, sqrt-N k={k}", flush=True)
+    print(f"N={n}, sqrt-N k={k}, derived P={dd._probe_depth(k)}", flush=True)
     measure(e, "k=stored", dd._MULTIPROBE)
 
     # 2 Lloyd rounds from a deterministic modulo init (the shared
     # library k-means: operators/dedup.py::retrained_cells)
     ek = relabel(e, dd.retrained_cells(e, k)).localCheckpoint(eager=True)
-    for p in (dd._MULTIPROBE, 6, 8):
+    # r14: sweep through the ADOPTED derived depth (P = min(k, ceil
+    # sqrt(2k)), the production rule) so the A/B always prices the
+    # shipped point alongside the historical ones
+    for p in sorted({dd._MULTIPROBE, 6, 8, dd._probe_depth(k)}):
         measure(ek, f"k={k}", p)
 
 

@@ -74,6 +74,11 @@ _EMB_OPS = [
     "sim_matryoshka_search",
     # r13: LSH recall instrument — composes two edge-pinned paths
     "sim_ann_recall",
+    # r14: the production re-trained √N quantizer — k and the derived
+    # probe depth are computed from the corpus COUNT in both engines,
+    # and the zero vector's NULL centroid scores must chain identically
+    # through every Lloyd round
+    "sim_retrained_cells",
 ]
 
 
@@ -165,6 +170,7 @@ _RAGGED_VECS = [
 ]
 
 _RAGGED_OPS = [
+    "sim_retrained_cells",
     "sim_cell_reassign",
     "dedup_reassign_certification",
     "dedup_embedding_multiprobe",

@@ -20,24 +20,20 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # Round 13: CORRECTNESS_r12 was a 50/50 clean sweep, so "never
-    # sampled" is the nine late-r12 registrations plus the three r13
-    # additions — they all rotate IN this round (r12 verdict item #4),
-    # displacing twelve names that hold at least r11 AND r12
-    # triple-match rows (family-coverage rationale in registry.py's
-    # rotation note).
-    "dedup_simhash_certification",
-    "sim_ivfpq_nprobe_sweep",
-    "dedup_containment_certification",
-    "sim_ivf_balance",
-    "dedup_blocking_certification",
-    "dedup_multiprobe_certification",
-    "dedup_embedding_multiprobe",
-    "op_unpivot",
-    "dedup_multiprobe_sweep",
-    "sim_cell_reassign",
-    "dedup_reassign_certification",
-    "sim_matryoshka_search",
+    # Round 14: CORRECTNESS_r13 was a 50/50 clean sweep, so "never
+    # sampled" is the four late-r13 registrations plus the r14
+    # additions, plus the REWRITTEN sim_semantic_dedup (r9/r10 rows
+    # certified the old single-cell composition; the retrained-√N
+    # multiprobe production path needs a fresh triple-match) — they all
+    # rotate IN this round (r13 verdict item #3), displacing names that
+    # hold at least r12 AND r13 triple-match rows (family-coverage
+    # rationale in registry.py's rotation note).
+    "sim_ann_recall",
+    "pipeline_preference_pairs",
+    "pipeline_span_corruption",
+    "source_binary_scan",
+    "sim_retrained_cells",
+    "sim_semantic_dedup",
 ]
 
 

@@ -1606,20 +1606,22 @@ def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
     VERDICT r12 item #6): embeddings arrive in TWO deliveries through a
     real append-mode parquet ingest stream (exactly-once checkpointing);
     a compaction run after each delivery extends the all-time vector
-    store incrementally, recomputes the multiprobe centroids over the
-    FULL store, and re-emits semantic-duplicate classes. Final classes
-    equal the batch (multiprobe_cosine_pairs -> connected_components)
-    answer — sim_semantic_dedup's production composition — on the same
-    corpus; the second compaction stores only the second delivery's
-    vectors (incrementality); and at least one class straddles the
-    delivery boundary, proving a per-microbatch pass would both miss
-    pairs AND assign against drifting centroids."""
+    store incrementally, RE-TRAINS the √(store size) coarse quantizer
+    over the FULL store (r14: the compaction refresh IS the production
+    re-train, so the stream operating point follows the batch rule at
+    every store size), and re-emits semantic-duplicate classes. Final
+    classes equal the batch (retrained_multiprobe_pairs ->
+    connected_components) answer — sim_semantic_dedup's production
+    composition — on the same corpus; the second compaction stores only
+    the second delivery's vectors (incrementality); and at least one
+    class straddles the delivery boundary, proving a per-microbatch
+    pass would both miss pairs AND assign against drifting centroids."""
     import pyspark.sql.functions as F
 
     from mutable_spark.catalog import load_tables
     from mutable_spark.operators.dedup import (
         connected_components,
-        multiprobe_cosine_pairs,
+        retrained_multiprobe_pairs,
     )
     from mutable_spark.streaming.compaction import (
         compact_embedding_classes,
@@ -1670,7 +1672,7 @@ def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
     assert vecs.select("vec_id").distinct().count() == e.count()
 
     pairs = (
-        multiprobe_cosine_pairs(e)
+        retrained_multiprobe_pairs(e)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .localCheckpoint(True)
     )
@@ -1681,6 +1683,35 @@ def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
         r for r in got if r["class_rep"] % 2 != r["doc_id"] % 2
     ]
     assert straddles, "no semantic class crossed the delivery boundary"
+
+
+def test_extend_vector_store_idempotent_without_success_marker(
+    spark, tmp_path
+):
+    """ADVICE r13: the vector store's idempotency gate must not key on
+    the `_SUCCESS` marker — a partially committed append (simulated
+    here by deleting the marker) must STILL be diffed against, or the
+    rerun re-appends the full staged set and permanently duplicates
+    vectors, silently skewing every later compaction's centroid means."""
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.compaction import extend_vector_store
+
+    e = load_tables(spark, SF_DIR).embeddings
+    staged = tmp_path / "staged"
+    store = tmp_path / "store"
+    e.coalesce(1).write.parquet(str(staged))
+
+    n1 = extend_vector_store(spark, str(staged), str(store))
+    assert n1 == e.count()
+    # simulate the crash/partial commit: part files present, marker gone
+    marker = store / "vectors" / "_SUCCESS"
+    assert marker.exists()
+    marker.unlink()
+    n2 = extend_vector_store(spark, str(staged), str(store))
+    assert n2 == 0
+    vecs = spark.read.parquet(str(store / "vectors"))
+    assert vecs.count() == e.count()
+    assert vecs.select("vec_id").distinct().count() == e.count()
 
 
 def test_streaming_preference_pairs_two_phase_equals_batch(spark, tmp_path):
