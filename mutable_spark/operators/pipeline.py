@@ -1784,11 +1784,17 @@ _PREF_MIN_MARGIN = 0.05
         FROM documents
     ),
     r AS (
+        -- explicit NULLS LAST on both orders (ADVICE r13): the Spark
+        -- side pins asc_nulls_last/desc_nulls_last, and the oracle must
+        -- not depend on a connection's default_null_order for the
+        -- rejected slot of NULL-quality docs
         SELECT *,
                row_number() OVER (PARTITION BY source, lang
-                                  ORDER BY quality DESC, doc_id) AS rc,
+                                  ORDER BY quality DESC NULLS LAST,
+                                           doc_id) AS rc,
                row_number() OVER (PARTITION BY source, lang
-                                  ORDER BY quality ASC, doc_id) AS rr
+                                  ORDER BY quality ASC NULLS LAST,
+                                           doc_id) AS rr
         FROM t
     ),
     g AS (

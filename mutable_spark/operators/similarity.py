@@ -704,11 +704,18 @@ def sim_ivf_recall(spark, sf_dir):
     "sim_ann_recall",
     oracle=f"""
     WITH exact AS ({_SQL_EXACT_TOPK}),
-    approx AS ({_SQL_ANN})
+    approx AS ({_SQL_ANN}),
+    c AS (SELECT
+        (SELECT COUNT(*) FROM exact) AS n_exact,
+        (SELECT COUNT(*) FROM exact e JOIN approx a
+           ON e.vec_id = a.vec_id) AS n_hits)
     SELECT CAST(10 AS BIGINT) AS k,
-           CAST(COUNT(*) AS BIGINT) AS n_hits,
-           CAST(COUNT(*) * 10000 // 10 AS BIGINT) AS recall_bp
-    FROM exact e JOIN approx a ON e.vec_id = a.vec_id
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_hits * 10000 // n_exact END AS BIGINT)
+               AS recall_bp
+    FROM c
     """,
 )
 def sim_ann_recall(spark, sf_dir):
@@ -730,14 +737,26 @@ def sim_ann_recall(spark, sf_dir):
     prose). A deployment re-runs this before trusting the LSH tier at a
     new corpus/scale; a falling number means more planes or a band
     re-shape. Scale shape: both sides are distributed top-k frames (10
-    rows each); the semi join and the 1-row summary are driver-scale."""
+    rows each); the semi join and the 1-row summary are driver-scale.
+
+    ADVICE r13: the denominator is the exact side's ACTUAL row count
+    (with a 0-denominator guard), not the literal k — on a corpus with
+    ≤ k vectors the exact top-k has fewer than k rows and a literal
+    divisor would understate recall on both engines in lockstep."""
     exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
     approx = sim_ann_lsh(spark, sf_dir).select("vec_id")
-    hits = exact.join(approx, "vec_id", "left_semi")
-    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return nex.crossJoin(F.broadcast(hits)).select(
         F.lit(10).cast("long").alias("k"),
+        F.col("n_exact").cast("long").alias("n_exact"),
         F.col("n_hits").cast("long").alias("n_hits"),
-        F.expr("CAST(n_hits * 10000 div 10 AS BIGINT)").alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_exact = 0 THEN 10000"
+            " ELSE n_hits * 10000 div n_exact END AS BIGINT)"
+        ).alias("recall_bp"),
     )
 
 

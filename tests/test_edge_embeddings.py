@@ -220,3 +220,45 @@ def ragged_duck(ragged_dir):
 def test_ragged_embeddings_match_oracle(name, spark, ragged_duck, ragged_dir):
     ok, msg = compare(name, spark, ragged_duck, ragged_dir)
     assert ok, msg
+
+
+def test_ann_recall_denominator_on_sub_k_corpus(spark, tmp_path):
+    """ADVICE r13: on a corpus whose exact top-k has FEWER than k rows,
+    `sim_ann_recall` must divide by the exact side's actual row count —
+    four near-identical vectors give a 3-row exact top-10, the LSH tier
+    (identical signatures) finds all three, and the instrument must
+    read 10000 bp, not the literal-denominator 3000."""
+    import os
+
+    import duckdb as _duck
+    from pyspark.sql import types as T
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    v = _vec(0.1, d0=1.0, d1=-0.5)
+    rows = [(i, list(v), i) for i in range(4)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    row = registry.QUERIES["sim_ann_recall"](spark, str(tmp_path)).collect()[0]
+    assert row.n_exact == 3
+    assert row.n_hits == 3
+    assert row.recall_bp == 10000
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    ok, msg = compare("sim_ann_recall", spark, con, str(tmp_path))
+    assert ok, msg
