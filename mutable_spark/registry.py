@@ -48,7 +48,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # certified the old single-cell composition; the production path is now
 # retrained-√N multiprobe → global components and needs a fresh
 # triple-match), and the r14 additions (sim_retrained_cells — the
-# production coarse quantizer itself). The slots come ONLY from names
+# production coarse quantizer itself — and multimodal_binary_extract,
+# the binaryFile-fed decode path). The slots come ONLY from names
 # holding at least r12 AND r13 triple-match rows, with every family
 # keeping members in-sample:
 #   * TPC-H: q13/q16/q18/q19 demote [r11+r12+r13 rows each] — eleven
@@ -59,7 +60,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     demotes [r12+r13 rows] — five certifications remain in-sample
 #     (simhash, containment, blocking, multiprobe, reassign) and the
 #     LSH tier itself still runs verbatim inside in-sample
-#     pipeline_decontaminate_fuzzy / split_leakage_safe.
+#     pipeline_decontaminate_fuzzy / split_leakage_safe;
+#   * events: events_changepoint_cusum demotes [r11+r12+r13 rows] —
+#     ab_test + funnel_steps keep the family.
 # All demoted names remain green in the local oracle suite
 # (tests/test_queries_oracle.py runs ALL registrations). The r13
 # rotation note (twelve-in/twelve-out) lives in git history.
@@ -119,10 +122,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_matryoshka_recall",
     "sim_matryoshka_search",
     "sim_ann_recall",
-    # multimodal: shot-boundary detection (same signature tier as phash)
+    # multimodal: shot-boundary detection + the r14 binaryFile-fed
+    # decode/featurize path (the object-store surface made load-bearing)
     "multimodal_scene_changes",
-    # events: CUSUM change-point, Welch A/B test, k-step funnel (r11)
-    "events_changepoint_cusum",
+    "multimodal_binary_extract",
+    # events: Welch A/B test, k-step funnel (cusum demotes — r11/r12/r13
+    # rows; ab_test + funnel_steps keep the family)
     "events_ab_test",
     "events_funnel_steps",
     # text: integer BM25 retrieval, Rocchio gate
@@ -145,6 +150,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q19",
     "source_jsonl_roundtrip",
     "dedup_tier_certification",
+    "events_changepoint_cusum",
     # demoted r13 (every name holds at least r11 AND r12 triple-match
     # rows; family-coverage rationale in the r13 rotation note, git
     # history)

@@ -1016,3 +1016,16 @@ def test_preference_pairs_single_exchange_no_join(plans):
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 2
     assert tree.count("Scan parquet") == 1, p
+
+
+def test_binary_extract_single_listing_no_exchange(plans):
+    """multimodal_binary_extract (r14): the binaryFile-fed decode path is
+    ONE glob-pruned listing feeding a stateless map — exactly one binary
+    file scan, the Arrow-batched decode stage (MapInPandas), and ZERO
+    exchanges or joins anywhere (no per-file jobs, nothing shuffles)."""
+    p = plans("multimodal_binary_extract")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan binaryFile") == 1, p
+    assert "MapInPandas" in tree
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p

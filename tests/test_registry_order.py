@@ -34,6 +34,7 @@ NEVER_SAMPLED = [
     "source_binary_scan",
     "sim_retrained_cells",
     "sim_semantic_dedup",
+    "multimodal_binary_extract",
 ]
 
 
