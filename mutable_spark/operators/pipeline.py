@@ -1879,6 +1879,143 @@ def pipeline_preference_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+#: pairs-per-extreme for the top-m preference build: each of the m best
+#: documents pairs against each of the m worst (m² candidates per group
+#: before the margin gate) — the DPO/RM prep that mines MORE than one
+#: contrastive pair per prompt group while still never pairing
+#: mid-distribution docs against each other
+_PREF_TOP_M = 3
+
+
+@query(
+    "pipeline_preference_topm",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source, lang, {_SQL_QUALITY} AS quality
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY quality DESC NULLS LAST,
+                                           doc_id) AS rc,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY quality ASC NULLS LAST,
+                                           doc_id) AS rr,
+               CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT)
+                   AS n_docs
+        FROM t
+    )
+    SELECT c.source, c.lang,
+           c.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           c.quality AS chosen_q, w.quality AS rejected_q,
+           c.quality - w.quality AS margin,
+           CAST(c.rc AS BIGINT) AS chosen_rank,
+           CAST(w.rr AS BIGINT) AS rejected_rank,
+           c.n_docs
+    FROM r c JOIN r w ON c.source = w.source AND c.lang = w.lang
+    WHERE c.rc <= {_PREF_TOP_M} AND w.rr <= {_PREF_TOP_M}
+      AND c.doc_id <> w.doc_id
+      AND c.quality - w.quality >= {_PREF_MIN_MARGIN}
+    """,
+)
+def pipeline_preference_topm(spark, sf_dir):
+    """Preference pairs beyond the single extreme (r14, VERDICT r13
+    item #8): within each (source, lang) group, pair EACH of the top-m
+    documents against EACH of the bottom-m (m = ``_PREF_TOP_M``, ≤ m²
+    candidates per group), keep pairs clearing the shared
+    ``_PREF_MIN_MARGIN`` quality gap, and emit the audited row —
+    (chosen, rejected, both scores, margin, both ranks, group size).
+    `pipeline_preference_pairs` stays registered as the m=1
+    best-vs-worst special case (and the streaming twin's contract).
+
+    Same ONE-exchange shape as the m=1 op, proven by the plan pin: both
+    rank windows and the group rollup share the single (source, lang)
+    exchange, and the m×m pairing is NOT a self-join — each group's
+    top-m and bottom-m are collected as two ≤m-element struct arrays
+    in the rollup (sort_array pins the nondeterministic collect_list
+    order; rc/rr are unique in-group so the sort is total), then a
+    double explode of the 1-row-per-group frame emits the cross pairs.
+    The oracle IS a self-join — DuckDB is free to pick any plan; only
+    the row set must match.
+
+    Determinism: identical IEEE quality sequence in both engines
+    (`quality_expr` ≡ `_SQL_QUALITY`), total-order ranks (NULLS LAST
+    pinned on both sides per the r13 advice), one double subtraction
+    for the margin; NULL-quality docs that reach an extreme slot of a
+    tiny group produce NULL margins and are gated out identically.
+
+    Scale shape: one corpus scan, one exchange, per-group state bounded
+    at 2m structs — group cardinality (|sources|×|langs|) bounds the
+    exploded output at m²·|groups| rows, never corpus-scale."""
+    from pyspark.sql import Window
+
+    m = _PREF_TOP_M
+    d = load_tables(spark, sf_dir).documents
+    s = d.select("doc_id", "source", "lang", quality_expr().alias("quality"))
+    wc = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    wr = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").asc_nulls_last(), "doc_id"
+    )
+    r = s.withColumn("rc", F.row_number().over(wc)).withColumn(
+        "rr", F.row_number().over(wr)
+    )
+    g = r.groupBy("source", "lang").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("rc") <= m,
+                    F.struct("rc", "doc_id", "quality"),
+                )
+            )
+        ).alias("top"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("rr") <= m,
+                    F.struct("rr", "doc_id", "quality"),
+                )
+            )
+        ).alias("bottom"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        g.select(
+            "source",
+            "lang",
+            "n_docs",
+            F.explode("top").alias("c"),
+            "bottom",
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "c",
+            F.explode("bottom").alias("w"),
+        )
+        .select(
+            "source",
+            "lang",
+            F.col("c.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            F.col("c.quality").alias("chosen_q"),
+            F.col("w.quality").alias("rejected_q"),
+            (F.col("c.quality") - F.col("w.quality")).alias("margin"),
+            F.col("c.rc").cast("long").alias("chosen_rank"),
+            F.col("w.rr").cast("long").alias("rejected_rank"),
+            "n_docs",
+        )
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("margin") >= _PREF_MIN_MARGIN)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 #: T5-style span-corruption layout knobs: ~15% of tokens masked in spans
 #: of SPAN_LEN, so span STARTS fire at noise/span_len = 5% per token
 #: position (Raffel et al. 2020, "Exploring the Limits of Transfer

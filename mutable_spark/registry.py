@@ -130,16 +130,18 @@ _SAMPLE_PRIORITY: list[str] = [
     # rows; ab_test + funnel_steps keep the family)
     "events_ab_test",
     "events_funnel_steps",
-    # text: integer BM25 retrieval, Rocchio gate
+    # text: integer BM25 retrieval (quality_centroid demotes — r12+r13
+    # rows; bm25 keeps the family and quality scoring runs verbatim in
+    # the in-sample pipeline ops)
     "text_bm25_rank",
-    "text_quality_centroid",
-    # pipeline: curation composition + leakage-safe split + the r13
-    # DPO preference-pair build and T5 span-corruption layout
+    # pipeline: curation composition + leakage-safe split + the r13/r14
+    # DPO preference-pair builds and T5 span-corruption layout
     "pipeline_decontaminate_fuzzy",
     "pipeline_end_to_end",
     "pipeline_split_leakage_safe",
     "pipeline_filter_funnel",
     "pipeline_preference_pairs",
+    "pipeline_preference_topm",
     "pipeline_span_corruption",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
     # demoted r14 (every name holds at least r12 AND r13 triple-match
@@ -151,6 +153,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "source_jsonl_roundtrip",
     "dedup_tier_certification",
     "events_changepoint_cusum",
+    "text_quality_centroid",
     # demoted r13 (every name holds at least r11 AND r12 triple-match
     # rows; family-coverage rationale in the r13 rotation note, git
     # history)

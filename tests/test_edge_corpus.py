@@ -96,6 +96,10 @@ _DOC_OPS = [
     # r13: preference pairs — empty/unicode text must score and rank
     # identically (chosen/rejected ids + IEEE margin) in both engines
     "pipeline_preference_pairs",
+    # r14: the top-m extension — groups SMALLER than 2m overlap their
+    # extremes, so the id-inequality and margin gates must fire
+    # identically; struct-array collection order is pinned by sort_array
+    "pipeline_preference_topm",
     # r13: span corruption — tokenization of empty/regex-metachar text
     # and the trailing mask window must lay out identically
     "pipeline_span_corruption",

@@ -1029,3 +1029,19 @@ def test_binary_extract_single_listing_no_exchange(plans):
     assert "MapInPandas" in tree
     assert "Exchange" not in p
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_preference_topm_single_exchange_no_join(plans):
+    """pipeline_preference_topm (r14): the m x m extension keeps the m=1
+    op's exchange count — both rank windows and the struct-array rollup
+    share ONE (source, lang) exchange, and the cross pairing is a double
+    explode of the 1-row-per-group frame, never a self-join."""
+    import re
+
+    p = plans("pipeline_preference_topm")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert p.count("Window") >= 2
+    assert tree.count("Scan parquet") == 1, p
+    assert "Generate" in p  # the explode stages

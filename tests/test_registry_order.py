@@ -35,6 +35,7 @@ NEVER_SAMPLED = [
     "sim_retrained_cells",
     "sim_semantic_dedup",
     "multimodal_binary_extract",
+    "pipeline_preference_topm",
 ]
 
 
