@@ -197,6 +197,16 @@ def sim_ann_lsh(spark, sf_dir):
     distance 3 of the query signature is reachable), then candidates are
     exactly re-ranked by cosine.
 
+    OPERATING-POINT STATUS (r14, sweep-backed — `sim_lsh_band_sweep`):
+    the 16-bit signature has NO band shape clearing a 0.9 recall bar at
+    sub-linear candidate volume (measured at sf0.1: b=2 → 10000 bp but
+    ~87% of the corpus as candidates; b=4, this default → 5000 bp at
+    ~20%; b=8 → 0 bp). This tier is therefore the documented CHEAP /
+    streaming-friendly path at its measured point; production serving
+    recall is owned by IVF/PQ (`sim_ivfpq_search` at the swept nprobe)
+    and pair-blocking recall by the re-trained multiprobe quantizer
+    (`retrained_multiprobe_pairs`). See SCALE.md's LSH note.
+
     The plane dot products are computed by joining a (plane, dim, weight)
     dimension table against the posexploded embeddings and aggregating —
     NOT by folding 16×64 literal arrays per row (pathological codegen,
@@ -758,6 +768,198 @@ def sim_ann_recall(spark, sf_dir):
             " ELSE n_hits * 10000 div n_exact END AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+#: band widths (sign bits per chunk) the LSH sweep prices at the fixed
+#: 16-plane signature: 16/b chunks cover Hamming distance 16/b - 1 by
+#: pigeonhole, so smaller b buys recall with candidate volume
+_LSH_BANDS = (2, 4, 8)
+
+
+@query("sim_lsh_band_sweep", oracle=None)  # assigned below
+def sim_lsh_band_sweep(spark, sf_dir):
+    """Band-shape sweep for the hyperplane-LSH tier (r14, VERDICT r13
+    item #7 — the multiprobe treatment applied to the tier
+    `sim_ann_recall` measured at 3000/1000/5000 bp): recall@10 AND
+    candidate volume as a function of bits-per-band b ∈ {2, 4, 8} over
+    the SAME 16-plane signature, one row per shape. 16/b bands of b
+    bits reach Hamming distance 16/b − 1 by pigeonhole, so the sweep
+    prices exactly the knob that recall bottlenecks on — and n_cand is
+    the cost column that exposes WHY the knob can't just be turned to
+    its cheapest recall point: at b=2 the tier reads ~N candidates
+    (brute force in disguise).
+
+    Measured verdict (sf0.1, this op's registered rows): the 16-bit
+    signature has NO operating point that clears a 0.9 recall bar at
+    sub-linear candidate volume — which is the sweep-backed case for
+    the production rule documented in SCALE.md: LSH stays the cheap
+    streaming-friendly tier at its measured point; serving recall is
+    owned by IVF/PQ (`sim_ivfpq_search` at the swept nprobe) and
+    pair-blocking recall by the re-trained multiprobe quantizer.
+
+    Cross-engine exactness: the per-(vec, plane) sign bits are computed
+    ONCE (the same exact scaled-long integer dots as `sim_ann_lsh` —
+    associative, spill-proof) and re-banded per shape by conditional
+    integer sums; candidate sets, exact cosine reranks, and the final
+    integer recall therefore hash-match unconditionally.
+
+    Scale shape: one N×16 bit frame (cached — three band shapes re-read
+    it), per-shape map-side chunk packing, broadcast 1-row query joins,
+    distributed top-k rerank; nothing quadratic — the all-pairs exact
+    baseline is the registered `sim_cosine_topk` top-10, corpus-linear."""
+    e = load_tables(spark, sf_dir).embeddings
+    planes = spark.createDataFrame(
+        [
+            (p, d, float(_PLANES[p][d]))
+            for p in range(_N_PLANES)
+            for d in range(_DIM)
+        ],
+        "plane int, dim int, w double",
+    )
+    scaled_term = F.floor(
+        F.col("x").cast("double") * F.col("w") * F.lit(_DOT_SCALE)
+    ).cast("long")
+    pb = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(scaled_term).alias("dot"))
+        .select(
+            "vec_id", "plane", (F.col("dot") > 0).cast("int").alias("bit")
+        )
+        .cache()
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    ev = e.select("vec_id", "embedding")
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = None
+    for b in _LSH_BANDS:
+        ch = (
+            pb.groupBy(
+                "vec_id",
+                F.floor(F.col("plane") / b).cast("int").alias("pos"),
+            )
+            .agg(
+                F.sum(F.col("bit") * F.expr(f"shiftleft(1, plane % {b})"))
+                .cast("int")
+                .alias("val")
+            )
+        )
+        qc = ch.join(F.broadcast(q), F.col("vec_id") == F.col("qid")).select(
+            F.col("pos").alias("qpos"), F.col("val").alias("qval")
+        )
+        cand = (
+            ch.join(
+                F.broadcast(qc),
+                (F.col("pos") == F.col("qpos"))
+                & (F.col("val") == F.col("qval")),
+            )
+            .select("vec_id")
+            .distinct()
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        top10 = (
+            cand.join(ev, "vec_id")
+            .select(
+                "vec_id",
+                vec_cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        n_hits = exact.join(top10, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_hits))
+            .select(
+                F.lit(b).cast("long").alias("bits_per_band"),
+                F.col("n_cand").cast("long").alias("n_cand"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return (
+        rows.crossJoin(F.broadcast(n_exact))
+        .select(
+            "bits_per_band",
+            "n_cand",
+            "n_hits",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                " ELSE n_hits * 10000 div n_exact END AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("bits_per_band")
+    )
+
+
+def _register_lsh_band_sweep_oracle():
+    from mutable_spark.registry import ORACLES
+
+    parts = []
+    bits = [
+        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1 ELSE 0 END)"
+        for p in range(_N_PLANES)
+    ]
+    for b in _LSH_BANDS:
+        nch = _N_PLANES // b
+        chunks = [
+            "("
+            + " + ".join(f"{bits[b * c + i]} * {1 << i}" for i in range(b))
+            + ")"
+            for c in range(nch)
+        ]
+        ors = " OR ".join(
+            f"s.chunks[{i + 1}] = q.qchunks[{i + 1}]" for i in range(nch)
+        )
+        parts.append(f"""sig_{b} AS (
+        SELECT vec_id, embedding, [{", ".join(chunks)}] AS chunks
+        FROM embeddings),
+    q_{b} AS (SELECT vec_id AS qid, embedding AS qv, chunks AS qchunks
+              FROM sig_{b} WHERE vec_id = (SELECT MIN(vec_id) FROM sig_{b})),
+    cand_{b} AS (
+        SELECT s.vec_id, s.embedding, q.qv FROM sig_{b} s, q_{b} q
+        WHERE s.vec_id <> q.qid AND ({ors})
+    ),
+    top_{b} AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, {_sql_cos('embedding', 'qv')} AS cos
+            FROM cand_{b}
+        ) ORDER BY cos DESC, vec_id LIMIT 10
+    ),
+    row_{b} AS (
+        SELECT CAST({b} AS BIGINT) AS bits_per_band,
+               (SELECT COUNT(*) FROM cand_{b}) AS n_cand,
+               (SELECT COUNT(*) FROM top_{b} t JOIN ex e
+                  ON t.vec_id = e.vec_id) AS n_hits)""")
+    unions = " UNION ALL ".join(f"SELECT * FROM row_{b}" for b in _LSH_BANDS)
+    joined_parts = ",\n    ".join(parts)
+    ORACLES["sim_lsh_band_sweep"] = f"""
+    WITH ex AS ({_SQL_EXACT_TOPK}),
+    nx AS (SELECT COUNT(*) AS n_exact FROM ex),
+    {joined_parts}
+    SELECT bits_per_band, CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                     ELSE n_hits * 10000 // n_exact END AS BIGINT)
+               AS recall_bp
+    FROM ({unions}), nx
+    ORDER BY bits_per_band
+    """
+
+
+_register_lsh_band_sweep_oracle()
 
 
 def quantize_frame(e):

@@ -62,7 +62,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     LSH tier itself still runs verbatim inside in-sample
 #     pipeline_decontaminate_fuzzy / split_leakage_safe;
 #   * events: events_changepoint_cusum demotes [r11+r12+r13 rows] —
-#     ab_test + funnel_steps keep the family.
+#     ab_test + funnel_steps keep the family;
+#   * text: text_quality_centroid demotes [r12+r13 rows] — bm25 keeps
+#     the family;
+#   * sim: sim_matryoshka_recall demotes [r12+r13 rows] —
+#     sim_matryoshka_search runs the same prefix machinery in-sample;
+#     its slot goes to the r14 sim_lsh_band_sweep (with
+#     pipeline_preference_topm and multimodal_binary_extract the other
+#     r14 additions in-sample).
 # All demoted names remain green in the local oracle suite
 # (tests/test_queries_oracle.py runs ALL registrations). The r13
 # rotation note (twelve-in/twelve-out) lives in git history.
@@ -119,9 +126,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ivfpq_search",
     "sim_ivfpq_nprobe_sweep",
     "sim_ivf_balance",
-    "sim_matryoshka_recall",
     "sim_matryoshka_search",
     "sim_ann_recall",
+    "sim_lsh_band_sweep",
     # multimodal: shot-boundary detection + the r14 binaryFile-fed
     # decode/featurize path (the object-store surface made load-bearing)
     "multimodal_scene_changes",
@@ -154,6 +161,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_tier_certification",
     "events_changepoint_cusum",
     "text_quality_centroid",
+    "sim_matryoshka_recall",
     # demoted r13 (every name holds at least r11 AND r12 triple-match
     # rows; family-coverage rationale in the r13 rotation note, git
     # history)

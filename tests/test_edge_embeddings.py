@@ -74,6 +74,9 @@ _EMB_OPS = [
     "sim_matryoshka_search",
     # r13: LSH recall instrument — composes two edge-pinned paths
     "sim_ann_recall",
+    # r14: the band-shape sweep — NaN cosines and the zero vector's
+    # all-zero sign bits must band and rerank identically at every width
+    "sim_lsh_band_sweep",
     # r14: the production re-trained √N quantizer — k and the derived
     # probe depth are computed from the corpus COUNT in both engines,
     # and the zero vector's NULL centroid scores must chain identically

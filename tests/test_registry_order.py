@@ -36,6 +36,7 @@ NEVER_SAMPLED = [
     "sim_semantic_dedup",
     "multimodal_binary_extract",
     "pipeline_preference_topm",
+    "sim_lsh_band_sweep",
 ]
 
 
