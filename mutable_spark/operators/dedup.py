@@ -2484,6 +2484,229 @@ def _register_retrained_cells_oracle():
 _register_retrained_cells_oracle()
 
 
+#: rounds the convergence audit chains (production + one look-ahead —
+#: the extra round prices exactly what _RETRAIN_ROUNDS=2 leaves on the
+#: table)
+_CONVERGENCE_ROUNDS = 3
+
+
+@query("sim_retrain_convergence", oracle=None)  # assigned below
+def sim_retrain_convergence(spark, sf_dir):
+    """Lloyd convergence audit for the production re-train (r14): one
+    row per round r = 1..`_CONVERGENCE_ROUNDS` with the number of
+    vectors ASSIGNED that round and the number that MOVED cell relative
+    to the previous round's labels (round 1 moves against the
+    deterministic vec_id % k init). The production knob is
+    `_RETRAIN_ROUNDS` = 2; this instrument registers, as driver-checked
+    integers, (a) how much assignment churn each round buys and (b) what
+    one MORE round would still move — the number an operator reads
+    before deciding the knob at a new corpus, alongside the recall-side
+    instruments (`dedup_multiprobe_certification` prices the bar,
+    `dedup_multiprobe_sweep` the curve, `sim_ivf_balance` the skew).
+
+    Chain determinism is the quantizer's own: every round is the exact
+    scaled-long assign step, so both engines produce identical labels
+    round by round and the movement counts hash-match. Note n_assigned
+    can be smaller than the corpus — empty/NULL-embedding vectors get
+    no assignment (posexplode presence semantics) and drop out of the
+    chain after the init.
+
+    Scale shape: the chain is the production re-train plus one round —
+    per round a k×dim broadcast + map-side assign; the movement counts
+    are ≤3 joins of (vec_id, cell) frames with a ≤R-row result."""
+    e = load_tables(spark, sf_dir).embeddings
+    n = e.count()
+    k = _sqrt_cells(n)
+    prev = e.select(
+        "vec_id", (F.col("vec_id") % k).cast("int").alias("cell")
+    )
+    rows = None
+    for r in range(1, _CONVERGENCE_ROUNDS + 1):
+        staged = (
+            e.drop("label")
+            .join(prev.withColumnRenamed("cell", "label"), "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            _multiprobe_assign(staged, 1)
+            .select("vec_id", "cell")
+            .localCheckpoint(eager=False)
+        )
+        moved = (
+            cur.join(prev.withColumnRenamed("cell", "prev_cell"), "vec_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_assigned"),
+                F.sum(
+                    (F.col("cell") != F.col("prev_cell")).cast("long")
+                ).alias("n_moved"),
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_assigned",
+                "n_moved",
+            )
+        )
+        rows = moved if rows is None else rows.unionByName(moved)
+        prev = cur
+    return rows.orderBy("round")
+
+
+def _register_retrain_convergence_oracle():
+    from mutable_spark.registry import ORACLES
+
+    labs = ["lab0"] + [f"assign_r{r}" for r in range(1, _CONVERGENCE_ROUNDS + 1)]
+    rows = ",\n    ".join(
+        f"""row_{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(CASE WHEN c.cell <> p.cell THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM {labs[r]} c JOIN {labs[r - 1]} p ON c.vec_id = p.vec_id)"""
+        for r in range(1, _CONVERGENCE_ROUNDS + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM row_{r}" for r in range(1, _CONVERGENCE_ROUNDS + 1)
+    )
+    ORACLES["sim_retrain_convergence"] = f"""
+    WITH {_sql_retrained_assign("", rounds=_CONVERGENCE_ROUNDS, probe=False)},
+    {rows}
+    SELECT * FROM ({unions}) ORDER BY round
+    """
+
+
+_register_retrain_convergence_oracle()
+
+
+#: eval-set proxy for the semantic decontamination screen — the SAME
+#: systematic rule as `pipeline._EVAL_MOD` (applied to vec_id here);
+#: kept as a local constant because pipeline.py imports this module at
+#: top level (a runtime import back would be circular); equality is
+#: pinned by tests/test_dedup_scale.py.
+_SEM_EVAL_MOD = 25
+
+
+@query("pipeline_decontaminate_semantic", oracle=None)  # assigned below
+def pipeline_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (r14) — the embedding-tier
+    counterpart of `pipeline_decontaminate_fuzzy`: drop every training
+    vector whose cosine with ANY eval-set vector clears the shared
+    threshold. Fuzzy n-gram decontamination misses reworded test items
+    only when the rewording breaks shingles; the embedding tier catches
+    paraphrases outright — the screen a frontier-model data pipeline
+    runs IN ADDITION to the n-gram one (same motivation as SemDeDup vs
+    MinHash for dedup). Eval membership is the same systematic
+    vec_id % `_SEM_EVAL_MOD` proxy the fuzzy op uses on doc_id
+    (pinned equal to pipeline's `_EVAL_MOD`).
+
+    Architecture mirrors the fuzzy op's cross-corpus shape on the
+    PRODUCTION quantizer: ONE re-trained √N assignment over the full
+    corpus (blocking must be common to both sides), the top-p probe
+    frame split into eval/train map-side by the id rule (no join), and
+    only train×eval pairs expand — never train×train, so candidate
+    volume is bounded by the eval side's presence per cell. Exact
+    cosine verify on candidates makes emitted contamination exact;
+    recall inherits the tier's driver-certified number
+    (`dedup_multiprobe_certification` — 10000 bp on the sf0.1 MOD
+    sample at the derived point). The contamination list (bounded by
+    the eval side) broadcasts into an in-scan LEFT ANTI, the
+    `pipeline_decontaminate` blocklist shape — the corpus itself never
+    shuffles for the screen. Registered result: per-stored-label kept
+    summary, one row per label.
+
+    A deployment would raise the cosine bar independently of the dedup
+    tier\'s; the shared `EMBEDDING_COS_THRESHOLD` keeps this op on the
+    certified operating point the repo already prices."""
+    e = load_tables(spark, sf_dir).embeddings
+    is_eval = F.pmod(F.col("vec_id"), F.lit(_SEM_EVAL_MOD)) == 0
+    n = e.count()
+    k = _sqrt_cells(n)
+    lab = retrained_cells(e, k)
+    staged = (
+        e.drop("label")
+        .join(lab.withColumnRenamed("cell", "label"), "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    assign = (
+        _multiprobe_assign(staged, _probe_depth(k))
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
+    )
+    ev = assign.filter(is_eval).select(
+        F.col("vec_id").alias("vec_b"), "cell"
+    )
+    tr = assign.filter(~is_eval).select(
+        F.col("vec_id").alias("vec_a"), F.col("cell").alias("cell_a")
+    )
+    cand = (
+        tr.join(ev, F.col("cell_a") == F.col("cell"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    ea = staged.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    eb = staged.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
+    contaminated = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(
+            vec_cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            >= EMBEDDING_COS_THRESHOLD
+        )
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+    kept = e.filter(~is_eval).join(
+        F.broadcast(contaminated), "vec_id", "left_anti"
+    )
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("vec_id").alias("min_id"),
+    )
+
+
+def _register_decontaminate_semantic_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    ORACLES["pipeline_decontaminate_semantic"] = f"""
+    WITH {_sql_retrained_assign("")},
+    ev AS (SELECT vec_id, cell FROM assign
+           WHERE vec_id % {_SEM_EVAL_MOD} = 0),
+    tr AS (SELECT vec_id, cell FROM assign
+           WHERE vec_id % {_SEM_EVAL_MOD} <> 0),
+    cand AS (
+        SELECT DISTINCT t.vec_id AS vec_a, v.vec_id AS vec_b
+        FROM tr t JOIN ev v ON t.cell = v.cell
+    ),
+    cont AS (
+        SELECT DISTINCT vec_a AS vec_id FROM (
+            SELECT c.vec_a,
+                   {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+            FROM cand c
+            JOIN s ea ON ea.vec_id = c.vec_a
+            JOIN s eb ON eb.vec_id = c.vec_b
+        ) WHERE cos >= {EMBEDDING_COS_THRESHOLD}
+    )
+    SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(e.vec_id) AS min_id
+    FROM embeddings e LEFT JOIN cont c ON c.vec_id = e.vec_id
+    WHERE e.vec_id % {_SEM_EVAL_MOD} <> 0 AND c.vec_id IS NULL
+    GROUP BY e.label
+    """
+
+
+_register_decontaminate_semantic_oracle()
+
+
 @query("sim_cell_reassign", oracle=None)  # assigned below
 def sim_cell_reassign(spark, sf_dir):
     """Coarse-quantizer cell RE-ASSIGNMENT — the op that closes the

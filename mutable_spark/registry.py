@@ -97,7 +97,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q11",
     "tpch_q15",
     "tpch_q17",
-    "tpch_q20",
     "tpch_q21",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
@@ -118,11 +117,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_multiprobe_sweep",
     "sim_cell_reassign",
     "sim_retrained_cells",
+    "sim_retrain_convergence",
     "sim_semantic_dedup",
-    # similarity/ANN: the serving stack — PQ shortlist→rerank,
-    # IVF→PQ→rerank + its nprobe sweep, the balance pre-flight, the MRL
-    # diagnostic + serving, and the r13 LSH-tier recall instrument
-    "sim_pq_search",
+    # similarity/ANN: the serving stack — IVF→PQ→rerank + its nprobe
+    # sweep (pq_search demotes, r12+r13 rows — ivfpq_search composes the
+    # same PQ shortlist→rerank machinery in-sample), the balance
+    # pre-flight, MRL serving, the LSH recall instrument + band sweep
     "sim_ivfpq_search",
     "sim_ivfpq_nprobe_sweep",
     "sim_ivf_balance",
@@ -146,6 +146,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_decontaminate_fuzzy",
     "pipeline_end_to_end",
     "pipeline_split_leakage_safe",
+    "pipeline_decontaminate_semantic",
     "pipeline_filter_funnel",
     "pipeline_preference_pairs",
     "pipeline_preference_topm",
@@ -162,6 +163,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_changepoint_cusum",
     "text_quality_centroid",
     "sim_matryoshka_recall",
+    "tpch_q20",
+    "sim_pq_search",
     # demoted r13 (every name holds at least r11 AND r12 triple-match
     # rows; family-coverage rationale in the r13 rotation note, git
     # history)

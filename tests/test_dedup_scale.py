@@ -455,3 +455,55 @@ def test_retrained_cells_reunites_planted_drift(spark, tmp_path):
     # the v-cluster lands in ONE cell, w in another, from round 1 on
     assert one[0] == one[1] == one[2] != one[3]
     assert two == one  # fixpoint
+
+
+def test_semantic_decon_eval_mod_matches_pipeline():
+    """`_SEM_EVAL_MOD` (dedup.py — local to avoid a circular import)
+    must stay equal to the pipeline's `_EVAL_MOD`: the semantic and
+    fuzzy decontamination screens claim the SAME systematic eval-set
+    rule."""
+    from mutable_spark.operators.dedup import _SEM_EVAL_MOD
+    from mutable_spark.operators.pipeline import _EVAL_MOD
+
+    assert _SEM_EVAL_MOD == _EVAL_MOD
+
+
+def test_semantic_decon_drops_planted_contamination(spark, tmp_path):
+    """A train vector identical to an eval vector (vec_id % 25 == 0)
+    must be dropped; an orthogonal train vector must be kept — and the
+    kept summary's counts exclude eval rows entirely."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (25, v, 1),                    # eval (25 % 25 == 0)
+        (1, list(v), 1),               # train, identical -> contaminated
+        (2, [-3.0, 4.0, -1.0, 0.5], 2),  # train, unrelated -> kept
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    got = {
+        r.label: (r.n_kept, r.min_id)
+        for r in registry.QUERIES["pipeline_decontaminate_semantic"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # label 1: the identical train vector dropped, eval row not counted
+    assert 1 not in got
+    assert got == {2: (1, 2)}

@@ -82,6 +82,8 @@ _EMB_OPS = [
     # and the zero vector's NULL centroid scores must chain identically
     # through every Lloyd round
     "sim_retrained_cells",
+    "sim_retrain_convergence",
+    "pipeline_decontaminate_semantic",
 ]
 
 
@@ -174,6 +176,8 @@ _RAGGED_VECS = [
 
 _RAGGED_OPS = [
     "sim_retrained_cells",
+    "sim_retrain_convergence",
+    "pipeline_decontaminate_semantic",
     "sim_cell_reassign",
     "dedup_reassign_certification",
     "dedup_embedding_multiprobe",

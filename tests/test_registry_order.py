@@ -37,6 +37,8 @@ NEVER_SAMPLED = [
     "multimodal_binary_extract",
     "pipeline_preference_topm",
     "sim_lsh_band_sweep",
+    "sim_retrain_convergence",
+    "pipeline_decontaminate_semantic",
 ]
 
 
