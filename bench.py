@@ -91,6 +91,12 @@ HEADLINE = [
     # cosine tiers on the MOD sample; sim_matryoshka_search and
     # sim_cell_reassign stay out at 0.7 / 0.6 s)
     "dedup_reassign_certification",
+    # r14 additions: the production coarse quantizer itself and the
+    # embedding-tier decontamination screen it feeds (the other r14
+    # registrations stay out: band sweep / convergence / topm /
+    # binary_extract are instruments or sub-second maps)
+    "sim_retrained_cells",
+    "pipeline_decontaminate_semantic",
 ]
 
 

@@ -357,3 +357,104 @@ def preference_pair_state(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def preference_topm_state(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``pipeline_preference_topm`` (r14):
+    per-(source, lang) TOP-m and BOTTOM-m score extremes maintained
+    incrementally via applyInPandasWithState, emitting the gated m×m
+    pair set after every micro-batch — the monitor that says, at any
+    point of the crawl, which preference pairs each group would
+    currently contribute to a DPO/RM set.
+
+    Same contracts as the m=1 twin (`preference_pair_state`): scoring
+    runs UPSTREAM in the JVM with the shared ``quality_expr`` (the
+    identical IEEE sequence the batch op and its oracle use), state
+    only compares doubles, extremes use the batch tiebreaks exactly
+    (quality DESC/ASC then smallest doc_id; NULL scores never enter
+    state), and the batch gate is emitted as a ``qualifies`` column —
+    so the LAST emission per group, filtered on it, equals the batch
+    op's row set. State per group is BOUNDED at 2m (score, id) pairs
+    plus a count, regardless of stream length — the same 2m-structs
+    bound the batch rollup carries per group."""
+    import pandas as pd
+
+    from mutable_spark.operators.pipeline import (
+        _PREF_MIN_MARGIN,
+        _PREF_TOP_M,
+        quality_expr,
+    )
+
+    m = _PREF_TOP_M
+    scored = docs.select(
+        "source", "lang", "doc_id", quality_expr().alias("q")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            top_q, top_id, bot_q, bot_id, n = state.get
+            top = list(zip(list(top_q), list(top_id)))
+            bot = list(zip(list(bot_q), list(bot_id)))
+        else:
+            top, bot, n = [], [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            real = pdf[pdf["q"].notna()]
+            for doc_id, q in zip(real["doc_id"], real["q"]):
+                doc_id, q = int(doc_id), float(q)
+                top.append((q, doc_id))
+                bot.append((q, doc_id))
+                # batch tiebreaks: quality DESC/ASC, then smallest id
+                top.sort(key=lambda t: (-t[0], t[1]))
+                bot.sort(key=lambda t: (t[0], t[1]))
+                del top[m:], bot[m:]
+        state.update(
+            (
+                [q for q, _ in top],
+                [i for _, i in top],
+                [q for q, _ in bot],
+                [i for _, i in bot],
+                n,
+            )
+        )
+        if not top:
+            return iter(())  # no scored doc yet: nothing to monitor
+        rows = {
+            "source": [], "lang": [], "chosen_id": [], "rejected_id": [],
+            "chosen_q": [], "rejected_q": [], "margin": [],
+            "chosen_rank": [], "rejected_rank": [], "n_docs": [],
+            "qualifies": [],
+        }
+        for rc, (cq, cid) in enumerate(top, start=1):
+            for rr, (wq, wid) in enumerate(bot, start=1):
+                margin = cq - wq
+                rows["source"].append(key[0])
+                rows["lang"].append(key[1])
+                rows["chosen_id"].append(cid)
+                rows["rejected_id"].append(wid)
+                rows["chosen_q"].append(cq)
+                rows["rejected_q"].append(wq)
+                rows["margin"].append(margin)
+                rows["chosen_rank"].append(rc)
+                rows["rejected_rank"].append(rr)
+                rows["n_docs"].append(n)
+                rows["qualifies"].append(
+                    int(cid != wid and margin >= _PREF_MIN_MARGIN)
+                )
+        return iter([pd.DataFrame(rows)])
+
+    return scored.groupBy("source", "lang").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, lang string, chosen_id long, rejected_id long,"
+            " chosen_q double, rejected_q double, margin double,"
+            " chosen_rank long, rejected_rank long, n_docs long,"
+            " qualifies long"
+        ),
+        stateStructType=(
+            "top_q array<double>, top_id array<long>,"
+            " bot_q array<double>, bot_id array<long>, n long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1781,3 +1781,70 @@ def test_streaming_preference_pairs_two_phase_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_streaming_preference_topm_two_phase_equals_batch(spark, tmp_path):
+    """The r14 top-m monitor settles to the batch answer across a
+    TWO-phase delivery against one checkpoint: the last emission per
+    (source, lang) — all m x m rows share the group's n_docs — filtered
+    on the op's own `qualifies` gate, equals pipeline_preference_topm's
+    row set exactly, including both rank columns (state keeps the
+    bounded top-m/bottom-m lists under the batch tiebreaks)."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.documents import preference_topm_state
+
+    d = load_tables(spark, SF_DIR).documents
+
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    sink = tmp_path / "out"
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            preference_topm_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(d.filter(F.col("doc_id") % 2 == 0), "phase1")
+    run_once()
+    deliver(d.filter(F.col("doc_id") % 2 == 1), "phase2")
+    run_once()
+
+    # settled emission per group = its max-n_docs rows
+    max_n: dict = {}
+    for r in spark.read.parquet(str(sink)).collect():
+        k = (r.source, r.lang)
+        max_n[k] = max(max_n.get(k, 0), r.n_docs)
+    got = _rows(
+        (
+            r.source, r.lang, r.chosen_id, r.rejected_id,
+            r.chosen_q, r.rejected_q, r.margin,
+            r.chosen_rank, r.rejected_rank, r.n_docs,
+        )
+        for r in spark.read.parquet(str(sink)).collect()
+        if r.qualifies == 1 and r.n_docs == max_n[(r.source, r.lang)]
+    )
+    want = _rows(
+        tuple(r)
+        for r in registry.QUERIES["pipeline_preference_topm"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want and len(want) > 0
