@@ -909,12 +909,12 @@ def _register_semantic_dedup_oracle():
 
     ORACLES["sim_semantic_dedup"] = f"""
     WITH RECURSIVE {_sql_retrained_assign("")},
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT vec_a, vec_b FROM (
             SELECT c.vec_a, c.vec_b,
                    {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
@@ -2013,7 +2013,7 @@ def _sql_assign_round(src: str, lab: str, sfx: str, max_rk) -> str:
         WHERE len(se.embedding) > 0
         GROUP BY se.vec_id, cd.cell
     ),
-    assign{sfx} AS (
+    assign{sfx} AS MATERIALIZED (
         SELECT vec_id, cell, rk FROM (
             SELECT d.vec_id, d.cell,
                    row_number() OVER (
@@ -2086,11 +2086,12 @@ def _sql_retrained_assign(
 
 def multiprobe_cosine_pairs(e, max_rk: int | None = None):
     """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
-    top-``max_rk`` centroid blocking (default: the ``_MULTIPROBE``
-    production operating point) — the tier behind
-    ``dedup_embedding_multiprobe``, shared with its certification and,
-    at ``max_rk=1``, the refreshed-assignment arm of
-    ``dedup_reassign_certification``."""
+    top-``max_rk`` centroid blocking over the frame's CURRENT labels
+    (default depth: the legacy ``_MULTIPROBE`` stored-label point) —
+    the shared pair tier: the PRODUCTION path
+    (`retrained_multiprobe_pairs`) calls it over re-trained √N labels
+    at the derived depth; at ``max_rk=1`` it is the refreshed-
+    assignment arm of ``dedup_reassign_certification``."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     if max_rk is None:
@@ -2139,7 +2140,7 @@ def _register_multiprobe_certification_oracle():
 
     ORACLES["dedup_multiprobe_certification"] = f"""
     WITH {_sql_retrained_assign(f"WHERE vec_id % {_CERT_MOD} = 0")},
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2210,7 +2211,7 @@ def _register_embedding_multiprobe_oracle():
 
     ORACLES["dedup_embedding_multiprobe"] = f"""
     WITH {_sql_retrained_assign("")},
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM assign a JOIN assign b
           ON a.cell = b.cell AND a.vec_id < b.vec_id

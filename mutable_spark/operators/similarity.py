@@ -170,7 +170,7 @@ def _sql_ann_sig() -> str:
 
 
 _SQL_ANN = f"""
-    WITH sig AS ({_sql_ann_sig()}),
+    WITH sig AS MATERIALIZED ({_sql_ann_sig()}),
     q AS (SELECT vec_id AS qid, embedding AS qv, chunks AS qchunks
           FROM sig WHERE vec_id = (SELECT MIN(vec_id) FROM sig)),
     cand AS (
@@ -713,8 +713,8 @@ def sim_ivf_recall(spark, sf_dir):
 @query(
     "sim_ann_recall",
     oracle=f"""
-    WITH exact AS ({_SQL_EXACT_TOPK}),
-    approx AS ({_SQL_ANN}),
+    WITH exact AS MATERIALIZED ({_SQL_EXACT_TOPK}),
+    approx AS MATERIALIZED ({_SQL_ANN}),
     c AS (SELECT
         (SELECT COUNT(*) FROM exact) AS n_exact,
         (SELECT COUNT(*) FROM exact e JOIN approx a
@@ -922,7 +922,7 @@ def _register_lsh_band_sweep_oracle():
         ors = " OR ".join(
             f"s.chunks[{i + 1}] = q.qchunks[{i + 1}]" for i in range(nch)
         )
-        parts.append(f"""sig_{b} AS (
+        parts.append(f"""sig_{b} AS MATERIALIZED (
         SELECT vec_id, embedding, [{", ".join(chunks)}] AS chunks
         FROM embeddings),
     q_{b} AS (SELECT vec_id AS qid, embedding AS qv, chunks AS qchunks
@@ -945,7 +945,7 @@ def _register_lsh_band_sweep_oracle():
     unions = " UNION ALL ".join(f"SELECT * FROM row_{b}" for b in _LSH_BANDS)
     joined_parts = ",\n    ".join(parts)
     ORACLES["sim_lsh_band_sweep"] = f"""
-    WITH ex AS ({_SQL_EXACT_TOPK}),
+    WITH ex AS MATERIALIZED ({_SQL_EXACT_TOPK}),
     nx AS (SELECT COUNT(*) AS n_exact FROM ex),
     {joined_parts}
     SELECT bits_per_band, CAST(n_cand AS BIGINT) AS n_cand,
