@@ -470,7 +470,7 @@ def _verify_pairs(cand, g):
 
 # --------------------------------------------------------------------------
 _SQL_CLASSES = rf"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({_SQL_PAIRS_HASHED})
     ),
     edges AS (

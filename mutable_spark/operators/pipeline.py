@@ -860,7 +860,7 @@ _register_contam_stats_oracle()
 
 # --------------------------------------------------------------------------
 _SQL_KEEP_BEST = """
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({pairs})
     ),
     edges AS (
@@ -1596,7 +1596,7 @@ def _register_leakage_safe_oracle():
     from mutable_spark.registry import ORACLES
 
     ORACLES["pipeline_split_leakage_safe"] = rf"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({_SQL_PAIRS_HASHED})
     ),
     edges AS (
