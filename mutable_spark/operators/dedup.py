@@ -102,7 +102,7 @@ _SQL_SHINGLES = r"""
 """
 
 _SQL_PAIRS = rf"""
-    WITH g AS ({_SQL_SHINGLES})
+    WITH g AS MATERIALIZED ({_SQL_SHINGLES})
     SELECT doc_a, doc_b, jac FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -189,7 +189,7 @@ _SQL_HASHED_SHINGLES = _sql_hashed_shingles()
 # reads plain len() — no per-pair re-deduplication in either engine
 def _sql_pairs_hashed(doc_where: str = "") -> str:
     return rf"""
-    WITH g AS ({_sql_hashed_shingles(doc_where)})
+    WITH g AS MATERIALIZED ({_sql_hashed_shingles(doc_where)})
     SELECT doc_a, doc_b, jac FROM (
         SELECT doc_a, doc_b,
                CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jac
@@ -990,7 +990,7 @@ def _sql_simhash_sig(doc_where: str = "") -> str:
 
 
 _SQL_SIMHASH = f"""
-    WITH sig AS ({_sql_simhash_sig()})
+    WITH sig AS MATERIALIZED ({_sql_simhash_sig()})
     SELECT doc_a, doc_b, hamming FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.chunks[1], b.chunks[1]))
@@ -1304,7 +1304,7 @@ _CONT_THRESHOLD = 0.8
 @query(
     "dedup_containment",
     oracle=f"""
-    WITH g AS ({_SQL_HASHED_SHINGLES}),
+    WITH g AS MATERIALIZED ({_SQL_HASHED_SHINGLES}),
     post AS (
         SELECT doc_id, len(shh) AS n, unnest(shh) AS sh FROM g
     ),

@@ -70,6 +70,10 @@ def test_register_instruction_dispatches_in_shell():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        # 4-slot subprocess session: the dispatch test runs no query at
+        # scale; local[32] only adds startup/task overhead (the
+        # test_shell_e2e.py rule)
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "hi spark world" in out.stdout

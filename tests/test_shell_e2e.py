@@ -4,8 +4,16 @@ shell binary the same way). One subprocess, several statements."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
+
+#: subprocess env: a 4-slot local session — these e2e tests exercise the
+#: CLI/dialect surface on 1-2-row tables, where local[32] only adds task
+#: dispatch overhead (measured 21.7 -> 11.7 s per subprocess); the scale
+#: posture is covered by the shared local[32] suite session everywhere
+#: else
+_ENV = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
 
 
 def test_shell_stdin_roundtrip():
@@ -25,6 +33,7 @@ def test_shell_stdin_roundtrip():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "11" in out.stdout          # the SELECT result
@@ -53,6 +62,7 @@ def test_plan_rejects_dml_without_side_effect():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "usage: .plan SELECT" in out.stdout
@@ -80,6 +90,7 @@ def test_shell_create_index_on_loaded_table():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "loaded" in out.stdout
@@ -109,6 +120,7 @@ def test_shell_output_options():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SELECT key FROM r WHERE key < 2" in out.stdout   # --echo
@@ -124,6 +136,7 @@ def test_shell_output_options():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert quiet.returncode == 0, quiet.stderr[-2000:]
     assert "(1 rows)" not in quiet.stdout   # -q suppresses row summaries
@@ -147,6 +160,7 @@ def test_shell_parquet_instruction():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "registered ords" in out.stdout
@@ -176,6 +190,7 @@ def test_shell_string_index_range():
         text=True,
         timeout=300,
         cwd="/root/repo",
+        env=_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     import duckdb
