@@ -97,6 +97,9 @@ HEADLINE = [
     # binary_extract are instruments or sub-second maps)
     "sim_retrained_cells",
     "pipeline_decontaminate_semantic",
+    # late-r14: the multi-round BPE trainer (3.3 s warm at sf0.1 —
+    # three argmax/merge/rebuild rounds over the vocabulary frame)
+    "text_bpe_train",
 ]
 
 

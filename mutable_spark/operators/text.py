@@ -840,6 +840,186 @@ def bpe_pair_counts_frame(d):
 
 
 # --------------------------------------------------------------------------
+#: merge rounds the BPE trainer learns (each round = one argmax merge
+#: rule applied corpus-wide, Sennrich et al. 2016 Algorithm 1)
+_BPE_ROUNDS = 3
+
+
+@query("text_bpe_train", oracle=None)  # assigned below
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING, multi-round (r14) — the
+    iterative completion of `text_bpe_pairs` (which registers the
+    one-iteration primitive): learn ``_BPE_ROUNDS`` merge rules, each
+    round picking the corpus-wide argmax adjacent symbol pair
+    (frequency-weighted; count DESC then (a, b) string tiebreak) and
+    applying it everywhere with the classic GREEDY LEFT-TO-RIGHT
+    non-overlapping merge, then re-counting over the new symbolization.
+    Output: the learned merge table — (round, sym_a, sym_b, pair_count)
+    — the artifact a tokenizer ships.
+
+    The greedy-merge subtlety, made declarative: overlapping matches of
+    a rule (a, b) exist only when a == b (a run of identical symbols),
+    and a left-to-right pass merges exactly the EVEN offsets of each
+    maximal run of consecutive match positions — so "merged" is a
+    window rule (run id = pos − row_number; keep offset-from-run-min
+    even), not a sequential fold, and BOTH engines compute it with the
+    same two windows. A single pass never re-matches its own output
+    (that is a later round's rule), matching reference BPE exactly.
+
+    Per round, ONE driver-side 1-row collect (the argmax rule — the
+    same class of bounded driver action as the Lloyd chain's count);
+    everything else is distributed: a lead() window per word, two
+    partial-agg shuffles, and the rebuild joins — ALL on the
+    vocabulary frame (distinct words), never the raw token stream, so
+    corpus size enters only through the pre-aggregated freq (the
+    `text_bpe_pairs` scale argument, inherited round by round). The
+    DuckDB oracle chains one fragment per round (the `_sql_assign_round`
+    pattern) with the argmax as 1-row CTEs, so the learned rules are
+    hash-checked end to end."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    ).localCheckpoint(eager=False)
+    wnd = Window.partitionBy("w").orderBy("pos")
+    out_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        withn = syms.withColumn("nxt", F.lead("sym").over(wnd))
+        pairs = withn.filter(F.col("nxt").isNotNull())
+        best = (
+            pairs.groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()  # 1 row: the round's argmax merge rule
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].sym, best[0].nxt, int(best[0].cnt)
+        out_rows.append((r, a, b, cnt))
+        match = pairs.filter(
+            (F.col("sym") == a) & (F.col("nxt") == b)
+        ).select("w", "pos")
+        runs = match.withColumn(
+            "run", F.col("pos") - F.row_number().over(wnd)
+        )
+        kept = (
+            runs.withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(Window.partitionBy("w", "run")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("w", "pos", F.lit(1).alias("is_merge"))
+        )
+        consumed = kept.select(
+            "w", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("gone")
+        )
+        rebuilt = (
+            withn.join(kept, ["w", "pos"], "left")
+            .join(consumed, ["w", "pos"], "left")
+            .filter(F.col("gone").isNull())
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("is_merge") == 1, F.concat("sym", "nxt")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        syms = rebuilt.select(
+            "w",
+            "freq",
+            (F.row_number().over(wnd) - 1).alias("pos"),
+            "sym",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out_rows, "round long, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def _register_bpe_train_oracle():
+    from mutable_spark.registry import ORACLES
+
+    parts = [
+        r"""w AS MATERIALIZED (
+        SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        WHERE length(tok) >= 1
+        GROUP BY tok)""",
+        """s_1 AS MATERIALIZED (
+        SELECT w, freq, i - 1 AS pos,
+               substring(w, CAST(i AS INTEGER), 1) AS sym
+        FROM w, unnest(generate_series(1, CAST(length(w) AS BIGINT)))
+             AS r(i))""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""p_{r} AS MATERIALIZED (
+        SELECT w, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s_{r})""")
+        parts.append(f"""best_{r} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p_{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+        ORDER BY cnt DESC, a, b LIMIT 1)""")
+        parts.append(f"""m_{r} AS (
+        SELECT w, pos,
+               pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS run
+        FROM p_{r}
+        WHERE sym = (SELECT a FROM best_{r})
+          AND nxt = (SELECT b FROM best_{r}))""")
+        parts.append(f"""k_{r} AS MATERIALIZED (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   pos - MIN(pos) OVER (PARTITION BY w, run) AS off
+            FROM m_{r})
+        WHERE off % 2 = 0)""")
+        parts.append(f"""s_{r + 1} AS MATERIALIZED (
+        SELECT w, freq,
+               row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+               sym FROM (
+            SELECT p.w, p.freq, p.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt
+                        ELSE p.sym END AS sym
+            FROM p_{r} p
+            LEFT JOIN k_{r} k ON k.w = p.w AND k.pos = p.pos
+            LEFT JOIN k_{r} g ON g.w = p.w AND g.pos = p.pos - 1
+            WHERE g.pos IS NULL))""")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
+        f" cnt AS pair_count FROM best_{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    joined = ",\n    ".join(parts)
+    ORACLES["text_bpe_train"] = f"""
+    WITH {joined}
+    SELECT * FROM ({unions}) ORDER BY round
+    """
+
+
+_register_bpe_train_oracle()
+
+
+# --------------------------------------------------------------------------
 #: tf-idf keyterms kept per document
 _TFIDF_TOPK = 3
 #: fixed-point scale of the quantized inverse document frequency

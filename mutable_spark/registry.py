@@ -97,7 +97,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q11",
     "tpch_q15",
     "tpch_q17",
-    "tpch_q21",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
@@ -139,8 +138,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_funnel_steps",
     # text: integer BM25 retrieval (quality_centroid demotes — r12+r13
     # rows; bm25 keeps the family and quality scoring runs verbatim in
-    # the in-sample pipeline ops)
+    # the in-sample pipeline ops) + the r14 multi-round BPE trainer
+    # (tpch_q21 hands over its slot — r12+r13 rows, TPC-H keeps nine
+    # in-sample rows)
     "text_bm25_rank",
+    "text_bpe_train",
     # pipeline: curation composition + leakage-safe split + the r13/r14
     # DPO preference-pair builds and T5 span-corruption layout
     "pipeline_decontaminate_fuzzy",
@@ -154,6 +156,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # ---- past the 50-sample horizon ----
     # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
+    "tpch_q21",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

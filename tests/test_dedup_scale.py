@@ -507,3 +507,37 @@ def test_semantic_decon_drops_planted_contamination(spark, tmp_path):
     # label 1: the identical train vector dropped, eval row not counted
     assert 1 not in got
     assert got == {2: (1, 2)}
+
+
+def test_bpe_train_greedy_run_parity(spark, tmp_path):
+    """r14: the BPE merge pass must be GREEDY LEFT-TO-RIGHT on runs of
+    identical symbols — 'aaaa' merges to [aa][aa] (two pairs, not
+    three overlapping ones) and 'aaa' to [aa][a] — so with the corpus
+    below round 1 learns (a, a) with count 5 (overlapping pair COUNTS:
+    3 in 'aaaa' + 2 in 'aaa'), and round 2 hits a count tie — (aa, aa)
+    from 'aaaa' vs (aa, a) from 'aaa', both 1 — resolved by the
+    (a, b) string tiebreak: 'a' < 'aa', so (aa, a) wins round 2."""
+    import os
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    spark.createDataFrame(
+        [(0, "aaaa aaa", "s", "en", 8)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    rows = {
+        r.round: (r.sym_a, r.sym_b, r.pair_count)
+        for r in registry.QUERIES["text_bpe_train"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1] == ("a", "a", 5)
+    assert rows[2] == ("aa", "a", 1)
+    # round 3: 'aaa'->[aaa] (no pairs); 'aaaa' keeps its one (aa, aa)
+    assert rows[3] == ("aa", "aa", 1)

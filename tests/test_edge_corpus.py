@@ -81,6 +81,10 @@ _DOC_OPS = [
     # r9/r10 text additions (bm25: empty docs must fall out of the
     # score filter, never divide by zero under ANSI)
     "text_bpe_pairs",
+    # r14: multi-round BPE training — unicode multi-byte symbols,
+    # single-char words (no pairs), and the 'a a a ...' repetition doc
+    # exercise the greedy run-parity merge in both engines
+    "text_bpe_train",
     "text_tfidf_terms",
     "text_boilerplate_grams",
     "text_bm25_rank",

@@ -39,6 +39,7 @@ NEVER_SAMPLED = [
     "sim_lsh_band_sweep",
     "sim_retrain_convergence",
     "pipeline_decontaminate_semantic",
+    "text_bpe_train",
 ]
 
 
