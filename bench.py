@@ -98,8 +98,16 @@ HEADLINE = [
     "sim_retrained_cells",
     "pipeline_decontaminate_semantic",
     # late-r14: the multi-round BPE trainer (3.3 s warm at sf0.1 —
-    # three argmax/merge/rebuild rounds over the vocabulary frame)
+    # three argmax/merge/rebuild rounds over the vocabulary frame), its
+    # encode consumer (3.0 s — re-trains then joins the doc stream),
+    # and the duplicated-span cut list (1.3 s — positional grams +
+    # count window + run compression)
     "text_bpe_train",
+    "text_bpe_encode",
+    "dedup_duplicate_spans",
+    # late-r14: the scrub pass applying the span cut list (2.2 s —
+    # shared span tier + two shuffle-hash doc_id joins)
+    "dedup_scrub_spans",
 ]
 
 

@@ -1244,6 +1244,224 @@ def dedup_verbatim_ngrams(spark, sf_dir):
     )
 
 
+#: the shared duplicated-run CTE chain (token hashes → positional grams
+#: → corpus-wide duplication mark → run ids) behind `dedup_duplicate_spans`
+#: and its scrub consumer `dedup_scrub_spans`
+_SQL_SPAN_RUNS = rf"""th AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\s+'),
+                   t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
+        FROM documents
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               list_reduce(list_slice(th, CAST(i AS INTEGER),
+                                      CAST(i + {_SPAN_K} - 1 AS INTEGER)),
+                           (a, b) -> (a * 131 + b) % {_PH}) AS h
+        FROM th, unnest(range(1, len(th) - {_SPAN_K} + 2)) AS r(i)
+        WHERE len(th) >= {_SPAN_K}
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c
+            FROM g)
+        WHERE c >= 2
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS run
+        FROM dup
+    )"""
+
+_SQL_DUP_SPANS = f"""
+    WITH {_SQL_SPAN_RUNS}
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM runs GROUP BY doc_id, run
+"""
+
+
+def duplicate_span_frame(d, k: int = _SPAN_K):
+    """(doc_id, span_start, span_end, n_grams) — the maximal duplicated
+    token spans of `dedup_duplicate_spans`, as a reusable frame (the
+    scrub consumer joins against it). Shapes documented on the op."""
+    from pyspark.sql import Window
+
+    t = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= k)
+    t = t.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
+    m = F.greatest(F.size("th") - k + 1, F.lit(0))
+    acc = F.slice(F.col("th"), 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("th"), 1 + j, m),
+            lambda a, b: (a * 131 + b) % _PH,
+        )
+    g = t.select("doc_id", F.posexplode(acc).alias("pos", "h"))
+    dup = (
+        g.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("run", F.col("pos") - F.row_number().over(wnd))
+    return runs.groupBy("doc_id", "run").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+@query("dedup_duplicate_spans", oracle=_SQL_DUP_SPANS)
+def dedup_duplicate_spans(spark, sf_dir):
+    """MAXIMAL duplicated token spans per document — the actionable
+    output of Lee et al. 2022's exact-substring dedup ("remove the
+    repeated substring, keep the rest of the document"), where
+    `dedup_verbatim_ngrams` only names which document PAIRS share
+    spans. A ``_SPAN_K``-gram occurrence is duplicated when its hash
+    appears ≥2 times corpus-wide — in another document OR repeated
+    inside the same one (self-repetition is cut in the reference
+    method too) — and consecutive duplicated positions coalesce into
+    one maximal span via the run-id rule (run = pos − row_number per
+    doc), the same window construction the BPE trainer's greedy merge
+    uses. Output: (doc_id, span_start, span_end, n_grams) in 0-based
+    token offsets — exactly the cut list a scrubbing pass consumes.
+
+    Spark shape: positional grams (the `verbatim_gram_arrays` chained
+    zip_with WITHOUT the distinct — positions matter here) posexplode
+    into one (doc_id, pos, h) frame; a count window on h marks
+    duplicated occurrences (one hash-partitioned exchange — gram keys
+    are 55-bit uniform, partitions stay balanced at any corpus size);
+    the run compression is a doc-keyed window + partial-agg'd groupBy.
+    Three key-partitioned shuffles total, no pair expansion anywhere —
+    this tier stays linear where the pairwise evidence op is
+    bucket-quadratic, which is why real 100 TB scrubbing runs span
+    removal, not pair enumeration. Oracle mirrors the identical
+    arithmetic (same token hashes, same run rule), hash-checked."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    return duplicate_span_frame(d)
+
+
+@query(
+    "dedup_scrub_spans",
+    oracle=rf"""
+    WITH {_SQL_SPAN_RUNS},
+    spans AS MATERIALIZED (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_K} - 1 AS span_end
+        FROM runs GROUP BY doc_id, run
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, tk[CAST(i AS INTEGER)] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS tk
+              FROM documents),
+             unnest(range(1, len(tk) + 1)) AS r(i)
+        WHERE length(tk[CAST(i AS INTEGER)]) >= 1
+    ),
+    kept AS (
+        SELECT doc_id, pos, tok FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end)
+    ),
+    roll AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> length(t) >= 1)) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id,
+           COALESCE(r.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept,
+           b.n_tokens - COALESCE(r.n_tokens_kept, CAST(0 AS BIGINT))
+               AS n_tokens_removed,
+           COALESCE(r.scrubbed_text, '') AS scrubbed_text
+    FROM base b LEFT JOIN roll r USING (doc_id)
+    """,
+)
+def dedup_scrub_spans(spark, sf_dir):
+    """APPLY the duplicated-span cut list — the scrub pass that makes
+    `dedup_duplicate_spans` load-bearing: drop every token inside any
+    maximal duplicated span and reassemble each document, emitting
+    (doc_id, n_tokens_kept, n_tokens_removed, scrubbed_text). This is
+    the CONSERVATIVE all-occurrence variant: Lee et al. 2022 keep one
+    canonical occurrence per duplicate class; choosing that canonical
+    copy is a global argmin per gram class, and for training-data
+    hygiene dropping every copy of boilerplate/licence/quote spans is
+    the cheaper rule real pipelines default to — documented, not
+    accidental. Fully-duplicated documents survive as rows with
+    scrubbed_text = '' (the left join back to the corpus), so the
+    funnel accounting downstream never loses a doc_id.
+
+    Spark shape: the shared span frame (three linear shuffles, see
+    `dedup_duplicate_spans`), then one doc-keyed join from the token
+    stream against the per-doc span list (spans per doc are few — the
+    range predicate rides the doc_id equi-join as a residual, never a
+    cartesian), one doc-keyed rollup (sort_array over (pos, tok)
+    structs pins the rebuild order in both engines), and a left join
+    back to the corpus for the vanished-doc rows. Per-executor memory
+    is bounded by single-document size. Oracle: NOT EXISTS against the
+    same materialized span CTE + string_agg ORDER BY pos — the
+    scrubbed text itself is hash-checked, not just the counts."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    spans = duplicate_span_frame(d).select(
+        "doc_id", "span_start", "span_end"
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    ).filter(F.length("tok") >= 1)
+    # shuffle-hash hints on BOTH derived sides: Catalyst's estimates
+    # make the span list and (worse) the per-doc rebuilt-text rollup
+    # look broadcastable at test SF, but both grow linearly with the
+    # corpus — broadcasting the rebuilt corpus text is the exact
+    # anti-pattern this op exists to avoid. doc_id rides as the
+    # equi-key; the span range is a residual on the anti join.
+    kept = toks.alias("t").join(
+        spans.hint("shuffle_hash").alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") <= F.col("s.span_end")),
+        "left_anti",
+    )
+    roll = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.filter(_tokens(), lambda t: F.length(t) >= 1))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(roll.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias(
+            "n_tokens_kept"
+        ),
+        (
+            F.col("n_tokens")
+            - F.coalesce("n_tokens_kept", F.lit(0).cast("long"))
+        ).alias("n_tokens_removed"),
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+    )
+
+
 @query(
     "dedup_threshold_histogram",
     oracle=rf"""

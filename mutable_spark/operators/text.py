@@ -876,9 +876,24 @@ def text_bpe_train(spark, sf_dir):
     DuckDB oracle chains one fragment per round (the `_sql_assign_round`
     pattern) with the argmax as 1-row CTEs, so the learned rules are
     hash-checked end to end."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    rules, _ = _bpe_merge_rounds(d)
+    return spark.createDataFrame(
+        rules, "round long, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def _bpe_merge_rounds(d):
+    """Shared BPE training loop: ``_BPE_ROUNDS`` of (corpus-wide argmax
+    rule → greedy run-parity merge → rebuild) over the distinct-word
+    vocabulary frame of ``d``. Returns (rules, syms): the learned merge
+    table as [(round, sym_a, sym_b, pair_count)] and the FINAL
+    symbolization frame (w, freq, pos, sym) — which for corpus words is
+    exactly what encoding with the learned rules produces, since BPE
+    encode applies rules in learned order (`text_bpe_encode` consumes
+    it). One bounded 1-row collect per round (the argmax)."""
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
     words = (
         d.select(F.explode(_toks()).alias("w"))
         .filter(F.length("w") >= 1)
@@ -950,14 +965,54 @@ def text_bpe_train(spark, sf_dir):
             (F.row_number().over(wnd) - 1).alias("pos"),
             "sym",
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        out_rows, "round long, sym_a string, sym_b string, pair_count long"
+    return out_rows, syms
+
+
+@query("text_bpe_encode", oracle=None)  # assigned below
+def text_bpe_encode(spark, sf_dir):
+    """ENCODE the corpus with the trained BPE tokenizer (r14) — the
+    consumer that makes `text_bpe_train` load-bearing: train the
+    ``_BPE_ROUNDS`` merge rules, then report per document how many
+    tokens the trained tokenizer emits vs the whitespace pre-tokenizer
+    — (doc_id, n_ws_tokens, n_bpe_tokens) — the compression statistic a
+    token-budget planner needs BEFORE paying for a full tokenization
+    run (pipeline_token_budget_sample consumes whitespace counts today;
+    this is the trained-tokenizer correction factor).
+
+    Because BPE encoding applies merge rules in learned order, a
+    corpus word's encoding IS its final training-loop symbolization —
+    so the encode path reuses `_bpe_merge_rounds`' final syms frame
+    directly: symbols-per-word is one vocabulary-sized groupBy, and the
+    per-document count is one (doc word stream ⋈ vocab) join + one
+    doc-keyed partial agg. Corpus size enters ONLY the last join/agg
+    (linear, key-partitioned); all merge arithmetic stays on the
+    vocabulary frame. The oracle chains the same per-round fragments as
+    `text_bpe_train` and joins the final symbolization back to the
+    document word stream — counts hash-checked end to end."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    _, syms = _bpe_merge_rounds(d)
+    wt = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+    dw = d.select("doc_id", F.explode(_toks()).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    # shuffle-hash with the VOCAB side as build: without the hint,
+    # Catalyst (statless checkpointed syms vs a stats-bearing parquet
+    # lineage) broadcasts the exploded DOCUMENT WORD STREAM — the fact
+    # side, catastrophic at corpus scale. Vocab is the smaller side but
+    # a web-scale corpus's distinct-word set is itself too big to pin
+    # as a broadcast, so key-partitioned shuffle hash is the shape that
+    # survives 100 TB (plan-pinned in test_plan_shape.py).
+    return dw.join(wt.hint("shuffle_hash"), "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ws_tokens"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
     )
 
 
-def _register_bpe_train_oracle():
-    from mutable_spark.registry import ORACLES
-
+def _bpe_round_fragments():
+    """The chained per-round oracle CTE blocks shared by
+    `text_bpe_train` and `text_bpe_encode`: vocabulary + initial
+    symbolization, then per round (pair counts p_r, argmax best_r,
+    match runs m_r, kept even offsets k_r, rebuilt s_{r+1})."""
     parts = [
         r"""w AS MATERIALIZED (
         SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1004,19 +1059,40 @@ def _register_bpe_train_oracle():
             LEFT JOIN k_{r} k ON k.w = p.w AND k.pos = p.pos
             LEFT JOIN k_{r} g ON g.w = p.w AND g.pos = p.pos - 1
             WHERE g.pos IS NULL))""")
+    return parts
+
+
+def _register_bpe_oracles():
+    from mutable_spark.registry import ORACLES
+
+    joined = ",\n    ".join(_bpe_round_fragments())
     unions = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
         f" cnt AS pair_count FROM best_{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    joined = ",\n    ".join(parts)
     ORACLES["text_bpe_train"] = f"""
     WITH {joined}
     SELECT * FROM ({unions}) ORDER BY round
     """
+    final = _BPE_ROUNDS + 1
+    ORACLES["text_bpe_encode"] = rf"""
+    WITH {joined},
+    wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+           FROM s_{final} GROUP BY w),
+    dw AS (SELECT doc_id, tok AS w
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE length(tok) >= 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN wt USING (w) GROUP BY doc_id
+    """
 
 
-_register_bpe_train_oracle()
+_register_bpe_oracles()
 
 
 # --------------------------------------------------------------------------

@@ -94,9 +94,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q17",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
@@ -136,13 +133,21 @@ _SAMPLE_PRIORITY: list[str] = [
     # rows; ab_test + funnel_steps keep the family)
     "events_ab_test",
     "events_funnel_steps",
+    # dedup late-r14: maximal duplicated-span extraction (the linear
+    # exact-substring cut list; tpch_q15 hands over its slot — r12+r13
+    # rows, correlated-subquery shapes stay via q2/q22) and the scrub
+    # pass that applies it (tpch_q11 hands over its slot — r12+r13
+    # rows, its HAVING-decimal shape stays plan-pinned locally)
+    "dedup_duplicate_spans",
+    "dedup_scrub_spans",
     # text: integer BM25 retrieval (quality_centroid demotes — r12+r13
     # rows; bm25 keeps the family and quality scoring runs verbatim in
-    # the in-sample pipeline ops) + the r14 multi-round BPE trainer
-    # (tpch_q21 hands over its slot — r12+r13 rows, TPC-H keeps nine
-    # in-sample rows)
+    # the in-sample pipeline ops) + the r14 multi-round BPE trainer and
+    # its encode consumer (tpch_q21/tpch_q17 hand over their slots —
+    # r12+r13 rows, TPC-H keeps seven in-sample rows)
     "text_bm25_rank",
     "text_bpe_train",
+    "text_bpe_encode",
     # pipeline: curation composition + leakage-safe split + the r13/r14
     # DPO preference-pair builds and T5 span-corruption layout
     "pipeline_decontaminate_fuzzy",
@@ -157,6 +162,9 @@ _SAMPLE_PRIORITY: list[str] = [
     # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
     "tpch_q21",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q11",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

@@ -541,3 +541,58 @@ def test_bpe_train_greedy_run_parity(spark, tmp_path):
     assert rows[2] == ("aa", "a", 1)
     # round 3: 'aaa'->[aaa] (no pairs); 'aaaa' keeps its one (aa, aa)
     assert rows[3] == ("aa", "aa", 1)
+    # encode consumer: after the 3 learned merges both words collapse
+    # to ONE symbol each — 2 ws tokens, 2 BPE tokens for the doc
+    enc = registry.QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.n_ws_tokens, r.n_bpe_tokens) for r in enc] == [
+        (0, 2, 2)
+    ]
+
+
+def test_duplicate_spans_planted_passage(spark, tmp_path):
+    """r14: two documents sharing a 25-token verbatim passage at
+    DIFFERENT offsets must each report exactly one maximal span
+    covering the passage (k=20 grams → 6 duplicated gram positions →
+    span width 25 tokens), at each doc's own offset; the surrounding
+    unique text must stay outside the span."""
+    import os
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    passage = " ".join(f"shared{i}" for i in range(25))
+    pre_a = " ".join(f"ua{i}" for i in range(30))
+    pre_b = " ".join(f"ub{i}" for i in range(10))
+    post = " ".join(f"tail{i}" for i in range(30))
+    docs = [
+        (0, f"{pre_a} {passage} {post}", "s", "en", 0),
+        (1, f"{pre_b} {passage}", "s", "en", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in registry.QUERIES["dedup_duplicate_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    # doc 0: passage tokens occupy offsets 30..54; doc 1: 10..34.
+    # 6 duplicated 20-gram positions each, one maximal run.
+    assert got == [(0, 30, 54, 6), (1, 10, 34, 6)]
+    # the scrub consumer: both docs lose exactly the 25 passage tokens,
+    # and the rebuilt text is the surrounding unique tokens verbatim
+    scrub = {
+        r.doc_id: (r.n_tokens_kept, r.n_tokens_removed, r.scrubbed_text)
+        for r in registry.QUERIES["dedup_scrub_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert scrub[0] == (60, 25, f"{pre_a} {post}")
+    assert scrub[1] == (10, 25, pre_b)

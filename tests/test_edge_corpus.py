@@ -83,8 +83,17 @@ _DOC_OPS = [
     "text_bpe_pairs",
     # r14: multi-round BPE training — unicode multi-byte symbols,
     # single-char words (no pairs), and the 'a a a ...' repetition doc
-    # exercise the greedy run-parity merge in both engines
+    # exercise the greedy run-parity merge in both engines — and the
+    # encode consumer (empty docs must emit no row in both engines)
     "text_bpe_train",
+    "text_bpe_encode",
+    # r14: duplicated-span extraction — the 301-token repetition doc is
+    # one giant self-duplicated run; short docs fall out of the k-gram
+    # window identically in both engines — and the scrub pass (the
+    # fully-scrubbed repetition doc must survive as an empty-text row,
+    # and the rebuilt text itself is hash-checked)
+    "dedup_duplicate_spans",
+    "dedup_scrub_spans",
     "text_tfidf_terms",
     "text_boilerplate_grams",
     "text_bm25_rank",

@@ -1045,3 +1045,57 @@ def test_preference_topm_single_exchange_no_join(plans):
     assert p.count("Window") >= 2
     assert tree.count("Scan parquet") == 1, p
     assert "Generate" in p  # the explode stages
+
+
+def test_duplicate_spans_two_exchanges_no_join(plans):
+    """dedup_duplicate_spans (r14): positional grams stay linear — one
+    corpus scan, a count window on the gram hash (exchange 1), the
+    run-compression window on doc_id (exchange 2), and the final
+    (doc_id, run) rollup REUSES the doc_id partitioning (no third
+    exchange). No join anywhere — the duplicated mark is a window
+    count, never a self-join, so nothing pair-expands at any corpus
+    size."""
+    import re
+
+    p = plans("dedup_duplicate_spans")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    assert tree.count("Scan parquet") == 1, p
+
+
+def test_bpe_encode_shuffle_hash_vocab_build(plans):
+    """text_bpe_encode (r14): the doc-stream ⋈ vocab join must be a
+    key-partitioned ShuffledHashJoin with the VOCAB side as build —
+    never a broadcast of the exploded document word stream (Catalyst's
+    default here, because the checkpointed vocab frame is statless and
+    the parquet-derived fact side looks small at test SF — catastrophic
+    at corpus scale). The vocab rollup and the join both reuse the
+    training loop's window partitioning on w: exactly two exchanges
+    (doc stream onto w + the final doc_id rollup)."""
+    import re
+
+    p = plans("text_bpe_encode")
+    assert "BroadcastHashJoin" not in p, p
+    assert "ShuffledHashJoin" in p and "BuildRight" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+
+
+def test_scrub_spans_no_broadcast_of_derived_sides(plans):
+    """dedup_scrub_spans (r14): both derived frames — the span cut list
+    on the anti join and (worse) the per-doc rebuilt-text rollup on the
+    final left join — must join key-partitioned on doc_id, never
+    broadcast: Catalyst's test-SF estimates mark both broadcastable,
+    but both grow linearly with the corpus, and broadcasting the
+    rebuilt corpus text is the exact anti-pattern the scrub exists to
+    avoid. The span range rides the doc_id equi-join as a residual —
+    no nested-loop, no cartesian."""
+    import re
+
+    p = plans("dedup_scrub_spans")
+    assert "BroadcastHashJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins and set(joins) == {"ShuffledHashJoin"}, joins

@@ -40,6 +40,9 @@ NEVER_SAMPLED = [
     "sim_retrain_convergence",
     "pipeline_decontaminate_semantic",
     "text_bpe_train",
+    "text_bpe_encode",
+    "dedup_duplicate_spans",
+    "dedup_scrub_spans",
 ]
 
 
