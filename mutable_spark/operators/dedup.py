@@ -1284,12 +1284,12 @@ _SQL_DUP_SPANS = f"""
 """
 
 
-def duplicate_span_frame(d, k: int = _SPAN_K):
-    """(doc_id, span_start, span_end, n_grams) — the maximal duplicated
-    token spans of `dedup_duplicate_spans`, as a reusable frame (the
-    scrub consumer joins against it). Shapes documented on the op."""
-    from pyspark.sql import Window
-
+def positional_gram_frame(d, k: int = _SPAN_K):
+    """(doc_id, pos, h) — every ``k``-token rolling-gram hash WITH its
+    0-based token position (the `verbatim_gram_arrays` chained zip_with
+    without the distinct — positions matter for span extraction). The
+    per-document half of the span tier: deterministic per doc, so the
+    streaming gram store appends it once per document ever."""
     t = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= k)
     t = t.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
     m = F.greatest(F.size("th") - k + 1, F.lit(0))
@@ -1300,7 +1300,18 @@ def duplicate_span_frame(d, k: int = _SPAN_K):
             F.slice(F.col("th"), 1 + j, m),
             lambda a, b: (a * 131 + b) % _PH,
         )
-    g = t.select("doc_id", F.posexplode(acc).alias("pos", "h"))
+    return t.select("doc_id", F.posexplode(acc).alias("pos", "h"))
+
+
+def spans_from_grams(g, k: int = _SPAN_K):
+    """(doc_id, span_start, span_end, n_grams) — maximal duplicated
+    spans from a positional gram frame: corpus-wide count window marks
+    duplicated occurrences, the run-id window rule coalesces them. The
+    GLOBAL half of the span tier (duplication is a corpus-wide
+    property), shared verbatim by the batch op and the streaming
+    compaction so both can only ever agree."""
+    from pyspark.sql import Window
+
     dup = (
         g.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("c") >= 2)
@@ -1313,6 +1324,13 @@ def duplicate_span_frame(d, k: int = _SPAN_K):
         (F.max("pos") + k - 1).cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def duplicate_span_frame(d, k: int = _SPAN_K):
+    """(doc_id, span_start, span_end, n_grams) — the maximal duplicated
+    token spans of `dedup_duplicate_spans`, as a reusable frame (the
+    scrub consumer joins against it). Shapes documented on the op."""
+    return spans_from_grams(positional_gram_frame(d, k), k)
 
 
 @query("dedup_duplicate_spans", oracle=_SQL_DUP_SPANS)

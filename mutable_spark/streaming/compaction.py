@@ -204,3 +204,65 @@ def compact_embedding_classes(
         return connected_components(pairs)
     finally:
         e.unpersist()
+
+
+# --- duplicated-span twin ---------------------------------------------------
+# The lambda split applied to the exact-substring tier (r14): duplicated
+# spans are a corpus-wide property — a newly ingested document can turn a
+# previously-unique span in an OLD document into a duplicated one — so
+# span extraction cannot run per-microbatch. The incremental half is the
+# positional gram store (grams are deterministic per document, computed
+# once per doc EVER); the global half (`spans_from_grams`: count window +
+# run compression) re-runs over the all-time store each compaction, shared
+# verbatim with `dedup_duplicate_spans` so stream+compaction can only ever
+# equal the batch answer by construction. Like the VECTOR store (and
+# unlike the signature store, where a duplicate row only re-emits an
+# identical pair), duplicate gram rows here are HARMFUL — a re-appended
+# (doc_id, pos, h) row self-satisfies the ≥2 duplication count and marks
+# the whole document duplicated — so the store-exists gate reads committed
+# part files rather than keying on the `_SUCCESS` marker.
+
+
+def _gram_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "grams"
+
+
+def extend_gram_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Incremental half of span compaction: positional k-grams for
+    every staged doc not yet in the all-time store, appended. Returns
+    the number of newly grammed DOCUMENTS. Idempotent via the
+    read-detect gate (see module note: duplicate gram rows would
+    self-satisfy the duplication count)."""
+    from mutable_spark.operators.dedup import positional_gram_frame
+
+    staged = spark.read.parquet(staged_dir)
+    gram_dir = _gram_dir(store_dir)
+    try:
+        seen = spark.read.parquet(str(gram_dir)).select("doc_id").distinct()
+        staged = staged.join(seen, "doc_id", "left_anti")
+    except Exception:
+        pass  # no committed part files yet: the store is empty
+    new_grams = positional_gram_frame(staged).localCheckpoint(eager=True)
+    n_new = new_grams.select("doc_id").distinct().count()
+    if n_new:
+        new_grams.write.mode("append").parquet(str(gram_dir))
+    return n_new
+
+
+def compact_duplicate_spans(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One span-compaction run: extend the all-time gram store from the
+    staged ingest output, then emit maximal duplicated spans (doc_id,
+    span_start, span_end, n_grams) over ALL-TIME grams — the same
+    `spans_from_grams` composition `dedup_duplicate_spans` registers,
+    shared verbatim. Spans for OLD documents can legitimately appear or
+    grow as new deliveries land (that is the point of the global pass);
+    the scrub consumer downstream re-reads the current span set."""
+    from mutable_spark.operators.dedup import spans_from_grams
+
+    extend_gram_store(spark, staged_dir, store_dir)
+    g = spark.read.parquet(str(_gram_dir(store_dir)))
+    return spans_from_grams(g)

@@ -1848,3 +1848,111 @@ def test_streaming_preference_topm_two_phase_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_span_compaction_two_deliveries_equals_batch(spark, tmp_path):
+    """r14 duplicated-span twin: two availableNow deliveries stage the
+    clean corpus; each compaction extends the all-time POSITIONAL GRAM
+    store incrementally and re-runs the shared global span pass
+    (`spans_from_grams` — verbatim the batch op's composition). Final
+    spans equal `duplicate_span_frame` on the same staged corpus; the
+    second compaction grams only the second delivery's docs
+    (incrementality); a marker-less partial-commit rerun appends
+    NOTHING (duplicate gram rows would self-satisfy the >=2 duplication
+    count — the advice-hardened read-detect gate); and at least one
+    phase-1 document's span set CHANGED after phase 2 landed, proving a
+    per-microbatch span pass misses cross-boundary duplication."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.dedup import (
+        duplicate_span_frame,
+        positional_gram_frame,
+    )
+    from mutable_spark.operators.pipeline import _EVAL_MOD
+    from mutable_spark.streaming.compaction import (
+        compact_duplicate_spans,
+        extend_gram_store,
+        stage_clean_stream,
+    )
+    from mutable_spark.streaming.documents import _digest
+
+    d = load_tables(spark, SF_DIR).documents
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(_digest().alias("eval_md5"))
+        .distinct()
+    )
+
+    src = tmp_path / "in"
+    staged = tmp_path / "staged"
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            stage_clean_stream(stream, evalset)
+            .writeStream.format("parquet")
+            .option("path", str(staged))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    split = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    deliver(d.filter(F.col("doc_id") <= split), "phase1")
+    run_once()
+    phase1_spans = _rows(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in compact_duplicate_spans(
+            spark, str(staged), str(store)
+        ).collect()
+    )
+
+    deliver(d.filter(F.col("doc_id") > split), "phase2")
+    run_once()
+    # incrementality: the second compaction grams ONLY the new delivery
+    clean = stage_clean_stream(d, evalset)
+    n_new = extend_gram_store(spark, str(staged), str(store))
+    n_phase2 = (
+        positional_gram_frame(clean.filter(F.col("doc_id") > split))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_new == n_phase2 and n_new > 0
+    got = compact_duplicate_spans(spark, str(staged), str(store)).collect()
+    want = duplicate_span_frame(clean).collect()
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
+
+    # partial-commit rerun: even with the marker gone, the read-detect
+    # gate re-diffs and appends nothing (store row count unchanged)
+    grams = spark.read.parquet(str(store / "grams"))
+    n_rows_before = grams.count()
+    marker = store / "grams" / "_SUCCESS"
+    if marker.exists():
+        marker.unlink()
+    assert extend_gram_store(spark, str(staged), str(store)) == 0
+    assert spark.read.parquet(str(store / "grams")).count() == n_rows_before
+
+    # cross-boundary necessity: some phase-1 doc's spans changed once
+    # phase 2 landed (a new delivery duplicated an old document's text)
+    final_phase1 = _rows(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in got
+        if r["doc_id"] <= split
+    )
+    assert final_phase1 != phase1_spans, (
+        "no phase-1 span changed after phase 2 - the twin's global "
+        "re-run would be unnecessary on this corpus"
+    )
