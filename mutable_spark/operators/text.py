@@ -883,7 +883,7 @@ def text_bpe_train(spark, sf_dir):
     )
 
 
-def _bpe_merge_rounds(d):
+def _bpe_merge_rounds(d, curve=None):
     """Shared BPE training loop: ``_BPE_ROUNDS`` of (corpus-wide argmax
     rule → greedy run-parity merge → rebuild) over the distinct-word
     vocabulary frame of ``d``. Returns (rules, syms): the learned merge
@@ -891,8 +891,17 @@ def _bpe_merge_rounds(d):
     symbolization frame (w, freq, pos, sym) — which for corpus words is
     exactly what encoding with the learned rules produces, since BPE
     encode applies rules in learned order (`text_bpe_encode` consumes
-    it). One bounded 1-row collect per round (the argmax)."""
+    it). One bounded 1-row collect per round (the argmax). When
+    ``curve`` is a list, it additionally receives (round, n_tokens)
+    after round 0 (the character baseline) and each merge round — one
+    extra 1-row SUM(freq) aggregate per entry, off by default so the
+    train/encode consumers pay nothing (`text_bpe_sweep` opts in)."""
     from pyspark.sql import Window
+
+    def _track(r, frame):
+        if curve is not None:
+            n = frame.agg(F.sum("freq").alias("n")).collect()[0].n
+            curve.append((r, int(n or 0)))
 
     words = (
         d.select(F.explode(_toks()).alias("w"))
@@ -910,6 +919,7 @@ def _bpe_merge_rounds(d):
             )
         ).alias("pos", "sym"),
     ).localCheckpoint(eager=False)
+    _track(0, syms)
     wnd = Window.partitionBy("w").orderBy("pos")
     out_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -965,7 +975,44 @@ def _bpe_merge_rounds(d):
             (F.row_number().over(wnd) - 1).alias("pos"),
             "sym",
         ).localCheckpoint(eager=False)
+        _track(r, syms)
     return out_rows, syms
+
+
+@query("text_bpe_sweep", oracle=None)  # assigned below
+def text_bpe_sweep(spark, sf_dir):
+    """Price the ``_BPE_ROUNDS`` knob (r14) — the sweep instrument for
+    the BPE trainer, following the repo's rule that no operating-point
+    constant ships unpriced: per training round, the corpus-wide token
+    count under that round's symbolization and its compression in
+    basis points against the round-0 character baseline —
+    (round, n_tokens, compression_bp). Round 0 is the pre-merge
+    baseline (every character a symbol); each merge round then shows
+    its marginal compression, so the curve's flattening point IS the
+    documented justification for the shipped round count (SCALE.md).
+
+    Cost: the shared training loop plus ONE bounded 1-row SUM(freq)
+    aggregate per curve point (the vocabulary frame already carries
+    corpus frequency, so corpus size never enters the sweep itself).
+    compression_bp uses integer floor-division in BOTH engines
+    (Spark `div`, DuckDB `//`) — no float crosses the compare. Oracle:
+    the same chained round fragments, one SUM per s_r CTE."""
+    curve = []
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    _bpe_merge_rounds(d, curve=curve)
+    # a merge-less round leaves the symbolization (and the oracle's
+    # s_{r+1} CTE) unchanged — pad to the oracle's fixed row count
+    while len(curve) < _BPE_ROUNDS + 1:
+        curve.append((len(curve), curve[-1][1]))
+    n0 = curve[0][1] or 1
+    rows = [(r, n, int((10000 * n) // n0)) for r, n in curve]
+    return spark.createDataFrame(
+        rows, "round long, n_tokens long, compression_bp long"
+    )
+
+
+# (oracle assigned in _register_bpe_oracles, after the shared round
+# fragments are defined)
 
 
 @query("text_bpe_encode", oracle=None)  # assigned below
@@ -1089,6 +1136,21 @@ def _register_bpe_oracles():
            CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
            CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
     FROM dw JOIN wt USING (w) GROUP BY doc_id
+    """
+    sweep_pts = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(SUM(freq) AS BIGINT) AS n_tokens FROM s_{r + 1}"
+        for r in range(0, _BPE_ROUNDS + 1)
+    )
+    ORACLES["text_bpe_sweep"] = f"""
+    WITH {joined},
+    pts AS ({sweep_pts}),
+    base AS (SELECT n_tokens AS n0 FROM pts WHERE round = 0)
+    SELECT round, n_tokens,
+           (10000 * n_tokens) // (SELECT CASE WHEN n0 = 0 THEN 1
+                                              ELSE n0 END FROM base)
+               AS compression_bp
+    FROM pts ORDER BY round
     """
 
 

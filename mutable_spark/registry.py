@@ -93,7 +93,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",
-    "tpch_q9",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
@@ -145,9 +144,12 @@ _SAMPLE_PRIORITY: list[str] = [
     # the in-sample pipeline ops) + the r14 multi-round BPE trainer and
     # its encode consumer (tpch_q21/tpch_q17 hand over their slots —
     # r12+r13 rows, TPC-H keeps seven in-sample rows)
+    # + the rounds-knob sweep instrument (tpch_q9 hands over its slot —
+    # r12+r13 rows, TPC-H keeps five in-sample rows)
     "text_bm25_rank",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_sweep",
     # pipeline: curation composition + leakage-safe split + the r13/r14
     # DPO preference-pair builds and T5 span-corruption layout
     "pipeline_decontaminate_fuzzy",
@@ -165,6 +167,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q11",
+    "tpch_q9",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

@@ -87,6 +87,10 @@ _DOC_OPS = [
     # encode consumer (empty docs must emit no row in both engines)
     "text_bpe_train",
     "text_bpe_encode",
+    # r14: the rounds-knob sweep — merge-less rounds on the tiny edge
+    # vocabulary must pad to the oracle's fixed row count with the
+    # token count unchanged
+    "text_bpe_sweep",
     # r14: duplicated-span extraction — the 301-token repetition doc is
     # one giant self-duplicated run; short docs fall out of the k-gram
     # window identically in both engines — and the scrub pass (the

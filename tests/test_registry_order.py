@@ -41,6 +41,7 @@ NEVER_SAMPLED = [
     "pipeline_decontaminate_semantic",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_sweep",
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
 ]
