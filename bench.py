@@ -106,8 +106,11 @@ HEADLINE = [
     "text_bpe_encode",
     "dedup_duplicate_spans",
     # late-r14: the scrub pass applying the span cut list (2.2 s —
-    # shared span tier + two shuffle-hash doc_id joins)
+    # shared span tier + two shuffle-hash doc_id joins) and the
+    # BPE-budget sampler (4.0 s — trained-tokenizer counts + quality
+    # attach + per-source window, all key-partitioned)
     "dedup_scrub_spans",
+    "pipeline_bpe_budget_sample",
 ]
 
 

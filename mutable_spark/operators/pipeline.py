@@ -1016,6 +1016,100 @@ def token_budget_frame(d, budget: int):
     )
 
 
+#: BPE-token budget per source for `pipeline_bpe_budget_sample` — the
+#: trained tokenizer emits ~5× the whitespace count on this corpus
+#: (text_bpe_sweep: ~0.92× character mass after 3 merges), so the
+#: budget scales accordingly to keep a comparable kept fraction
+_BPE_BUDGET = 4000
+
+
+def _register_bpe_budget_oracle():
+    from mutable_spark.operators.text import _bpe_round_fragments
+    from mutable_spark.registry import ORACLES
+
+    joined = ",\n    ".join(_bpe_round_fragments())
+    from mutable_spark.operators.text import _BPE_ROUNDS
+
+    final = _BPE_ROUNDS + 1
+    ORACLES["pipeline_bpe_budget_sample"] = rf"""
+    WITH {joined},
+    wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+           FROM s_{final} GROUP BY w),
+    dw AS (SELECT doc_id, source, tok AS w
+           FROM (SELECT doc_id, source,
+                        unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE length(tok) >= 1),
+    ntok AS (SELECT doc_id, source, CAST(SUM(n_sym) AS BIGINT) AS n_tok
+             FROM dw JOIN wt USING (w) GROUP BY doc_id, source),
+    q AS (SELECT doc_id, {{q}} AS qual FROM documents),
+    c AS (SELECT n.doc_id, n.source, n.n_tok,
+                 CAST(SUM(n.n_tok) OVER (
+                     PARTITION BY n.source
+                     ORDER BY q.qual DESC NULLS LAST, n.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tok
+          FROM ntok n JOIN q ON q.doc_id = n.doc_id)
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM c WHERE cum_tok <= {_BPE_BUDGET}
+    """.replace("{q}", _SQL_QUALITY)
+
+
+@query("pipeline_bpe_budget_sample", oracle=None)  # assigned below
+def pipeline_bpe_budget_sample(spark, sf_dir):
+    """Token-budget sampling measured in TRAINED-TOKENIZER tokens — the
+    composition that makes `text_bpe_encode` load-bearing in the
+    curation pipeline: a pretraining mix budgets what the model
+    actually consumes (BPE tokens), not whitespace words, and the two
+    counts diverge per document (long words compress less). Same
+    best-first contract as `pipeline_token_budget_sample` (quality
+    DESC, doc_id tiebreak, per-source running-sum prefix under
+    ``_BPE_BUDGET``), with n_tok from the 3-round trained tokenizer via
+    the shared `_bpe_merge_rounds` symbolization. Documents with no
+    valid token never enter (they carry zero budget either way).
+
+    Scale shape: the encode join (vocab-side ShuffledHashJoin — the
+    `text_bpe_encode` plan contract) + ONE doc_id join to attach the
+    quality score + the per-source running-sum window
+    (`pipeline_token_budget_sample`'s two-level sharding note applies
+    unchanged at 100 TB). Windowed SUM CAST to BIGINT in the oracle
+    (DuckDB HUGEINT trap); both engines pin NULLS LAST explicitly (the
+    r13 advice contract)."""
+    from pyspark.sql import Window
+
+    from mutable_spark.operators.text import _bpe_merge_rounds, _toks
+
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    _, syms = _bpe_merge_rounds(d)
+    wt = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+    dw = d.select(
+        "doc_id", "source", F.explode(_toks()).alias("w")
+    ).filter(F.length("w") >= 1)
+    ntok = (
+        dw.join(wt.hint("shuffle_hash"), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_sym").alias("n_tok"))
+    )
+    # the quality frame is one NARROW row per document — small at test
+    # SF (Catalyst broadcasts it) but corpus-sized at deployment, so
+    # the attach stays a key-partitioned shuffle hash
+    q = d.select("doc_id", quality_expr().alias("qual"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qual").desc_nulls_last(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ntok.join(q.hint("shuffle_hash"), "doc_id")
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= _BPE_BUDGET)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+_register_bpe_budget_oracle()
+
+
 @query(
     "pipeline_end_to_end",
     oracle=rf"""

@@ -92,7 +92,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q22",
     "tpch_q2",
     "tpch_q7",
-    "tpch_q8",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
@@ -159,7 +158,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_filter_funnel",
     "pipeline_preference_pairs",
     "pipeline_preference_topm",
-    "pipeline_span_corruption",  # index 50-1: last slot of the sample
+    "pipeline_span_corruption",
+    # + the BPE-budget composition (tpch_q8 hands over its slot —
+    # r12+r13 rows, TPC-H keeps four in-sample rows)
+    "pipeline_bpe_budget_sample",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
     # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
@@ -168,6 +170,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q17",
     "tpch_q11",
     "tpch_q9",
+    "tpch_q8",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

@@ -91,6 +91,10 @@ _DOC_OPS = [
     # vocabulary must pad to the oracle's fixed row count with the
     # token count unchanged
     "text_bpe_sweep",
+    # r14: BPE-budget sampling — empty docs must never enter the
+    # sample, and the quality/doc_id window order must cross engines
+    # on the adversarial text shapes
+    "pipeline_bpe_budget_sample",
     # r14: duplicated-span extraction — the 301-token repetition doc is
     # one giant self-duplicated run; short docs fall out of the k-gram
     # window identically in both engines — and the scrub pass (the

@@ -1099,3 +1099,19 @@ def test_scrub_spans_no_broadcast_of_derived_sides(plans):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
     assert joins and set(joins) == {"ShuffledHashJoin"}, joins
+
+
+def test_bpe_budget_sample_all_joins_shuffle_hash(plans):
+    """pipeline_bpe_budget_sample (r14): both attach joins — the
+    doc-stream ⋈ vocab encode join AND the per-doc quality join — must
+    be key-partitioned ShuffledHashJoins: Catalyst broadcasts each at
+    test SF (statless vocab; narrow quality frame), but both sides grow
+    with the corpus. No cartesian, no broadcast anywhere."""
+    import re
+
+    p = plans("pipeline_bpe_budget_sample")
+    assert "BroadcastHashJoin" not in p, p
+    assert "CartesianProduct" not in p
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins and set(joins) == {"ShuffledHashJoin"}, joins
+    assert "Window" in p
