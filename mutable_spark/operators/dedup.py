@@ -1244,35 +1244,44 @@ def dedup_verbatim_ngrams(spark, sf_dir):
     )
 
 
-#: the shared duplicated-run CTE chain (token hashes → positional grams
-#: → corpus-wide duplication mark → run ids) behind `dedup_duplicate_spans`
-#: and its scrub consumer `dedup_scrub_spans`
-_SQL_SPAN_RUNS = rf"""th AS (
+#: the shared token-hash CTE (k-independent) behind the span tier oracles
+_SQL_SPAN_TH = r"""th AS (
         SELECT doc_id,
                list_transform(string_split_regex(trim(text), '\s+'),
                    t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
         FROM documents
-    ),
-    g AS MATERIALIZED (
+    )"""
+
+
+def _sql_span_runs_body(k: int, sfx: str = "") -> str:
+    """The duplicated-run CTE chain for gram width ``k`` (positional
+    grams → corpus-wide duplication mark → run ids), name-suffixed so
+    the k-sweep oracle can stack several widths over one shared ``th``.
+    Behind `dedup_duplicate_spans`, `dedup_scrub_spans`, and
+    `dedup_span_k_sweep`."""
+    return f"""g{sfx} AS MATERIALIZED (
         SELECT doc_id, i - 1 AS pos,
                list_reduce(list_slice(th, CAST(i AS INTEGER),
-                                      CAST(i + {_SPAN_K} - 1 AS INTEGER)),
+                                      CAST(i + {k} - 1 AS INTEGER)),
                            (a, b) -> (a * 131 + b) % {_PH}) AS h
-        FROM th, unnest(range(1, len(th) - {_SPAN_K} + 2)) AS r(i)
-        WHERE len(th) >= {_SPAN_K}
+        FROM th, unnest(range(1, len(th) - {k} + 2)) AS r(i)
+        WHERE len(th) >= {k}
     ),
-    dup AS (
+    dup{sfx} AS (
         SELECT doc_id, pos FROM (
             SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c
-            FROM g)
+            FROM g{sfx})
         WHERE c >= 2
     ),
-    runs AS (
+    runs{sfx} AS (
         SELECT doc_id, pos,
                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                    AS run
-        FROM dup
+        FROM dup{sfx}
     )"""
+
+
+_SQL_SPAN_RUNS = f"{_SQL_SPAN_TH},\n    {_sql_span_runs_body(_SPAN_K)}"
 
 _SQL_DUP_SPANS = f"""
     WITH {_SQL_SPAN_RUNS}
@@ -1478,6 +1487,81 @@ def dedup_scrub_spans(spark, sf_dir):
         ).alias("n_tokens_removed"),
         F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
     )
+
+
+#: gram widths the span-tier sweep prices (the shipped _SPAN_K plus a
+#: finer and a coarser point)
+_SPAN_K_SWEEP = (10, 20, 40)
+
+
+def _sql_span_k_sweep() -> str:
+    parts = [_SQL_SPAN_TH]
+    aggs = []
+    for k in _SPAN_K_SWEEP:
+        sfx = f"_{k}"
+        parts.append(_sql_span_runs_body(k, sfx))
+        parts.append(f"""sp{sfx} AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {k} - 1 AS span_end
+        FROM runs{sfx} GROUP BY doc_id, run
+    )""")
+        aggs.append(
+            f"SELECT CAST({k} AS BIGINT) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_spans,"
+            f" CAST(COALESCE(SUM(span_end - span_start + 1), 0) AS BIGINT)"
+            f" AS n_dup_tokens,"
+            f" CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs"
+            f" FROM sp{sfx}"
+        )
+    joined = ",\n    ".join(parts)
+    unions = " UNION ALL ".join(aggs)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({unions}) ORDER BY k
+    """
+
+
+@query("dedup_span_k_sweep", oracle=_sql_span_k_sweep())
+def dedup_span_k_sweep(spark, sf_dir):
+    """Price the ``_SPAN_K`` knob — the sweep instrument for the
+    exact-substring span tier (no operating-point constant ships
+    unpriced): for each gram width in ``_SPAN_K_SWEEP``, the span
+    count, total duplicated-token mass, and number of affected
+    documents — (k, n_spans, n_dup_tokens, n_docs). Finer k catches
+    shorter verbatim repeats (more mass cut, more collateral); coarser
+    k only fires on long quotes. The scrub's cost/recall trade is read
+    straight off this curve; SCALE.md records the verdict for the
+    shipped width.
+
+    Each width runs the same linear span tier (three key-partitioned
+    shuffles, see `dedup_duplicate_spans`) over its own gram chain —
+    widths share nothing but the token scan, so the sweep is
+    |_SPAN_K_SWEEP| independent linear passes, embarrassingly parallel
+    across a cluster. Oracle stacks the per-k CTE chains over ONE
+    shared token-hash CTE."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    outs = []
+    for k in _SPAN_K_SWEEP:
+        spans = duplicate_span_frame(d, k)
+        outs.append(
+            spans.agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.coalesce(
+                    F.sum(F.col("span_end") - F.col("span_start") + 1),
+                    F.lit(0).cast("long"),
+                ).alias("n_dup_tokens"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            ).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_spans",
+                "n_dup_tokens",
+                "n_docs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 @query(

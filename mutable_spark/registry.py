@@ -96,7 +96,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
     "op_join_salted",
-    "source_csv_roundtrip",
     "source_binary_scan",
     # dedup: the certification family (SimHash, containment, blocking,
     # multiprobe, reassign) + the PRODUCTION re-trained quantizer
@@ -133,11 +132,15 @@ _SAMPLE_PRIORITY: list[str] = [
     "events_funnel_steps",
     # dedup late-r14: maximal duplicated-span extraction (the linear
     # exact-substring cut list; tpch_q15 hands over its slot — r12+r13
-    # rows, correlated-subquery shapes stay via q2/q22) and the scrub
+    # rows, correlated-subquery shapes stay via q2/q22), the scrub
     # pass that applies it (tpch_q11 hands over its slot — r12+r13
-    # rows, its HAVING-decimal shape stays plan-pinned locally)
+    # rows, its HAVING-decimal shape stays plan-pinned locally), and
+    # the k-width sweep pricing the tier's knob (source_csv_roundtrip
+    # hands over its slot — r12+r13 rows; the source family keeps the
+    # binaryFile row in-sample)
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
+    "dedup_span_k_sweep",
     # text: integer BM25 retrieval (quality_centroid demotes — r12+r13
     # rows; bm25 keeps the family and quality scoring runs verbatim in
     # the in-sample pipeline ops) + the r14 multi-round BPE trainer and
@@ -171,6 +174,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q11",
     "tpch_q9",
     "tpch_q8",
+    "source_csv_roundtrip",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

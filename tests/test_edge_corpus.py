@@ -102,6 +102,9 @@ _DOC_OPS = [
     # and the rebuilt text itself is hash-checked)
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
+    # r14: the k-width sweep — the 301-token repetition doc fires at
+    # every width, short docs fall out of coarser widths identically
+    "dedup_span_k_sweep",
     "text_tfidf_terms",
     "text_boilerplate_grams",
     "text_bm25_rank",

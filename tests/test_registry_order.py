@@ -44,6 +44,7 @@ NEVER_SAMPLED = [
     "text_bpe_sweep",
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
+    "dedup_span_k_sweep",
     "pipeline_bpe_budget_sample",
 ]
 
