@@ -896,19 +896,26 @@ def _bpe_merge_rounds(d, curve=None):
     after round 0 (the character baseline) and each merge round — one
     extra 1-row SUM(freq) aggregate per entry, off by default so the
     train/encode consumers pay nothing (`text_bpe_sweep` opts in)."""
-    from pyspark.sql import Window
-
-    def _track(r, frame):
-        if curve is not None:
-            n = frame.agg(F.sum("freq").alias("n")).collect()[0].n
-            curve.append((r, int(n or 0)))
-
     words = (
         d.select(F.explode(_toks()).alias("w"))
         .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return bpe_rounds_from_vocab(words, curve)
+
+
+def bpe_rounds_from_vocab(words, curve=None):
+    """The merge-round loop over a prepared (w, freq) VOCABULARY frame —
+    split out so the streaming compaction (`compact_bpe_rules`) can
+    train over a re-aggregated word-count store with the literal batch
+    loop (stream==batch by construction). See `_bpe_merge_rounds`."""
+    from pyspark.sql import Window
+
+    def _track(r, frame):
+        if curve is not None:
+            n = frame.agg(F.sum("freq").alias("n")).collect()[0].n
+            curve.append((r, int(n or 0)))
     syms = words.select(
         "w",
         "freq",

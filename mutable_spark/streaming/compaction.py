@@ -266,3 +266,75 @@ def compact_duplicate_spans(
     extend_gram_store(spark, staged_dir, store_dir)
     g = spark.read.parquet(str(_gram_dir(store_dir)))
     return spans_from_grams(g)
+
+
+# --- BPE trainer twin --------------------------------------------------------
+# The lambda split applied to the multi-round BPE trainer (r14): the merge
+# rules are corpus-global (each round's argmax ranges over ALL-TIME word
+# frequencies — per-microbatch training would learn rules from whatever
+# slice arrived last), so training runs at compaction. The incremental
+# half is the per-document WORD-COUNT store: tokenize→count runs once per
+# document EVER (the expensive linear pass), appended as (doc_id, w, cnt);
+# compaction re-aggregates SUM(cnt) by w — append-only partial counts make
+# the store upsert-free — and runs the LITERAL batch merge-round loop
+# (`bpe_rounds_from_vocab`, shared verbatim) over the re-aggregated
+# vocabulary. Like the gram/vector stores, duplicate rows are HARMFUL
+# (double-counted frequency skews every argmax), so the idempotency gate
+# reads committed part files, never the `_SUCCESS` marker.
+
+
+def _wordcount_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "wordcounts"
+
+
+def extend_wordcount_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Incremental half of BPE compaction: per-document word counts for
+    every staged doc not yet in the all-time store, appended. Returns
+    the number of newly counted DOCUMENTS. Idempotent via the
+    read-detect gate (duplicate rows would double-count frequency)."""
+    staged = spark.read.parquet(staged_dir)
+    wc_dir = _wordcount_dir(store_dir)
+    try:
+        seen = spark.read.parquet(str(wc_dir)).select("doc_id").distinct()
+        staged = staged.join(seen, "doc_id", "left_anti")
+    except Exception:
+        pass  # no committed part files yet: the store is empty
+    new_wc = (
+        staged.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n_new = new_wc.select("doc_id").distinct().count()
+    if n_new:
+        new_wc.write.mode("append").parquet(str(wc_dir))
+    return n_new
+
+
+def compact_bpe_rules(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One BPE-compaction run: extend the all-time word-count store from
+    the staged ingest output, re-aggregate the vocabulary, and learn the
+    merge table — (round, sym_a, sym_b, pair_count) — with the batch
+    trainer's literal loop over the re-aggregated (w, freq) frame, so
+    the learned rules equal `text_bpe_train` on the same corpus by
+    construction."""
+    from mutable_spark.operators.text import bpe_rounds_from_vocab
+
+    extend_wordcount_store(spark, staged_dir, store_dir)
+    words = (
+        spark.read.parquet(str(_wordcount_dir(store_dir)))
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    rules, _ = bpe_rounds_from_vocab(words)
+    return spark.createDataFrame(
+        rules, "round long, sym_a string, sym_b string, pair_count long"
+    )

@@ -1956,3 +1956,95 @@ def test_span_compaction_two_deliveries_equals_batch(spark, tmp_path):
         "no phase-1 span changed after phase 2 - the twin's global "
         "re-run would be unnecessary on this corpus"
     )
+
+
+def test_bpe_compaction_two_deliveries_equals_batch(spark, tmp_path):
+    """r14 BPE-trainer twin: two availableNow deliveries stage the clean
+    corpus; each compaction extends the per-document WORD-COUNT store
+    incrementally (tokenize->count once per doc ever) and learns the
+    merge table with the batch trainer's literal loop over the
+    re-aggregated vocabulary. Final rules equal `_bpe_merge_rounds` on
+    the same staged corpus; the second compaction counts only the
+    second delivery's docs (incrementality); a marker-less
+    partial-commit rerun appends NOTHING (duplicate count rows would
+    double-count frequency into every argmax); and the phase-1 rule
+    table differs from the final one (per-microbatch training would
+    have shipped it)."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.pipeline import _EVAL_MOD
+    from mutable_spark.operators.text import _bpe_merge_rounds
+    from mutable_spark.streaming.compaction import (
+        compact_bpe_rules,
+        extend_wordcount_store,
+        stage_clean_stream,
+    )
+    from mutable_spark.streaming.documents import _digest
+
+    d = load_tables(spark, SF_DIR).documents
+    evalset = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(_digest().alias("eval_md5"))
+        .distinct()
+    )
+
+    src = tmp_path / "in"
+    staged = tmp_path / "staged"
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            stage_clean_stream(stream, evalset)
+            .writeStream.format("parquet")
+            .option("path", str(staged))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    split = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    deliver(d.filter(F.col("doc_id") <= split), "phase1")
+    run_once()
+    phase1_rules = [
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in compact_bpe_rules(spark, str(staged), str(store)).collect()
+    ]
+
+    deliver(d.filter(F.col("doc_id") > split), "phase2")
+    run_once()
+    clean = stage_clean_stream(d, evalset)
+    n_new = extend_wordcount_store(spark, str(staged), str(store))
+    n_phase2 = clean.filter(F.col("doc_id") > split).count()
+    assert n_new == n_phase2 and n_new > 0
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in compact_bpe_rules(spark, str(staged), str(store)).collect()
+    ]
+    want, _ = _bpe_merge_rounds(clean)
+    assert got == [tuple(t) for t in want]
+    assert len(got) > 0
+
+    # partial-commit rerun: marker gone, read-detect gate still re-diffs
+    wc = spark.read.parquet(str(store / "wordcounts"))
+    n_rows_before = wc.count()
+    marker = store / "wordcounts" / "_SUCCESS"
+    if marker.exists():
+        marker.unlink()
+    assert extend_wordcount_store(spark, str(staged), str(store)) == 0
+    assert (
+        spark.read.parquet(str(store / "wordcounts")).count() == n_rows_before
+    )
+
+    # per-microbatch training would have shipped the phase-1 table
+    assert phase1_rules != got
