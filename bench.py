@@ -111,6 +111,9 @@ HEADLINE = [
     # attach + per-source window, all key-partitioned)
     "dedup_scrub_spans",
     "pipeline_bpe_budget_sample",
+    # late-r14: per-language tokenizer fertility (3.5 s — encode join
+    # carrying lang + one <=|langs|-key rollup)
+    "text_bpe_fertility",
 ]
 
 

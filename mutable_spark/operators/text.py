@@ -1022,6 +1022,55 @@ def text_bpe_sweep(spark, sf_dir):
 # fragments are defined)
 
 
+@query("text_bpe_fertility", oracle=None)  # assigned below
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY by language (r14) — BPE tokens per
+    whitespace word, the per-language fairness metric tokenizer teams
+    track (a tokenizer trained on one language mix over-segments the
+    others; fertility is the published way to show it — e.g. the XLM-R
+    and BLOOM tokenizer analyses): per lang, document count, both token
+    masses, and fertility in basis points —
+    (lang, n_docs, n_ws_tokens, n_bpe_tokens, fertility_bp).
+
+    Composition over the trained-tokenizer path: the encode join
+    carries `lang` through the word stream (no extra corpus-sized
+    join), then ONE ≤|langs|-key rollup — integer floor-division in
+    both engines, no float crosses the compare. Corpus size enters
+    only the encode join (the `text_bpe_encode` plan contract: vocab
+    side ShuffledHashJoin, plan-pinned there)."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    _, syms = _bpe_merge_rounds(d)
+    wt = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+    dw = d.select(
+        "doc_id", "lang", F.explode(_toks()).alias("w")
+    ).filter(F.length("w") >= 1)
+    per_doc = (
+        dw.join(wt.hint("shuffle_hash"), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws"),
+            F.sum("n_sym").alias("n_bpe"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.expr("(10000 * n_bpe_tokens) div n_ws_tokens").alias(
+                "fertility_bp"
+            ),
+        )
+    )
+
+
 @query("text_bpe_encode", oracle=None)  # assigned below
 def text_bpe_encode(spark, sf_dir):
     """ENCODE the corpus with the trained BPE tokenizer (r14) — the
@@ -1144,6 +1193,27 @@ def _register_bpe_oracles():
            CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
     FROM dw JOIN wt USING (w) GROUP BY doc_id
     """
+    ORACLES["text_bpe_fertility"] = rf"""
+    WITH {{joined}},
+    wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+           FROM s_{{final}} GROUP BY w),
+    dw AS (SELECT doc_id, lang, tok AS w
+           FROM (SELECT doc_id, lang,
+                        unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE length(tok) >= 1),
+    per_doc AS (SELECT doc_id, lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_ws,
+                       CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+                FROM dw JOIN wt USING (w) GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           (10000 * CAST(SUM(n_bpe) AS BIGINT))
+               // CAST(SUM(n_ws) AS BIGINT) AS fertility_bp
+    FROM per_doc GROUP BY lang
+    """.replace("{joined}", joined).replace("{final}", str(final))
     sweep_pts = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round,"
         f" CAST(SUM(freq) AS BIGINT) AS n_tokens FROM s_{r + 1}"

@@ -126,10 +126,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # decode/featurize path (the object-store surface made load-bearing)
     "multimodal_scene_changes",
     "multimodal_binary_extract",
-    # events: Welch A/B test, k-step funnel (cusum demotes — r11/r12/r13
-    # rows; ab_test + funnel_steps keep the family)
-    "events_ab_test",
+    # events: k-step funnel (cusum demoted earlier; ab_test demotes
+    # late-r14 — r12+r13 rows — handing its slot to the per-language
+    # tokenizer-fertility rollup; funnel_steps keeps the family)
     "events_funnel_steps",
+    "text_bpe_fertility",
     # dedup late-r14: maximal duplicated-span extraction (the linear
     # exact-substring cut list; tpch_q15 hands over its slot — r12+r13
     # rows, correlated-subquery shapes stay via q2/q22), the scrub
@@ -175,6 +176,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q9",
     "tpch_q8",
     "source_csv_roundtrip",
+    "events_ab_test",
     "tpch_q13",
     "tpch_q16",
     "tpch_q18",

@@ -95,6 +95,10 @@ _DOC_OPS = [
     # sample, and the quality/doc_id window order must cross engines
     # on the adversarial text shapes
     "pipeline_bpe_budget_sample",
+    # r14: per-language fertility — the unicode 'fr' doc's multi-byte
+    # words must count identical symbol masses in both engines, and
+    # langs whose docs are all empty must emit no row
+    "text_bpe_fertility",
     # r14: duplicated-span extraction — the 301-token repetition doc is
     # one giant self-duplicated run; short docs fall out of the k-gram
     # window identically in both engines — and the scrub pass (the

@@ -46,6 +46,7 @@ NEVER_SAMPLED = [
     "dedup_scrub_spans",
     "dedup_span_k_sweep",
     "pipeline_bpe_budget_sample",
+    "text_bpe_fertility",
 ]
 
 
