@@ -53,6 +53,12 @@ HEADLINE = [
     "text_repetition_filter",
     # round-8 heavy additions
     "dedup_verbatim_ngrams",
+    # r15: the trained-label write-back store — runs BEFORE the heavy
+    # stored-label consumers in each pass, so it prices train+write+read
+    # while sim_semantic_dedup / dedup_embedding_multiprobe /
+    # pipeline_decontaminate_semantic below price the READ path the
+    # store buys them (the r14 verdict's duplicated-Lloyd-chain fix)
+    "sim_label_store_roundtrip",
     "sim_semantic_dedup",
     "pipeline_contamination_stats",
     "pipeline_end_to_end",
@@ -103,6 +109,7 @@ HEADLINE = [
     # and the duplicated-span cut list (1.3 s — positional grams +
     # count window + run compression)
     "text_bpe_train",
+    "text_bpe_train_batched",
     "text_bpe_encode",
     "dedup_duplicate_spans",
     # late-r14: the scrub pass applying the span cut list (2.2 s —

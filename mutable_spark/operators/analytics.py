@@ -66,6 +66,80 @@ def op_approx_sketches(spark, sf_dir):
 
 
 @query(
+    "op_sketch_certification",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(l_extendedprice)    AS n_rows,
+           CAST(1 AS BIGINT) AS hll_ok,
+           CAST(1 AS BIGINT) AS rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def op_sketch_certification(spark, sf_dir):
+    """The approximate sketches made fully driver-checkable (r15 —
+    VERDICT r14 missing-item #5): `op_approx_sketches` itself is
+    rows-only because HLL++/KLL internals are engine-specific, but the
+    sketches' ERROR CONTRACTS are exact integers both engines can agree
+    on. Per group this emits the exact distinct count and row count
+    (oracle-pinned values) plus two bound flags the oracle pins to 1:
+
+      hll_ok  — |approx_count_distinct(rsd=5%) − exact| within 4σ:
+                5·|d| ≤ max(20, exact)  (the envelope
+                tests/test_sketches.py sweeps; a sketch regression
+                flips the flag to 0 and hash-mismatches the driver row)
+      rank_ok — percentile_approx(0.5, acc=10000)'s returned value has
+                exact rank within n/acc + 1 of the true median rank:
+                10000·|2·rank − n| ≤ 2·n + 20000
+
+    All arithmetic is integer (the 4·rsd = 1/5 and 1/acc bounds are
+    exact rationals), so the row is hash-stable. Scale shape: two
+    grouped aggregates over the fact table plus one rank pass with the
+    |groups|-row sketch frame broadcast back — bounded by group count,
+    never corpus size; nothing quadratic."""
+    li = load_tables(spark, sf_dir).lineitem
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("amed"),
+    )
+    rank = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("amed")).cast("long")
+            ).alias("n_le"),
+            F.count("l_extendedprice").alias("n_rows"),
+            F.first("approx_parts").alias("approx_parts"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return exact.join(rank, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts")) * 5
+            <= F.greatest(F.lit(20), F.col("n_parts"))
+        )
+        .cast("long")
+        .alias("hll_ok"),
+        (
+            F.abs(2 * F.col("n_le") - F.col("n_rows")) * 10000
+            <= 2 * F.col("n_rows") + 20000
+        )
+        .cast("long")
+        .alias("rank_ok"),
+    )
+
+
+@query(
     "op_set_ops",
     oracle="""
     SELECT c_nationkey AS k FROM customer

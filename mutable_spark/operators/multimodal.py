@@ -446,18 +446,25 @@ def _register_binary_extract_oracle():
     from mutable_spark.registry import ORACLES
     from mutable_spark.sources.binary import _BIN_MOD
 
+    # mean_byte / first_byte are computed from the UTF-8 BLOB bytes of
+    # encode(text) — hex(blob) sliced two hex digits per byte — matching
+    # the Spark side's byte arithmetic over the payload exactly, so the
+    # contract survives non-ASCII corpora (ADVICE r14: the previous
+    # codepoint/strlen arithmetic was equal only for ASCII text).
+    blob_hex = "hex(encode(text))"
+    nb = "octet_length(encode(text))"
+    byte_at = f"('0x' || substring({blob_hex}, 1 + 2*i, 2))::BIGINT"
     ORACLES["multimodal_binary_extract"] = f"""
     SELECT doc_id,
            CAST(1 AS BIGINT) AS magic_ok,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CASE WHEN strlen(text) = 0 THEN 0.0
-                ELSE CAST(list_sum(list_transform(range(1, strlen(text) + 1),
-                         i -> ascii(substr(text, i, 1)))) AS DOUBLE)
-                     / strlen(text)
+           CAST({nb} AS BIGINT) AS n_bytes,
+           CASE WHEN {nb} = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(0, {nb}),
+                         i -> {byte_at})) AS DOUBLE) / {nb}
            END AS mean_byte,
-           CAST(CASE WHEN strlen(text) = 0 THEN -1
-                     ELSE ascii(substr(text, 1, 1)) END AS BIGINT)
-               AS first_byte,
+           CAST(CASE WHEN {nb} = 0 THEN -1
+                     ELSE ('0x' || substring({blob_hex}, 1, 2))::BIGINT
+                END AS BIGINT) AS first_byte,
            md5(text) AS payload_md5
     FROM documents
     WHERE doc_id % {_BIN_MOD} = 0 AND text IS NOT NULL

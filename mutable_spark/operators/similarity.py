@@ -154,18 +154,29 @@ def _sql_plane_dot(p: int) -> str:
 def _sql_ann_sig() -> str:
     """(vec_id, label, embedding, chunks[4]) with chunk c packing the sign
     bits of planes 4c..4c+3 as sum(b_i * 2^i)."""
+    # two-branch CASE, no ELSE: NULL plane dots (all-NULL-element
+    # vectors) propagate into the chunk sum so the band-equality
+    # predicate drops the vector, matching Spark's NULL-bit behavior
+    # (same rationale as the band-sweep oracle's bits)
     bits = [
-        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1 ELSE 0 END)"
+        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1"
+        f" WHEN {_sql_plane_dot(p)} <= 0 THEN 0 END)"
         for p in range(_N_PLANES)
     ]
     chunks = [
         "(" + " + ".join(f"{bits[4 * c + i]} * {1 << i}" for i in range(4)) + ")"
         for c in range(4)
     ]
+    # len(embedding) > 0 pins the PRESENCE contract to Spark's: the
+    # Spark side builds signatures from the posexploded embedding, so an
+    # empty vector emits no signature row at all; without the filter the
+    # oracle would give it an all-zero chunk signature (NULL dot -> ELSE
+    # 0) and admit it as an oracle-only candidate whenever a query band
+    # value is 0 (ADVICE r14).
     return (
         "SELECT vec_id, label, embedding, ["
         + ", ".join(chunks)
-        + "] AS chunks FROM embeddings"
+        + "] AS chunks FROM embeddings WHERE len(embedding) > 0"
     )
 
 
@@ -258,10 +269,19 @@ def sim_ann_lsh(spark, sf_dir):
         .agg(F.sum(scaled_term).alias("dot"))
         .groupBy("vec_id")
         .agg(
+            # no .otherwise(0): out-of-range planes contribute NULL, which
+            # SUM ignores, so chunk values are unchanged for real vectors —
+            # but an ALL-NULL-element vector (every dot NULL, every bit
+            # NULL) now gets NULL chunks and is dropped by the chunk-match
+            # equality, consistent with the band-sweep op and both oracles
+            # (r15; previously the 0-padding handed it an all-zero
+            # signature here while the sweep dropped it)
             *[
                 F.sum(
-                    F.when(F.col("plane").between(4 * c, 4 * c + 3), bit * chunk_weight)
-                    .otherwise(0)
+                    F.when(
+                        F.col("plane").between(4 * c, 4 * c + 3),
+                        bit * chunk_weight,
+                    )
                 )
                 .cast("int")
                 .alias(f"chunk{c}")
@@ -907,8 +927,16 @@ def _register_lsh_band_sweep_oracle():
     from mutable_spark.registry import ORACLES
 
     parts = []
+    # Two-branch CASE with NO ELSE: an all-NULL-element vector has a
+    # NULL plane dot in both engines, and the NULL must PROPAGATE into
+    # the chunk sum so the band-equality predicate drops the vector —
+    # exactly what Spark's `(dot > 0).cast(int)` bit does. An `ELSE 0`
+    # would hand it an all-zero signature and admit it as an oracle-only
+    # candidate whenever a query band value is 0 (ADVICE r14, extended
+    # to the all-NULL case the ragged fixture exercises).
     bits = [
-        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1 ELSE 0 END)"
+        f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN 1"
+        f" WHEN {_sql_plane_dot(p)} <= 0 THEN 0 END)"
         for p in range(_N_PLANES)
     ]
     for b in _LSH_BANDS:
@@ -924,7 +952,7 @@ def _register_lsh_band_sweep_oracle():
         )
         parts.append(f"""sig_{b} AS MATERIALIZED (
         SELECT vec_id, embedding, [{", ".join(chunks)}] AS chunks
-        FROM embeddings),
+        FROM embeddings WHERE len(embedding) > 0),
     q_{b} AS (SELECT vec_id AS qid, embedding AS qv, chunks AS qchunks
               FROM sig_{b} WHERE vec_id = (SELECT MIN(vec_id) FROM sig_{b})),
     cand_{b} AS (

@@ -986,6 +986,246 @@ def bpe_rounds_from_vocab(words, curve=None):
     return out_rows, syms
 
 
+# --------------------------------------------------------------------------
+#: batched BPE (r15 — VERDICT r14 item #3): rules accepted per driver
+#: round-trip, and the ordered candidate pool the greedy-disjoint scan
+#: reads. Merges sharing NO symbol commute (their match positions are
+#: provably disjoint: a position holds one symbol, so adjacent matches
+#: of two rules would force one symbol to equal two different values),
+#: so applying up to _BPE_BATCH of them in ONE pass is exact — the step
+#: toward production merge counts text_bpe_sweep's honest note names.
+_BPE_BATCH = 4
+_BPE_BATCH_POOL = 64
+_BPE_BATCH_ROUNDS = 2
+
+
+@query("text_bpe_train_batched", oracle=None)  # assigned below
+def text_bpe_train_batched(spark, sf_dir):
+    """BATCHED BPE training (r15): per driver round-trip, collect the
+    top-``_BPE_BATCH_POOL`` pair counts ONCE, greedily accept up to
+    ``_BPE_BATCH`` mutually symbol-disjoint rules from that ordered
+    pool, and apply them all in ONE distributed run-parity merge pass.
+    Output: (round, sel, sym_a, sym_b, pair_count) — the driver
+    round-trip and the acceptance slot within it, so the merge table
+    stays totally ordered even when a round accepts fewer than
+    ``_BPE_BATCH`` rules.
+
+    Why this is exact, not approximate, per pass: two rules sharing no
+    symbol have position-disjoint matches (adjacency would require one
+    position's symbol to equal both rules' symbols), maximal runs of
+    consecutive match positions are single-rule runs, and counts of
+    pairs wholly outside a rule's symbols are invariant under that
+    rule's merge — so one multi-rule pass equals applying the accepted
+    rules sequentially. What batching TRADES AWAY is only cross-rule
+    re-ranking: a sequential trainer would re-count before each rule
+    and might prefer a pair involving a just-merged symbol; the pinned
+    equality test constructs the disjoint case where the two trainers
+    provably coincide, and the selection rule itself (greedy-disjoint
+    over the top-``_BPE_BATCH_POOL`` pool, count DESC then (a, b)
+    tiebreak) is the documented, oracle-replicated contract.
+
+    Scale: ``_BPE_BATCH``× fewer driver round-trips per learned rule —
+    the multiplier the r14 verdict ordered toward production merge
+    counts — with the same per-round distributed shapes as
+    `text_bpe_train` (vocabulary-frame windows + pinned-bounded 64-row
+    collect instead of a 1-row collect). The DuckDB oracle chains the
+    SAME greedy-disjoint selection as ``_BPE_BATCH`` dependent 1-row
+    CTEs per round, so every accepted rule is hash-checked."""
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rules, _ = bpe_batched_rounds_from_vocab(words)
+    return spark.createDataFrame(
+        rules,
+        "round long, sel long, sym_a string, sym_b string, pair_count long",
+    )
+
+
+def bpe_batched_rounds_from_vocab(words):
+    """The batched merge-round loop over a prepared (w, freq) vocabulary
+    frame. Returns (rules, syms) with rules =
+    [(round, sel, sym_a, sym_b, pair_count)] and syms the final
+    symbolization frame (same contract as `bpe_rounds_from_vocab`)."""
+    from pyspark.sql import Window
+
+    spark = words.sparkSession
+    syms = words.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    ).localCheckpoint(eager=False)
+    wnd = Window.partitionBy("w").orderBy("pos")
+    out_rows: list[tuple] = []
+    for r in range(1, _BPE_BATCH_ROUNDS + 1):
+        withn = syms.withColumn("nxt", F.lead("sym").over(wnd))
+        pairs = withn.filter(F.col("nxt").isNotNull())
+        pool = (
+            pairs.groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(_BPE_BATCH_POOL)
+            .collect()  # bounded: the fixed 64-row candidate pool
+        )
+        chosen: list[tuple] = []
+        used: set[str] = set()
+        for row in pool:
+            if len(chosen) == _BPE_BATCH:
+                break
+            if row.sym in used or row.nxt in used:
+                continue
+            chosen.append((row.sym, row.nxt, int(row.cnt)))
+            used.update((row.sym, row.nxt))
+        if not chosen:
+            break
+        for sel, (a, b, cnt) in enumerate(chosen, start=1):
+            out_rows.append((r, sel, a, b, cnt))
+        rules_df = spark.createDataFrame(
+            [(a, b) for a, b, _ in chosen], "ra string, rb string"
+        )
+        match = pairs.join(
+            F.broadcast(rules_df),
+            (F.col("sym") == F.col("ra")) & (F.col("nxt") == F.col("rb")),
+        ).select("w", "pos")
+        runs = match.withColumn(
+            "run", F.col("pos") - F.row_number().over(wnd)
+        )
+        kept = (
+            runs.withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(Window.partitionBy("w", "run")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("w", "pos", F.lit(1).alias("is_merge"))
+        )
+        consumed = kept.select(
+            "w", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("gone")
+        )
+        rebuilt = (
+            withn.join(kept, ["w", "pos"], "left")
+            .join(consumed, ["w", "pos"], "left")
+            .filter(F.col("gone").isNull())
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(F.col("is_merge") == 1, F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        syms = rebuilt.select(
+            "w",
+            "freq",
+            (F.row_number().over(wnd) - 1).alias("pos"),
+            "sym",
+        ).localCheckpoint(eager=False)
+    return out_rows, syms
+
+
+def _bpe_batched_fragments():
+    """Chained oracle CTEs for the batched trainer: per round, the
+    MATERIALIZED top-pool, ``_BPE_BATCH`` dependent greedy-disjoint
+    rule CTEs (rule k = best pool row sharing no symbol with rules
+    1..k-1 — exactly the Spark side's ordered scan), their union, and
+    the multi-rule run-parity merge fragment."""
+    parts = [
+        r"""w AS MATERIALIZED (
+        SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        WHERE length(tok) >= 1
+        GROUP BY tok)""",
+        """s_1 AS MATERIALIZED (
+        SELECT w, freq, i - 1 AS pos,
+               substring(w, CAST(i AS INTEGER), 1) AS sym
+        FROM w, unnest(generate_series(1, CAST(length(w) AS BIGINT)))
+             AS r(i))""",
+    ]
+    for r in range(1, _BPE_BATCH_ROUNDS + 1):
+        parts.append(f"""p_{r} AS MATERIALIZED (
+        SELECT w, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s_{r})""")
+        parts.append(f"""pool_{r} AS MATERIALIZED (
+        SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p_{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+        ORDER BY cnt DESC, sym, nxt LIMIT {_BPE_BATCH_POOL})""")
+        prev_used: list[str] = []
+        sel_parts = []
+        for s in range(1, _BPE_BATCH + 1):
+            if prev_used:
+                u = " UNION ".join(prev_used)
+                cond = (f"WHERE sym NOT IN ({u}) AND nxt NOT IN ({u})")
+            else:
+                cond = ""
+            parts.append(f"""r_{r}_{s} AS MATERIALIZED (
+        SELECT sym, nxt, cnt FROM pool_{r} {cond}
+        ORDER BY cnt DESC, sym, nxt LIMIT 1)""")
+            prev_used.append(f"SELECT sym FROM r_{r}_{s}")
+            prev_used.append(f"SELECT nxt FROM r_{r}_{s}")
+            sel_parts.append(
+                f"SELECT CAST({s} AS BIGINT) AS sel, sym, nxt, cnt"
+                f" FROM r_{r}_{s}"
+            )
+        parts.append(
+            f"rules_{r} AS MATERIALIZED ("
+            + " UNION ALL ".join(sel_parts)
+            + ")"
+        )
+        parts.append(f"""m_{r} AS (
+        SELECT w, pos,
+               pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS run
+        FROM p_{r}
+        WHERE (sym, nxt) IN (SELECT (sym, nxt) FROM rules_{r}))""")
+        parts.append(f"""k_{r} AS MATERIALIZED (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   pos - MIN(pos) OVER (PARTITION BY w, run) AS off
+            FROM m_{r})
+        WHERE off % 2 = 0)""")
+        parts.append(f"""s_{r + 1} AS MATERIALIZED (
+        SELECT w, freq,
+               row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+               sym FROM (
+            SELECT p.w, p.freq, p.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt
+                        ELSE p.sym END AS sym
+            FROM p_{r} p
+            LEFT JOIN k_{r} k ON k.w = p.w AND k.pos = p.pos
+            LEFT JOIN k_{r} g ON g.w = p.w AND g.pos = p.pos - 1
+            WHERE g.pos IS NULL))""")
+    return parts
+
+
+def _register_bpe_batched_oracle():
+    from mutable_spark.registry import ORACLES
+
+    joined = ",\n    ".join(_bpe_batched_fragments())
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, sel, sym AS sym_a,"
+        f" nxt AS sym_b, cnt AS pair_count FROM rules_{r}"
+        for r in range(1, _BPE_BATCH_ROUNDS + 1)
+    )
+    ORACLES["text_bpe_train_batched"] = f"""
+    WITH {joined}
+    SELECT * FROM ({unions}) ORDER BY round, sel
+    """
+
+
+_register_bpe_batched_oracle()
+
+
 @query("text_bpe_sweep", oracle=None)  # assigned below
 def text_bpe_sweep(spark, sf_dir):
     """Price the ``_BPE_ROUNDS`` knob (r14) — the sweep instrument for

@@ -78,7 +78,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # INTO upsert arbitration, UNPIVOT/melt (Expand, no shuffle)
     "op_group_join",
     "op_merge_upsert",
-    "op_unpivot",
+    # r15: the sketch error contracts as a FULL-oracle row (exact counts
+    # + integer bound flags pinned to 1) — closes the one registry name
+    # with no driver evidence (op_approx_sketches stays rows-only by
+    # construction; this row is its driver-checkable twin). op_unpivot
+    # hands over its slot (r13+r14 rows; the Expand-no-shuffle shape
+    # stays plan-pinned locally).
+    "op_sketch_certification",
     # dialect frontend: the two deepest always-sampled TPC-H paths via
     # the full lexer→sema→planner path + estimator / index gates
     "dialect_tpch_q1",
@@ -90,7 +96,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # including the derived-partsupp five (q2/q9/q11/q16/q20)
     "tpch_q4",
     "tpch_q22",
-    "tpch_q2",
     "tpch_q7",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
@@ -110,6 +115,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_multiprobe_sweep",
     "sim_cell_reassign",
     "sim_retrained_cells",
+    # r15: the trained-label write-back store roundtrip (tpch_q2 hands
+    # over its slot — r12+r13+r14 rows; TPC-H keeps q4/q22/q7 plus the
+    # two dialect paths in-sample). Every stored-label consumer above
+    # REREADS what this row hash-checks.
+    "sim_label_store_roundtrip",
     "sim_retrain_convergence",
     "sim_semantic_dedup",
     # similarity/ANN: the serving stack — IVF→PQ→rerank + its nprobe
@@ -117,14 +127,17 @@ _SAMPLE_PRIORITY: list[str] = [
     # same PQ shortlist→rerank machinery in-sample), the balance
     # pre-flight, MRL serving, the LSH recall instrument + band sweep
     "sim_ivfpq_search",
-    "sim_ivfpq_nprobe_sweep",
     "sim_ivf_balance",
-    "sim_matryoshka_search",
+    # r15: sim_ann_lsh rotates back in (Spark-side rewrite: NULL-chunk
+    # presence semantics now consistent with the band sweep; its old
+    # r1-r5/r7 rows certified the 0-padded signature) — its slot from
+    # sim_matryoshka_search (r13+r14 rows; the MRL prefix machinery
+    # stays oracle-checked locally and via sim_matryoshka_recall's rows)
+    "sim_ann_lsh",
     "sim_ann_recall",
     "sim_lsh_band_sweep",
     # multimodal: shot-boundary detection + the r14 binaryFile-fed
     # decode/featurize path (the object-store surface made load-bearing)
-    "multimodal_scene_changes",
     "multimodal_binary_extract",
     # events: k-step funnel (cusum demoted earlier; ab_test demotes
     # late-r14 — r12+r13 rows — handing its slot to the per-language
@@ -141,6 +154,10 @@ _SAMPLE_PRIORITY: list[str] = [
     # binaryFile row in-sample)
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
+    # r15: the keep-one (Lee et al. canonical-copy) scrub variant —
+    # multimodal_scene_changes hands over its slot (r12+r13+r14 rows;
+    # multimodal stays in-sample via multimodal_binary_extract)
+    "dedup_scrub_spans_canonical",
     "dedup_span_k_sweep",
     # text: integer BM25 retrieval (quality_centroid demotes — r12+r13
     # rows; bm25 keeps the family and quality scoring runs verbatim in
@@ -151,6 +168,11 @@ _SAMPLE_PRIORITY: list[str] = [
     # r12+r13 rows, TPC-H keeps five in-sample rows)
     "text_bm25_rank",
     "text_bpe_train",
+    # r15: the batched trainer — up to _BPE_BATCH symbol-disjoint rules
+    # per driver round-trip (sim_ivfpq_nprobe_sweep hands over its slot
+    # — r13+r14 rows; the serving stack keeps sim_ivfpq_search +
+    # sim_ivf_balance in-sample)
+    "text_bpe_train_batched",
     "text_bpe_encode",
     "text_bpe_sweep",
     # pipeline: curation composition + leakage-safe split + the r13/r14
@@ -167,6 +189,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # r12+r13 rows, TPC-H keeps four in-sample rows)
     "pipeline_bpe_budget_sample",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
+    # demoted r15 (r12+r13+r14 rows; correlated-subquery family stays
+    # in-sample via tpch_q22 and dialect paths)
+    "tpch_q2",
+    "sim_matryoshka_search",
+    "op_unpivot",
+    "multimodal_scene_changes",
+    "sim_ivfpq_nprobe_sweep",
     # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
     "tpch_q21",
@@ -295,7 +324,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # ---- demoted in earlier rounds (driver-green earlier) ----
     "pipeline_mix_sources",  # green r6/r7; its keep-decision map runs
     #                          verbatim inside pipeline_end_to_end
-    "sim_ann_lsh",  # green r1-r5 + r7; slot went to dialect_zoneindex_string
     "multimodal_frame_sample",  # green r5 + r7
     "op_join_semi",  # green r1-r5; LeftSemi stays plan-pinned
     "dedup_minhash_lsh",  # green r1-r5; LSH tier in-sample via clean_corpus

@@ -60,6 +60,63 @@ def stage_clean_stream(docs: DataFrame, eval_digests: DataFrame) -> DataFrame:
     ).select("doc_id", "source", "text")
 
 
+def _read_store(spark: SparkSession, path: Path) -> DataFrame | None:
+    """Read a parquet store directory, returning None ONLY when the store
+    genuinely does not exist yet (directory absent, or no data files ever
+    committed). Emptiness is probed on the filesystem BEFORE handing the
+    path to Spark, so any read failure on a non-empty store — corrupt
+    parquet footer during schema inference, schema drift, transient FS
+    error — PROPAGATES and aborts the compaction. The r14 advice hazard:
+    a gate that maps such failures to 'store empty' skips the anti-join
+    dedup and re-appends the full staged set, permanently duplicating
+    store rows (centroid-skew / self-satisfied span counts /
+    double-counted BPE frequency). The local-Path probe matches this
+    module's store layout (same boundary as the `_SUCCESS`-marker checks
+    it replaces); an object-store deployment would probe with the
+    FileSystem API instead."""
+    if not path.exists():
+        return None
+    if not any(f.name.startswith("part-") for f in path.iterdir()):
+        return None  # dir created but no data file ever committed
+    return spark.read.parquet(str(path))
+
+
+def _manifest_dir(data_dir: Path) -> Path:
+    return data_dir.parent / (data_dir.name + "_seen")
+
+
+def _seen_doc_ids(
+    spark: SparkSession, data_dir: Path, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """Ids already processed into the store at ``data_dir``: ids holding
+    at least one store row UNION ids in the zero-output manifest. The
+    manifest exists because some documents legitimately emit NO store
+    rows (fewer tokens than the shingle/gram width, empty text) — gated
+    on store rows alone they would be re-read and re-tokenized on every
+    future compaction forever (r14 advice)."""
+    store = _read_store(spark, data_dir)
+    manifest = _read_store(spark, _manifest_dir(data_dir))
+    parts = [df.select(id_col) for df in (store, manifest) if df is not None]
+    if not parts:
+        return None
+    seen = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return seen.distinct()
+
+
+def _record_zero_output(
+    staged_ids: DataFrame, emitted_ids: DataFrame, data_dir: Path
+) -> None:
+    """Append to the manifest every newly processed doc_id that emitted
+    no store rows. Runs AFTER the store append: a crash between the two
+    re-processes only zero-output docs on rerun (appending nothing to
+    the store — harmless), whereas the opposite order would lose store
+    rows for docs already manifested. Duplicate manifest rows are
+    harmless (it is only ever an anti-join gate)."""
+    zero = staged_ids.join(emitted_ids, "doc_id", "left_anti")
+    if zero.limit(1).count():
+        zero.write.mode("append").parquet(str(_manifest_dir(data_dir)))
+
+
 def _signature_dir(store_dir: str) -> Path:
     return Path(store_dir) / "signatures"
 
@@ -68,20 +125,33 @@ def extend_signature_store(
     spark: SparkSession, staged_dir: str, store_dir: str
 ) -> int:
     """Incremental half of compaction: sign every staged doc not yet in
-    the all-time store and append. Returns the number of newly signed
-    docs. Idempotent — a rerun after a crash between append and class
-    emission re-diffs against the store and appends nothing."""
+    the all-time store and append. Returns the number of newly PROCESSED
+    docs — including sub-shingle-width docs that emit no signature,
+    which go to the zero-output manifest so they are never re-read
+    (r14 advice). Idempotent — a rerun after a crash between append and
+    class emission re-diffs against the store and appends nothing. The
+    store-exists gate READS committed part files rather than keying on
+    the `_SUCCESS` marker (r14 verdict nit): duplicate signatures after
+    a marker-less partial commit would inflate LSH bucket sizes toward
+    `_MAX_BUCKET`, and the star-cap could then silently drop real
+    candidate pairs."""
     from mutable_spark.operators.dedup import _hashed_shingle_df
 
     staged = spark.read.parquet(staged_dir)
     sig_dir = _signature_dir(store_dir)
-    if (sig_dir / "_SUCCESS").exists():
-        seen = spark.read.parquet(str(sig_dir)).select("doc_id")
+    seen = _seen_doc_ids(spark, sig_dir)
+    if seen is not None:
         staged = staged.join(seen, "doc_id", "left_anti")
+    staged = staged.localCheckpoint(eager=True)
+    n_new = staged.count()
+    if not n_new:
+        return 0
     new_sigs = _hashed_shingle_df(staged).localCheckpoint(eager=True)
-    n_new = new_sigs.count()
-    if n_new:
+    if new_sigs.limit(1).count():
         new_sigs.write.mode("append").parquet(str(sig_dir))
+    _record_zero_output(
+        staged.select("doc_id"), new_sigs.select("doc_id"), sig_dir
+    )
     return n_new
 
 
@@ -153,11 +223,9 @@ def extend_vector_store(
     signature only re-emits identical pairs)."""
     staged = spark.read.parquet(staged_dir)
     vec_dir = _vector_dir(store_dir)
-    try:
-        seen = spark.read.parquet(str(vec_dir)).select("vec_id")
-        staged = staged.join(seen, "vec_id", "left_anti")
-    except Exception:
-        pass  # no committed part files yet: the store is empty
+    seen = _read_store(spark, vec_dir)
+    if seen is not None:
+        staged = staged.join(seen.select("vec_id"), "vec_id", "left_anti")
     new_vecs = staged.localCheckpoint(eager=True)
     n_new = new_vecs.count()
     if n_new:
@@ -232,22 +300,30 @@ def extend_gram_store(
 ) -> int:
     """Incremental half of span compaction: positional k-grams for
     every staged doc not yet in the all-time store, appended. Returns
-    the number of newly grammed DOCUMENTS. Idempotent via the
-    read-detect gate (see module note: duplicate gram rows would
-    self-satisfy the duplication count)."""
+    the number of newly PROCESSED documents — sub-k-token docs that
+    emit no gram go to the zero-output manifest so they are never
+    re-read (r14 advice). Idempotent via the read-detect gate (see
+    module note: duplicate gram rows would self-satisfy the duplication
+    count)."""
     from mutable_spark.operators.dedup import positional_gram_frame
 
     staged = spark.read.parquet(staged_dir)
     gram_dir = _gram_dir(store_dir)
-    try:
-        seen = spark.read.parquet(str(gram_dir)).select("doc_id").distinct()
+    seen = _seen_doc_ids(spark, gram_dir)
+    if seen is not None:
         staged = staged.join(seen, "doc_id", "left_anti")
-    except Exception:
-        pass  # no committed part files yet: the store is empty
+    staged = staged.localCheckpoint(eager=True)
+    n_new = staged.count()
+    if not n_new:
+        return 0
     new_grams = positional_gram_frame(staged).localCheckpoint(eager=True)
-    n_new = new_grams.select("doc_id").distinct().count()
-    if n_new:
+    if new_grams.limit(1).count():
         new_grams.write.mode("append").parquet(str(gram_dir))
+    _record_zero_output(
+        staged.select("doc_id"),
+        new_grams.select("doc_id").distinct(),
+        gram_dir,
+    )
     return n_new
 
 
@@ -292,15 +368,19 @@ def extend_wordcount_store(
 ) -> int:
     """Incremental half of BPE compaction: per-document word counts for
     every staged doc not yet in the all-time store, appended. Returns
-    the number of newly counted DOCUMENTS. Idempotent via the
-    read-detect gate (duplicate rows would double-count frequency)."""
+    the number of newly PROCESSED documents — empty-text docs that emit
+    no count row go to the zero-output manifest so they are never
+    re-read (r14 advice). Idempotent via the read-detect gate (duplicate
+    rows would double-count frequency)."""
     staged = spark.read.parquet(staged_dir)
     wc_dir = _wordcount_dir(store_dir)
-    try:
-        seen = spark.read.parquet(str(wc_dir)).select("doc_id").distinct()
+    seen = _seen_doc_ids(spark, wc_dir)
+    if seen is not None:
         staged = staged.join(seen, "doc_id", "left_anti")
-    except Exception:
-        pass  # no committed part files yet: the store is empty
+    staged = staged.localCheckpoint(eager=True)
+    n_new = staged.count()
+    if not n_new:
+        return 0
     new_wc = (
         staged.select(
             "doc_id",
@@ -311,9 +391,13 @@ def extend_wordcount_store(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    n_new = new_wc.select("doc_id").distinct().count()
-    if n_new:
+    if new_wc.limit(1).count():
         new_wc.write.mode("append").parquet(str(wc_dir))
+    _record_zero_output(
+        staged.select("doc_id"),
+        new_wc.select("doc_id").distinct(),
+        wc_dir,
+    )
     return n_new
 
 

@@ -596,3 +596,133 @@ def test_duplicate_spans_planted_passage(spark, tmp_path):
     }
     assert scrub[0] == (60, 25, f"{pre_a} {post}")
     assert scrub[1] == (10, 25, pre_b)
+
+
+def test_label_store_amortizes_training(spark, monkeypatch):
+    """r15 write-back store: the FIRST consumer of a corpus version
+    trains and writes; every later consumer must READ the store and
+    never re-enter the Lloyd chain (the r14 verdict's duplicated
+    in-plan re-training `weak` item). Pinned by poisoning
+    `retrained_cells` after the first call — a second training attempt
+    would raise."""
+    import os
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    e = load_tables(spark, SF_DIR).embeddings
+    lab1, k1, n1 = dedup.stored_retrained_labels(e, SF_DIR)
+    path = dedup._label_version_dir(
+        dedup._corpus_version_tag(SF_DIR, "full"), n1, dedup._RETRAIN_ROUNDS
+    )
+    assert os.path.isdir(path) and any(
+        f.startswith("part-") for f in os.listdir(path)
+    )
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("store hit expected: re-training is the bug")
+
+    monkeypatch.setattr(dedup, "retrained_cells", boom)
+    lab2, k2, n2 = dedup.stored_retrained_labels(e, SF_DIR)
+    assert (k1, n1) == (k2, n2)
+    a = sorted(map(tuple, lab1.collect()))
+    b = sorted(map(tuple, lab2.collect()))
+    assert a == b and len(a) == n1
+
+
+def test_canonical_scrub_keeps_exactly_one_copy(spark, tmp_path):
+    """r15 keep-one scrub: with a 25-token passage planted in two docs,
+    the CANONICAL copy — the globally first occurrence, doc 0 (min
+    (doc_id, pos) per gram class) — must survive verbatim, while doc 1
+    loses exactly the passage. The all-occurrence scrub drops both
+    (pinned above); this pins the Lee-et-al difference."""
+    import os
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    passage = " ".join(f"shared{i}" for i in range(25))
+    pre_a = " ".join(f"ua{i}" for i in range(30))
+    pre_b = " ".join(f"ub{i}" for i in range(10))
+    post = " ".join(f"tail{i}" for i in range(30))
+    docs = [
+        (0, f"{pre_a} {passage} {post}", "s", "en", 0),
+        (1, f"{pre_b} {passage}", "s", "en", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.n_tokens_removed, r.scrubbed_text)
+        for r in registry.QUERIES["dedup_scrub_spans_canonical"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 0 holds every gram class's first occurrence: untouched
+    assert got[0] == (85, 0, f"{pre_a} {passage} {post}")
+    # doc 1's copies are all rn >= 2: exactly the passage is cut
+    assert got[1] == (10, 25, pre_b)
+    # exactly ONE copy of the passage survives corpus-wide
+    n_copies = sum(passage in t for _, _, t in got.values())
+    assert n_copies == 1
+
+
+def test_bpe_batched_equals_sequential_on_disjoint_rules(spark, tmp_path):
+    """r15 batched BPE: when the top rules share no symbols AND merging
+    one creates no pair that outranks the rest (each word is exactly
+    one 2-char pair, so a merge collapses the word to a single symbol
+    and creates nothing), one batched round must learn EXACTLY the
+    rules sequential training learns one-per-round, in the same order
+    — the commutation claim in the operator's docstring, pinned."""
+    import os
+
+    from mutable_spark import registry
+    from mutable_spark.operators.text import _BPE_ROUNDS
+    from tests.conftest import SF_DIR
+
+    # four symbol-disjoint 2-char words with strictly ordered freqs
+    docs = [
+        (0, " ".join(["ab"] * 40), "s", "en", 0),
+        (1, " ".join(["cd"] * 30), "s", "en", 0),
+        (2, " ".join(["ef"] * 20), "s", "en", 0),
+        (3, " ".join(["gh"] * 10), "s", "en", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    seq = [
+        (r.sym_a, r.sym_b, r.pair_count)
+        for r in registry.QUERIES["text_bpe_train"](spark, str(tmp_path))
+        .orderBy("round")
+        .collect()
+    ]
+    bat = [
+        (r.sym_a, r.sym_b, r.pair_count)
+        for r in registry.QUERIES["text_bpe_train_batched"](
+            spark, str(tmp_path)
+        )
+        .orderBy("round", "sel")
+        .collect()
+    ]
+    # batched round 1 accepts all four disjoint rules at once; the
+    # sequential trainer learns the same rules one round at a time
+    assert bat[: len(seq)] == seq and len(seq) == _BPE_ROUNDS
+    assert bat == [
+        ("a", "b", 40),
+        ("c", "d", 30),
+        ("e", "f", 20),
+        ("g", "h", 10),
+    ]

@@ -33,6 +33,10 @@ _EDGE_DOCS = [
     (9, "  leading and trailing whitespace   ", "en", "src4", 36),
     (10, "the the the of of a a is is in", "en", "src0", 30),  # stopword soup
     (11, "x " * 300 + "y", "en", "src1", 601),  # long doc, 301 tokens
+    # id ≡ 0 (mod _BIN_MOD=20): lands in the binary-ingestion MOD sample,
+    # so the blob-arithmetic oracles see a NON-ASCII payload (ADVICE r14:
+    # the byte-vs-codepoint divergence only shows on multi-byte text)
+    (20, "naïve café — ünïcödé blob €42", "fr", "src2", 29),
 ]
 
 #: ops whose oracle bridge requires ASCII payloads (the multimodal
@@ -86,6 +90,10 @@ _DOC_OPS = [
     # exercise the greedy run-parity merge in both engines — and the
     # encode consumer (empty docs must emit no row in both engines)
     "text_bpe_train",
+    # r15: the batched trainer — the tiny edge vocabulary exhausts the
+    # pool mid-round, so under-full batches and merge-less rounds must
+    # select identically in both engines
+    "text_bpe_train_batched",
     "text_bpe_encode",
     # r14: the rounds-knob sweep — merge-less rounds on the tiny edge
     # vocabulary must pad to the oracle's fixed row count with the
@@ -106,6 +114,9 @@ _DOC_OPS = [
     # and the rebuilt text itself is hash-checked)
     "dedup_duplicate_spans",
     "dedup_scrub_spans",
+    # r15: the keep-one variant — the 301-token repetition doc must
+    # keep exactly its FIRST duplicated occurrence in both engines
+    "dedup_scrub_spans_canonical",
     # r14: the k-width sweep — the 301-token repetition doc fires at
     # every width, short docs fall out of coarser widths identically
     "dedup_span_k_sweep",
@@ -131,6 +142,12 @@ _DOC_OPS = [
     # r13: span corruption — tokenization of empty/regex-metachar text
     # and the trailing mask window must lay out identically
     "pipeline_span_corruption",
+    # r15 (ADVICE r14): the binary-ingestion ops' oracles now recompute
+    # mean_byte/first_byte from encode(text) BLOB bytes, so they hold on
+    # non-ASCII corpora — the MOD sample here is doc 0 (empty payload)
+    # and doc 20 (multi-byte UTF-8 payload)
+    "source_binary_scan",
+    "multimodal_binary_extract",
 ]
 
 

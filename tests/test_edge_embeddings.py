@@ -176,6 +176,10 @@ _RAGGED_VECS = [
 
 _RAGGED_OPS = [
     "sim_retrained_cells",
+    # r15: the write-back store roundtrip must preserve ragged-corpus
+    # labels bit-exactly (empty / all-NULL vectors keep their init cell
+    # through every Lloyd round in both engines)
+    "sim_label_store_roundtrip",
     "sim_retrain_convergence",
     "pipeline_decontaminate_semantic",
     "sim_cell_reassign",
@@ -184,6 +188,12 @@ _RAGGED_OPS = [
     "dedup_multiprobe_certification",
     "dedup_multiprobe_sweep",
     "sim_semantic_dedup",
+    # r15 (ADVICE r14): the hyperplane-LSH sig oracles now carry the
+    # len(embedding) > 0 presence filter, pinning the empty-vector
+    # contract to Spark's posexplode-built bit frame
+    "sim_ann_lsh",
+    "sim_lsh_band_sweep",
+    "sim_ann_recall",
 ]
 
 

@@ -1115,3 +1115,41 @@ def test_bpe_budget_sample_all_joins_shuffle_hash(plans):
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
     assert joins and set(joins) == {"ShuffledHashJoin"}, joins
     assert "Window" in p
+
+
+def test_label_store_attach_join_shuffle_hash(spark):
+    """r15 label write-back store: the stored labels are CORPUS-sized
+    (one (vec_id, cell) row per vector) but read back as a tiny parquet
+    at test SF — Catalyst marks them broadcastable, which at 100 TB
+    ships the full label set to every executor. `_staged_with_labels`
+    (the literal label-attach join every stored-label consumer runs,
+    pre-checkpoint) must stay a vec_id-partitioned ShuffledHashJoin
+    with the label-store scan on the build side, never a broadcast."""
+    import re
+
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators.dedup import (
+        _staged_with_labels,
+        stored_retrained_labels,
+    )
+
+    e = load_tables(spark, SF_DIR).embeddings
+    lab, _, _ = stored_retrained_labels(e, SF_DIR)
+    p = explain(_staged_with_labels(e, lab), "formatted")
+    assert "mutable_spark_labels_" in p, p  # the store is actually read
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins == ["ShuffledHashJoin"], p
+
+
+def test_canonical_scrub_no_broadcast_of_derived_sides(plans):
+    """dedup_scrub_spans_canonical (r15): same contract as the
+    all-occurrence scrub — the span cut list and the rebuilt-text
+    rollup must join key-partitioned on doc_id, never broadcast; the
+    keep-one mark rule adds one ordered per-class window, no join."""
+    import re
+
+    p = plans("dedup_scrub_spans_canonical")
+    assert "BroadcastHashJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins and set(joins) == {"ShuffledHashJoin"}, joins

@@ -20,33 +20,31 @@ from mutable_spark import registry
 # the eleven r9 additions) take the 19 slots of names holding r7
 # triple-match rows (see registry.py's rotation note).
 NEVER_SAMPLED = [
-    # Round 14: CORRECTNESS_r13 was a 50/50 clean sweep, so "never
-    # sampled" is the four late-r13 registrations plus the r14
-    # additions, plus the REWRITTEN sim_semantic_dedup (r9/r10 rows
-    # certified the old single-cell composition; the retrained-√N
-    # multiprobe production path needs a fresh triple-match) — they all
-    # rotate IN this round (r13 verdict item #3), displacing names that
-    # hold at least r12 AND r13 triple-match rows (family-coverage
-    # rationale in registry.py's rotation note).
-    "sim_ann_recall",
-    "pipeline_preference_pairs",
-    "pipeline_span_corruption",
-    "source_binary_scan",
-    "sim_retrained_cells",
+    # Round 15: CORRECTNESS_r14 was the fifth 50/50 clean sweep and
+    # rotation debt reached zero (r14 verdict), so "never sampled" is
+    # the r15 registrations, plus the ops REWRITTEN this round that
+    # need a fresh triple-match even though their names hold old rows:
+    # the five stored-label consumers (sim_semantic_dedup,
+    # dedup_embedding_multiprobe, dedup_multiprobe_certification,
+    # dedup_multiprobe_sweep, pipeline_decontaminate_semantic — all
+    # already in-sample), the blob-arithmetic oracle rewrites
+    # (source_binary_scan, multimodal_binary_extract), and the
+    # presence-contract oracle rewrites (sim_ann_recall,
+    # sim_lsh_band_sweep — in-sample; sim_ann_lsh is rotated back in
+    # below for its Spark-side NULL-chunk change).
+    "sim_label_store_roundtrip",
+    "op_sketch_certification",
+    "dedup_scrub_spans_canonical",
+    "text_bpe_train_batched",
     "sim_semantic_dedup",
-    "multimodal_binary_extract",
-    "pipeline_preference_topm",
-    "sim_lsh_band_sweep",
-    "sim_retrain_convergence",
+    "dedup_embedding_multiprobe",
+    "dedup_multiprobe_certification",
+    "dedup_multiprobe_sweep",
     "pipeline_decontaminate_semantic",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_bpe_sweep",
-    "dedup_duplicate_spans",
-    "dedup_scrub_spans",
-    "dedup_span_k_sweep",
-    "pipeline_bpe_budget_sample",
-    "text_bpe_fertility",
+    "source_binary_scan",
+    "multimodal_binary_extract",
+    "sim_ann_recall",
+    "sim_lsh_band_sweep",
 ]
 
 

@@ -72,3 +72,13 @@ def test_percentile_approx_rank_error_bound_sweep(spark):
         rank = li.filter(F.col("l_extendedprice") <= v).count()
         tol = n / acc + 1
         assert abs(rank - 0.5 * n) <= tol, (acc, rank, n)
+
+
+def test_sketch_certification_flags_all_green(spark):
+    """r15: the driver-checkable twin — every group's bound flags must
+    read 1 (the oracle pins them to 1; a sketch drifting outside its
+    envelope would flip a flag and hash-mismatch the driver row)."""
+    rows = registry.QUERIES["op_sketch_certification"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok == 1 and r.rank_ok == 1, r

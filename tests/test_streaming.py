@@ -560,9 +560,9 @@ def test_stream_plus_compaction_equals_batch_classes(spark, tmp_path):
     # incrementality: the second compaction signs ONLY the new delivery
     clean = stage_clean_stream(d, evalset)
     n_new = extend_signature_store(spark, str(staged), str(store))
-    n_phase2 = _hashed_shingle_df(
-        clean.filter(F.col("doc_id") > split)
-    ).count()
+    # newly PROCESSED docs == the delivery size (sub-shingle docs are
+    # manifested, not skipped — r15 zero-output contract)
+    n_phase2 = clean.filter(F.col("doc_id") > split).count()
     assert n_new == n_phase2 and n_new > 0
     got = compact_fuzzy_classes(spark, str(staged), str(store)).collect()
 
@@ -1865,10 +1865,7 @@ def test_span_compaction_two_deliveries_equals_batch(spark, tmp_path):
     import pyspark.sql.functions as F
 
     from mutable_spark.catalog import load_tables
-    from mutable_spark.operators.dedup import (
-        duplicate_span_frame,
-        positional_gram_frame,
-    )
+    from mutable_spark.operators.dedup import duplicate_span_frame
     from mutable_spark.operators.pipeline import _EVAL_MOD
     from mutable_spark.streaming.compaction import (
         compact_duplicate_spans,
@@ -1923,12 +1920,9 @@ def test_span_compaction_two_deliveries_equals_batch(spark, tmp_path):
     # incrementality: the second compaction grams ONLY the new delivery
     clean = stage_clean_stream(d, evalset)
     n_new = extend_gram_store(spark, str(staged), str(store))
-    n_phase2 = (
-        positional_gram_frame(clean.filter(F.col("doc_id") > split))
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
+    # newly PROCESSED docs == the delivery size (sub-k-token docs are
+    # manifested, not skipped — r15 zero-output contract)
+    n_phase2 = clean.filter(F.col("doc_id") > split).count()
     assert n_new == n_phase2 and n_new > 0
     got = compact_duplicate_spans(spark, str(staged), str(store)).collect()
     want = duplicate_span_frame(clean).collect()
@@ -2048,3 +2042,63 @@ def test_bpe_compaction_two_deliveries_equals_batch(spark, tmp_path):
 
     # per-microbatch training would have shipped the phase-1 table
     assert phase1_rules != got
+
+
+def test_store_gate_raises_on_corrupt_store(spark, tmp_path):
+    """r15 (ADVICE r14): an unreadable NON-empty store must abort the
+    compaction instead of being treated as 'store empty' — that would
+    skip the anti-join dedup and re-append the full staged set,
+    permanently duplicating store rows (double-counted BPE frequency
+    here; centroid skew / self-satisfied span counts in the twins)."""
+    import pytest as _pytest
+
+    from mutable_spark.streaming.compaction import (
+        _wordcount_dir,
+        extend_wordcount_store,
+    )
+
+    staged = tmp_path / "staged"
+    spark.createDataFrame(
+        [(1, "s", "hello world"), (2, "s", "foo bar")],
+        "doc_id long, source string, text string",
+    ).write.parquet(str(staged))
+    wc = _wordcount_dir(str(tmp_path / "store"))
+    wc.mkdir(parents=True)
+    (wc / "part-00000-corrupt.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        extend_wordcount_store(spark, str(staged), str(tmp_path / "store"))
+    # nothing was appended beside the corrupt file
+    assert sorted(f.name for f in wc.iterdir()) == [
+        "part-00000-corrupt.parquet"
+    ]
+
+
+def test_zero_output_docs_processed_once(spark, tmp_path):
+    """r15 (ADVICE r14): documents that emit ZERO store rows (fewer
+    tokens than the shingle/gram width, empty text) are recorded in the
+    zero-output manifest — they count as processed on first sight and
+    are never re-read by later compactions (previously they were
+    re-tokenized on every compaction forever)."""
+    from mutable_spark.streaming.compaction import (
+        extend_gram_store,
+        extend_signature_store,
+        extend_wordcount_store,
+    )
+
+    staged = tmp_path / "staged"
+    spark.createDataFrame(
+        [
+            (1, "s", ""),  # empty text: zero rows in every store
+            (2, "s", "only two"),  # sub-3-token: no shingle, no k-gram
+            (3, "s", ("tok" + " word abc def" * 10)),  # emits rows
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(str(staged))
+    for ext, sub in [
+        (extend_signature_store, "signatures"),
+        (extend_gram_store, "grams"),
+        (extend_wordcount_store, "wordcounts"),
+    ]:
+        store = tmp_path / f"store_{sub}"
+        assert ext(spark, str(staged), str(store)) == 3, sub
+        assert ext(spark, str(staged), str(store)) == 0, sub
