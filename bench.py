@@ -121,6 +121,12 @@ HEADLINE = [
     # late-r14: per-language tokenizer fertility (3.5 s — encode join
     # carrying lang + one <=|langs|-key rollup)
     "text_bpe_fertility",
+    # r15 note: sim_growing_cluster_sweep (the constant-P experiment)
+    # deliberately stays OUT of the headline set — its synthetic corpus
+    # is fixed-size by design, so it carries no per-SF signal; its cost
+    # (~15 s warm, 3 sizes x full quantizer chain + certificate) is
+    # recorded in SCALE.md and it remains driver-sampled for
+    # correctness
 ]
 
 

@@ -2802,6 +2802,348 @@ def _register_multiprobe_sweep_oracle():
 _register_multiprobe_sweep_oracle()
 
 
+# --- growing-cluster constant-P experiment (r15) ----------------------------
+#: three corpus sizes (16× span), each with c = ⌊√n⌋ + 3 synthetic
+#: clusters — cluster count GROWS with N, the geometry SCALE.md's
+#: constant-P claim is about (the production corpus holds its blob
+#: count fixed at 10 at every SF, which is what forces the derived P
+#: to grow there)
+_GC_SIZES = (256, 1024, 4096)
+_GC_DIM = 64
+_GC_MOD = 10007
+_GC_NOISE = 7
+_GC_SCALE = 65536.0
+#: pair threshold for the experiment: the synthetic geometry separates
+#: cleanly (measured max cross-cluster cosine 0.37, min within-cluster
+#: 0.9996), so 0.8 makes "true pair" == "same cluster" by measurement,
+#: not assumption — the exact baseline below still COMPUTES it
+_GC_COS = 0.8
+#: the CONSTANT probe depths under test (the claim: a constant depth
+#: holds the recall bar at every size when cluster count grows with N)
+_GC_P_MAX = 2
+
+
+def _growing_cluster_corpus(spark, n: int, c: int):
+    """Deterministic synthetic embedding corpus: ``c`` clusters of
+    exact-integer centers (quadratic index hash mod a prime, scaled
+    10×) plus small integer noise, divided by 2^16 so every component
+    is an exactly representable double ≤ 0.77 in magnitude (the
+    scaled-long dot machinery's range). Cluster of vector i is
+    i % c — deliberately MISALIGNED with the Lloyd init's i % k cells
+    (c = k + 3), so the quantizer must actually re-discover the
+    clusters from a residue-mixed start."""
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+
+    def comp(d):
+        h = (F.col("vec_id") % c) * _GC_DIM + d
+        cen = (h * h * 7919 + h * 131) % _GC_MOD - _GC_MOD // 2
+        noise = (
+            F.col("vec_id") * 1009 + d * 383
+        ) % _GC_NOISE - _GC_NOISE // 2
+        return (cen * 10 + noise).cast("double") / F.lit(_GC_SCALE)
+
+    emb = F.transform(F.sequence(F.lit(0), F.lit(_GC_DIM - 1)), comp)
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+@query("sim_growing_cluster_sweep", oracle=None)  # assigned below
+def sim_growing_cluster_sweep(spark, sf_dir):
+    """MEASURE the constant-P claim (r15 — VERDICT r14 item #2):
+    SCALE.md attributes the derived probe depth's growth (total
+    ~N^{7/4}) to the production corpus' FIXED 10-blob geometry and
+    claims a corpus whose natural cluster count grows with N certifies
+    a CONSTANT depth (restoring ~N^{3/2}). Per the repo's own
+    "measured instead of asserted" rule, this query stages that corpus
+    — three sizes spanning 16× with c = ⌊√n⌋ + 3 clusters each — runs
+    the LITERAL production quantizer (`retrained_cells`: ⌊√n⌋ cells,
+    2 Lloyd rounds, vec_id % k init) and reports blocking recall at
+    the constant depths P ∈ {1, 2} against the exact baseline:
+    (n, k, c, p, n_exact, n_hits, recall_bp, sep_bound_bp, sep_ok).
+
+    The ``sf_dir`` tables are deliberately unused: the corpus is the
+    experiment's controlled variable (cluster count must grow with N,
+    which no fixed testdata SF provides), generated by exact integer
+    arithmetic both engines reproduce bit-for-bit. The cluster/init
+    misalignment (c = k + 3, CRT-mixing the residues) makes the Lloyd
+    recovery real: the init cell of a vector says nothing about its
+    cluster.
+
+    The exact baseline stays LINEAR-ish instead of all-pairs quadratic
+    (the first cut cost 87 s at n=4096): true pairs are evaluated
+    exactly on the cluster-equi join (n·(n/c)/2 pairs), and the
+    excluded cross-cluster pairs are covered by a COMPUTED spherical
+    separation certificate — with t = max cross-cluster center cosine
+    and v = min vector-to-own-center cosine, every cross pair's cosine
+    is ≤ bound = t·(2v²−1) + √(1−t²)·(2v)·√(1−v²)  (the spherical
+    triangle inequality cos(θ−2δ) expanded with sqrt only — no
+    libm-dependent trig), and `sep_ok` pins bound < the 0.8 pair
+    threshold in BOTH engines (measured bound ≈ 0.40). So "exact" is
+    still computed, not assumed — and this certificate shape is
+    exactly how the baseline stays checkable at 100 TB.
+
+    Measured result (sf-independent): recall@1 = recall@2 = 10000 bp
+    at ALL THREE sizes — the constant-P claim, now a driver-checked
+    integer instead of a SCALE.md paragraph."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
+
+    out = None
+    for n in _GC_SIZES:
+        k = _sqrt_cells(n)
+        c = k + 3
+        e = _growing_cluster_corpus(spark, n, c)
+        lab = retrained_cells(e, k)
+        staged = _staged_with_labels(e, lab).localCheckpoint(eager=False)
+        assign = _multiprobe_assign(staged, _GC_P_MAX)
+        a = assign.select(
+            F.col("vec_id").alias("vec_a"), "cell", F.col("rk").alias("ra")
+        )
+        b = assign.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("cell").alias("cell_b"),
+            F.col("rk").alias("rb"),
+        )
+        thr = (
+            a.join(
+                b,
+                (F.col("cell") == F.col("cell_b"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .groupBy("vec_a", "vec_b")
+            .agg(F.min(F.greatest("ra", "rb")).alias("p_thr"))
+        )
+        ea = staged.select(
+            F.col("vec_id").alias("vec_a"),
+            (F.col("vec_id") % c).alias("ga"),
+            F.col("embedding").alias("ea"),
+            vec_norm(F.col("embedding")).alias("na"),
+        )
+        eb = staged.select(
+            F.col("vec_id").alias("vec_b"),
+            (F.col("vec_id") % c).alias("gb"),
+            F.col("embedding").alias("eb"),
+            vec_norm(F.col("embedding")).alias("nb"),
+        )
+        exact = (
+            ea.join(
+                eb,
+                (F.col("ga") == F.col("gb"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .filter(
+                vec_cosine_pre(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                )
+                >= _GC_COS
+            )
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=False)
+        )
+        n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        true_thr = (
+            exact.join(thr, ["vec_a", "vec_b"], "left")
+            .groupBy("p_thr")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # separation certificate: noise-free centers, exact cosines
+        cen = _growing_cluster_centers(spark, c)
+        vmin = (
+            staged.select(
+                (F.col("vec_id") % c).alias("g"),
+                F.col("embedding").alias("x"),
+                vec_norm(F.col("embedding")).alias("nx"),
+            )
+            .join(F.broadcast(cen), "g")
+            .agg(
+                F.min(
+                    vec_cosine_pre(
+                        F.col("x"), F.col("cen"), F.col("nx"), F.col("ncen")
+                    )
+                ).alias("v")
+            )
+        )
+        tmax = (
+            cen.alias("x")
+            .join(
+                cen.alias("y"), F.col("x.g") < F.col("y.g")
+            )
+            .agg(
+                F.max(
+                    vec_cosine_pre(
+                        F.col("x.cen"),
+                        F.col("y.cen"),
+                        F.col("x.ncen"),
+                        F.col("y.ncen"),
+                    )
+                ).alias("t")
+            )
+        )
+        sep = (
+            vmin.crossJoin(F.broadcast(tmax))
+            .select(
+                (
+                    F.col("t") * (2 * F.col("v") * F.col("v") - 1)
+                    + F.sqrt(1 - F.col("t") * F.col("t"))
+                    * (2 * F.col("v"))
+                    * F.sqrt(1 - F.col("v") * F.col("v"))
+                ).alias("bound")
+            )
+            .select(
+                F.floor(F.col("bound") * 10000)
+                .cast("long")
+                .alias("sep_bound_bp"),
+                (F.col("bound") < F.lit(_GC_COS))
+                .cast("long")
+                .alias("sep_ok"),
+            )
+        )
+        ps = spark.range(1, _GC_P_MAX + 1).select(
+            F.col("id").cast("int").alias("p")
+        )
+        row = (
+            ps.join(F.broadcast(true_thr), F.col("p_thr") <= F.col("p"), "left")
+            .groupBy("p")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_hits")
+            )
+            .crossJoin(F.broadcast(n_exact))
+            .crossJoin(F.broadcast(sep))
+            .select(
+                F.lit(n).cast("long").alias("n"),
+                F.lit(k).cast("long").alias("k"),
+                F.lit(c).cast("long").alias("c"),
+                F.col("p").cast("long").alias("p"),
+                "n_hits",
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.expr(
+                    "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                    " ELSE n_hits * 10000 div n_exact END AS BIGINT)"
+                ).alias("recall_bp"),
+                "sep_bound_bp",
+                "sep_ok",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n", "p")
+
+
+def _growing_cluster_centers(spark, c: int):
+    """(g, cen, ncen) — the noise-free cluster centers of the synthetic
+    corpus (the generator's center term alone), with hoisted norms."""
+    from mutable_spark.functions import vec_norm
+
+    ids = spark.range(c).select(F.col("id").alias("g"))
+
+    def comp(d):
+        h = F.col("g") * _GC_DIM + d
+        cenv = (h * h * 7919 + h * 131) % _GC_MOD - _GC_MOD // 2
+        return (cenv * 10).cast("double") / F.lit(_GC_SCALE)
+
+    emb = F.transform(F.sequence(F.lit(0), F.lit(_GC_DIM - 1)), comp)
+    return ids.select(
+        "g", emb.alias("cen"), vec_norm(emb).alias("ncen")
+    )
+
+
+def _register_growing_cluster_oracle():
+    from mutable_spark.operators.similarity import _sql_cos
+    from mutable_spark.registry import ORACLES
+
+    dim = _GC_DIM
+    parts = []
+    selects = []
+    for n in _GC_SIZES:
+        k = _sqrt_cells(n)
+        c = k + 3
+        h = f"((i % {c}) * {dim} + d)"
+        cenx = f"(({h} * {h} * 7919 + {h} * 131) % {_GC_MOD} - {_GC_MOD // 2})"
+        noise = f"((i * 1009 + d * 383) % {_GC_NOISE} - {_GC_NOISE // 2})"
+        hg = f"(g * {dim} + d)"
+        cengr = (
+            f"(({hg} * {hg} * 7919 + {hg} * 131) % {_GC_MOD}"
+            f" - {_GC_MOD // 2})"
+        )
+        parts.append(f"""gen{n} AS MATERIALIZED (
+        SELECT i AS vec_id,
+               list_transform(range(0, {dim}),
+                   d -> CAST({cenx} * 10 + {noise} AS DOUBLE) / {_GC_SCALE})
+                   AS embedding
+        FROM range({n}) t(i))""")
+        parts.append(
+            f"lab0g{n} AS (SELECT vec_id,"
+            f" CAST(vec_id % {k} AS INT) AS cell FROM gen{n})"
+        )
+        parts.append(_sql_assign_round(f"gen{n}", f"lab0g{n}", f"_g{n}r1", 1))
+        parts.append(
+            _sql_assign_round(f"gen{n}", f"assign_g{n}r1", f"_g{n}r2", 1)
+        )
+        parts.append(
+            _sql_assign_round(
+                f"gen{n}", f"assign_g{n}r2", f"_g{n}", _GC_P_MAX
+            )
+        )
+        parts.append(f"""thr{n} AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               MIN(GREATEST(a.rk, b.rk)) AS p_thr
+        FROM assign_g{n} a JOIN assign_g{n} b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)""")
+        parts.append(f"""exact{n} AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM gen{n} a JOIN gen{n} b
+          ON a.vec_id % {c} = b.vec_id % {c} AND a.vec_id < b.vec_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_GC_COS})""")
+        parts.append(f"""nx{n} AS (SELECT COUNT(*) AS n_exact FROM exact{n})""")
+        parts.append(f"""tt{n} AS (
+        SELECT t.p_thr, COUNT(*) AS c
+        FROM exact{n} e LEFT JOIN thr{n} t
+          ON t.vec_a = e.vec_a AND t.vec_b = e.vec_b
+        GROUP BY t.p_thr)""")
+        parts.append(f"""cen{n} AS MATERIALIZED (
+        SELECT g, list_transform(range(0, {dim}),
+                   d -> CAST({cengr} * 10 AS DOUBLE) / {_GC_SCALE}) AS cen
+        FROM range({c}) t(g))""")
+        parts.append(f"""vmin{n} AS (
+        SELECT MIN({_sql_cos('x.embedding', 'cf.cen')}) AS v
+        FROM gen{n} x JOIN cen{n} cf ON cf.g = x.vec_id % {c})""")
+        parts.append(f"""tmax{n} AS (
+        SELECT MAX({_sql_cos('x.cen', 'y.cen')}) AS t
+        FROM cen{n} x JOIN cen{n} y ON x.g < y.g)""")
+        parts.append(f"""sep{n} AS (
+        SELECT CAST(floor(bound * 10000) AS BIGINT) AS sep_bound_bp,
+               CAST(bound < {_GC_COS} AS BIGINT) AS sep_ok
+        FROM (SELECT t * (2 * v * v - 1)
+                     + sqrt(1 - t * t) * (2 * v) * sqrt(1 - v * v)
+                     AS bound
+              FROM vmin{n}, tmax{n}))""")
+        selects.append(f"""
+        SELECT CAST({n} AS BIGINT) AS n, CAST({k} AS BIGINT) AS k,
+               CAST({c} AS BIGINT) AS c, CAST(ps.p AS BIGINT) AS p,
+               CAST(COALESCE(SUM(tt{n}.c), 0) AS BIGINT) AS n_hits,
+               CAST(MIN(nx{n}.n_exact) AS BIGINT) AS n_exact,
+               CAST(CASE WHEN MIN(nx{n}.n_exact) = 0 THEN 10000
+                    ELSE COALESCE(SUM(tt{n}.c), 0) * 10000
+                         // MIN(nx{n}.n_exact) END AS BIGINT) AS recall_bp,
+               MIN(sep{n}.sep_bound_bp) AS sep_bound_bp,
+               MIN(sep{n}.sep_ok) AS sep_ok
+        FROM (SELECT CAST(unnest(generate_series(1, {_GC_P_MAX}))
+                     AS INT) AS p) ps
+        LEFT JOIN tt{n} ON tt{n}.p_thr <= ps.p
+        CROSS JOIN nx{n}
+        CROSS JOIN sep{n}
+        GROUP BY ps.p""")
+    joined = ",\n    ".join(parts)
+    unions = " UNION ALL ".join(selects)
+    ORACLES["sim_growing_cluster_sweep"] = f"""
+    WITH {joined}
+    SELECT * FROM ({unions}) ORDER BY n, p
+    """
+
+
+_register_growing_cluster_oracle()
+
+
 def refreshed_cells(e):
     """(vec_id, cell) — each vector's NEAREST derived-centroid cell, the
     rk=1 slice of the multiprobe assignment: the refreshed coarse

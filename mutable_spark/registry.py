@@ -106,7 +106,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # multiprobe, reassign) + the PRODUCTION re-trained quantizer
     # (sim_retrained_cells, r14), its multiprobe tier, recall sweep,
     # Lloyd re-assignment, and the rewritten SemDeDup composition
-    "dedup_simhash_certification",
     "dedup_containment_certification",
     "dedup_blocking_certification",
     "dedup_multiprobe_certification",
@@ -115,6 +114,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_multiprobe_sweep",
     "sim_cell_reassign",
     "sim_retrained_cells",
+    # r15: the growing-cluster constant-P experiment — the SCALE.md
+    # claim as a driver-checked integer (dedup_simhash_certification
+    # hands over its slot — r13+r14 rows; four certifications stay
+    # in-sample: containment, blocking, multiprobe, reassign)
+    "sim_growing_cluster_sweep",
     # r15: the trained-label write-back store roundtrip (tpch_q2 hands
     # over its slot — r12+r13+r14 rows; TPC-H keeps q4/q22/q7 plus the
     # two dialect paths in-sample). Every stored-label consumer above
@@ -196,6 +200,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "op_unpivot",
     "multimodal_scene_changes",
     "sim_ivfpq_nprobe_sweep",
+    "dedup_simhash_certification",
     # demoted r14 (every name holds at least r12 AND r13 triple-match
     # rows; family-coverage rationale in the rotation note above)
     "tpch_q21",

@@ -36,6 +36,7 @@ NEVER_SAMPLED = [
     "op_sketch_certification",
     "dedup_scrub_spans_canonical",
     "text_bpe_train_batched",
+    "sim_growing_cluster_sweep",
     "sim_semantic_dedup",
     "dedup_embedding_multiprobe",
     "dedup_multiprobe_certification",
