@@ -40,39 +40,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are exactly registration indices 0-49).  This list orders the registry
 # so one 50-query sample covers every distinct operator family.
 #
-# Round-14 rotation (eighth application of the r7-verdict practice,
-# executing r13 verdict item #3): rotate IN the four late-r13
-# registrations that have never held a driver row (sim_ann_recall,
-# pipeline_preference_pairs, pipeline_span_corruption,
-# source_binary_scan), the REWRITTEN sim_semantic_dedup (its r9/r10 rows
-# certified the old single-cell composition; the production path is now
-# retrained-√N multiprobe → global components and needs a fresh
-# triple-match), and the r14 additions (sim_retrained_cells — the
-# production coarse quantizer itself — and multimodal_binary_extract,
-# the binaryFile-fed decode path). The slots come ONLY from names
-# holding at least r12 AND r13 triple-match rows, with every family
-# keeping members in-sample:
-#   * TPC-H: q13/q16/q18/q19 demote [r11+r12+r13 rows each] — eleven
-#     TPC-H builders plus the two deep dialect paths stay in-sample;
-#   * sources: source_jsonl_roundtrip demotes [r11-r13 rows] —
-#     csv_roundtrip keeps the text-format path and binary_scan joins;
-#   * dedup certifications: dedup_tier_certification (MinHash-LSH)
-#     demotes [r12+r13 rows] — five certifications remain in-sample
-#     (simhash, containment, blocking, multiprobe, reassign) and the
-#     LSH tier itself still runs verbatim inside in-sample
-#     pipeline_decontaminate_fuzzy / split_leakage_safe;
-#   * events: events_changepoint_cusum demotes [r11+r12+r13 rows] —
-#     ab_test + funnel_steps keep the family;
-#   * text: text_quality_centroid demotes [r12+r13 rows] — bm25 keeps
-#     the family;
-#   * sim: sim_matryoshka_recall demotes [r12+r13 rows] —
-#     sim_matryoshka_search runs the same prefix machinery in-sample;
-#     its slot goes to the r14 sim_lsh_band_sweep (with
-#     pipeline_preference_topm and multimodal_binary_extract the other
-#     r14 additions in-sample).
+# Round-15 rotation (ninth application of the r7-verdict practice,
+# executing r14 verdict item #7): CORRECTNESS_r14 was the fifth 50/50
+# clean sweep and rotation debt reached zero, so this round rotates IN
+# (a) the six r15 registrations (sim_label_store_roundtrip,
+# op_sketch_certification, dedup_scrub_spans_canonical,
+# text_bpe_train_batched, sim_growing_cluster_sweep — and sim_ann_lsh
+# returns for its Spark-side NULL-chunk rewrite), and (b) keeps every
+# r14 one-green-row name in-sample one more round as ordered. The five
+# stored-label consumers (sim_semantic_dedup, dedup_embedding_multiprobe,
+# dedup_multiprobe_certification, dedup_multiprobe_sweep,
+# pipeline_decontaminate_semantic) and the oracle-rewritten binary/LSH
+# ops (source_binary_scan, multimodal_binary_extract, sim_ann_recall,
+# sim_lsh_band_sweep) are REWRITES needing fresh rows — all already
+# in-sample. Slots come ONLY from names holding ≥2 green driver rows,
+# families kept:
+#   * TPC-H: tpch_q2 demotes [r12+r13+r14] — q4/q22/q7 + both dialect
+#     paths stay;
+#   * sim: sim_matryoshka_search [r13+r14] and sim_ivfpq_nprobe_sweep
+#     [r13+r14] demote — ivfpq_search + ivf_balance keep the serving
+#     stack, ann_lsh/ann_recall/band_sweep keep LSH;
+#   * physical: op_unpivot demotes [r13+r14] — group_join/merge_upsert
+#     keep the family, the Expand pin stays local;
+#   * multimodal: multimodal_scene_changes demotes [r12+r13+r14] —
+#     binary_extract keeps the family;
+#   * dedup certifications: dedup_simhash_certification demotes
+#     [r13+r14] — containment/blocking/multiprobe/reassign stay.
 # All demoted names remain green in the local oracle suite
-# (tests/test_queries_oracle.py runs ALL registrations). The r13
-# rotation note (twelve-in/twelve-out) lives in git history.
+# (tests/test_queries_oracle.py runs ALL registrations). The r14
+# rotation note lives in git history.
 _SAMPLE_PRIORITY: list[str] = [
     # physical/DML: fused group-join (partitioning-reuse pin), MERGE
     # INTO upsert arbitration, UNPIVOT/melt (Expand, no shuffle)
