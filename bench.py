@@ -121,6 +121,10 @@ HEADLINE = [
     # late-r14: per-language tokenizer fertility (3.5 s — encode join
     # carrying lang + one <=|langs|-key rollup)
     "text_bpe_fertility",
+    # r15: DSIR importance-resampling selection (one cached token scan
+    # feeding two <=4096-row bucket rollups, a broadcast weight attach,
+    # and the per-doc mean/acceptance pass)
+    "pipeline_dsir_select",
     # r15 note: sim_growing_cluster_sweep (the constant-P experiment)
     # deliberately stays OUT of the headline set — its synthetic corpus
     # is fixed-size by design, so it carries no per-SF signal; its cost

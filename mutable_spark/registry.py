@@ -43,10 +43,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-15 rotation (ninth application of the r7-verdict practice,
 # executing r14 verdict item #7): CORRECTNESS_r14 was the fifth 50/50
 # clean sweep and rotation debt reached zero, so this round rotates IN
-# (a) the six r15 registrations (sim_label_store_roundtrip,
+# (a) the seven r15 registrations (sim_label_store_roundtrip,
 # op_sketch_certification, dedup_scrub_spans_canonical,
-# text_bpe_train_batched, sim_growing_cluster_sweep — and sim_ann_lsh
-# returns for its Spark-side NULL-chunk rewrite), and (b) keeps every
+# text_bpe_train_batched, sim_growing_cluster_sweep,
+# pipeline_dsir_select — and sim_ann_lsh returns for its Spark-side
+# NULL-chunk rewrite), and (b) keeps every
 # r14 one-green-row name in-sample one more round as ordered. The five
 # stored-label consumers (sim_semantic_dedup, dedup_embedding_multiprobe,
 # dedup_multiprobe_certification, dedup_multiprobe_sweep,
@@ -65,7 +66,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   * multimodal: multimodal_scene_changes demotes [r12+r13+r14] —
 #     binary_extract keeps the family;
 #   * dedup certifications: dedup_simhash_certification demotes
-#     [r13+r14] — containment/blocking/multiprobe/reassign stay.
+#     [r13+r14] — containment/blocking/multiprobe/reassign stay;
+#   * pipeline: pipeline_decontaminate_fuzzy demotes [r13+r14] — its
+#     slot goes to the r15 pipeline_dsir_select; eight pipeline names
+#     stay in-sample and the MinHash-LSH tier it exercises runs
+#     verbatim inside in-sample pipeline_split_leakage_safe.
 # All demoted names remain green in the local oracle suite
 # (tests/test_queries_oracle.py runs ALL registrations). The r14
 # rotation note lives in git history.
@@ -176,8 +181,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_bpe_encode",
     "text_bpe_sweep",
     # pipeline: curation composition + leakage-safe split + the r13/r14
-    # DPO preference-pair builds and T5 span-corruption layout
-    "pipeline_decontaminate_fuzzy",
+    # DPO preference-pair builds and T5 span-corruption layout, plus the
+    # r15 DSIR importance-resampling selector (pipeline_decontaminate_fuzzy
+    # hands over its slot — r13+r14 rows; the MinHash-LSH tier it runs
+    # stays in-sample verbatim inside pipeline_split_leakage_safe)
+    "pipeline_dsir_select",
     "pipeline_end_to_end",
     "pipeline_split_leakage_safe",
     "pipeline_decontaminate_semantic",
@@ -189,8 +197,13 @@ _SAMPLE_PRIORITY: list[str] = [
     # r12+r13 rows, TPC-H keeps four in-sample rows)
     "pipeline_bpe_budget_sample",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
+    # late-r15 registrations (no driver row yet — r16 rotation
+    # candidates; their Spark==DuckDB contracts are value-checked by
+    # the local suite like every other registration)
+    "pipeline_dsir_sweep",
     # demoted r15 (r12+r13+r14 rows; correlated-subquery family stays
     # in-sample via tpch_q22 and dialect paths)
+    "pipeline_decontaminate_fuzzy",
     "tpch_q2",
     "sim_matryoshka_search",
     "op_unpivot",

@@ -233,6 +233,10 @@ def extend_vector_store(
     return n_new
 
 
+def _label_dir(store_dir: str, n: int, rounds: int) -> Path:
+    return Path(store_dir) / "labels" / f"n{n}_r{rounds}"
+
+
 def compact_embedding_classes(
     spark: SparkSession, staged_dir: str, store_dir: str
 ) -> DataFrame:
@@ -245,11 +249,25 @@ def compact_embedding_classes(
     construction. With the r14 quantizer switch this means each
     compaction re-trains k = ⌊√(store size)⌋ cells — the cell count
     follows ingest growth and the stream operating point stays the
-    batch operating point at every store size."""
+    batch operating point at every store size.
+
+    r15: the compaction MAINTAINS the trained-label store beside the
+    vectors — the streaming half of the write-back path the batch
+    consumers read (`stored_retrained_labels`). Labels for the current
+    store size are trained ONCE, written under
+    ``labels/n{N}_r{rounds}``, and every same-size re-run (crash
+    replay, idempotent re-delivery) READS them instead of re-entering
+    the Lloyd chain; a grown store gets a fresh version directory, so
+    the re-train follows ingest growth exactly as before. The Lloyd
+    chain is bit-deterministic, so trained-then-stored and in-plan
+    labels are identical and the stream==batch equality is unchanged."""
     import pyspark.sql.functions as F
 
     from mutable_spark.operators.dedup import (
+        _RETRAIN_ROUNDS,
+        _sqrt_cells,
         connected_components,
+        retrained_cells,
         retrained_multiprobe_pairs,
     )
 
@@ -262,8 +280,17 @@ def compact_embedding_classes(
     # all-time corpus size
     e = spark.read.parquet(str(_vector_dir(store_dir))).cache()
     try:
+        n = e.count()
+        k = _sqrt_cells(n)
+        lab_dir = _label_dir(store_dir, n, _RETRAIN_ROUNDS)
+        lab = _read_store(spark, lab_dir)
+        if lab is None:
+            retrained_cells(e, k, _RETRAIN_ROUNDS).write.mode(
+                "overwrite"
+            ).parquet(str(lab_dir))
+            lab = spark.read.parquet(str(lab_dir))
         pairs = (
-            retrained_multiprobe_pairs(e)
+            retrained_multiprobe_pairs(e, labels=lab, k=k)
             .select(
                 F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
             )

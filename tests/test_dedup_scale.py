@@ -726,3 +726,47 @@ def test_bpe_batched_equals_sequential_on_disjoint_rules(spark, tmp_path):
         ("e", "f", 20),
         ("g", "h", 10),
     ]
+
+
+def test_dsir_selects_on_target_distribution(spark, tmp_path):
+    """r15 DSIR selector: on a corpus where the benchmark stand-in
+    (doc_id % 25 == 0) draws from vocabulary A, pool documents written
+    in vocabulary A must score strictly above pool documents written in
+    disjoint vocabulary B, every on-target pool document must be
+    selected (its score IS the maximum, and the acceptance draw
+    u < 1e6 always passes at p=1), and at least one off-target document
+    must be rejected — the discrimination the production corpus cannot
+    show (its languages share one uniform vocabulary; see the op
+    docstring)."""
+    import os
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    text_a = " ".join(["alpha beta gamma delta"] * 8)  # 32 tokens, vocab A
+    text_b = " ".join(" ".join(f"off{i}" for i in range(20)) for _ in range(2))
+    docs = [(i, text_a, "s", "en", 0) for i in (0, 25)]  # targets
+    docs += [(i, text_a, "s", "en", 0) for i in (1, 2, 3)]  # on-target pool
+    docs += [(i, text_b, "s", "en", 0) for i in (6, 7, 8, 9, 11)]  # off-target
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["pipeline_dsir_select"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 6, 7, 8, 9, 11}  # pool only, targets excluded
+    a_scores = [rows[i].score for i in (1, 2, 3)]
+    b_scores = [rows[i].score for i in (6, 7, 8, 9, 11)]
+    assert min(a_scores) > max(b_scores)
+    assert all(rows[i].selected for i in (1, 2, 3))
+    assert not all(rows[i].selected for i in (6, 7, 8, 9, 11))

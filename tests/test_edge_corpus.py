@@ -142,6 +142,13 @@ _DOC_OPS = [
     # r13: span corruption — tokenization of empty/regex-metachar text
     # and the trailing mask window must lay out identically
     "pipeline_span_corruption",
+    # r15: DSIR selection — the edge target (doc 0 alone: EMPTY text,
+    # whose token stream is the single '' token) must produce identical
+    # smoothed bucket weights, scores, and acceptance draws in both
+    # engines on unicode/metachar pool docs — and the bucket-count
+    # sweep's three folds must summarize identically
+    "pipeline_dsir_select",
+    "pipeline_dsir_sweep",
     # r15 (ADVICE r14): the binary-ingestion ops' oracles now recompute
     # mean_byte/first_byte from encode(text) BLOB bytes, so they hold on
     # non-ASCII corpora — the MOD sample here is doc 0 (empty payload)

@@ -1153,3 +1153,24 @@ def test_canonical_scrub_no_broadcast_of_derived_sides(plans):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
     assert joins and set(joins) == {"ShuffledHashJoin"}, joins
+
+
+def test_dsir_weight_table_broadcasts_fact_never(plans):
+    """pipeline_dsir_select (r15): the bucket-weight table joins the
+    token stream as an explicit broadcast — CORRECT here because the
+    bucket domain is FIXED (≤ _DSIR_BUCKETS rows at any corpus size),
+    unlike the corpus-growing label stores this suite pins to
+    shuffle-hash. The corpus is scanned ONCE (the cached token stream
+    feeds all four consumers), the per-doc rollup is the only
+    corpus-sized exchange key, and the two scalar frames arrive as
+    1-row broadcast cross joins, never a CartesianProduct."""
+    import re
+
+    p = plans("pipeline_dsir_select")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    # every consumer reads the ONE cached token stream: all Scan parquet
+    # mentions in the tree are the same node (one physical corpus scan)
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, tree

@@ -33,6 +33,7 @@ NEVER_SAMPLED = [
     # sim_lsh_band_sweep — in-sample; sim_ann_lsh is rotated back in
     # below for its Spark-side NULL-chunk change).
     "sim_label_store_roundtrip",
+    "pipeline_dsir_select",
     "op_sketch_certification",
     "dedup_scrub_spans_canonical",
     "text_bpe_train_batched",

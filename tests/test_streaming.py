@@ -1684,6 +1684,56 @@ def test_stream_plus_compaction_equals_batch_embedding_classes(spark, tmp_path):
     ]
     assert straddles, "no semantic class crossed the delivery boundary"
 
+    # r15: the compaction maintained the trained-label store beside the
+    # vectors — one version directory per store size, and the final
+    # labels equal the batch re-train bit-for-bit
+    from mutable_spark.operators import dedup
+    from mutable_spark.streaming.compaction import _label_dir
+
+    lab_dir = _label_dir(str(store), e.count(), dedup._RETRAIN_ROUNDS)
+    assert lab_dir.is_dir() and any(
+        f.name.startswith("part-") for f in lab_dir.iterdir()
+    )
+    stored = sorted(
+        map(tuple, spark.read.parquet(str(lab_dir)).collect())
+    )
+    batch_lab = sorted(
+        map(
+            tuple,
+            dedup.retrained_cells(
+                e, dedup._sqrt_cells(e.count()), dedup._RETRAIN_ROUNDS
+            ).collect(),
+        )
+    )
+    assert stored == batch_lab
+
+
+def test_embedding_compaction_rerun_reads_label_store(
+    spark, tmp_path, monkeypatch
+):
+    """r15: a same-size compaction re-run (crash replay / idempotent
+    re-delivery) must READ the maintained label store instead of
+    re-entering the Lloyd chain — pinned by poisoning
+    `retrained_cells` after the first compaction; the re-run must still
+    emit the identical classes."""
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators import dedup
+    from mutable_spark.streaming.compaction import compact_embedding_classes
+
+    e = load_tables(spark, SF_DIR).embeddings
+    staged = tmp_path / "staged"
+    store = tmp_path / "store"
+    e.coalesce(1).write.parquet(str(staged))
+
+    first = compact_embedding_classes(spark, str(staged), str(store)).collect()
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("label store hit expected: re-training is the bug")
+
+    monkeypatch.setattr(dedup, "retrained_cells", boom)
+    again = compact_embedding_classes(spark, str(staged), str(store)).collect()
+    assert _rows(again) == _rows(first)
+
 
 def test_extend_vector_store_idempotent_without_success_marker(
     spark, tmp_path
