@@ -2526,3 +2526,143 @@ def pipeline_dsir_sweep(spark, sf_dir):
 
 
 _register_dsir_sweep_oracle()
+
+
+# --------------------------------------------------------------------------
+#: UniMax epoch cap (Chung et al. 2023, "UniMax: Fairer and More
+#: Effective Language Sampling for Large-Scale Multilingual
+#: Pretraining", ICLR 2023): no language may be repeated for more than
+#: `_UNIMAX_EPOCH_CAP` epochs; the token budget is the module's
+#: half-corpus convention (`pipeline_mix_temperature`'s n_tgt rule).
+_UNIMAX_EPOCH_CAP = 3
+
+
+@query(
+    "pipeline_mix_unimax",
+    oracle=rf"""
+    WITH s AS (
+        SELECT lang,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS n_tok
+        FROM documents GROUP BY lang
+    ),
+    o AS (
+        SELECT lang, n_tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tok, lang) AS BIGINT) AS i,
+               CAST(SUM(n_tok) OVER (ORDER BY n_tok, lang
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_incl,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m,
+               CAST(SUM(n_tok) OVER () AS BIGINT) // 2 AS b
+        FROM s
+    ),
+    c AS (
+        SELECT *,
+               MIN(CASE WHEN {_UNIMAX_EPOCH_CAP} * n_tok * (m - i + 1)
+                             + {_UNIMAX_EPOCH_CAP} * (s_incl - n_tok) <= b
+                        THEN 1 ELSE 0 END)
+                   OVER (ORDER BY n_tok, lang ROWS UNBOUNDED PRECEDING)
+                   AS capped
+        FROM o
+    ),
+    g AS (
+        SELECT *,
+               CAST(SUM(capped) OVER () AS BIGINT) AS p,
+               CAST(SUM(n_tok * capped) OVER () AS BIGINT) AS s_p
+        FROM c
+    )
+    SELECT lang, n_tok,
+           CAST(CASE WHEN capped = 1 THEN {_UNIMAX_EPOCH_CAP} * n_tok
+                ELSE (b - {_UNIMAX_EPOCH_CAP} * s_p) // (m - p)
+                     + CASE WHEN i - p <=
+                                 (b - {_UNIMAX_EPOCH_CAP} * s_p) % (m - p)
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tok,
+           CAST(CASE WHEN capped = 1 THEN {_UNIMAX_EPOCH_CAP} * n_tok
+                ELSE (b - {_UNIMAX_EPOCH_CAP} * s_p) // (m - p)
+                     + CASE WHEN i - p <=
+                                 (b - {_UNIMAX_EPOCH_CAP} * s_p) % (m - p)
+                            THEN 1 ELSE 0 END
+                END * 10000 // n_tok AS BIGINT) AS epochs_bp,
+           capped = 1 AS capped
+    FROM g
+    """,
+)
+def pipeline_mix_unimax(spark, sf_dir):
+    """UniMax language-sampling allocation (Chung et al. 2023): give
+    every language at most `_UNIMAX_EPOCH_CAP` epochs of its tokens and
+    waterfill the remaining budget UNIFORMLY over the others — the
+    fairness rule that replaced temperature sampling for multilingual
+    pretraining mixes (temperature mixing over-samples mid-size
+    languages; UniMax caps repetition explicitly). The sequential
+    waterfill has a closed form this op computes with two ordered
+    windows: ascending by token count, a language is capped iff its
+    full cap fits its fair share AT ITS TURN (a running-AND window —
+    once one language is uncapped every later one is, because the fair
+    share is invariant from that point); the uncapped languages split
+    the leftover budget exactly, with the integer remainder granted one
+    token each in sort order so the allocation sums to the budget
+    EXACTLY. Budget = half the corpus' tokens (the module's mixing
+    convention); every column is exact integer arithmetic — alloc_tok
+    sums to the budget, epochs_bp ≤ cap·10000, and the driver checks
+    all of it.
+
+    Scale shape: ONE corpus scan (token counts are a map-side size())
+    partial-aggregated to ≤|languages| rows; every window runs on that
+    bounded frame (single-partition by construction — bounded by the
+    LANGUAGE count, never the corpus, the same justification as
+    `text_bpe_fertility`'s rollup). Nothing else touches the data."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    E = _UNIMAX_EPOCH_CAP
+    s = (
+        d.select(
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tok"))
+    )
+    wo = Window.orderBy("n_tok", "lang")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    o = (
+        s.withColumn("i", F.row_number().over(wo).cast("long"))
+        .withColumn("s_incl", F.sum("n_tok").over(run))
+        .withColumn("m", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn(
+            "b", F.expr("CAST(sum(n_tok) OVER () AS BIGINT) div 2")
+        )
+    )
+    cond = F.when(
+        E * F.col("n_tok") * (F.col("m") - F.col("i") + 1)
+        + E * (F.col("s_incl") - F.col("n_tok"))
+        <= F.col("b"),
+        1,
+    ).otherwise(0)
+    c = o.withColumn("capped", F.min(cond).over(run))
+    g = c.withColumn(
+        "p", F.sum("capped").over(wall).cast("long")
+    ).withColumn(
+        "s_p",
+        F.sum(F.col("n_tok") * F.col("capped")).over(wall).cast("long"),
+    )
+    leftover = F.col("b") - E * F.col("s_p")
+    share = F.expr(f"(b - {E} * s_p) div (m - p)")
+    rem = leftover % (F.col("m") - F.col("p"))
+    alloc = F.when(F.col("capped") == 1, E * F.col("n_tok")).otherwise(
+        share + F.when(F.col("i") - F.col("p") <= rem, 1).otherwise(0)
+    )
+    return g.select(
+        "lang",
+        "n_tok",
+        alloc.cast("long").alias("alloc_tok"),
+        F.expr(
+            f"CAST(CASE WHEN capped = 1 THEN {E} * n_tok"
+            f" ELSE (b - {E} * s_p) div (m - p)"
+            f"      + CASE WHEN i - p <= (b - {E} * s_p) % (m - p)"
+            f"             THEN 1 ELSE 0 END END"
+            f" * 10000 div n_tok AS BIGINT)"
+        ).alias("epochs_bp"),
+        (F.col("capped") == 1).alias("capped"),
+    )

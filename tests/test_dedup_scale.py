@@ -770,3 +770,45 @@ def test_dsir_selects_on_target_distribution(spark, tmp_path):
     assert min(a_scores) > max(b_scores)
     assert all(rows[i].selected for i in (1, 2, 3))
     assert not all(rows[i].selected for i in (6, 7, 8, 9, 11))
+
+
+def test_unimax_waterfill_caps_small_language(spark, tmp_path):
+    """r15 UniMax allocation: a hand-checkable three-language corpus
+    (10/100/1000 tokens, budget = 555, cap = 3 epochs) must cap the
+    smallest language at exactly 3 epochs and waterfill the leftover
+    uniformly with the integer remainder granted in sort order:
+    aa -> 30 (capped), bb -> 263, cc -> 262, summing EXACTLY to the
+    budget — the branch the production corpus (no capped language at
+    its token profile) cannot exercise."""
+    import os
+
+    from mutable_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    docs = [
+        (1, " ".join(["w"] * 10), "s", "aa", 0),
+        (2, " ".join(["w"] * 100), "s", "bb", 0),
+        (3, " ".join(["w"] * 1000), "s", "cc", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, f), str(tmp_path / f))
+    got = sorted(
+        (r.lang, r.n_tok, r.alloc_tok, r.epochs_bp, r.capped)
+        for r in registry.QUERIES["pipeline_mix_unimax"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [
+        ("aa", 10, 30, 30000, True),
+        ("bb", 100, 263, 26300, False),
+        ("cc", 1000, 262, 2620, False),
+    ]
+    assert sum(a for _, _, a, _, _ in got) == 555

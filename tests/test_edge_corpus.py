@@ -149,6 +149,10 @@ _DOC_OPS = [
     # sweep's three folds must summarize identically
     "pipeline_dsir_select",
     "pipeline_dsir_sweep",
+    # r15: UniMax allocation — the edge corpus' two-language profile
+    # (en-heavy, tiny fr) must waterfill identically, including the
+    # running-AND cap window over the ≤|langs| frame
+    "pipeline_mix_unimax",
     # r15 (ADVICE r14): the binary-ingestion ops' oracles now recompute
     # mean_byte/first_byte from encode(text) BLOB bytes, so they hold on
     # non-ASCII corpora — the MOD sample here is doc 0 (empty payload)
