@@ -2326,7 +2326,16 @@ def pipeline_dsir_select(spark, sf_dir):
     # session-lifetime tier-cache contract as the tf-idf tier
     # (registry.release_caches)
     tok = _dsir_tok_base(d).cache()
-    scored = _dsir_scored(tok, _DSIR_BUCKETS)
+    return _dsir_selection_frame(tok)
+
+
+def _dsir_selection_frame(tok_base):
+    """Scores + acceptance decisions over a (doc_id, source, lang,
+    is_target, h) token stream at the shipped bucket count — the tail
+    of `pipeline_dsir_select`, shared VERBATIM with the streaming
+    compaction twin so stream+compaction can only ever equal the batch
+    answer by construction."""
+    scored = _dsir_scored(tok_base, _DSIR_BUCKETS)
     mx = scored.agg(F.max("score").alias("max_score"))
     u = _hash52(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
     return (

@@ -449,3 +449,70 @@ def compact_bpe_rules(
     return spark.createDataFrame(
         rules, "round long, sym_a string, sym_b string, pair_count long"
     )
+
+
+# --- DSIR selection twin ----------------------------------------------------
+# The lambda split applied to the DSIR tier (r15): bucket weights are a
+# CORPUS-GLOBAL property (smoothed target/raw rates over every token ever
+# ingested), so a newly delivered document shifts every earlier document's
+# score — selection cannot run per-microbatch. The incremental half is the
+# token store (the `_dsir_tok_base` rows: doc_id, source, lang, is_target,
+# 52-bit token hash — deterministic per document, computed once per doc
+# EVER; every document emits ≥1 row because the whitespace split of empty
+# text is the single '' token, so store presence IS the seen-set and no
+# zero-output manifest is needed). The global half re-runs
+# `_dsir_selection_frame` — the batch op's tail, shared VERBATIM — over
+# the all-time store each compaction. Duplicate token rows are HARMFUL
+# (they double-count a document in the global rates AND its own score
+# denominator, shifting every weight), so the store-exists gate reads
+# committed part files, never the `_SUCCESS` marker.
+
+
+def _dsir_token_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "dsir_tokens"
+
+
+def extend_dsir_token_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Append the token rows of every staged document not yet in the
+    all-time token store (one LEFT ANTI on doc_id). Returns the number
+    of newly tokenized documents. Idempotent under crash replay and
+    partial commits — same read-detect contract as the vector store."""
+    from mutable_spark.operators.pipeline import _dsir_tok_base
+
+    staged = spark.read.parquet(staged_dir)
+    tok_dir = _dsir_token_dir(store_dir)
+    seen = _read_store(spark, tok_dir)
+    if seen is not None:
+        staged = staged.join(
+            seen.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    new_docs = staged.localCheckpoint(eager=True)
+    n_new = new_docs.count()
+    if n_new:
+        _dsir_tok_base(new_docs).write.mode("append").parquet(str(tok_dir))
+    return n_new
+
+
+def compact_dsir_selection(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One DSIR-selection compaction run: extend the all-time token
+    store from the staged ingest output, then re-score and re-draw the
+    acceptance decision for EVERY raw-pool document over all-time
+    tokens — `_dsir_selection_frame` shared verbatim with
+    `pipeline_dsir_select`, so stream+compaction equals the batch
+    answer by construction. The returned frame is localCheckpoint'ed so
+    callers can unpersist the store read underneath it."""
+    from mutable_spark.operators.pipeline import _dsir_selection_frame
+
+    extend_dsir_token_store(spark, staged_dir, store_dir)
+    # cached: the selection frame reads the token stream four times
+    # (target counts, raw counts, totals, scoring) — same multi-read
+    # contract as the batch op's .cache()
+    tok = spark.read.parquet(str(_dsir_token_dir(store_dir))).cache()
+    try:
+        return _dsir_selection_frame(tok).localCheckpoint(eager=True)
+    finally:
+        tok.unpersist()

@@ -2152,3 +2152,88 @@ def test_zero_output_docs_processed_once(spark, tmp_path):
         store = tmp_path / f"store_{sub}"
         assert ext(spark, str(staged), str(store)) == 3, sub
         assert ext(spark, str(staged), str(store)) == 0, sub
+
+
+def test_stream_plus_compaction_equals_batch_dsir_selection(spark, tmp_path):
+    """The lambda split applied to the DSIR tier (r15): documents arrive
+    in TWO deliveries through a real append-mode parquet ingest stream;
+    a compaction run after each delivery extends the all-time token
+    store incrementally and re-scores EVERY raw-pool document over
+    all-time tokens (`_dsir_selection_frame` shared verbatim with the
+    batch op). Final selection equals `pipeline_dsir_select` on the
+    same corpus row-for-row; the second compaction tokenizes only the
+    second delivery's documents (incrementality); and at least one
+    document's SCORE changed between the two compactions — bucket
+    weights are corpus-global, so a per-microbatch pass would freeze
+    phase-1 weights and mis-score every earlier document."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark import registry
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.compaction import (
+        _dsir_token_dir,
+        compact_dsir_selection,
+        extend_dsir_token_store,
+    )
+
+    registry.load_all()
+    d = load_tables(spark, SF_DIR).documents
+
+    src = tmp_path / "in"
+    staged = tmp_path / "staged"
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(staged))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # modulo split: both deliveries carry target (doc_id % 25 == 0) AND
+    # pool documents, so phase-1 weights are estimated on half the
+    # corpus and must shift when phase 2 lands
+    deliver(d.filter(F.col("doc_id") % 2 == 0), "phase1")
+    run_once()
+    c1 = {
+        r.doc_id: r.score
+        for r in compact_dsir_selection(
+            spark, str(staged), str(store)
+        ).collect()
+    }
+
+    deliver(d.filter(F.col("doc_id") % 2 == 1), "phase2")
+    run_once()
+    n_new = extend_dsir_token_store(spark, str(staged), str(store))
+    assert n_new == d.filter(F.col("doc_id") % 2 == 1).count() and n_new > 0
+    got = compact_dsir_selection(spark, str(staged), str(store)).collect()
+
+    want = registry.QUERIES["pipeline_dsir_select"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
+
+    # corpus-globality: some phase-1 document's score moved when the
+    # second delivery shifted the global bucket weights
+    final = {r.doc_id: r.score for r in got}
+    assert any(final[i] != s for i, s in c1.items() if i in final)
+
+    # the token store holds each document exactly once (read-detect
+    # idempotency: a marker-less partial commit must still be diffed)
+    marker = _dsir_token_dir(str(store)) / "_SUCCESS"
+    assert marker.exists()
+    marker.unlink()
+    assert extend_dsir_token_store(spark, str(staged), str(store)) == 0
+    tok = spark.read.parquet(str(_dsir_token_dir(str(store))))
+    assert tok.select("doc_id").distinct().count() == d.count()
