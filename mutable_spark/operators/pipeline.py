@@ -2620,18 +2620,36 @@ def pipeline_mix_unimax(spark, sf_dir):
     bounded frame (single-partition by construction — bounded by the
     LANGUAGE count, never the corpus, the same justification as
     `text_bpe_fertility`'s rollup). Nothing else touches the data."""
+    d = load_tables(spark, sf_dir).documents
+    s = (
+        _unimax_doc_counts(d)
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tok"))
+    )
+    return _unimax_alloc_frame(s)
+
+
+def _unimax_doc_counts(d):
+    """(doc_id, lang, n_tok) per document — the map-side token count
+    the batch rollup aggregates and the streaming count store persists
+    (shared verbatim, so the twin's counts are the batch counts)."""
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+
+def _unimax_alloc_frame(s):
+    """The UniMax waterfill over a (lang, n_tok) per-language frame —
+    the tail of `pipeline_mix_unimax`, shared VERBATIM with the
+    streaming compaction twin so stream+compaction can only ever equal
+    the batch allocation by construction."""
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir).documents
     E = _UNIMAX_EPOCH_CAP
-    s = (
-        d.select(
-            "lang",
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt"),
-        )
-        .groupBy("lang")
-        .agg(F.sum("nt").cast("long").alias("n_tok"))
-    )
     wo = Window.orderBy("n_tok", "lang")
     run = wo.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()

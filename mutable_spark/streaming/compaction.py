@@ -516,3 +516,67 @@ def compact_dsir_selection(
         return _dsir_selection_frame(tok).localCheckpoint(eager=True)
     finally:
         tok.unpersist()
+
+
+# --- UniMax allocation twin -------------------------------------------------
+# The lambda split applied to the UniMax mix (r15): the waterfill is a
+# corpus-global property of the per-language token totals (one new
+# document can flip a language across the cap boundary and move every
+# other language's share), so allocation cannot run per-microbatch. The
+# incremental half is the per-document language/token-count store
+# (`_unimax_doc_counts` rows — one row per document EVER, computed
+# map-side; every document emits exactly one row, so store presence is
+# the seen-set). The global half re-runs `_unimax_alloc_frame` — the
+# batch op's tail, shared verbatim — over the store's per-language
+# rollup. Duplicate count rows are HARMFUL (they double-count a
+# document's tokens in its language's total), so the store gate reads
+# committed part files, never the `_SUCCESS` marker.
+
+
+def _langcount_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "lang_tokens"
+
+
+def extend_langcount_store(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> int:
+    """Append the (doc_id, lang, n_tok) count row of every staged
+    document not yet in the all-time store (one LEFT ANTI on doc_id).
+    Returns the number of newly counted documents. Idempotent under
+    crash replay and partial commits — same read-detect contract as the
+    vector store."""
+    from mutable_spark.operators.pipeline import _unimax_doc_counts
+
+    staged = spark.read.parquet(staged_dir)
+    cnt_dir = _langcount_dir(store_dir)
+    seen = _read_store(spark, cnt_dir)
+    if seen is not None:
+        staged = staged.join(
+            seen.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    new_docs = staged.localCheckpoint(eager=True)
+    n_new = new_docs.count()
+    if n_new:
+        _unimax_doc_counts(new_docs).write.mode("append").parquet(
+            str(cnt_dir)
+        )
+    return n_new
+
+
+def compact_unimax_alloc(
+    spark: SparkSession, staged_dir: str, store_dir: str
+) -> DataFrame:
+    """One UniMax compaction run: extend the all-time count store from
+    the staged ingest output, then re-run the waterfill over the
+    store's per-language rollup — `_unimax_alloc_frame` shared verbatim
+    with `pipeline_mix_unimax`, so stream+compaction equals the batch
+    allocation by construction."""
+    from mutable_spark.operators.pipeline import _unimax_alloc_frame
+
+    extend_langcount_store(spark, staged_dir, store_dir)
+    s = (
+        spark.read.parquet(str(_langcount_dir(store_dir)))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tok"))
+    )
+    return _unimax_alloc_frame(s).localCheckpoint(eager=True)

@@ -2237,3 +2237,79 @@ def test_stream_plus_compaction_equals_batch_dsir_selection(spark, tmp_path):
     assert extend_dsir_token_store(spark, str(staged), str(store)) == 0
     tok = spark.read.parquet(str(_dsir_token_dir(str(store))))
     assert tok.select("doc_id").distinct().count() == d.count()
+
+
+def test_stream_plus_compaction_equals_batch_unimax_alloc(spark, tmp_path):
+    """The lambda split applied to the UniMax mix (r15): documents
+    arrive in TWO deliveries through a real checkpointed parquet ingest
+    stream; a compaction after each delivery extends the per-document
+    count store incrementally and re-runs the waterfill over all-time
+    per-language totals (`_unimax_alloc_frame` shared verbatim with the
+    batch op). Final allocation equals `pipeline_mix_unimax` on the
+    same corpus row-for-row; the second compaction counts only the
+    second delivery's documents; and the phase-1 allocation DIFFERS
+    from the final one (the budget doubles with the corpus — the
+    per-microbatch impossibility argument, asserted); a marker-less
+    partial commit still diffs to zero re-appends."""
+    import pyspark.sql.functions as F
+
+    from mutable_spark import registry
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.streaming.compaction import (
+        _langcount_dir,
+        compact_unimax_alloc,
+        extend_langcount_store,
+    )
+
+    registry.load_all()
+    d = load_tables(spark, SF_DIR).documents
+
+    src = tmp_path / "in"
+    staged = tmp_path / "staged"
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+    src.mkdir()
+
+    def deliver(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for i, f in enumerate(sorted((tmp_path / name).glob("*.parquet"))):
+            f.rename(src / f"{name}_{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(d.schema).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(staged))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver(d.filter(F.col("doc_id") % 2 == 0), "phase1")
+    run_once()
+    c1 = {
+        r.lang: r.alloc_tok
+        for r in compact_unimax_alloc(spark, str(staged), str(store)).collect()
+    }
+
+    deliver(d.filter(F.col("doc_id") % 2 == 1), "phase2")
+    run_once()
+    n_new = extend_langcount_store(spark, str(staged), str(store))
+    assert n_new == d.filter(F.col("doc_id") % 2 == 1).count() and n_new > 0
+    got = compact_unimax_alloc(spark, str(staged), str(store)).collect()
+
+    want = registry.QUERIES["pipeline_mix_unimax"](spark, SF_DIR).collect()
+    assert _rows(got) == _rows(want)
+    assert len(want) > 0
+    final = {r.lang: r.alloc_tok for r in got}
+    assert c1 != final
+
+    marker = _langcount_dir(str(store)) / "_SUCCESS"
+    assert marker.exists()
+    marker.unlink()
+    assert extend_langcount_store(spark, str(staged), str(store)) == 0
+    cnt = spark.read.parquet(str(_langcount_dir(str(store))))
+    assert cnt.count() == d.count()
+    assert cnt.select("doc_id").distinct().count() == d.count()
