@@ -2212,10 +2212,10 @@ def pipeline_span_corruption(spark, sf_dir):
 #: benchmark stand-in this module already uses for decontamination —
 #: every `_EVAL_MOD`-th document (the paper's canonical target IS the
 #: downstream benchmark distribution); the raw pool is everything else.
-#: Feature space = unigram token hashes folded into `_DSIR_BUCKETS`
-#: buckets (the paper's hashed n-gram generative model at n=1; 4096
-#: buckets ≈ the paper's 10k, and the weight table stays a fixed-size
-#: broadcast at ANY corpus size).
+#: Feature space = unigram + adjacent-bigram token hashes folded into
+#: `_DSIR_BUCKETS` buckets (the paper's hashed n-gram generative model
+#: at n ∈ {1, 2}; 4096 buckets ≈ the paper's 10k, and the weight table
+#: stays a fixed-size broadcast at ANY corpus size).
 #:
 #: All scoring is exact fixed-point integer arithmetic (the
 #: `text_tfidf_terms` house rule — no cross-engine libm): per-bucket
@@ -2232,18 +2232,32 @@ _DSIR_SCALE = 1_000_000
 _DSIR_WSCALE = 1000
 
 
+def _sql_dsir_features() -> str:
+    """DuckDB twin of `_dsir_tok_base`: the unigram + adjacent-bigram
+    52-bit feature stream (dedup's shingle arithmetic over md5-prefix
+    token hashes), one row per feature."""
+    from mutable_spark.operators.dedup import _PH
+
+    return rf"""
+        SELECT doc_id, source, lang,
+               doc_id % {_DSIR_EVAL_MOD} = 0 AS is_target,
+               unnest(list_concat(th,
+                   list_transform(range(1, len(th)),
+                       i -> (th[i] * 131 + th[i+1]) % {_PH}))) AS h
+        FROM (SELECT doc_id, source, lang,
+                     list_transform(string_split_regex(trim(text), '\s+'),
+                         t -> ('0x' || substr(md5(t), 1, 13))::BIGINT) AS th
+              FROM documents)"""
+
+
 def _register_dsir_oracle():
     from mutable_spark.registry import ORACLES
 
-    h = "('0x' || substr(md5(t), 1, 13))::BIGINT"
     ORACLES["pipeline_dsir_select"] = rf"""
     WITH tok AS MATERIALIZED (
-        SELECT doc_id, source, lang,
-               doc_id % {_DSIR_EVAL_MOD} = 0 AS is_target,
-               {h} % {_DSIR_BUCKETS} AS b
-        FROM (SELECT doc_id, source, lang,
-                     unnest(string_split_regex(trim(text), '\s+')) AS t
-              FROM documents)
+        SELECT doc_id, source, lang, is_target,
+               h % {_DSIR_BUCKETS} AS b
+        FROM ({_sql_dsir_features()})
     ),
     tcnt AS (
         SELECT b, COUNT(*) AS t_b FROM tok WHERE is_target GROUP BY b
@@ -2267,14 +2281,14 @@ def _register_dsir_oracle():
     scored AS (
         SELECT tok.doc_id,
                MIN(tok.source) AS source, MIN(tok.lang) AS lang,
-               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_feat,
                CAST(SUM(w.w_b) // COUNT(*) AS BIGINT) AS score
         FROM tok JOIN w USING (b)
         WHERE NOT tok.is_target
         GROUP BY tok.doc_id
     ),
     mx AS (SELECT MAX(score) AS max_score FROM scored)
-    SELECT doc_id, source, lang, n_tok, score,
+    SELECT doc_id, source, lang, n_feat, score,
            ({_sql_hash52("'dsir:' || CAST(doc_id AS VARCHAR)")}
                 % {_DSIR_SCALE}) * mx.max_score
                < scored.score * {_DSIR_SCALE} AS selected
@@ -2287,14 +2301,17 @@ def pipeline_dsir_select(spark, sf_dir):
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): resample the raw pool
     with probability proportional to an importance weight that
-    upweights documents whose hashed-unigram distribution resembles the
+    upweights documents whose hashed n-gram distribution resembles the
     TARGET distribution — the downstream-benchmark stand-in
     (`doc_id % _EVAL_MOD == 0`, the same convention the decontamination
     tier treats as "benchmark data"; a real run feeds the actual
-    benchmark/curated corpus). Per bucket b of the 52-bit-md5 token
-    hash folded mod `_DSIR_BUCKETS`, the weight is the add-one-smoothed
-    target/raw rate ratio in exact ppm fixed point; a document scores
-    the integer MEAN of its tokens' bucket weights; the deterministic
+    benchmark/curated corpus). Features are the unigram + adjacent-
+    bigram 52-bit hashes (`_dsir_tok_base` — the paper's n ∈ {1, 2}
+    model; 2n−1 features per n-token document); per bucket b of the
+    feature hash folded mod `_DSIR_BUCKETS`, the weight is the
+    add-one-smoothed target/raw rate ratio in exact ppm fixed point; a
+    document scores the integer MEAN of its features' bucket weights
+    (`n_feat` in the result); the deterministic
     acceptance draw (shared md5-hash construction, salted 'dsir:' so it
     is independent of the train/test split hash) accepts with
     probability score/max_score. Registered result: EVERY raw-pool
@@ -2302,12 +2319,14 @@ def pipeline_dsir_select(spark, sf_dir):
     driver checks the full scoring, not just the survivor set.
 
     Honest corpus note: this synthetic corpus draws every language from
-    ONE shared 31-word vocabulary with uniform rates, so the benchmark
-    sample's distribution matches the pool's and scores concentrate
-    near the maximum (acceptance ~97% here) — the flat profile is a
-    property of the data, not the estimator; the edge-corpus test
-    builds a genuinely skewed target and pins that low-affinity
-    documents are rejected while on-target documents survive.
+    ONE shared 31-word vocabulary with uniform UNIGRAM rates, so a
+    unigram-only model is flat here (~97% acceptance at every fold —
+    the first cut measured exactly that). The bigram features carry
+    the remaining signal (pair frequencies vary), spreading scores to
+    ~759–1068 ppm-fixed-point and acceptance to ~82% at the shipped
+    fold; the planted-corpus test pins the full discrimination story
+    (disjoint-vocabulary documents rejected, on-target documents
+    selected, strict score separation).
 
     Scale shape: ONE corpus token scan feeds the bucket counts (two
     partial-agg rollups whose outputs are ≤ `_DSIR_BUCKETS` rows) and
@@ -2344,7 +2363,7 @@ def _dsir_selection_frame(tok_base):
             "doc_id",
             "source",
             "lang",
-            "n_tok",
+            "n_feat",
             "score",
             (
                 (u % _DSIR_SCALE) * F.col("max_score")
@@ -2355,23 +2374,31 @@ def _dsir_selection_frame(tok_base):
 
 
 def _dsir_tok_base(d):
-    """(doc_id, source, lang, is_target, h): the corpus token stream
-    with the RAW 52-bit token hash — the bucket fold (h % buckets)
-    happens downstream so the select op and the bucket-count sweep
-    share one cached scan."""
-    from mutable_spark.operators.dedup import _token_hash
+    """(doc_id, source, lang, is_target, h): the corpus FEATURE stream
+    with raw 52-bit hashes — the paper's hashed n-gram model at
+    n ∈ {1, 2}: every token's md5 hash plus every adjacent-pair hash
+    (the dedup shingle arithmetic, reused: (h_i·131 + h_{i+1}) mod the
+    shared 55-bit prime), built in array domain before ONE explode.
+    The bucket fold (h % buckets) happens downstream so the select op
+    and the bucket-count sweep share one cached scan. A document with
+    n tokens emits 2n−1 features (single-token docs emit just the
+    unigram; empty text is the single '' token)."""
+    from mutable_spark.operators.dedup import _PH, _token_hash
 
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    th = F.transform(toks, _token_hash)
+    n = F.greatest(F.size(th) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(th, 1, n),
+        F.slice(th, 2, n),
+        lambda a, b: (a * 131 + b) % _PH,
+    )
     return d.select(
         "doc_id",
         "source",
         "lang",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
-    ).select(
-        "doc_id",
-        "source",
-        "lang",
         (F.col("doc_id") % _DSIR_EVAL_MOD == 0).alias("is_target"),
-        _token_hash(F.col("t")).alias("h"),
+        F.explode(F.concat(th, bg)).alias("h"),
     )
 
 
@@ -2420,7 +2447,7 @@ def _dsir_scored(tok_base, buckets: int):
         .agg(
             F.min("source").alias("source"),
             F.min("lang").alias("lang"),
-            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
             F.expr("CAST(sum(w_b) div count(1) AS BIGINT)").alias("score"),
         )
     )
@@ -2438,7 +2465,6 @@ _DSIR_SWEEP_BUCKETS = (64, 1024, 4096)
 def _register_dsir_sweep_oracle():
     from mutable_spark.registry import ORACLES
 
-    h = "('0x' || substr(md5(t), 1, 13))::BIGINT"
     u = _sql_hash52("'dsir:' || CAST(doc_id AS VARCHAR)")
     blocks, rows = [], []
     for b in _DSIR_SWEEP_BUCKETS:
@@ -2475,11 +2501,7 @@ def _register_dsir_sweep_oracle():
         rows.append(f"SELECT * FROM summ{b}")
     ORACLES["pipeline_dsir_sweep"] = rf"""
     WITH tok AS MATERIALIZED (
-        SELECT doc_id, doc_id % {_DSIR_EVAL_MOD} = 0 AS is_target,
-               {h} AS h
-        FROM (SELECT doc_id,
-                     unnest(string_split_regex(trim(text), '\s+')) AS t
-              FROM documents)
+        SELECT doc_id, is_target, h FROM ({_sql_dsir_features()})
     ),
     tot AS (
         SELECT (SELECT COUNT(*) FROM tok WHERE is_target) AS t0,
