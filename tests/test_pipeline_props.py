@@ -352,3 +352,26 @@ def test_leakage_safe_split_no_pair_straddles(spark):
     assert n_pairs > 0, "corpus must exercise the invariant"
     straddle = joined.filter(F.col("split_a") != F.col("split_b")).count()
     assert straddle == 0
+
+
+def test_dsir_selection_partition_invariant(spark):
+    """r15 DSIR: scores and acceptance decisions are pure integer
+    functions of corpus content (exact fixed-point rates, md5 draws),
+    so the full selection frame must be identical under any input
+    partitioning — the property that makes the sample reproducible
+    across cluster sizes."""
+    from mutable_spark.operators.pipeline import (
+        _dsir_selection_frame,
+        _dsir_tok_base,
+    )
+
+    d = load_tables(spark, SF_DIR).documents
+    a = _dsir_tok_base(d.repartition(3)).cache()
+    b = _dsir_tok_base(d.repartition(17)).cache()
+    try:
+        ra = sorted(map(tuple, _dsir_selection_frame(a).collect()))
+        rb = sorted(map(tuple, _dsir_selection_frame(b).collect()))
+    finally:
+        a.unpersist()
+        b.unpersist()
+    assert ra == rb and len(ra) > 0
