@@ -584,14 +584,23 @@ def pack_sequences_frame(d, carry: tuple[str, ...] = (), epoch: int | None = Non
     order, with ZERO extra data movement (the shard key, and therefore
     the one shuffle, is epoch-independent; only the in-shard sort order
     changes)."""
-    from pyspark.sql import Window
-
     t = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
         (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
         *carry,
     )
+    return _pack_layout(t, carry=carry, epoch=epoch)
+
+
+def _pack_layout(t, carry: tuple[str, ...] = (), epoch: int | None = None):
+    """The concatenate-and-chunk layout over a prepared (doc_id, n_tok,
+    shard, *carry) frame — the count column is the caller's choice
+    (whitespace tokens for `pipeline_pack_sequences`, trained-tokenizer
+    tokens for `pipeline_pack_bpe`), the layout arithmetic is shared
+    verbatim."""
+    from pyspark.sql import Window
+
     if epoch is None:
         order = [F.col("doc_id")]
     else:
@@ -2715,3 +2724,86 @@ def _unimax_alloc_frame(s):
         ).alias("epochs_bp"),
         (F.col("capped") == 1).alias("capped"),
     )
+
+
+# --------------------------------------------------------------------------
+def _register_pack_bpe_oracle():
+    from mutable_spark.operators.text import _BPE_ROUNDS, _bpe_round_fragments
+    from mutable_spark.registry import ORACLES
+
+    joined = ",\n    ".join(_bpe_round_fragments())
+    final = _BPE_ROUNDS + 1
+    ORACLES["pipeline_pack_bpe"] = rf"""
+    WITH {joined},
+    wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+           FROM s_{final} GROUP BY w),
+    dw AS (SELECT doc_id, tok AS w
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE length(tok) >= 1),
+    ntok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tok
+             FROM dw JOIN wt USING (w) GROUP BY doc_id),
+    t AS (
+        SELECT doc_id, n_tok,
+               {_sql_hash52('doc_id')} % {_PACK_SHARDS} AS shard
+        FROM ntok
+    ),
+    o AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tok AS off
+        FROM t
+    )
+    SELECT doc_id, shard, n_tok, off,
+           off // {_PACK_CAP} AS begin_seq,
+           off % {_PACK_CAP} AS begin_off,
+           (off + n_tok - 1) // {_PACK_CAP} AS end_seq
+    FROM o
+    """
+
+
+@query("pipeline_pack_bpe", oracle=None)  # assigned below
+def pipeline_pack_bpe(spark, sf_dir):
+    """Sequence packing measured in TRAINED-TOKENIZER tokens — the
+    layout a real pretraining dataloader cuts (`pipeline_pack_sequences`
+    packs whitespace words; the model consumes BPE tokens, and the two
+    counts diverge per document because long words compress less). Each
+    document's token count comes from the shared 3-round trained
+    tokenizer (`_bpe_merge_rounds` symbolization — the
+    `pipeline_bpe_budget_sample` composition), then the
+    concatenate-and-chunk layout (`_pack_layout`, shared VERBATIM with
+    the whitespace op) fixes the (shard, sequence, offset) every
+    document starts and ends at. Documents with no valid token (empty
+    text) occupy no layout space and emit no row — in both engines, by
+    the same length ≥ 1 token filter the budget sampler applies.
+
+    Scale shape: the trained-vocabulary count join is the
+    `text_bpe_encode` plan contract (vocab-side ShuffledHashJoin — the
+    doc word stream must never broadcast), then ONE shard-key exchange
+    feeding the running-sum window — identical to the whitespace
+    packing plan; all layout arithmetic is exact integer div/mod, so
+    the oracle matches bit-for-bit."""
+    from mutable_spark.operators.text import _bpe_merge_rounds, _toks
+
+    d = load_tables(spark, sf_dir, inflation=SHINGLE_INFLATION).documents
+    _, syms = _bpe_merge_rounds(d)
+    wt = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+    dw = d.select("doc_id", F.explode(_toks()).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    ntok = (
+        dw.join(wt.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").cast("long").alias("n_tok"))
+    )
+    t = ntok.select(
+        "doc_id",
+        "n_tok",
+        (_hash52(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+    )
+    return _pack_layout(t)
+
+
+_register_pack_bpe_oracle()

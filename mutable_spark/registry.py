@@ -202,6 +202,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # the local suite like every other registration)
     "pipeline_dsir_sweep",
     "pipeline_mix_unimax",
+    "pipeline_pack_bpe",
     # demoted r15 (r12+r13+r14 rows; correlated-subquery family stays
     # in-sample via tpch_q22 and dialect paths)
     "pipeline_decontaminate_fuzzy",

@@ -153,6 +153,10 @@ _DOC_OPS = [
     # (en-heavy, tiny fr) must waterfill identically, including the
     # running-AND cap window over the ≤|langs| frame
     "pipeline_mix_unimax",
+    # r15: BPE-token packing — the empty doc must occupy NO layout
+    # space in both engines (the length >= 1 token filter), and the
+    # unicode doc's multi-byte symbol counts must lay out identically
+    "pipeline_pack_bpe",
     # r15 (ADVICE r14): the binary-ingestion ops' oracles now recompute
     # mean_byte/first_byte from encode(text) BLOB bytes, so they hold on
     # non-ASCII corpora — the MOD sample here is doc 0 (empty payload)

@@ -1174,3 +1174,16 @@ def test_dsir_weight_table_broadcasts_fact_never(plans):
     # mentions in the tree are the same node (one physical corpus scan)
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scan_ids) <= 1, tree
+
+
+def test_pack_bpe_vocab_join_shuffle_hash_one_window_exchange(plans):
+    """pipeline_pack_bpe (r15): the trained-vocabulary count join keeps
+    the text_bpe_encode plan contract — ShuffledHashJoin with the vocab
+    side as build (Catalyst would broadcast the exploded DOC WORD
+    STREAM at test SF, the 100 TB killer the r14 pin caught) — and the
+    layout itself adds exactly the whitespace op's shape: one shard-key
+    exchange feeding the running-sum window. No cartesian anywhere."""
+    p = plans("pipeline_pack_bpe")
+    assert "ShuffledHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
