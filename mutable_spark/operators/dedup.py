@@ -2520,14 +2520,43 @@ def multiprobe_cosine_pairs(e, max_rk: int | None = None):
 
     if max_rk is None:
         max_rk = _MULTIPROBE
-    assign = _multiprobe_assign(e, max_rk).select("vec_id", "cell")
+    # localCheckpoint the assignment before the self-join: BOTH join
+    # children read it, and without the barrier Catalyst duplicates the
+    # whole assign pipeline (centroid agg + N×k dot agg + rank window)
+    # into each child — the build side cannot reuse the streamed side's
+    # exchange. The materialized frame is (vec_id, cell) at N×p rows —
+    # linear, tiny next to the pair expansion it feeds. Measured (r15
+    # opt round, sf0.1, same-session interleaved A/B, min-of-5): pair
+    # tier noop 3.04 → 2.86 s — modest here, where the assign is ~0.4 s;
+    # the barrier's real value is that the assign pipeline (two full
+    # passes over the corpus) runs ONCE at any scale instead of twice.
+    # Lazy (eager=False): materializes inside the first job that touches
+    # it; recompute races are harmless (bit-deterministic).
+    assign = (
+        _multiprobe_assign(e, max_rk)
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
+    )
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(
         F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b")
     )
+    # SHUFFLE_HASH pins (r15 opt round): the checkpointed assign (and the
+    # checkpointed staged frame behind ea/eb) scan as ExistingRDD with
+    # UNKNOWN stats, so the planner fell back to SortMergeJoin — full
+    # sorts of the multi-million-row candidate stream on each join key
+    # (plans/r15/dedup_embedding_multiprobe_before.txt: 3 SMJs + their
+    # Sorts). Broadcast would be the 100 TB killer (every side here is
+    # corpus-sized); shuffled-hash keeps the exchange and drops the
+    # sorts: per-partition hash build of the hinted side, the same
+    # posture as `_staged_with_labels`. At sf0.1 the sorts are small and
+    # the same-session A/B reads a wash (min-of-5: 4.57 SMJ vs 4.48 SHJ,
+    # identical 14884-pair output); the pin is for the plan contract —
+    # join strategy chosen by the documented rule, not by the absent
+    # stats of a checkpoint scan — and for the sort cost at real scale.
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("cell") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
@@ -2545,8 +2574,8 @@ def multiprobe_cosine_pairs(e, max_rk: int | None = None):
         vec_norm(F.col("embedding")).alias("nb"),
     )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(ea.hint("shuffle_hash"), "vec_a")
+        .join(eb.hint("shuffle_hash"), "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -2693,16 +2722,21 @@ def dedup_multiprobe_sweep(spark, sf_dir):
     lab, k, _ = stored_retrained_labels(e, sf_dir, variant=f"mod{_CERT_MOD}")
     p_max = _probe_depth(k)
     staged = _staged_with_labels(e, lab).localCheckpoint(eager=True)
-    assign = _multiprobe_assign(staged, p_max)
+    # same barrier as multiprobe_cosine_pairs: the rank-threshold
+    # self-join reads the assignment twice and must not re-run the
+    # centroid+dot+rank pipeline per child (r15 opt round)
+    assign = _multiprobe_assign(staged, p_max).localCheckpoint(eager=False)
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell", F.col("rk").alias("ra"))
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         F.col("cell").alias("cell_b"),
         F.col("rk").alias("rb"),
     )
+    # shuffle-hash pins, same rationale as multiprobe_cosine_pairs: the
+    # checkpointed frames have no stats and fell to SortMergeJoin
     thr = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("cell") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
@@ -2720,8 +2754,8 @@ def dedup_multiprobe_sweep(spark, sf_dir):
         vec_norm(F.col("embedding")).alias("nb"),
     )
     true_thr = (
-        thr.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        thr.join(ea.hint("shuffle_hash"), "vec_a")
+        .join(eb.hint("shuffle_hash"), "vec_b")
         .select(
             "p_thr",
             vec_cosine_pre(
@@ -3262,11 +3296,42 @@ def stored_retrained_labels(
     the store only removes the duplicated re-training the r14 verdict
     flagged. The count is one metadata-cheap job; the write is N tiny
     (vec_id, cell) rows — at 100 TB a partitioned append beside the
-    vectors, here a single overwrite per corpus version."""
+    vectors, here a single overwrite per corpus version.
+
+    Read path (r15 opt round): the corpus tag (content identity:
+    realpath+mtime+size of the embeddings parquet, plus the sample
+    variant) DETERMINES n, and the store dir name embeds both — so a
+    committed store for this tag can be found by listing, skipping the
+    per-consumer COUNT job entirely (one Spark job per stored-label
+    consumer, 4 bench rows × every pass). Ambiguity (≠1 committed match
+    — impossible unless the tag collides) falls back to the counted
+    path."""
+    import os as _os
+    import re as _re
+
     spark = e.sparkSession
+    tag = _corpus_version_tag(sf_dir, variant)
+    root = _label_store_root()
+    pat = _re.compile(rf"^{_re.escape(tag)}_n(\d+)_r{rounds}$")
+    matches = []
+    try:
+        for name in _os.listdir(root):
+            m = pat.match(name)
+            if m is not None and _read_label_store(
+                spark, _os.path.join(root, name)
+            ) is not None:
+                matches.append(int(m.group(1)))
+    except OSError:
+        pass
+    if len(matches) == 1:
+        n = matches[0]
+        k = _sqrt_cells(n)
+        lab = _read_label_store(spark, _label_version_dir(tag, n, rounds))
+        if lab is not None:
+            return lab, k, n
     n = e.count()
     k = _sqrt_cells(n)
-    path = _label_version_dir(_corpus_version_tag(sf_dir, variant), n, rounds)
+    path = _label_version_dir(tag, n, rounds)
     lab = _read_label_store(spark, path)
     if lab is None:
         retrained_cells(e, k, rounds).write.mode("overwrite").parquet(path)

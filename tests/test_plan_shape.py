@@ -973,16 +973,39 @@ def test_ivf_balance_one_scan_reused_rollup(plans):
     assert "ReusedExchange" in tree, p
 
 
-def test_multiprobe_tier_broadcast_assign_no_cartesian(plans):
-    """dedup_embedding_multiprobe (r12): the centroid table broadcasts
-    into the map-side assign pass (k×dim rows — a BroadcastNestedLoop
-    with a bounded build side by construction), candidates DISTINCT
-    before the exact verify, and no unbounded cartesian anywhere."""
+def test_multiprobe_tier_broadcast_assign_no_cartesian(plans, spark):
+    """dedup_embedding_multiprobe: the centroid table broadcasts into
+    the map-side assign pass (k×dim rows — a BroadcastNestedLoop with a
+    bounded build side by construction), candidates DISTINCT before the
+    exact verify, and no unbounded cartesian anywhere.
+
+    r15 (opt round): the pair tier checkpoints the assignment before
+    its self-join (both children read ONE materialization), so the
+    consumer plan now shows the assign as an ExistingRDD scan and the
+    centroid broadcast is pinned on the assign SUBPLAN instead. The
+    consumer joins are pinned SHUFFLE_HASH: a checkpoint scan has no
+    stats, and the planner's fallback was SortMergeJoin — full sorts of
+    the multi-million-row candidate stream
+    (plans/r15/dedup_embedding_multiprobe_{before,after}.txt)."""
     p = plans("dedup_embedding_multiprobe")
     tree = p.split("\n\n")[0]
     assert "CartesianProduct" not in p
-    assert tree.count("BroadcastExchange") >= 1, p
     assert "HashAggregate" in p  # the pair DISTINCT
+    # the tier's joins are shuffled-hash (no stats-blind SMJ sorts, no
+    # corpus-sized broadcast)
+    assert "SortMergeJoin" not in tree, p
+    assert tree.count("ShuffledHashJoin") >= 3, p
+    # the checkpointed assign feeds both self-join children
+    assert "Scan ExistingRDD" in tree, p
+
+    # the centroid broadcast pin lives on the assign subplan itself now
+    from mutable_spark.catalog import load_tables
+    from mutable_spark.operators import dedup as D
+
+    e = load_tables(spark, SF_DIR).embeddings
+    ap = explain(D._multiprobe_assign(e, 2))
+    assert "CartesianProduct" not in ap
+    assert ap.split("\n\n")[0].count("BroadcastExchange") >= 1, ap
 
 
 def test_matryoshka_search_broadcast_two_stage(plans):
