@@ -19,6 +19,8 @@ Two concerns live here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
@@ -151,7 +153,12 @@ def sql_split_sum(expr: str, s: int) -> str:
 
 # --- vector math over array<float/double> columns ------------------------
 
-def vec_dot(a: Column, b: Column) -> Column:
+#: unroll width for `vec_dot`'s codegen fast path — the corpus' embedding
+#: dimension (64 at every SF; TESTDATA). 0 disables unrolling (pure fold).
+_DOT_UNROLL_DIM = int(os.environ.get("MUTABLE_SPARK_DOT_UNROLL_DIM", "64"))
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product in DOUBLE (bit-matches list_reduce)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -160,21 +167,85 @@ def vec_dot(a: Column, b: Column) -> Column:
     )
 
 
-def vec_norm(a: Column) -> Column:
-    return F.sqrt(vec_dot(a, a))
+def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
+    """The same left-to-right IEEE add sequence as `_fold_dot`, written as
+    an explicit ``dim``-term expression tree: ((0.0 + a0*b0) + a1*b1) + …
+    Unlike the higher-order fold — whose lambda is CodegenFallback and
+    evaluates interpreted, one boxed call per element — this is plain
+    GetArrayItem/Multiply/Add arithmetic that whole-stage codegen compiles
+    to straight-line JVM code. Each add is the identical double op on the
+    identical operands, so the result is bit-equal to the fold's
+    (r15 opt round: verified by hashing both over the 1.86M-pair
+    multiprobe verify frame — equal; 5.87 → 1.25 s on that stage)."""
+    acc: Column = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + a[d].cast("double") * b[d].cast("double")
+    return acc
 
 
-def vec_cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+#: (str(a), str(b), dim) → built adaptive-dot Column. Building the
+#: unrolled tree costs ~190 py4j round-trips (~0.3-0.6 s per call site) —
+#: measured to DOMINATE the win when rebuilt per query invocation
+#: (sim_knn_join DataFrame build 0.18 → 1.87 s). Column trees here are
+#: UNRESOLVED (every call site passes F.col()-rooted expressions, whose
+#: render is canonical), immutable, and reusable across plans and
+#: sessions within a process, so one build per call-site expression per
+#: process amortizes to nothing. Do not pass DataFrame-resolved columns
+#: (df["x"]) into vec_dot from new call sites: their render drops the
+#: plan id and could collide in this cache.
+_DOT_EXPR_CACHE: dict[tuple[str, str, int], Column] = {}
+
+
+def vec_dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right fold dot product in DOUBLE (bit-matches list_reduce).
+
+    Fast path (guide §4.1 — prefer codegen'd built-ins over interpreted
+    lambdas): rows where BOTH arrays have exactly ``dim`` elements
+    (default `_DOT_UNROLL_DIM`, the corpus' embedding width) take an
+    unrolled expression with the identical IEEE add sequence; everything
+    else — ragged, short, NULL arrays — falls back to the fold, whose
+    NULL/padding semantics (zip_with pads the shorter side with NULL →
+    NULL product → NULL sum) the guard preserves exactly: a size
+    mismatch with `dim` routes to the fold, and `size(NULL) IS NULL`
+    makes the CASE take the fallback branch too.
+
+    The unroll is OPT-IN per call site (``dim=None`` → plain fold):
+    measured per registered query (r15 opt round, interleaved min-of-5),
+    the unrolled expression wins only where a single cosine site
+    dominates row volume (the multiprobe verify: 1.86M pairs, −0.5 s);
+    on small-N or many-instance plans the bigger tree's constant
+    overheads (plan/codegen size) cost more than the interpreted fold —
+    dedup_multiprobe_sweep read +0.56 s with a global default. Hot sites
+    pass `_DOT_UNROLL_DIM`; everything else keeps the fold."""
+    if dim is None or dim <= 0:
+        return _fold_dot(a, b)
+    key = (str(a), str(b), dim)
+    c = _DOT_EXPR_CACHE.get(key)
+    if c is None:
+        c = F.when(
+            (F.size(a) == dim) & (F.size(b) == dim), _unrolled_dot(a, b, dim)
+        ).otherwise(_fold_dot(a, b))
+        _DOT_EXPR_CACHE[key] = c
+    return c
+
+
+def vec_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(vec_dot(a, a, dim))
+
+
+def vec_cosine_pre(
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
     """Cosine from PRECOMPUTED norms — IEEE-identical to `vec_cosine`
     (same operations on the same operands; the norms are just computed
     once per row instead of once per pair). Use on pair-expanded frames:
     a row participating in k pairs pays its norm fold once, not k times
     — measured 2× on the blocked near-dup join at sf0.1 (SCALE.md r11).
     Zero-norm sides still yield NULL via try_divide."""
-    return F.try_divide(vec_dot(a, b), na * nb)
+    return F.try_divide(vec_dot(a, b, dim), na * nb)
 
 
-def vec_cosine(a: Column, b: Column) -> Column:
+def vec_cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine in DOUBLE; a zero-norm side yields NULL, not an error.
 
     Under Spark's ANSI mode a plain `/` raises DIVIDE_BY_ZERO, so ONE
@@ -184,4 +255,4 @@ def vec_cosine(a: Column, b: Column) -> Column:
     DESC orderings every consumer uses, so zero vectors can never rank
     as top neighbors in either engine. Pinned by
     tests/test_edge_embeddings.py."""
-    return F.try_divide(vec_dot(a, b), vec_norm(a) * vec_norm(b))
+    return F.try_divide(vec_dot(a, b, dim), vec_norm(a, dim) * vec_norm(b, dim))

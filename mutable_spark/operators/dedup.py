@@ -2563,15 +2563,22 @@ def multiprobe_cosine_pairs(e, max_rk: int | None = None):
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # dim=_DOT_UNROLL_DIM: the exact verify is the tier's volume point
+    # (1.86M candidate pairs at sf0.1 for 2000 vectors) — the unrolled
+    # codegen dot replaces the interpreted HOF fold here, bit-identical
+    # (guide §4.1; measured 5.87 → 1.25 s on the checkpointed pair frame,
+    # −0.5 s on the registered query; ragged rows fall back to the fold)
+    from mutable_spark.functions import _DOT_UNROLL_DIM
+
     ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding")).alias("na"),
+        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("na"),
     )
     eb = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding")).alias("nb"),
+        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("nb"),
     )
     return (
         cand.join(ea.hint("shuffle_hash"), "vec_a")
@@ -2580,7 +2587,11 @@ def multiprobe_cosine_pairs(e, max_rk: int | None = None):
             "vec_a",
             "vec_b",
             vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                F.col("ea"),
+                F.col("eb"),
+                F.col("na"),
+                F.col("nb"),
+                _DOT_UNROLL_DIM,
             ).alias("cos"),
         )
         .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
