@@ -40,6 +40,21 @@ RUNTIME_CONFS: dict[str, str] = {
     # split per core — for ~25 MB inputs.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+    # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+    # ahead of every explode/posexplode. The generate's child is a cheap
+    # attribute at inference time, but PushDownPredicates then substitutes
+    # the FULL producing expression through the projects below — for the
+    # k-gram tier that pushes the entire 19-level zip_with chain (token-md5
+    # transform inlined per slice) into an interpreted Filter, evaluated
+    # once more per document. Measured r15: dedup_verbatim_ngrams 2.05 →
+    # 0.43 s at sf0.1 with the rule excluded; the rule's only benefit
+    # (scan-level pruning of rows whose array is empty) is semantics-free
+    # here because a non-outer generate already emits nothing for
+    # NULL/empty arrays. Cost grows with corpus size (per-row re-eval), so
+    # exclusion is scale-honest, not a local[32] tune.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Whole-stage codegen caps out at 100 fields by default, which silently
     # drops the MinHash signature build (128 min-aggregates) and other wide
     # sketch aggregates to interpreted evaluation — measured 3x slower at
