@@ -905,12 +905,115 @@ def _bpe_merge_rounds(d, curve=None):
     return bpe_rounds_from_vocab(words, curve)
 
 
+#: driver-local fast-path gate for the BPE merge loop — the components
+#: tier's ≤1M-edge pattern (dedup.connected_components): a vocabulary at
+#: or under this many DISTINCT WORDS is collected once and the merge
+#: rounds run in pure Python, because every per-round operation (lead
+#: window, pair-count argmax, run-parity merge, reposition) is over the
+#: vocabulary frame only — at small vocabularies the distributed loop is
+#: ~100% Spark job/stage scheduling floor (r15 opt round: 138 symbol
+#: rows shuffled through ~10 window/agg jobs per round). Past the gate
+#: (a web-scale corpus' distinct-word set) the distributed loop below
+#: runs unchanged. The local loop replicates the distributed semantics
+#: EXACTLY — same argmax tiebreak (count DESC, then (a, b); Python
+#: code-point order == Spark UTF8 binary order), same run-parity greedy
+#: merge — pinned equal by tests/test_text_ops.py.
+_BPE_LOCAL_MAX_WORDS = 1_000_000
+
+
+def _bpe_local_vocab(words):
+    """[(w, freq)] for the driver-local loop, or None when the
+    vocabulary exceeds `_BPE_LOCAL_MAX_WORDS` (limit(MAX+1) bounds the
+    collect; the distributed loop then runs)."""
+    rows = words.limit(_BPE_LOCAL_MAX_WORDS + 1).collect()
+    if len(rows) > _BPE_LOCAL_MAX_WORDS:
+        return None
+    return [(r.w, int(r.freq)) for r in rows]
+
+
+def _bpe_local_merge(s, matchset):
+    """One greedy left-to-right non-overlapping merge pass over one
+    word's symbol list: positions whose adjacent pair is in ``matchset``
+    form maximal runs of consecutive positions; the EVEN offsets of each
+    run merge (the identical window rule the distributed loop computes
+    with run-id + offset-parity)."""
+    match = [
+        i for i in range(len(s) - 1) if (s[i], s[i + 1]) in matchset
+    ]
+    kept = set()
+    run_start = prev = None
+    for i in match:
+        if prev is None or i != prev + 1:
+            run_start = i
+        if (i - run_start) % 2 == 0:
+            kept.add(i)
+        prev = i
+    out = []
+    skip = False
+    for i, sym in enumerate(s):
+        if skip:
+            skip = False
+            continue
+        if i in kept:
+            out.append(sym + s[i + 1])
+            skip = True
+        else:
+            out.append(sym)
+    return out
+
+
+def _bpe_local_pair_counts(syms):
+    counts: dict[tuple[str, str], int] = {}
+    for _, f, s in syms:
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + f
+    return counts
+
+
+def _bpe_syms_df(spark, syms):
+    """The final local symbolization as the frame the distributed loop
+    returns: (w, freq, pos, sym) with the distributed dtypes."""
+    rows = [
+        (w, f, i, sym) for w, f, s in syms for i, sym in enumerate(s)
+    ]
+    return spark.createDataFrame(
+        rows, "w string, freq long, pos int, sym string"
+    )
+
+
+def _bpe_local_loop(vocab, curve):
+    """Pure-Python replica of the sequential merge-round loop."""
+    syms = [(w, f, list(w)) for w, f in vocab]
+    if curve is not None:
+        curve.append((0, sum(f * len(s) for _, f, s in syms)))
+    out_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        counts = _bpe_local_pair_counts(syms)
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p))
+        out_rows.append((r, a, b, int(counts[(a, b)])))
+        ms = {(a, b)}
+        syms = [(w, f, _bpe_local_merge(s, ms)) for w, f, s in syms]
+        if curve is not None:
+            curve.append((r, sum(f * len(s) for _, f, s in syms)))
+    return out_rows, syms
+
+
 def bpe_rounds_from_vocab(words, curve=None):
     """The merge-round loop over a prepared (w, freq) VOCABULARY frame —
     split out so the streaming compaction (`compact_bpe_rules`) can
     train over a re-aggregated word-count store with the literal batch
-    loop (stream==batch by construction). See `_bpe_merge_rounds`."""
+    loop (stream==batch by construction). See `_bpe_merge_rounds`.
+    Vocabularies at or under `_BPE_LOCAL_MAX_WORDS` take the driver-
+    local fast path (bit-identical rules and symbolization)."""
     from pyspark.sql import Window
+
+    vocab = _bpe_local_vocab(words)
+    if vocab is not None:
+        out_rows, syms_l = _bpe_local_loop(vocab, curve)
+        return out_rows, _bpe_syms_df(words.sparkSession, syms_l)
 
     def _track(r, frame):
         if curve is not None:
@@ -1045,14 +1148,49 @@ def text_bpe_train_batched(spark, sf_dir):
     )
 
 
+def _bpe_local_batched_loop(vocab):
+    """Pure-Python replica of the batched merge-round loop: per round,
+    the top-`_BPE_BATCH_POOL` pool ordered (count DESC, (a, b)), the
+    greedy symbol-disjoint selection of up to `_BPE_BATCH` rules, one
+    multi-rule run-parity pass."""
+    syms = [(w, f, list(w)) for w, f in vocab]
+    out_rows: list[tuple] = []
+    for r in range(1, _BPE_BATCH_ROUNDS + 1):
+        counts = _bpe_local_pair_counts(syms)
+        pool = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_BPE_BATCH_POOL
+        ]
+        chosen: list[tuple] = []
+        used: set[str] = set()
+        for (a, b), cnt in pool:
+            if len(chosen) == _BPE_BATCH:
+                break
+            if a in used or b in used:
+                continue
+            chosen.append((a, b, int(cnt)))
+            used.update((a, b))
+        if not chosen:
+            break
+        for sel, (a, b, cnt) in enumerate(chosen, start=1):
+            out_rows.append((r, sel, a, b, cnt))
+        ms = {(a, b) for a, b, _ in chosen}
+        syms = [(w, f, _bpe_local_merge(s, ms)) for w, f, s in syms]
+    return out_rows, syms
+
+
 def bpe_batched_rounds_from_vocab(words):
     """The batched merge-round loop over a prepared (w, freq) vocabulary
     frame. Returns (rules, syms) with rules =
     [(round, sel, sym_a, sym_b, pair_count)] and syms the final
-    symbolization frame (same contract as `bpe_rounds_from_vocab`)."""
+    symbolization frame (same contract as `bpe_rounds_from_vocab`).
+    Takes the same `_BPE_LOCAL_MAX_WORDS` driver-local fast path."""
     from pyspark.sql import Window
 
     spark = words.sparkSession
+    vocab = _bpe_local_vocab(words)
+    if vocab is not None:
+        out_rows, syms_l = _bpe_local_batched_loop(vocab)
+        return out_rows, _bpe_syms_df(spark, syms_l)
     syms = words.select(
         "w",
         "freq",

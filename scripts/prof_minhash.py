@@ -27,7 +27,7 @@ registry.load_all()
 spark = get_spark("prof")
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = "/root/testdata/sf0.1"
-t = load_tables(spark, sf_dir)
+t = load_tables(spark, sf_dir, inflation=__import__("mutable_spark.catalog", fromlist=["SHINGLE_INFLATION"]).SHINGLE_INFLATION)
 
 
 def tick(label, fn):

@@ -549,6 +549,44 @@ def test_bpe_train_greedy_run_parity(spark, tmp_path):
     ]
 
 
+def test_bpe_local_fast_path_equals_distributed(spark):
+    """r15 opt: the ≤`_BPE_LOCAL_MAX_WORDS` driver-local BPE loop (the
+    components-tier fast-path pattern) must reproduce the distributed
+    loop bit-for-bit — rules, sweep curve, final symbolization frame
+    AND its dtypes — on a vocabulary stressing run-parity (identical-
+    char runs), count ties, and unicode (code-point vs UTF8-binary
+    ordering), for both the sequential and the batched trainer."""
+    import mutable_spark.operators.text as T
+
+    vocab = [
+        ("aaaaaa", 7), ("aaab", 5), ("abab", 5), ("baaa", 3),
+        ("ééé", 4), ("eé", 4), ("zzzz", 7), ("ab", 9), ("ba", 9),
+        ("ccc", 1), ("x", 100),
+    ]
+    words = spark.createDataFrame(vocab, "w string, freq long")
+    curve_l, curve_d = [], []
+    rl, sl = T.bpe_rounds_from_vocab(words, curve_l)
+    rbl, sbl = T.bpe_batched_rounds_from_vocab(words)
+    old = T._BPE_LOCAL_MAX_WORDS
+    T._BPE_LOCAL_MAX_WORDS = 0
+    try:
+        rd, sd = T.bpe_rounds_from_vocab(words, curve_d)
+        rbd, sbd = T.bpe_batched_rounds_from_vocab(words)
+    finally:
+        T._BPE_LOCAL_MAX_WORDS = old
+
+    def srt(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rl == rd
+    assert curve_l == curve_d
+    assert sl.dtypes == sd.dtypes
+    assert srt(sl) == srt(sd)
+    assert rbl == rbd
+    assert sbl.dtypes == sbd.dtypes
+    assert srt(sbl) == srt(sbd)
+
+
 def test_duplicate_spans_planted_passage(spark, tmp_path):
     """r14: two documents sharing a 25-token verbatim passage at
     DIFFERENT offsets must each report exactly one maximal span
