@@ -753,22 +753,25 @@ def embedding_cosine_pairs(e):
     """(vec_a, vec_b, label, cos) pairs with cosine ≥ threshold, blocked
     by quantizer cell — the frame behind ``dedup_embedding_cosine``,
     shared with ``sim_semantic_dedup``'s class construction."""
-    from mutable_spark.functions import vec_cosine_pre, vec_norm
+    from mutable_spark.functions import _DOT_UNROLL_DIM, vec_cosine_pre, vec_norm
 
     # norms precomputed per ROW before the pair expansion: a row in k
     # pairs pays one norm fold, not k (vec_cosine_pre is IEEE-identical
-    # to the per-pair vec_cosine — measured 1.13 s -> 0.62 s at sf0.1)
+    # to the per-pair vec_cosine — measured 1.13 s -> 0.62 s at sf0.1).
+    # dim=_DOT_UNROLL_DIM: pair-expanded volume point, same unrolled
+    # codegen dot as the multiprobe verify (bit-identical; ragged rows
+    # fall back to the fold)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         "label",
         F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding")).alias("na"),
+        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding")).alias("nb"),
+        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
@@ -777,7 +780,8 @@ def embedding_cosine_pairs(e):
             "vec_b",
             "label",
             vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"),
+                _DOT_UNROLL_DIM,
             ).alias("cos"),
         )
         .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
@@ -793,6 +797,15 @@ def exact_cosine_pairs(e):
     definition keeps the four baselines from drifting apart."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
+    # NOTE (r15 opt): the unrolled codegen dot was A/B'd here too and
+    # REVERTED — the quadratic baseline only runs inside certification /
+    # sweep queries whose plans already chain many Lloyd+probe
+    # instances, and the added codegen volume cost more than the
+    # interpreted fold saved (interleaved min-of-4:
+    # dedup_multiprobe_certification +0.32 s, dedup_multiprobe_sweep
+    # +0.28 s, vs −0.15 on the two simple-plan certifications). The
+    # fold stays; `embedding_cosine_pairs` (simple plan, net win) and
+    # the multiprobe verify (volume point) carry the unroll.
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
