@@ -31,6 +31,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Dimension tables (region/nation/part/supplier at test SFs) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Join strategy (guide §3.1/§9): let the planner pick shuffled-hash
+    # over sort-merge when its size conditions fit (drops the two full
+    # sorts), and let AQE rewrite a planned SMJ to SHJ at runtime when
+    # every post-shuffle partition of the build side measures under
+    # 64 MB (the conf is 0 = off by default). Both rules are BYTES-
+    # parameterized, not core-count tunes: at 100 TB a partition above
+    # the threshold keeps sort-merge's graceful spill. Measured (r15,
+    # interleaved min-of-4 per arm, sf0.1): pipeline_split_leakage_safe
+    # −0.36 s, pipeline_decontaminate_semantic −0.29, sim_ivf_train
+    # −0.24, dedup_embedding_multiprobe −0.22, sim_semantic_dedup
+    # −0.07; worst observed +0.06 (op_join_nary, within noise).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     # Scan split sizing. The default 128 MB bin + 4 MB open-cost packs the
     # catalog's 8-way re-layout output (catalog._maybe_relayout) back into
     # 1-2 scan tasks, serializing every pipeline rooted at the scan. 16/16
