@@ -746,32 +746,40 @@ def dedup_embedding_cosine(spark, sf_dir):
     own centroids; see `sim_cell_reassign`). The PRODUCTION default is
     the multiprobe tier (`dedup_embedding_multiprobe`, 9856 bp at the
     same 10000 precision), which `sim_semantic_dedup` consumes."""
-    return embedding_cosine_pairs(load_tables(spark, sf_dir).embeddings)
+    from mutable_spark.functions import _DOT_UNROLL_DIM
+
+    return embedding_cosine_pairs(
+        load_tables(spark, sf_dir).embeddings, dim=_DOT_UNROLL_DIM
+    )
 
 
-def embedding_cosine_pairs(e):
+def embedding_cosine_pairs(e, dim: int | None = None):
     """(vec_a, vec_b, label, cos) pairs with cosine ≥ threshold, blocked
     by quantizer cell — the frame behind ``dedup_embedding_cosine``,
-    shared with ``sim_semantic_dedup``'s class construction."""
-    from mutable_spark.functions import _DOT_UNROLL_DIM, vec_cosine_pre, vec_norm
+    shared with ``sim_semantic_dedup``'s class construction.
+
+    ``dim`` routes the cosine to the unrolled codegen dot (bit-identical
+    to the fold; ragged rows fall back) — opt-in PER CALLER, following
+    the vec_dot rule: the simple-plan registered query passes it; the
+    certification callers keep the fold (their plans already chain many
+    tier instances and the added codegen volume measured net-negative —
+    interleaved A/B, dedup_reassign_certification +0.10 s)."""
+    from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     # norms precomputed per ROW before the pair expansion: a row in k
     # pairs pays one norm fold, not k (vec_cosine_pre is IEEE-identical
-    # to the per-pair vec_cosine — measured 1.13 s -> 0.62 s at sf0.1).
-    # dim=_DOT_UNROLL_DIM: pair-expanded volume point, same unrolled
-    # codegen dot as the multiprobe verify (bit-identical; ragged rows
-    # fall back to the fold)
+    # to the per-pair vec_cosine — measured 1.13 s -> 0.62 s at sf0.1)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         "label",
         F.col("embedding").alias("ea"),
-        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("na"),
+        vec_norm(F.col("embedding"), dim).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
-        vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("nb"),
+        vec_norm(F.col("embedding"), dim).alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
@@ -780,8 +788,7 @@ def embedding_cosine_pairs(e):
             "vec_b",
             "label",
             vec_cosine_pre(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"),
-                _DOT_UNROLL_DIM,
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim
             ).alias("cos"),
         )
         .filter(F.col("cos") >= EMBEDDING_COS_THRESHOLD)
