@@ -136,16 +136,25 @@ HEADLINE = [
 
 def _run_invocation(
     sf_dir: str, reps: int, tag: str
-) -> tuple[dict[str, float], dict[str, int], list[float]]:
+) -> tuple[dict[str, float], dict[str, int], list[float], dict[str, object]]:
     """One full bench invocation: a FRESH SparkSession, warm-up, then
     ``reps`` complete passes over the headline set. Returns per-query
-    mins, row counts, and the per-pass totals."""
+    mins, row counts, the per-pass totals, and the session's actual
+    execution environment (master string + defaultParallelism) so the
+    JSON line self-evidences the $SPARK_GRAFT_CPUS contract — a
+    floor-bound workload and an ignored env var both produce ~flat
+    8v32 scaling ratios, and only this field tells them apart (r15
+    verdict item 2)."""
     from mutable_spark import registry
     from mutable_spark.session import get_spark
 
     registry.load_all()
     spark = get_spark(f"mutable_spark-bench-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
+    env = {
+        "master": spark.sparkContext.master,
+        "effective_parallelism": spark.sparkContext.defaultParallelism,
+    }
 
     # warm the JVM + parquet footers once so we measure query execution,
     # not first-touch session costs (the reference's harness also separates
@@ -181,7 +190,7 @@ def _run_invocation(
         pass_totals.append(round(pass_total, 4))
         print(f"# [{tag}] pass {p + 1}/{reps}: {pass_total:.2f}s", file=sys.stderr)
     spark.stop()
-    return timings, rows_seen, pass_totals
+    return timings, rows_seen, pass_totals, env
 
 
 def main() -> None:
@@ -219,9 +228,10 @@ def main() -> None:
     all_pass_totals: list[list[float]] = []
     best_spread = float("inf")
     invocations = 0
+    env: dict[str, object] = {}
     while invocations < max_inv:
         invocations += 1
-        t, r, passes = _run_invocation(sf_dir, reps, f"inv{invocations}")
+        t, r, passes, env = _run_invocation(sf_dir, reps, f"inv{invocations}")
         rows_seen.update(r)
         for name, dt in t.items():
             timings[name] = round(min(timings.get(name, float("inf")), dt), 4)
@@ -263,6 +273,12 @@ def main() -> None:
                 "legacy_21_total": legacy_21,
                 "queries": timings,
                 "sf": sf,
+                # contract self-evidence (r15 verdict item 2): the master
+                # string actually used and sc.defaultParallelism, so the
+                # driver's scaling probe can distinguish "floor-bound at
+                # this SF" from "$SPARK_GRAFT_CPUS ignored".
+                "master": env.get("master"),
+                "effective_parallelism": env.get("effective_parallelism"),
                 "runs": reps,
                 "invocations": invocations,
                 "pass_totals": [p for inv in all_pass_totals for p in inv],

@@ -183,17 +183,33 @@ def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
-#: (str(a), str(b), dim) → built adaptive-dot Column. Building the
-#: unrolled tree costs ~190 py4j round-trips (~0.3-0.6 s per call site) —
-#: measured to DOMINATE the win when rebuilt per query invocation
-#: (sim_knn_join DataFrame build 0.18 → 1.87 s). Column trees here are
-#: UNRESOLVED (every call site passes F.col()-rooted expressions, whose
-#: render is canonical), immutable, and reusable across plans and
-#: sessions within a process, so one build per call-site expression per
-#: process amortizes to nothing. Do not pass DataFrame-resolved columns
-#: (df["x"]) into vec_dot from new call sites: their render drops the
-#: plan id and could collide in this cache.
-_DOT_EXPR_CACHE: dict[tuple[str, str, int], Column] = {}
+#: (gateway id, str(a), str(b), dim) → built adaptive-dot Column.
+#: Building the unrolled tree costs ~190 py4j round-trips (~0.3-0.6 s per
+#: call site) — measured to DOMINATE the win when rebuilt per query
+#: invocation (sim_knn_join DataFrame build 0.18 → 1.87 s). Column trees
+#: here are UNRESOLVED (every call site passes F.col()-rooted
+#: expressions, whose render is canonical), immutable, and reusable
+#: across plans and sessions within a process, so one build per
+#: call-site expression per process amortizes to nothing. Do not pass
+#: DataFrame-resolved columns (df["x"]) into vec_dot from new call
+#: sites: their render drops the plan id and could collide in this
+#: cache. The key's leading component is the identity of the live py4j
+#: gateway (r16, advice item): a cached Column holds JVM object refs, so
+#: a torn-down-and-restarted gateway in a long-lived process must not be
+#: served another gateway's stale refs — a new gateway gets a fresh
+#: build, and dead-gateway entries are dropped eagerly (the cache stays
+#: bounded by the finite call sites of ONE gateway).
+_DOT_EXPR_CACHE: dict[tuple[int, str, str, int], Column] = {}
+
+
+def _dot_cache_gateway() -> int:
+    """Identity of the active py4j gateway (0 before any JVM exists —
+    Column building would fail there anyway, so collisions on 0 are
+    unreachable in practice)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else 0
 
 
 def vec_dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -219,9 +235,12 @@ def vec_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     pass `_DOT_UNROLL_DIM`; everything else keeps the fold."""
     if dim is None or dim <= 0:
         return _fold_dot(a, b)
-    key = (str(a), str(b), dim)
+    gw = _dot_cache_gateway()
+    key = (gw, str(a), str(b), dim)
     c = _DOT_EXPR_CACHE.get(key)
     if c is None:
+        for stale in [k for k in _DOT_EXPR_CACHE if k[0] != gw]:
+            del _DOT_EXPR_CACHE[stale]
         c = F.when(
             (F.size(a) == dim) & (F.size(b) == dim), _unrolled_dot(a, b, dim)
         ).otherwise(_fold_dot(a, b))

@@ -901,14 +901,14 @@ def sim_semantic_dedup(spark, sf_dir):
     # corpus version by whichever consumer runs first, read by every
     # later one (bit-identical to in-plan training; the r14 verdict's
     # duplicated-Lloyd-chain `weak` item)
-    lab, k, _ = stored_retrained_labels(e, sf_dir)
+    lab, k, n = stored_retrained_labels(e, sf_dir)
     # checkpoint the verified pair list BEFORE components: the star loop
     # (and its `nodes` frame) reads `pairs` several times, and the final
     # summary would otherwise re-run the whole assign→join→verify
     # pipeline per read (measured 9.9 → 5.1 s warm at sf0.1; 4.7 s in
     # the round's bench invocation)
     pairs = (
-        retrained_multiprobe_pairs(e, labels=lab, k=k)
+        retrained_multiprobe_pairs(e, labels=lab, k=k, n_rows=n)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .localCheckpoint(eager=True)
     )
@@ -2322,8 +2322,8 @@ def dedup_multiprobe_certification(spark, sf_dir):
     # (variant-tagged, so they can never collide with the full-corpus
     # labels) — this row now certifies the STORED-label path end to
     # end, and shares the trained sample labels with the sweep
-    lab, k, _ = stored_retrained_labels(e, sf_dir, variant=f"mod{_CERT_MOD}")
-    tier = retrained_multiprobe_pairs(e, labels=lab, k=k).select(
+    lab, k, n = stored_retrained_labels(e, sf_dir, variant=f"mod{_CERT_MOD}")
+    tier = retrained_multiprobe_pairs(e, labels=lab, k=k, n_rows=n).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         F.lit(1).alias("in_tier"),
@@ -2528,14 +2528,68 @@ def _sql_retrained_assign(
     return ",\n    ".join(parts)
 
 
-def multiprobe_cosine_pairs(e, max_rk: int | None = None):
+def _conf_bytes(spark, key: str) -> int:
+    """A session conf parsed as a byte count (accepts Spark's size
+    suffixes — '64MB', '10485760b', plain digits; -1 stays -1)."""
+    try:
+        s = str(spark.conf.get(key)).strip().lower()
+        mult = 1
+        for suf, m in (
+            ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+            ("tb", 1024**4), ("k", 1024), ("m", 1024**2),
+            ("g", 1024**3), ("b", 1),
+        ):
+            if s.endswith(suf):
+                s = s[: -len(suf)]
+                mult = m
+                break
+        return int(s) * mult
+    except Exception:
+        return -1
+
+
+def _gate_verify_side(side, spark, n_rows: int | None):
+    """Bytes-gated join posture for a pair-verify embedding build side
+    (r16, guide §3.1): the corpus frame behind the verify joins scans as
+    a stats-less checkpoint (ExistingRDD), so Catalyst cannot make the
+    broadcast-vs-shuffle call itself — it sees UNKNOWN and the r15 pin
+    forced shuffled-hash, which shuffles the MULTI-MILLION-row candidate
+    pair stream once per verify side (the r15 verdict's #1 residual:
+    the 1.86M-pair stream shuffled 3× at sf0.1). When the caller KNOWS
+    the corpus row count (the tier already counts it for k = ⌊√N⌋), the
+    decision Catalyst would make with stats is reconstructed here
+    against the session's own `autoBroadcastJoinThreshold`: an
+    embedding side estimated under the threshold broadcasts (the pair
+    stream is never shuffled for the verify), anything larger — or an
+    unknown count — keeps the r15 shuffled-hash pin. The gate is
+    BYTES-parameterized by the same conf that gates every other
+    broadcast in the session, not a local[32] tune: at 100 TB the
+    corpus-sized build side exceeds any sane threshold and the
+    exchange-bearing plan stands unchanged."""
+    if n_rows is not None:
+        from mutable_spark.functions import _DOT_UNROLL_DIM
+
+        thr = _conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold")
+        est = n_rows * (_DOT_UNROLL_DIM * 8 + 48)
+        if 0 < thr and est <= thr:
+            return F.broadcast(side)
+    return side.hint("shuffle_hash")
+
+
+def multiprobe_cosine_pairs(
+    e, max_rk: int | None = None, *, n_rows: int | None = None
+):
     """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
     top-``max_rk`` centroid blocking over the frame's CURRENT labels
     (default depth: the legacy ``_MULTIPROBE`` stored-label point) —
     the shared pair tier: the PRODUCTION path
     (`retrained_multiprobe_pairs`) calls it over re-trained √N labels
     at the derived depth; at ``max_rk=1`` it is the refreshed-
-    assignment arm of ``dedup_reassign_certification``."""
+    assignment arm of ``dedup_reassign_certification``.
+
+    ``n_rows`` (r16): the corpus row count when the caller already knows
+    it — feeds the bytes-gated verify-side broadcast
+    (`_gate_verify_side`); None keeps the shuffled-hash posture."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     if max_rk is None:
@@ -2601,8 +2655,8 @@ def multiprobe_cosine_pairs(e, max_rk: int | None = None):
         vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("nb"),
     )
     return (
-        cand.join(ea.hint("shuffle_hash"), "vec_a")
-        .join(eb.hint("shuffle_hash"), "vec_b")
+        cand.join(_gate_verify_side(ea, e.sparkSession, n_rows), "vec_a")
+        .join(_gate_verify_side(eb, e.sparkSession, n_rows), "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -2690,8 +2744,8 @@ def dedup_embedding_multiprobe(spark, sf_dir):
     corpus version, shared with `sim_semantic_dedup` and the
     decontamination screen — the r14 `weak` item closed)."""
     e = load_tables(spark, sf_dir).embeddings
-    lab, k, _ = stored_retrained_labels(e, sf_dir)
-    return retrained_multiprobe_pairs(e, labels=lab, k=k)
+    lab, k, n = stored_retrained_labels(e, sf_dir)
+    return retrained_multiprobe_pairs(e, labels=lab, k=k, n_rows=n)
 
 
 def _register_embedding_multiprobe_oracle():
@@ -2750,7 +2804,7 @@ def dedup_multiprobe_sweep(spark, sf_dir):
     )
     # r15: stored sample labels (shared with the certification — one
     # Lloyd chain per corpus version across the whole instrument family)
-    lab, k, _ = stored_retrained_labels(e, sf_dir, variant=f"mod{_CERT_MOD}")
+    lab, k, n = stored_retrained_labels(e, sf_dir, variant=f"mod{_CERT_MOD}")
     p_max = _probe_depth(k)
     staged = _staged_with_labels(e, lab).localCheckpoint(eager=True)
     # same barrier as multiprobe_cosine_pairs: the rank-threshold
@@ -2784,9 +2838,12 @@ def dedup_multiprobe_sweep(spark, sf_dir):
         F.col("embedding").alias("eb"),
         vec_norm(F.col("embedding")).alias("nb"),
     )
+    # r16: bytes-gated verify sides (same rule as the pair tier — the
+    # MOD-sample embedding side broadcasts while it fits the session's
+    # broadcast threshold, keeps the shuffle-hash pin past it)
     true_thr = (
-        thr.join(ea.hint("shuffle_hash"), "vec_a")
-        .join(eb.hint("shuffle_hash"), "vec_b")
+        thr.join(_gate_verify_side(ea, spark, n), "vec_a")
+        .join(_gate_verify_side(eb, spark, n), "vec_b")
         .select(
             "p_thr",
             vec_cosine_pre(
@@ -3371,7 +3428,12 @@ def stored_retrained_labels(
 
 
 def retrained_multiprobe_pairs(
-    e, rounds: int = _RETRAIN_ROUNDS, *, labels=None, k: int | None = None
+    e,
+    rounds: int = _RETRAIN_ROUNDS,
+    *,
+    labels=None,
+    k: int | None = None,
+    n_rows: int | None = None,
 ):
     """(vec_a, vec_b, cos) near-dup pairs under the PRODUCTION re-trained
     √N multiprobe tier (r14 — the adoption the r13 A/B priced): count the
@@ -3402,9 +3464,12 @@ def retrained_multiprobe_pairs(
         n = e.count()
         k = _sqrt_cells(n)
         labels = retrained_cells(e, k, rounds)
+        n_rows = n
     assert k is not None
     staged = _staged_with_labels(e, labels).localCheckpoint(eager=False)
-    return multiprobe_cosine_pairs(staged, max_rk=_probe_depth(k))
+    return multiprobe_cosine_pairs(
+        staged, max_rk=_probe_depth(k), n_rows=n_rows
+    )
 
 
 def _staged_with_labels(e, labels):
@@ -3624,7 +3689,7 @@ def pipeline_decontaminate_semantic(spark, sf_dir):
     # r15: full-corpus labels from the write-back store — the third
     # consumer of the shared Lloyd chain (with sim_semantic_dedup and
     # dedup_embedding_multiprobe)
-    lab, k, _ = stored_retrained_labels(e, sf_dir)
+    lab, k, n = stored_retrained_labels(e, sf_dir)
     staged = _staged_with_labels(e, lab).localCheckpoint(eager=False)
     assign = (
         _multiprobe_assign(staged, _probe_depth(k))
@@ -3654,9 +3719,13 @@ def pipeline_decontaminate_semantic(spark, sf_dir):
         F.col("embedding").alias("eb"),
         vec_norm(F.col("embedding")).alias("nb"),
     )
+    # r16: the verify sides are bytes-gated exactly like the pair tier's
+    # (`_gate_verify_side`) — the staged checkpoint has no stats, so
+    # without the gate the train×eval candidate stream was shuffled once
+    # per side
     contaminated = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(_gate_verify_side(ea, spark, n), "vec_a")
+        .join(_gate_verify_side(eb, spark, n), "vec_b")
         .filter(
             vec_cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
             >= EMBEDDING_COS_THRESHOLD

@@ -917,8 +917,17 @@ def _bpe_merge_rounds(d, curve=None):
 #: runs unchanged. The local loop replicates the distributed semantics
 #: EXACTLY — same argmax tiebreak (count DESC, then (a, b); Python
 #: code-point order == Spark UTF8 binary order), same run-parity greedy
-#: merge — pinned equal by tests/test_text_ops.py.
-_BPE_LOCAL_MAX_WORDS = 1_000_000
+#: merge — pinned equal by
+#: tests/test_dedup_scale.py::test_bpe_local_fast_path_equals_distributed.
+#: Sized 100k (r16, was 1M — the r15 advice item): the driver cost is
+#: words × avg-word-length tuples through non-Arrow createDataFrame in
+#: `_bpe_syms_df`, so the gate bounds DRIVER work at ~1M tuples, not
+#: tens of millions; 100k distinct words still covers every registered
+#: corpus by orders of magnitude, and the bound also caps the one
+#: discarded limit(MAX+1) collect an above-gate vocabulary pays before
+#: falling back (a count() pre-check would instead tax every
+#: BELOW-gate call — the common case — with one extra Spark job).
+_BPE_LOCAL_MAX_WORDS = 100_000
 
 
 def _bpe_local_vocab(words):

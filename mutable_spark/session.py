@@ -36,8 +36,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # sorts), and let AQE rewrite a planned SMJ to SHJ at runtime when
     # every post-shuffle partition of the build side measures under
     # 64 MB (the conf is 0 = off by default). Both rules are BYTES-
-    # parameterized, not core-count tunes: at 100 TB a partition above
-    # the threshold keeps sort-merge's graceful spill. Measured (r15,
+    # parameterized, not core-count tunes. Guard honesty (r16, advice
+    # item): only the AQE rewrite gates on MEASURED partition bytes;
+    # the static preferSortMergeJoin=false path trusts planner size
+    # ESTIMATES (estimate < threshold × numShufflePartitions picks a
+    # build side that cannot spill), so a badly misestimated derived
+    # frame could OOM an executor at scale — the deployment posture is
+    # that AQE re-plans every shuffle stage from runtime statistics
+    # (adaptive.enabled above), which corrects the static pick before
+    # the build materializes; a cluster without AQE should drop the
+    # static flag and keep only the runtime rewrite. Measured (r15,
     # interleaved min-of-4 per arm, sf0.1): pipeline_split_leakage_safe
     # −0.36 s, pipeline_decontaminate_semantic −0.29, sim_ivf_train
     # −0.24, dedup_embedding_multiprobe −0.22, sim_semantic_dedup

@@ -290,7 +290,7 @@ def compact_embedding_classes(
             ).parquet(str(lab_dir))
             lab = spark.read.parquet(str(lab_dir))
         pairs = (
-            retrained_multiprobe_pairs(e, labels=lab, k=k)
+            retrained_multiprobe_pairs(e, labels=lab, k=k, n_rows=n)
             .select(
                 F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
             )

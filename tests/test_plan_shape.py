@@ -986,17 +986,51 @@ def test_multiprobe_tier_broadcast_assign_no_cartesian(plans, spark):
     consumer joins are pinned SHUFFLE_HASH: a checkpoint scan has no
     stats, and the planner's fallback was SortMergeJoin — full sorts of
     the multi-million-row candidate stream
-    (plans/r15/dedup_embedding_multiprobe_{before,after}.txt)."""
+    (plans/r15/dedup_embedding_multiprobe_{before,after}.txt).
+
+    r16 (opt round 2): the two VERIFY joins are bytes-gated
+    (`_gate_verify_side`) — the tier knows the corpus row count (it
+    derives k from it), so the broadcast-vs-shuffle decision Catalyst
+    cannot make over a stats-less checkpoint is reconstructed against
+    the session's autoBroadcastJoinThreshold. At test SF the embedding
+    side fits and BROADCASTS (the candidate pair stream — 1.86M rows at
+    sf0.1, the r15 verdict's #1 residual — is no longer shuffled once
+    per verify side); past the threshold the r15 shuffled-hash posture
+    returns unchanged (asserted below on the gate directly). The cell
+    self-join keeps its shuffle-hash pin: both ITS sides are the
+    corpus-sized assignment at every scale."""
     p = plans("dedup_embedding_multiprobe")
     tree = p.split("\n\n")[0]
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p  # the pair DISTINCT
-    # the tier's joins are shuffled-hash (no stats-blind SMJ sorts, no
-    # corpus-sized broadcast)
     assert "SortMergeJoin" not in tree, p
-    assert tree.count("ShuffledHashJoin") >= 3, p
+    # self-join: shuffled-hash; verify joins: bytes-gated broadcast (the
+    # embedding side fits the threshold at test SF)
+    assert tree.count("ShuffledHashJoin") >= 1, p
+    assert tree.count("BroadcastHashJoin") >= 2, p
     # the checkpointed assign feeds both self-join children
     assert "Scan ExistingRDD" in tree, p
+
+    # the bytes gate itself: an over-threshold (or unknown) corpus row
+    # count must keep the r15 shuffled-hash posture — the broadcast is
+    # strictly the under-threshold arm, never a forced hint
+    from mutable_spark.operators import dedup as DD
+
+    from mutable_spark.catalog import load_tables
+
+    thr = DD._conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold")
+    assert thr > 0  # the session sets a finite threshold
+    big_n = thr  # n rows at >520 B/row always exceeds thr bytes
+    side = load_tables(spark, SF_DIR).embeddings.select("vec_id", "embedding")
+    hinted = DD._gate_verify_side(side, spark, big_n)
+    assert "broadcast" not in str(hinted._jdf.queryExecution().logical()).lower()
+    hinted_none = DD._gate_verify_side(side, spark, None)
+    assert (
+        "broadcast"
+        not in str(hinted_none._jdf.queryExecution().logical()).lower()
+    )
+    small = DD._gate_verify_side(side, spark, 100)
+    assert "broadcast" in str(small._jdf.queryExecution().logical()).lower()
 
     # the centroid broadcast pin lives on the assign subplan itself now
     from mutable_spark.catalog import load_tables
