@@ -2577,7 +2577,11 @@ def _gate_verify_side(side, spark, n_rows: int | None):
 
 
 def multiprobe_cosine_pairs(
-    e, max_rk: int | None = None, *, n_rows: int | None = None
+    e,
+    max_rk: int | None = None,
+    *,
+    n_rows: int | None = None,
+    bounded: bool = False,
 ):
     """(vec_a, vec_b, cos) near-dup pairs with cosine ≥ threshold under
     top-``max_rk`` centroid blocking over the frame's CURRENT labels
@@ -2589,7 +2593,22 @@ def multiprobe_cosine_pairs(
 
     ``n_rows`` (r16): the corpus row count when the caller already knows
     it — feeds the bytes-gated verify-side broadcast
-    (`_gate_verify_side`); None keeps the shuffled-hash posture."""
+    (`_gate_verify_side`); None keeps the shuffled-hash posture.
+
+    ``bounded`` (r16): True when ``e`` is a certification-BOUNDED sample
+    over a stats-bearing frame (the MOD samples every quadratic-baseline
+    instrument runs on — a frame small enough for `exact_cosine_pairs`
+    is small enough for Catalyst to plan from its real parquet
+    estimates). Skips the checkpoint barrier and the join pins entirely
+    — the r14 shape. The cross-commit A/B that motivated this (r15
+    verdict item 3): the inherited checkpoint + shuffle-hash pins cost
+    `dedup_reassign_certification` +0.38 s vs the r14 artifact code
+    (process-alternating min-of-4: r14 1.86 s, r16-pinned 2.24 s;
+    same-session decomposition: checkpoint −0.20, pins −0.04,
+    both −0.45) because on a bounded sample the duplicated assign
+    pipeline is cheaper than a checkpoint materialization and Catalyst's
+    stats-driven broadcasts beat pinned exchanges. Production
+    corpus-sized callers keep the default False."""
     from mutable_spark.functions import vec_cosine_pre, vec_norm
 
     if max_rk is None:
@@ -2606,11 +2625,9 @@ def multiprobe_cosine_pairs(
     # passes over the corpus) runs ONCE at any scale instead of twice.
     # Lazy (eager=False): materializes inside the first job that touches
     # it; recompute races are harmless (bit-deterministic).
-    assign = (
-        _multiprobe_assign(e, max_rk)
-        .select("vec_id", "cell")
-        .localCheckpoint(eager=False)
-    )
+    assign = _multiprobe_assign(e, max_rk).select("vec_id", "cell")
+    if not bounded:
+        assign = assign.localCheckpoint(eager=False)
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(
         F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b")
@@ -2630,7 +2647,7 @@ def multiprobe_cosine_pairs(
     # stats of a checkpoint scan — and for the sort cost at real scale.
     cand = (
         a.join(
-            b.hint("shuffle_hash"),
+            b if bounded else b.hint("shuffle_hash"),
             (F.col("cell") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
@@ -2654,9 +2671,15 @@ def multiprobe_cosine_pairs(
         F.col("embedding").alias("eb"),
         vec_norm(F.col("embedding"), _DOT_UNROLL_DIM).alias("nb"),
     )
+    if bounded:
+        # stats-bearing sample: Catalyst's own estimates pick the joins
+        ea_j, eb_j = ea, eb
+    else:
+        ea_j = _gate_verify_side(ea, e.sparkSession, n_rows)
+        eb_j = _gate_verify_side(eb, e.sparkSession, n_rows)
     return (
-        cand.join(_gate_verify_side(ea, e.sparkSession, n_rows), "vec_a")
-        .join(_gate_verify_side(eb, e.sparkSession, n_rows), "vec_b")
+        cand.join(ea_j, "vec_a")
+        .join(eb_j, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -3846,7 +3869,10 @@ def dedup_reassign_certification(spark, sf_dir):
     stored = embedding_cosine_pairs(e).agg(
         F.count(F.lit(1)).alias("n_stored")
     )
-    refreshed = multiprobe_cosine_pairs(e, max_rk=1).agg(
+    # bounded=True (r16): this instrument's sample is quadratic-baseline
+    # sized by construction; the r14 un-pinned shape measured 0.45 s
+    # faster than the inherited checkpoint+pins (see the tier docstring)
+    refreshed = multiprobe_cosine_pairs(e, max_rk=1, bounded=True).agg(
         F.count(F.lit(1)).alias("n_refreshed")
     )
     exact = exact_cosine_pairs(e).agg(F.count(F.lit(1)).alias("n_exact"))
