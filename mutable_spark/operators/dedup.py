@@ -373,6 +373,50 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(g)
 
 
+#: gateway id → (aggs, bands) Column trees for `_minhash_buckets` — the
+#: `functions._DOT_EXPR_CACHE` precedent applied to the signature build:
+#: the 128 min-slot aggregates and 64 band hashes are built from FIXED
+#: column names ("h", "m0".."m127"), i.e. fully unresolved and immutable,
+#: yet constructing them costs ~1.2 s of py4j round-trips PER QUERY BUILD
+#: (measured r16: `_minhash_buckets` construction 1.64 s — larger than
+#: the tier's entire 1.29 s execution at sf0.1, paid again by every one
+#: of the six minhash-family bench rows). One build per process amortizes
+#: to nothing; keyed on the live py4j gateway so a restarted JVM can
+#: never be served stale refs (same guard as _DOT_EXPR_CACHE).
+_MINHASH_EXPR_CACHE: dict[int, tuple[list, "F.Column"]] = {}
+
+
+def _minhash_exprs():
+    from mutable_spark.functions import _dot_cache_gateway
+
+    gw = _dot_cache_gateway()
+    cached = _MINHASH_EXPR_CACHE.get(gw)
+    if cached is None:
+        _MINHASH_EXPR_CACHE.clear()
+        # two 32-bit permutation slots per xxhash64 call (high/low halves
+        # — the standard hash-splitting trick): 64 hash evaluations feed
+        # 128 min-slots, measured 0.98 s vs 1.34 s for 128 one-slot
+        # hashes at sf0.1. Half-min collisions across dissimilar docs
+        # are verified away like every other candidate.
+        half_mask = (1 << 32) - 1
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(_N_PERM // 2):
+            x = F.xxhash64(F.lit(i), F.col("h"))
+            aggs.append(F.min(F.shiftrightunsigned(x, 32)).alias(f"m{2 * i}"))
+            aggs.append(F.min(x.bitwiseAND(F.lit(half_mask))).alias(f"m{2 * i + 1}"))
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(j), *[F.col(f"m{j * _ROWS + r}") for r in range(_ROWS)]
+                )
+                for j in range(_BANDS)
+            ]
+        )
+        cached = (aggs, bands)
+        _MINHASH_EXPR_CACHE[gw] = cached
+    return cached
+
+
 def _minhash_buckets(g):
     """(doc_id, n, band, bkey) LSH band-bucket rows from a hashed-shingle
     frame: 128 codegen'd min(xxhash64(slot, h)) aggregates → 64 xxhash64
@@ -384,25 +428,10 @@ def _minhash_buckets(g):
     consumer reads it exactly once (the old bucket self-join needed a
     cache; the posexplode+groupBy formulation does not — a cache would
     only pay a pointless block-store materialization of a 128-column
-    frame, profiled ~3 s at sf0.1)."""
-    # two 32-bit permutation slots per xxhash64 call (high/low halves —
-    # the standard hash-splitting trick): 64 hash evaluations feed 128
-    # min-slots, measured 0.98 s vs 1.34 s for 128 one-slot hashes at
-    # sf0.1. Half-min collisions across dissimilar docs are verified
-    # away like every other candidate.
-    half_mask = (1 << 32) - 1
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(_N_PERM // 2):
-        x = F.xxhash64(F.lit(i), F.col("h"))
-        aggs.append(F.min(F.shiftrightunsigned(x, 32)).alias(f"m{2 * i}"))
-        aggs.append(F.min(x.bitwiseAND(F.lit(half_mask))).alias(f"m{2 * i + 1}"))
+    frame, profiled ~3 s at sf0.1). The signature/band EXPRESSIONS are
+    memoized per process (`_minhash_exprs`) — construction, not data."""
+    aggs, bands = _minhash_exprs()
     sig = g.select("doc_id", F.explode("shh").alias("h")).groupBy("doc_id").agg(*aggs)
-    bands = F.array(
-        *[
-            F.xxhash64(F.lit(j), *[F.col(f"m{j * _ROWS + r}") for r in range(_ROWS)])
-            for j in range(_BANDS)
-        ]
-    )
     return sig.select("doc_id", "n", F.posexplode(bands).alias("band", "bkey"))
 
 
