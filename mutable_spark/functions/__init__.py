@@ -275,3 +275,35 @@ def vec_cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     as top neighbors in either engine. Pinned by
     tests/test_edge_embeddings.py."""
     return F.try_divide(vec_dot(a, b, dim), vec_norm(a, dim) * vec_norm(b, dim))
+
+
+#: (gateway id, *site key) → frame-independent Column tree(s). The
+#: `_DOT_EXPR_CACHE` mechanism generalized (r16): at sf0.1 several bench
+#: rows spend MORE wall time in py4j Column construction than in query
+#: execution (dedup_simhash: 1.6 s of its 1.8 s build is the 64
+#: bit-vote aggregates + chunk packing; the k-gram zip_with chains cost
+#: ~0.3-0.5 s per build across six rows). Any Column built purely from
+#: F.col(fixed-name)/F.lit is unresolved and immutable, so one build
+#: per process serves every plan. Same contract as _DOT_EXPR_CACHE:
+#: never memoize DataFrame-resolved columns or data-dependent literals;
+#: keyed on the live gateway so a restarted JVM gets a fresh build.
+_EXPR_MEMO: dict[tuple, object] = {}
+
+
+def memo_exprs(key: tuple, build):
+    """Return ``build()`` memoized per (py4j gateway, ``key``).
+
+    ``build`` must construct Column trees from FIXED column names only
+    (F.col/F.lit roots — no df["x"], no values read from data), so the
+    cached object is equivalent to rebuilding it: plans are unchanged
+    (pinned byte-identical in plans/r16), only the construction-side
+    py4j round-trips are saved."""
+    gw = _dot_cache_gateway()
+    full = (gw, *key)
+    v = _EXPR_MEMO.get(full)
+    if v is None:
+        for stale in [k for k in _EXPR_MEMO if k[0] != gw]:
+            del _EXPR_MEMO[stale]
+        v = build()
+        _EXPR_MEMO[full] = v
+    return v

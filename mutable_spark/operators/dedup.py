@@ -45,6 +45,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from mutable_spark.catalog import SHINGLE_INFLATION, load_tables
+from mutable_spark.functions import memo_exprs
 from mutable_spark.registry import query
 
 JACCARD_THRESHOLD = 0.5
@@ -74,22 +75,28 @@ def _shingle_df(d, distinct: bool = True):
     internally anyway — only size-based pruning needs true set sizes."""
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+
     # clamped, though the filter above already guarantees n >= 1: Spark
     # infers a size(sh) > 0 predicate from downstream explodes
     # (InferFiltersFromGenerate) and may evaluate it BESIDE the token
     # filter, where an unguarded size-2 slice length raises under ANSI on
     # sub-3-token rows; greatest() keeps the expression total wherever
     # the optimizer places it
-    n = F.greatest(F.size("t") - 2, F.lit(0))
-    pair = F.zip_with(
-        F.slice(F.col("t"), 1, n),
-        F.slice(F.col("t"), 2, n),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    sh = F.zip_with(pair, F.slice(F.col("t"), 3, n), lambda x, y: F.concat_ws(" ", x, y))
-    if distinct:
-        sh = F.array_distinct(sh)
-    return d.select("doc_id", sh.alias("sh"))
+    def build():
+        n = F.greatest(F.size("t") - 2, F.lit(0))
+        pair = F.zip_with(
+            F.slice(F.col("t"), 1, n),
+            F.slice(F.col("t"), 2, n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        sh = F.zip_with(
+            pair, F.slice(F.col("t"), 3, n), lambda x, y: F.concat_ws(" ", x, y)
+        )
+        if distinct:
+            sh = F.array_distinct(sh)
+        return sh.alias("sh")
+
+    return d.select("doc_id", memo_exprs(("shingle", distinct), build))
 
 
 _SQL_SHINGLES = r"""
@@ -134,6 +141,15 @@ def _token_hash(t):
     return F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long")
 
 
+def _token_hash_transform():
+    """``transform(t, _token_hash) AS th`` memoized per process — shared
+    by every hashed-gram builder (minhash shingles, k-gram spans)."""
+    return memo_exprs(
+        ("token_hash_th",),
+        lambda: F.transform(F.col("t"), _token_hash).alias("th"),
+    )
+
+
 def _hashed_shingle_df(d):
     """(doc_id, shh) with shh = sorted distinct hashes of word-3-gram
     shingles.
@@ -153,17 +169,23 @@ def _hashed_shingle_df(d):
     pair it participates in."""
     toks = _tokens()
     d = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
-    d = d.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
+    d = d.select("doc_id", _token_hash_transform())
+
     # clamped for the same ANSI/InferFiltersFromGenerate hazard noted in
     # _shingle_df
-    n = F.greatest(F.size("th") - 2, F.lit(0))
-    pair = F.zip_with(
-        F.slice(F.col("th"), 1, n),
-        F.slice(F.col("th"), 2, n),
-        lambda x, y: (x * 131 + y) % _PH,
-    )
-    shh = F.zip_with(pair, F.slice(F.col("th"), 3, n), lambda x, y: (x * 131 + y) % _PH)
-    return d.select("doc_id", F.array_sort(F.array_distinct(shh)).alias("shh"))
+    def build():
+        n = F.greatest(F.size("th") - 2, F.lit(0))
+        pair = F.zip_with(
+            F.slice(F.col("th"), 1, n),
+            F.slice(F.col("th"), 2, n),
+            lambda x, y: (x * 131 + y) % _PH,
+        )
+        shh = F.zip_with(
+            pair, F.slice(F.col("th"), 3, n), lambda x, y: (x * 131 + y) % _PH
+        )
+        return F.array_sort(F.array_distinct(shh)).alias("shh")
+
+    return d.select("doc_id", memo_exprs(("hashed_shingle",), build))
 
 
 def _sql_hashed_shingles(doc_where: str = "") -> str:
@@ -302,21 +324,25 @@ def _bucket_pairs(grouped, cap: int = _MAX_BUCKET):
     pathological 10M-identical-document corpus should run exact dedup
     before the LSH tier, collapsing identical texts so no bucket can
     exceed the distinct-near-dup population in the first place."""
-    ms = F.col("ms")
-    mk = lambda x, y: F.struct(x.alias("a"), y.alias("b"))
-    full = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)), lambda y: mk(x, y)
-            ),
+    # roots only at F.col("ms") + the cap literal → memoized per process
+    def build():
+        ms = F.col("ms")
+        mk = lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+        full = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)), lambda y: mk(x, y)
+                ),
+            )
         )
-    )
-    star = F.transform(
-        F.slice(ms, 2, F.size(ms)), lambda y: mk(F.element_at(ms, 1), y)
-    )
-    pair_structs = F.when(F.size(ms) <= F.lit(cap), full).otherwise(star)
-    return grouped.select(F.explode(pair_structs).alias("p"))
+        star = F.transform(
+            F.slice(ms, 2, F.size(ms)), lambda y: mk(F.element_at(ms, 1), y)
+        )
+        pair_structs = F.when(F.size(ms) <= F.lit(cap), full).otherwise(star)
+        return F.explode(pair_structs).alias("p")
+
+    return grouped.select(memo_exprs(("bucket_pairs", cap), build))
 
 
 @query("dedup_minhash_lsh", oracle=_SQL_PAIRS_HASHED)
@@ -373,26 +399,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(g)
 
 
-#: gateway id → (aggs, bands) Column trees for `_minhash_buckets` — the
-#: `functions._DOT_EXPR_CACHE` precedent applied to the signature build:
-#: the 128 min-slot aggregates and 64 band hashes are built from FIXED
-#: column names ("h", "m0".."m127"), i.e. fully unresolved and immutable,
-#: yet constructing them costs ~1.2 s of py4j round-trips PER QUERY BUILD
-#: (measured r16: `_minhash_buckets` construction 1.64 s — larger than
-#: the tier's entire 1.29 s execution at sf0.1, paid again by every one
-#: of the six minhash-family bench rows). One build per process amortizes
-#: to nothing; keyed on the live py4j gateway so a restarted JVM can
-#: never be served stale refs (same guard as _DOT_EXPR_CACHE).
-_MINHASH_EXPR_CACHE: dict[int, tuple[list, "F.Column"]] = {}
-
-
 def _minhash_exprs():
-    from mutable_spark.functions import _dot_cache_gateway
+    """(aggs, bands) Column trees for `_minhash_buckets`, memoized per
+    process (`memo_exprs`): the 128 min-slot aggregates and 64 band
+    hashes are built from FIXED column names ("h", "m0".."m127") yet
+    constructing them costs ~1.2 s of py4j round-trips PER QUERY BUILD
+    (measured r16: `_minhash_buckets` construction 1.64 s — larger than
+    the tier's entire 1.29 s execution at sf0.1, paid again by every one
+    of the six minhash-family bench rows)."""
 
-    gw = _dot_cache_gateway()
-    cached = _MINHASH_EXPR_CACHE.get(gw)
-    if cached is None:
-        _MINHASH_EXPR_CACHE.clear()
+    def build():
         # two 32-bit permutation slots per xxhash64 call (high/low halves
         # — the standard hash-splitting trick): 64 hash evaluations feed
         # 128 min-slots, measured 0.98 s vs 1.34 s for 128 one-slot
@@ -412,9 +428,9 @@ def _minhash_exprs():
                 for j in range(_BANDS)
             ]
         )
-        cached = (aggs, bands)
-        _MINHASH_EXPR_CACHE[gw] = cached
-    return cached
+        return aggs, bands
+
+    return memo_exprs(("minhash",), build)
 
 
 def _minhash_buckets(g):
@@ -1106,6 +1122,38 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(sig)
 
 
+def _simhash_sig_exprs():
+    """The 64 bit-vote SUM aggregates and the 4×16-bit chunk-packing
+    array, memoized per process: all roots are fixed names (h0/h1,
+    b0..b63), and building them costs ~1.4 s of py4j round-trips —
+    most of `dedup_simhash`'s wall time at sf0.1 (build 1.6 s vs
+    exec 0.55 s, r16 cProfile) — paid identically by every simhash
+    consumer. One build per process serves all of them; plans are
+    byte-identical (plans/r16)."""
+
+    def build():
+        aggs = [
+            F.sum(
+                (
+                    F.shiftrightunsigned(F.col(f"h{b // 32}"), b % 32).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                )
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+        chunk = lambda c: sum(
+            (F.when(F.col(f"b{16 * c + i}") > 0, 1).otherwise(0) * (1 << i))
+            for i in range(16)
+        )
+        chunks = F.array(*[chunk(c) for c in range(4)]).alias("chunks")
+        return aggs, chunks
+
+    return memo_exprs(("simhash_sig",), build)
+
+
 def _simhash_sig_df(d):
     """(doc_id, chunks[4]) — the weighted 64-bit SimHash signature as
     4×16-bit chunks (see `dedup_simhash` for the full rationale)."""
@@ -1121,26 +1169,9 @@ def _simhash_sig_df(d):
         F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h0"),
         F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h1"),
     )
-    votes = th.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (
-                    F.shiftrightunsigned(F.col(f"h{b // 32}"), b % 32).bitwiseAND(
-                        F.lit(1)
-                    )
-                    * 2
-                    - 1
-                )
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    chunk = lambda c: sum(
-        (F.when(F.col(f"b{16 * c + i}") > 0, 1).otherwise(0) * (1 << i)) for i in range(16)
-    )
-    return votes.select(
-        "doc_id", F.array(*[chunk(c) for c in range(4)]).alias("chunks")
-    )
+    aggs, chunks = _simhash_sig_exprs()
+    votes = th.groupBy("doc_id").agg(*aggs)
+    return votes.select("doc_id", chunks)
 
 
 def simhash_pairs(sig):
@@ -1158,6 +1189,37 @@ def simhash_pairs(sig):
     pieces = sig.select(
         "doc_id", "chunks", F.posexplode(F.col("chunks")).alias("pos", "val")
     )
+
+    # the expansion expression roots only at F.col("ms") + literals, so it
+    # is memoized per process (memo_exprs — ~0.2 s of HOF-lambda py4j
+    # construction per build otherwise)
+    def build():
+        ham = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda p, q: F.bit_count(p.bitwiseXOR(q))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        pair = lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            ham(x["chunks"], y["chunks"]).alias("hamming"),
+        )
+        ms = F.col("ms")
+        full = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)
+                ),
+            )
+        )
+        star = F.transform(
+            F.slice(ms, 2, F.size(ms)), lambda y: pair(F.element_at(ms, 1), y)
+        )
+        pairs = F.when(F.size(ms) <= F.lit(_MAX_BUCKET), full).otherwise(star)
+        return F.explode(F.filter(pairs, lambda p: p["hamming"] <= 3)).alias("p")
+
+    exploded = memo_exprs(("simhash_pairs", _MAX_BUCKET), build)
     # bucket pair expansion, not a pieces self-join (see dedup_minhash_lsh);
     # star-capped past _MAX_BUCKET members (skew guard, same contract as
     # _bucket_pairs — star pairs keep the class connected for components)
@@ -1166,33 +1228,8 @@ def simhash_pairs(sig):
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "chunks"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    ham = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda p, q: F.bit_count(p.bitwiseXOR(q))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    pair = lambda x, y: F.struct(
-        x["doc_id"].alias("doc_a"),
-        y["doc_id"].alias("doc_b"),
-        ham(x["chunks"], y["chunks"]).alias("hamming"),
-    )
-    ms = F.col("ms")
-    full = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)
-            ),
-        )
-    )
-    star = F.transform(
-        F.slice(ms, 2, F.size(ms)), lambda y: pair(F.element_at(ms, 1), y)
-    )
-    pairs = F.when(F.size(ms) <= F.lit(_MAX_BUCKET), full).otherwise(star)
     return (
-        grouped.select(
-            F.explode(F.filter(pairs, lambda p: p["hamming"] <= 3)).alias("p")
-        )
+        grouped.select(exploded)
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
@@ -1204,6 +1241,28 @@ def simhash_pairs(sig):
 #: keeps every scale factor exercised.
 _SPAN_K = 20
 
+def _gram_chain(k: int):
+    """The ``k``-token rolling-gram hash array over a token-hash column
+    named ``th`` — k-1 zip_withs over aligned array views. Roots only at
+    F.col("th") + literals, so memoized per process (memo_exprs): the
+    chain costs ~0.3-0.5 s of py4j HOF construction per build and is
+    shared by six bench rows (verbatim/span/scrub/containment/overlap/
+    boilerplate families)."""
+
+    def build():
+        m = F.greatest(F.size("th") - k + 1, F.lit(0))
+        acc = F.slice(F.col("th"), 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice(F.col("th"), 1 + j, m),
+                lambda a, b: (a * 131 + b) % _PH,
+            )
+        return acc
+
+    return memo_exprs(("gram_chain", k), build)
+
+
 def verbatim_gram_arrays(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
     """(doc_id, ``*keep``, grams) — per document, the DISTINCT ``k``-token
     rolling-gram hashes as an array (no explode). Grams chain the
@@ -1214,16 +1273,10 @@ def verbatim_gram_arrays(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
     consumers explode via `verbatim_gram_rows`."""
     toks = _tokens()
     t = d.select("doc_id", *keep, toks.alias("t")).filter(F.size("t") >= k)
-    t = t.select("doc_id", *keep, F.transform(F.col("t"), _token_hash).alias("th"))
-    m = F.greatest(F.size("th") - k + 1, F.lit(0))
-    acc = F.slice(F.col("th"), 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("th"), 1 + j, m),
-            lambda a, b: (a * 131 + b) % _PH,
-        )
-    return t.select("doc_id", *keep, F.array_distinct(acc).alias("grams"))
+    t = t.select("doc_id", *keep, _token_hash_transform())
+    return t.select(
+        "doc_id", *keep, F.array_distinct(_gram_chain(k)).alias("grams")
+    )
 
 
 def verbatim_gram_rows(d, keep: tuple[str, ...] = (), k: int = _SPAN_K):
@@ -1383,16 +1436,8 @@ def positional_gram_frame(d, k: int = _SPAN_K):
     per-document half of the span tier: deterministic per doc, so the
     streaming gram store appends it once per document ever."""
     t = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= k)
-    t = t.select("doc_id", F.transform(F.col("t"), _token_hash).alias("th"))
-    m = F.greatest(F.size("th") - k + 1, F.lit(0))
-    acc = F.slice(F.col("th"), 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("th"), 1 + j, m),
-            lambda a, b: (a * 131 + b) % _PH,
-        )
-    return t.select("doc_id", F.posexplode(acc).alias("pos", "h"))
+    t = t.select("doc_id", _token_hash_transform())
+    return t.select("doc_id", F.posexplode(_gram_chain(k)).alias("pos", "h"))
 
 
 def spans_from_grams(g, k: int = _SPAN_K):

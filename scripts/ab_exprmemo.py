@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Interleaved A/B of the r16 minhash expression memoization
-(`dedup._minhash_exprs` / `_MINHASH_EXPR_CACHE`). Arm "fresh" clears the
-cache before every query build (reproducing the old per-build Column
-construction cost); arm "memo" runs the shipped warm-cache path. Flipped
-per rep in ONE session so host noise cancels; min-of-N per arm.
+"""Interleaved A/B of the r16 batch-2 expression memoizations (simhash
+signature/pairs, k-gram chain, shingle/token-hash builders,
+_bucket_pairs). Arm "fresh" evicts every `functions._EXPR_MEMO` entry
+EXCEPT the already-committed minhash one before each query build
+(reproducing the old per-build construction for exactly this batch);
+arm "memo" runs warm. Flipped per rep in ONE session; min-of-N per arm.
 
-Usage: python scripts/ab_minhash_memo.py [reps] [name ...]
+Usage: [AB_REVERSE=1] python scripts/ab_exprmemo.py [reps] [name ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -19,12 +21,12 @@ args = sys.argv[1:]
 reps = int(args.pop(0)) if args and args[0].isdigit() else 4
 sf_dir = "/root/testdata/sf0.1"
 
+from mutable_spark import functions as MF
 from mutable_spark import registry
-from mutable_spark.operators import dedup as DD
 from mutable_spark.session import get_spark
 
 registry.load_all()
-spark = get_spark("ab-minhash-memo")
+spark = get_spark("ab-exprmemo")
 spark.sparkContext.setLogLevel("ERROR")
 
 from mutable_spark.catalog import load_tables
@@ -32,17 +34,25 @@ from mutable_spark.catalog import load_tables
 load_tables(spark, sf_dir)
 registry.QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-names = args or [
-    "dedup_minhash_lsh",
-    "dedup_threshold_histogram",
-    "pipeline_decontaminate_fuzzy",
-    "pipeline_split_leakage_safe",
-    "pipeline_dsir_select",
-    "dedup_simhash",  # control: simhash family, no minhash exprs
-    "tpch_q3",  # control: no dedup code at all
-]
+KEEP = {"minhash"}  # batch-1, committed separately — warm in BOTH arms
 
-import os
+
+def evict_batch2():
+    for k in [k for k in MF._EXPR_MEMO if len(k) < 2 or k[1] not in KEEP]:
+        del MF._EXPR_MEMO[k]
+
+
+names = args or [
+    "dedup_simhash",
+    "dedup_verbatim_ngrams",
+    "dedup_duplicate_spans",
+    "dedup_scrub_spans",
+    "dedup_containment",
+    "pipeline_source_overlap",
+    "text_boilerplate_grams",
+    "dedup_minhash_lsh",  # inherits only the small shingle/bucket memos
+    "tpch_q3",  # control
+]
 
 arms = ("memo", "fresh") if os.environ.get("AB_REVERSE") else ("fresh", "memo")
 
@@ -53,11 +63,12 @@ for rep in range(reps):
             spark.catalog.clearCache()
             registry.release_caches(spark, blocking=False)
             if arm == "fresh":
-                from mutable_spark import functions as MF
-
-                MF._EXPR_MEMO.clear()
+                evict_batch2()
             else:
-                DD._minhash_exprs()  # warm once; steady-state arm
+                # steady-state arm: an untimed build re-populates any
+                # entries the preceding fresh arm left evicted (its last
+                # query evicts without rebuilding this query's exprs)
+                registry.QUERIES[name](spark, sf_dir)
             spark.sparkContext.setJobDescription(f"{name}[{arm}]")
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).collect()
