@@ -234,7 +234,14 @@ def vec_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     dedup_multiprobe_sweep read +0.56 s with a global default. Hot sites
     pass `_DOT_UNROLL_DIM`; everything else keeps the fold."""
     if dim is None or dim <= 0:
-        return _fold_dot(a, b)
+        # the fold build costs ~30 ms of py4j (zip_with + aggregate HOF
+        # plumbing) and e.g. dedup_multiprobe_sweep builds 7 of them per
+        # query — memoized under the same render-keyed contract as the
+        # unrolled path (every call site passes F.col()-rooted
+        # expressions; see _DOT_EXPR_CACHE note above)
+        return memo_exprs(
+            ("fold_dot", str(a), str(b)), lambda: _fold_dot(a, b)
+        )
     gw = _dot_cache_gateway()
     key = (gw, str(a), str(b), dim)
     c = _DOT_EXPR_CACHE.get(key)

@@ -3502,18 +3502,18 @@ def stored_retrained_labels(
     try:
         for name in _os.listdir(root):
             m = pat.match(name)
-            if m is not None and _read_label_store(
-                spark, _os.path.join(root, name)
-            ) is not None:
-                matches.append(int(m.group(1)))
+            if m is not None:
+                lab = _read_label_store(spark, _os.path.join(root, name))
+                if lab is not None:
+                    # keep the probe's frame: a second read.parquet of
+                    # the same committed dir costs ~70 ms of footer
+                    # re-listing per stored-label consumer (r16)
+                    matches.append((int(m.group(1)), lab))
     except OSError:
         pass
     if len(matches) == 1:
-        n = matches[0]
-        k = _sqrt_cells(n)
-        lab = _read_label_store(spark, _label_version_dir(tag, n, rounds))
-        if lab is not None:
-            return lab, k, n
+        n, lab = matches[0]
+        return lab, _sqrt_cells(n), n
     n = e.count()
     k = _sqrt_cells(n)
     path = _label_version_dir(tag, n, rounds)
