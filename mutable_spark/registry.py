@@ -97,7 +97,18 @@ _SAMPLE_PRIORITY: list[str] = [
     # including the derived-partsupp five (q2/q9/q11/q16/q20)
     "tpch_q4",
     "tpch_q22",
-    "tpch_q7",
+    # r16 rotation (tenth application of the r7 practice): the three
+    # late-r15 registrations below are the only registry names with NO
+    # driver row — they take the three slots freed by ≥2-green names:
+    #   * tpch_q7 demotes [r11..r15 rows] — TPC-H keeps q4/q22 plus both
+    #     dialect paths in-sample;
+    #   * text_bpe_sweep demotes [r14+r15] — the BPE family keeps
+    #     train/train_batched/encode/fertility/budget_sample in-sample;
+    #   * pipeline_preference_topm demotes [r13+r14+r15] — the DPO
+    #     preference family keeps pipeline_preference_pairs in-sample.
+    "pipeline_dsir_sweep",
+    "pipeline_mix_unimax",
+    "pipeline_pack_bpe",
     # physical-property ops + source formats: salted join (retry-safe
     # content salt), CSV round-trip, binaryFile object ingestion (r13,
     # first driver row)
@@ -179,7 +190,6 @@ _SAMPLE_PRIORITY: list[str] = [
     # sim_ivf_balance in-sample)
     "text_bpe_train_batched",
     "text_bpe_encode",
-    "text_bpe_sweep",
     # pipeline: curation composition + leakage-safe split + the r13/r14
     # DPO preference-pair builds and T5 span-corruption layout, plus the
     # r15 DSIR importance-resampling selector (pipeline_decontaminate_fuzzy
@@ -191,18 +201,15 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_decontaminate_semantic",
     "pipeline_filter_funnel",
     "pipeline_preference_pairs",
-    "pipeline_preference_topm",
     "pipeline_span_corruption",
     # + the BPE-budget composition (tpch_q8 hands over its slot —
     # r12+r13 rows, TPC-H keeps four in-sample rows)
     "pipeline_bpe_budget_sample",  # index 50-1: last slot of the sample
     # ---- past the 50-sample horizon ----
-    # late-r15 registrations (no driver row yet — r16 rotation
-    # candidates; their Spark==DuckDB contracts are value-checked by
-    # the local suite like every other registration)
-    "pipeline_dsir_sweep",
-    "pipeline_mix_unimax",
-    "pipeline_pack_bpe",
+    # demoted r16 (rationale in the r16 rotation note above)
+    "tpch_q7",
+    "text_bpe_sweep",
+    "pipeline_preference_topm",
     # demoted r15 (r12+r13+r14 rows; correlated-subquery family stays
     # in-sample via tpch_q22 and dialect paths)
     "pipeline_decontaminate_fuzzy",
